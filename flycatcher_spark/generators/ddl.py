@@ -1,0 +1,165 @@
+"""Spark SQL DDL generation + schema-enforced readers/writers.
+
+Replaces the reference's SQLAlchemy backend
+(``/root/reference/src/flycatcher/generators/sqlalchemy.py``) with
+Spark-native output: a ``CREATE TABLE`` statement derived from the
+schema (same auto table naming: class name minus "Schema", lowercased,
+plus "s"), plus read/write helpers. Spark cannot *enforce* primary
+key/unique/index, so those surface as informational clauses in a
+trailing comment — the opt-in runtime check lives at
+``SparkValidator.check_unique``.
+
+The read helper is a capability upgrade over the reference: passing
+the compiled ``StructType`` as the explicit read schema gives
+schema-on-read enforcement and lets the scan prune columns the schema
+doesn't declare.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..fields import _MISSING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from ..base import Schema
+
+
+def table_name_for(schema_cls: "type[Schema]") -> str:
+    """Default table name: class name minus 'Schema', lowercased, + 's'."""
+    return schema_cls.__name__.removesuffix("Schema").lower() + "s"
+
+
+def create_table_ddl(
+    schema_cls: "type[Schema]",
+    table_name: str | None = None,
+    *,
+    using: str = "parquet",
+) -> str:
+    """Generate a Spark SQL ``CREATE TABLE`` statement.
+
+    Examples
+    --------
+        >>> from flycatcher_spark import Schema, Field
+        >>> class UserSchema(Schema):
+        ...     id: int = Field(primary_key=True)
+        ...     name: str = Field(max_length=50)
+        ...     bio: str | None = None
+        >>> print(UserSchema.to_ddl())  # doctest: +NORMALIZE_WHITESPACE
+        CREATE TABLE users (
+          id BIGINT NOT NULL,
+          name VARCHAR(50) NOT NULL,
+          bio STRING
+        ) USING parquet
+        -- informational constraints (not enforced by Spark):
+        --   PRIMARY KEY (id)
+    """
+    if table_name is None:
+        table_name = table_name_for(schema_cls)
+
+    column_lines = []
+    info_lines = []
+    pk_cols = []
+    for name, field in schema_cls.fields().items():
+        parts = [name, field.get_ddl_type()]
+        if not field.nullable:
+            parts.append("NOT NULL")
+        if field.default is not _MISSING and field.default is not None:
+            parts.append(f"DEFAULT {_sql_literal(field.default)}")
+        if field.description:
+            escaped = str(field.description).replace("'", "''")
+            parts.append(f"COMMENT '{escaped}'")
+        column_lines.append("  " + " ".join(parts))
+
+        if field.primary_key:
+            pk_cols.append(name)
+        if field.unique:
+            info_lines.append(f"--   UNIQUE ({name})")
+        if field.index:
+            info_lines.append(f"--   INDEX ({name})")
+        if field.autoincrement:
+            info_lines.append(f"--   AUTOINCREMENT ({name})")
+
+    if pk_cols:
+        info_lines.insert(0, f"--   PRIMARY KEY ({', '.join(pk_cols)})")
+
+    ddl = (
+        f"CREATE TABLE {table_name} (\n"
+        + ",\n".join(column_lines)
+        + f"\n) USING {using}"
+    )
+    if info_lines:
+        ddl += "\n-- informational constraints (not enforced by Spark):\n"
+        ddl += "\n".join(info_lines)
+    return ddl
+
+
+def _sql_literal(value) -> str:
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, (int, float)):
+        return str(value)
+    escaped = str(value).replace("'", "''")
+    return f"'{escaped}'"
+
+
+def read(
+    spark: SparkSession,
+    schema_cls: "type[Schema]",
+    path: str,
+    fmt: str = "parquet",
+    **options,
+) -> DataFrame:
+    """Read ``path`` with the schema applied at scan time.
+
+    For parquet the declared schema prunes unread columns at the
+    scan; for CSV/JSON it replaces inference (one less pass over the
+    data) and coerces types on read.
+    """
+    struct = schema_cls.to_spark_schema()
+    reader = spark.read.format(fmt).options(**options)
+    if fmt in ("csv", "json"):
+        reader = reader.schema(struct)
+        return reader.load(path)
+    df = reader.load(path)
+    # Parquet scans keep their own physical types; project/cast to the
+    # declared schema so column pruning reaches the scan.
+    from pyspark.sql import functions as F
+
+    present = set(df.columns)
+    return df.select(
+        *[
+            F.col(f.name).try_cast(f.dataType).alias(f.name)
+            for f in struct.fields
+            if f.name in present
+        ]
+    )
+
+
+def write(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "error",
+    partition_by: list[str] | None = None,
+    **options,
+) -> None:
+    """Write a validated DataFrame, optionally partitioned."""
+    writer = df.write.format(fmt).mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    **properties,
+) -> None:
+    """Write a validated DataFrame to a JDBC sink (the reference's
+    SQLAlchemy-insert pipeline shape, executor-parallel)."""
+    df.write.jdbc(url=url, table=table, mode=mode, properties=properties)
