@@ -60,10 +60,12 @@ class SchemaMeta(type):
         own_fields: dict[str, FieldBase] = {}
         annotations = namespace.get("__annotations__", {})
 
+        module_name = namespace.get("__module__")
         for field_name, type_hint in annotations.items():
             if field_name.startswith("_"):
                 continue
 
+            type_hint = _resolve_hint(type_hint, module_name)
             actual_type, nullable = _unwrap_optional(field_name, type_hint)
             class_value = namespace.get(field_name, _MISSING)
 
@@ -118,6 +120,29 @@ class SchemaMeta(type):
         return super().__new__(mcs, name, bases, namespace)
 
 
+def _resolve_hint(type_hint: Any, module_name: str | None) -> Any:
+    """Materialize string annotations (``from __future__ import annotations``).
+
+    Evaluates against the defining module's globals plus the supported
+    primitive types, so ``"int | None"`` resolves the same as the
+    live annotation object.
+    """
+    if not isinstance(type_hint, str):
+        return type_hint
+    import builtins
+    import sys
+    from datetime import date as _date
+    from datetime import datetime as _datetime
+
+    scope: dict[str, Any] = {"datetime": _datetime, "date": _date}
+    if module_name and module_name in sys.modules:
+        scope.update(vars(sys.modules[module_name]))
+    try:
+        return eval(type_hint, {"__builtins__": builtins}, scope)  # noqa: S307
+    except Exception:
+        return type_hint
+
+
 def _unwrap_optional(field_name: str, type_hint: Any) -> tuple[Any, bool]:
     """Resolve ``T | None`` / ``Optional[T]`` to ``(T, nullable)``."""
     origin = get_origin(type_hint)
@@ -150,15 +175,14 @@ def _create_field_with_valid_kwargs(
     """
     import inspect
 
-    sig = inspect.signature(field_class.__init__)
-    has_var_keyword = any(
-        p.kind == inspect.Parameter.VAR_KEYWORD for p in sig.parameters.values()
-    )
-    if has_var_keyword:
-        filtered = kwargs
-    else:
-        valid = set(sig.parameters.keys()) - {"self"}
-        filtered = {k: v for k, v in kwargs.items() if k in valid}
+    valid: set[str] = set()
+    for klass in field_class.__mro__:
+        init = klass.__dict__.get("__init__")
+        if init is None:
+            continue
+        sig = inspect.signature(init)
+        valid.update(set(sig.parameters.keys()) - {"self", "kwargs", "args"})
+    filtered = {k: v for k, v in kwargs.items() if k in valid}
     return field_class(**filtered)
 
 

@@ -110,8 +110,10 @@ def as_pandas_udf(schema_cls: "type[Schema]"):
 
     model = create_pydantic_model(schema_cls)
 
-    @pandas_udf("boolean")
-    def _validate(batch: pd.DataFrame) -> pd.Series:
+    # No type hints on the inner function: this module uses
+    # ``from __future__ import annotations``, which would leave pandas_udf
+    # with unevaluatable string hints; the explicit SCALAR default applies.
+    def _validate(batch):
         out = []
         for row in batch.to_dict(orient="records"):
             try:
@@ -121,4 +123,4 @@ def as_pandas_udf(schema_cls: "type[Schema]"):
                 out.append(False)
         return pd.Series(out)
 
-    return _validate
+    return pandas_udf(_validate, "boolean")

@@ -385,7 +385,9 @@ class SparkValidator:
         usable: list[tuple[int, tuple[Column, str]]] = []
         for i, (raw, msg) in enumerate(self._constraints):
             try:
-                expr = raw.to_spark() if hasattr(raw, "to_spark") else raw
+                # isinstance first: Column.__getattr__ would satisfy
+                # hasattr(raw, "to_spark") via struct-field access.
+                expr = raw if isinstance(raw, Column) else raw.to_spark()
                 df.select(expr.cast("boolean"))
             except Exception as e:
                 logger.warning("Could not evaluate constraint '%s': %s", msg, e)

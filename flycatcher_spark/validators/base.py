@@ -14,11 +14,16 @@ from pyspark.sql import functions as F
 
 
 def to_spark_expr(obj: Any) -> Column:
-    """Convert a DSL node / Column / literal to a Spark Column."""
-    if hasattr(obj, "to_spark"):
-        return obj.to_spark()
+    """Convert a DSL node / Column / literal to a Spark Column.
+
+    The isinstance check must come first: ``Column.__getattr__``
+    resolves any attribute name as struct-field access, so
+    ``hasattr(column, "to_spark")`` is always true.
+    """
     if isinstance(obj, Column):
         return obj
+    if hasattr(obj, "to_spark"):
+        return obj.to_spark()
     return F.lit(obj)
 
 

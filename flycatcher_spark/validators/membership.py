@@ -130,10 +130,10 @@ class MembershipOp(Expr):
 
     @staticmethod
     def _bound_to_spark(bound: Any) -> Column:
+        if isinstance(bound, Column):  # before hasattr: Column.__getattr__
+            return bound
         if hasattr(bound, "to_spark"):
             return bound.to_spark()
-        if isinstance(bound, Column):
-            return bound
         if isinstance(bound, str):
             return F.col(bound)  # string bound = column reference
         return F.lit(bound)

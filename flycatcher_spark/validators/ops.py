@@ -85,6 +85,9 @@ class Expr(_ExpressionMixin):
     def __truediv__(self, other: Any) -> "BinaryOp":
         return BinaryOp(self, "/", other)
 
+    def __mod__(self, other: Any) -> "BinaryOp":
+        return BinaryOp(self, "%", other)
+
     def __and__(self, other: Any) -> "BinaryOp":
         return BinaryOp(self, "&", other)
 
@@ -105,6 +108,9 @@ class Expr(_ExpressionMixin):
 
     def __rtruediv__(self, other: Any) -> "BinaryOp":
         return BinaryOp(other, "/", self)
+
+    def __rmod__(self, other: Any) -> "BinaryOp":
+        return BinaryOp(other, "%", self)
 
     def __rand__(self, other: Any) -> "BinaryOp":
         return BinaryOp(other, "&", self)
@@ -223,6 +229,7 @@ class BinaryOp(Expr):
         "-": lambda a, b: a - b,
         "*": lambda a, b: a * b,
         "/": lambda a, b: a / b,
+        "%": lambda a, b: a % b,
         "&": lambda a, b: a & b,
         "|": lambda a, b: a | b,
     }
@@ -238,6 +245,7 @@ class BinaryOp(Expr):
         "-": lambda a, b: a - b,
         "*": lambda a, b: a * b,
         "/": lambda a, b: a / b,
+        "%": lambda a, b: a % b,
         "&": lambda a, b: a and b,
         "|": lambda a, b: a or b,
     }
@@ -295,7 +303,7 @@ class UnaryOp(Expr):
     }
 
     PYTHON_OPS: dict[builtins.str, Callable[[Any, Any], Any]] = {
-        "abs": lambda v, _: abs(v),
+        "abs": lambda v, _: None if v is None else abs(v),
         "~": lambda v, _: not v,
         "is_null": lambda v, _: v is None,
         "is_not_null": lambda v, _: v is not None,

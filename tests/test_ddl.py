@@ -1,0 +1,90 @@
+"""DDL generation + schema-enforced IO tests
+(reference: tests/generators/test_sqlalchemy.py, retargeted to Spark SQL)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from flycatcher_spark import Field, Schema
+from flycatcher_spark.generators import ddl
+
+
+class UserSchema(Schema):
+    id: int = Field(primary_key=True, autoincrement=True)
+    name: str = Field(max_length=50)
+    email: str = Field(unique=True, index=True)
+    bio: str | None = None
+    score: float = 0.0
+
+
+class TestTableName:
+    def test_auto_name(self):
+        assert ddl.table_name_for(UserSchema) == "users"
+
+    def test_explicit_name(self):
+        assert "CREATE TABLE people" in UserSchema.to_ddl("people")
+
+
+class TestDDL:
+    def test_column_types(self):
+        out = UserSchema.to_ddl()
+        assert "id BIGINT NOT NULL" in out
+        assert "name VARCHAR(50) NOT NULL" in out
+        assert "bio STRING" in out
+        assert "score DOUBLE NOT NULL DEFAULT 0.0" in out
+
+    def test_informational_constraints(self):
+        out = UserSchema.to_ddl()
+        assert "PRIMARY KEY (id)" in out
+        assert "UNIQUE (email)" in out
+        assert "INDEX (email)" in out
+        assert "AUTOINCREMENT (id)" in out
+        assert "not enforced" in out
+
+    def test_ddl_is_parseable_by_spark(self, spark, tmp_path):
+        """The generated statement must actually run."""
+
+        class TinySchema(Schema):
+            id: int
+            name: str | None = None
+
+        stmt = TinySchema.to_ddl().split("\n--")[0]  # strip info comment
+        stmt += f" LOCATION '{tmp_path}/tinys'"
+        spark.sql("DROP TABLE IF EXISTS tinys")
+        spark.sql(stmt)
+        cols = {r["col_name"] for r in spark.sql("DESCRIBE TABLE tinys").collect()}
+        assert {"id", "name"} <= cols
+        spark.sql("DROP TABLE IF EXISTS tinys")
+
+
+class TestSchemaEnforcedIO:
+    def test_read_applies_schema_csv(self, spark, tmp_path):
+        p = tmp_path / "u.csv"
+        p.write_text("1,Alice,a@x.com,hey,1.5\n2,Bob,b@x.com,,2.0\n")
+        df = ddl.read(spark, UserSchema, str(p), fmt="csv")
+        assert dict(df.dtypes)["id"] == "bigint"
+        assert dict(df.dtypes)["score"] == "double"
+        assert df.count() == 2
+
+    def test_read_parquet_casts_and_prunes(self, spark, tmp_path):
+        path = str(tmp_path / "u")
+        spark.createDataFrame(
+            [(1, "Alice", "a@x.com", "b", 1, "extra")],
+            ["id", "name", "email", "bio", "score", "junk"],
+        ).write.parquet(path)
+        df = ddl.read(spark, UserSchema, path)
+        assert "junk" not in df.columns
+        assert dict(df.dtypes)["score"] == "double"
+
+    def test_write_round_trip(self, spark, tmp_path):
+        path = str(tmp_path / "out")
+        df = spark.createDataFrame([(1, "A"), (2, "B")], ["id", "name"])
+        ddl.write(df, path, mode="overwrite", partition_by=["id"])
+        back = spark.read.parquet(path)
+        assert back.count() == 2
+        # partition column materialized as directory structure
+        import os
+
+        assert any(d.startswith("id=") for d in os.listdir(path) if not d.startswith("_"))
