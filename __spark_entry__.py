@@ -1,38 +1,806 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001;
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (+ the §7 scale extensions); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL the driver hash-compares against at sf0.01.
+
+Implementation notes for oracle parity:
+
+- ``events.parquet`` stores TIMESTAMP(NANOS) which Spark 4 cannot
+  read natively; we read it with ``spark.sql.legacy.parquet.nanosAsLong``
+  and truncate to microseconds with integer division (``DIV`` — a
+  double division would lose precision above 2^53), matching DuckDB's
+  nanos→micros truncation.
+- Money aggregates are summed as DECIMAL (exact) and cast to DOUBLE
+  at the end so the result is bit-identical across engines regardless
+  of accumulation order; raw double sums are order-dependent at the
+  1e-3 level on 60k rows, which would break value-hash comparison.
+- Every computed column is aliased identically here and in the SQL.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from datetime import datetime
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flycatcher_spark import Field, Schema, col, model_validator
+from flycatcher_spark.operators import dedup, multimodal, similarity, text
+
+SF_SMOKE = "/root/testdata/sf0.001"
 
 
+# ---------------------------------------------------------------------------
+# readers
+# ---------------------------------------------------------------------------
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _read_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS): read as long, truncate
+    to micros (integer division — exact), expose both a long-micros
+    column and a timestamp_ntz column."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        raw.withColumn("ts_us", F.expr("ts DIV 1000"))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")).cast("timestamp_ntz"))
+    )
+
+
+def _dec(name: str, scale: str = "12,2"):
+    return F.col(name).cast(f"decimal({scale})")
+
+
+# ---------------------------------------------------------------------------
+# schemas (the reference-parity surface: SURVEY.md §2.1-2.4)
+# ---------------------------------------------------------------------------
+class LineitemSchema(Schema):
+    """Flagship validation schema over the TPC-H-ish lineitem table."""
+
+    l_orderkey: int = Field(ge=1)
+    l_partkey: int = Field(ge=1)
+    l_suppkey: int = Field(ge=1)
+    l_linenumber: int = Field(ge=1, le=7)
+    l_quantity: float = Field(gt=0, le=50)
+    l_extendedprice: float = Field(gt=0)
+    l_discount: float = Field(ge=0.0, le=1.0)
+    l_tax: float = Field(ge=0.0)
+    l_returnflag: str = Field(min_length=1, max_length=1)
+    l_linestatus: str = Field(pattern="^[A-Z]$")
+    l_shipdate: datetime
+
+    @model_validator
+    def discounted_price_positive():
+        return (
+            col("l_extendedprice") * (1 - col("l_discount")) > 0,
+            "discounted price must be positive",
+        )
+
+
+class StrictLineitemSchema(Schema):
+    """Deliberately tight constraints so violation counting has work."""
+
+    l_orderkey: int = Field(ge=1)
+    l_quantity: float = Field(gt=0, le=30.0)
+    l_extendedprice: float = Field(gt=0, le=40000.0)
+    l_discount: float = Field(ge=0.0, le=0.05)
+
+
+_LINEITEM_KEEP_SQL = """
+    l_orderkey IS NOT NULL AND l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+    AND l_linenumber IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+    AND l_tax IS NOT NULL AND l_returnflag IS NOT NULL
+    AND l_linestatus IS NOT NULL AND l_shipdate IS NOT NULL
+    AND l_orderkey >= 1 AND l_partkey >= 1 AND l_suppkey >= 1
+    AND l_linenumber >= 1 AND l_linenumber <= 7
+    AND l_quantity > 0 AND l_quantity <= 50
+    AND l_extendedprice > 0
+    AND l_discount >= 0.0 AND l_discount <= 1.0
+    AND l_tax >= 0.0
+    AND length(l_returnflag) >= 1 AND length(l_returnflag) <= 1
+    AND regexp_matches(l_linestatus, '^[A-Z]$')
+    AND l_extendedprice * (1 - l_discount) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries — validation pipeline (SURVEY.md §2.1)
+# ---------------------------------------------------------------------------
+def q_validate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """validate_lazy: zero-job cast+filter pipeline (stages V1-V5)."""
+    v = LineitemSchema.to_spark_validator()
+    return v.validate_lazy(_read(spark, sf_dir, "lineitem"))
+
+
+def q_validate_strict_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """validate(strict=False) kept rows, aggregated (exercises the
+    single-pass conditional-agg count job + fused filter)."""
+    v = StrictLineitemSchema.to_spark_validator()
+    kept = v.validate(_read(spark, sf_dir, "lineitem"), strict=False)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(_dec("l_quantity", "8,2")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice", "12,2")).cast("double").alias("sum_price"),
+    )
+
+
+def q_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flag_violations: per-constraint violation counts via one
+    explode+groupBy (no per-constraint scans)."""
+    v = StrictLineitemSchema.to_spark_validator()
+    flagged = v.flag_violations(_read(spark, sf_dir, "lineitem"))
+    return (
+        flagged.select(F.explode("_violations").alias("constraint"))
+        .groupBy("constraint")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — DSL surface (SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+def q_dsl_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id"),
+        col("text").str.slice(0, 15).str.to_uppercase().to_spark().alias("head_upper"),
+        col("text").str.len_chars().to_spark().cast("long").alias("n_chars_c"),
+        col("text").str.contains("spark").to_spark().alias("has_spark"),
+        col("text").str.starts_with("the ").to_spark().alias("starts_the"),
+        col("text").str.slice(0, 20).str.replace("[aeiou]", "_").to_spark().alias("devoweled"),
+        col("text").str.extract("(sp[a-z]+)", 1).to_spark().alias("sp_word"),
+        col("text").str.count_matches("data").to_spark().cast("long").alias("n_data"),
+        col("text").str.strip_chars().str.len_chars().to_spark().cast("long").alias("n_stripped"),
+    )
+
+
+def q_dsl_math_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        (col("l_extendedprice") / 7).round(2).to_spark().alias("price_div7_r2"),
+        (col("l_quantity") / 3).floor().to_spark().alias("qty_div3_floor"),
+        (col("l_quantity") / 3).ceil().to_spark().alias("qty_div3_ceil"),
+        col("l_extendedprice").sqrt().to_spark().alias("price_sqrt"),
+        F.round(col("l_discount").pow(2).to_spark(), 6).alias("disc_sq"),
+        (col("l_tax") - 0.04).abs().to_spark().alias("tax_dev"),
+    )
+
+
+def q_dsl_datetime_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        col("l_shipdate").dt.year().to_spark().cast("long").alias("ship_year"),
+        col("l_shipdate").dt.month().to_spark().cast("long").alias("ship_month"),
+        col("l_shipdate").dt.day().to_spark().cast("long").alias("ship_day"),
+        col("l_shipdate").dt.total_days(datetime(1995, 1, 1)).to_spark().alias("days_since_95"),
+    )
+
+
+def q_dsl_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey"),
+        col("o_orderpriority").is_in(["1-URGENT", "2-HIGH"]).to_spark().alias("is_urgent"),
+        col("o_totalprice").is_between(50000.0, 150000.0, closed="left").to_spark().alias("mid_price"),
+        col("o_orderstatus").is_in(["F"]).to_spark().alias("is_final"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — analytics over validated data (SURVEY.md §2.8: these come
+# "for free" from the DataFrame API once validation passes)
+# ---------------------------------------------------------------------------
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary; DECIMAL sums for exactness."""
+    v = LineitemSchema.to_spark_validator()
+    li = v.validate_lazy(_read(spark, sf_dir, "lineitem"))
+    price = _dec("l_extendedprice", "12,2")
+    disc = _dec("l_discount", "8,4")
+    tax = _dec("l_tax", "8,4")
+    qty = _dec("l_quantity", "8,2")
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(datetime(1999, 6, 30)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / n).alias("avg_qty"),
+            (F.sum(price).cast("double") / n).alias("avg_price"),
+            (F.sum(disc).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shaped: top-10 open orders by revenue for one segment.
+
+    customer is broadcast (small dim); the orders⋈lineitem join
+    shuffles on o_orderkey only after both sides are filtered."""
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(datetime(1997, 6, 1))
+    )
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(datetime(1997, 6, 1))
+    )
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", "8,4")))
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped: revenue by region/nation; all dims broadcast."""
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", "8,4")))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(revenue.cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.min("ts_us").alias("first_us"),
+        F.max("ts_us").alias("last_us"),
+    )
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) via window functions."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn("__new", new_sess)
+        .withColumn("session_id", F.sum("__new").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+        )
+    )
+
+
+def q_events_user_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — text analysis (SURVEY.md §7.1 step 7)
+# ---------------------------------------------------------------------------
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.char_count(c).cast("long").alias("n_chars_c"),
+        text.token_count(c).cast("long").alias("n_tokens"),
+        text.bpe_ish_token_count(c).cast("long").alias("n_bpe"),
+        F.round(text.mean_token_length(c), 6).alias("mean_tok_len"),
+        F.round(text.stopword_ratio(c), 6).alias("stop_ratio"),
+        F.round(text.punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(text.digit_ratio(c), 6).alias("digit_ratio"),
+        text.quality_score(c).alias("quality"),
+        text.lang_id(c).alias("lang_pred"),
+        text.fingerprint(c).alias("fingerprint"),
+    )
+
+
+def q_lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(text.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — deduplication (SURVEY.md §7.1 step 7)
+# ---------------------------------------------------------------------------
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, subset=["text"], id_col="doc_id")
+
+
+def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, subset=["text"], id_col="doc_id", normalize=True)
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, num_perm=64, bands=16, shingle_n=3, threshold=0.5
+    )
+
+
+def q_minhash_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.minhash_dedup(
+        docs, num_perm=64, bands=16, shingle_n=3, threshold=0.7
+    ).select("doc_id")
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_distance=3, n_bands=4)
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, max_id_gap=25, shingle_n=1, threshold=0.2
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — similarity search (SURVEY.md §7.1 step 7)
+# ---------------------------------------------------------------------------
+def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _read(spark, sf_dir, "embeddings")
+    return em.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    )
+
+
+def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _emb_double(spark, sf_dir)
+    q = em.filter(F.col("vec_id") < 10)
+    res = similarity.brute_force_topk(em, q, k=5, id_col="vec_id", vec_col="embedding")
+    return res.select("query_id", "vec_id", "sim", F.col("rank").cast("long").alias("rank"))
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _emb_double(spark, sf_dir)
+    return dedup.embedding_neardup_pairs(
+        em, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.3
+    )
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (approximate — no SQL oracle; rows-only check)."""
+    em = _emb_double(spark, sf_dir)
+    res = similarity.lsh_bucketed_topk(
+        em, k=5, id_col="vec_id", vec_col="embedding", dim=64, n_bits=10
+    )
+    return res.select("query_id", "vec_id", "sim", F.col("rank").cast("long").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# queries — multimodal plumbing (SURVEY.md §7.1 step 7)
+# ---------------------------------------------------------------------------
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    with_payload = multimodal.attach_payload(docs, text_col="text")
+    return multimodal.decode_meta(with_payload, id_col="doc_id")
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    with_payload = multimodal.attach_payload(docs, text_col="text")
+    return multimodal.frame_sample_plan(with_payload, id_col="doc_id", every_n_bytes=64)
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: schema-validate lineitem then run the Q1 pricing
+    summary on the validated frame (sf0.001)."""
+    return q1_pricing_summary(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "validate_lineitem": q_validate_lineitem,
+        "validate_strict_agg": q_validate_strict_agg,
+        "violation_counts": q_violation_counts,
+        "dsl_string_ops": q_dsl_string_ops,
+        "dsl_math_ops": q_dsl_math_ops,
+        "dsl_datetime_ops": q_dsl_datetime_ops,
+        "dsl_membership": q_dsl_membership,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_revenue_orders": q3_top_revenue_orders,
+        "q5_region_revenue": q5_region_revenue,
+        "events_daily": q_events_daily,
+        "events_sessions": q_events_sessions,
+        "events_user_top3": q_events_user_top3,
+        "text_profile": q_text_profile,
+        "lang_histogram": q_lang_histogram,
+        "dedup_exact": q_dedup_exact,
+        "dedup_exact_normalized": q_dedup_exact_normalized,
+        "minhash_pairs": q_minhash_pairs,
+        "minhash_dedup_ids": q_minhash_dedup_ids,
+        "simhash_pairs": q_simhash_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "knn_topk": q_knn_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "lsh_topk": q_lsh_topk,
+        "multimodal_meta": q_multimodal_meta,
+        "frame_sample": q_frame_sample,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect) — keys match queries()
+# ---------------------------------------------------------------------------
+_TEXT_BASE_CTE = r"""
+WITH base AS (
+    SELECT
+        doc_id,
+        text,
+        regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g') AS norm,
+        CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+             THEN CAST([] AS VARCHAR[])
+             ELSE regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+        END AS toks
+    FROM documents
+),
+feat AS (
+    SELECT
+        doc_id, text, norm, toks,
+        length(text) AS n_chars_c,
+        len(toks) AS n_tokens,
+        len(regexp_extract_all(text, '[0-9A-Za-z_]+|[^0-9A-Za-z_\s]')) AS n_bpe,
+        CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS DOUBLE) / len(toks)
+        END AS mean_tok_len_raw,
+        CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE CAST(len(list_filter(toks, t -> lower(t) IN
+                ('the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by')))
+                AS DOUBLE) / len(toks)
+        END AS stop_ratio_raw,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE CAST(length(text) - length(regexp_replace(text, '[^0-9A-Za-z_\s]', '', 'g')) AS DOUBLE) / length(text)
+        END AS punct_ratio_raw,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text)
+        END AS digit_ratio_raw,
+        len(list_filter(list_transform(toks, t -> lower(t)), x -> x IN ('der','die','und','das','ist'))) AS s_de,
+        len(list_filter(list_transform(toks, t -> lower(t)), x -> x IN ('the','and','of','to','is'))) AS s_en,
+        len(list_filter(list_transform(toks, t -> lower(t)), x -> x IN ('el','los','las','es','una'))) AS s_es,
+        len(list_filter(list_transform(toks, t -> lower(t)), x -> x IN ('le','la','et','les','est'))) AS s_fr,
+        len(list_filter(list_transform(toks, t -> lower(t)), x -> x IN ('de','shi','le','zai','you'))) AS s_zh
+    FROM base
+),
+scored AS (
+    SELECT
+        *,
+        greatest(s_de, s_en, s_es, s_fr, s_zh) AS s_max,
+        CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+             WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+             WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+             WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+             WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+             ELSE 'zh'
+        END AS lang_pred,
+        round((
+            (CASE WHEN n_tokens >= 10 AND n_tokens <= 5000 THEN 1.0 ELSE 0.5 END)
+            + (CASE WHEN mean_tok_len_raw >= 3.0 AND mean_tok_len_raw <= 8.0 THEN 1.0 ELSE 0.5 END)
+            + least(stop_ratio_raw * 4.0, 1.0)
+            + greatest(0.0, 1.0 - (punct_ratio_raw + digit_ratio_raw) * 2.0)
+        ) / 4.0, 6) AS quality
+    FROM feat
+)
+"""
+
+_Q1_SQL = """
+SELECT
+    l_returnflag,
+    l_linestatus,
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,4))) * (1 + CAST(l_tax AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
+    CAST(CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_disc,
+    COUNT(*) AS count_order
+FROM (SELECT * FROM lineitem WHERE {keep}) v
+WHERE l_shipdate <= TIMESTAMP '1999-06-30'
+GROUP BY l_returnflag, l_linestatus
+""".format(keep=_LINEITEM_KEEP_SQL)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "validate_lineitem": f"""
+            SELECT l_orderkey, l_partkey, l_suppkey,
+                   CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   l_quantity, l_extendedprice, l_discount, l_tax,
+                   l_returnflag, l_linestatus, l_shipdate
+            FROM lineitem
+            WHERE {_LINEITEM_KEEP_SQL}
+        """,
+        "validate_strict_agg": """
+            SELECT COUNT(*) AS n_kept,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_quantity IS NOT NULL
+              AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+              AND l_orderkey >= 1
+              AND l_quantity > 0 AND l_quantity <= 30.0
+              AND l_extendedprice > 0 AND l_extendedprice <= 40000.0
+              AND l_discount >= 0.0 AND l_discount <= 0.05
+        """,
+        "violation_counts": """
+            SELECT * FROM (
+                SELECT 'l_orderkey must be >= 1' AS constraint,
+                       CAST(SUM(CASE WHEN NOT (l_orderkey >= 1) THEN 1 ELSE 0 END) AS BIGINT) AS n FROM lineitem
+                UNION ALL
+                SELECT 'l_quantity must be > 0', CAST(SUM(CASE WHEN NOT (l_quantity > 0) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+                UNION ALL
+                SELECT 'l_quantity must be <= 30.0', CAST(SUM(CASE WHEN NOT (l_quantity <= 30.0) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice must be > 0', CAST(SUM(CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice must be <= 40000.0', CAST(SUM(CASE WHEN NOT (l_extendedprice <= 40000.0) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+                UNION ALL
+                SELECT 'l_discount must be >= 0.0', CAST(SUM(CASE WHEN NOT (l_discount >= 0.0) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+                UNION ALL
+                SELECT 'l_discount must be <= 0.05', CAST(SUM(CASE WHEN NOT (l_discount <= 0.05) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+            ) WHERE n > 0
+        """,
+        "dsl_string_ops": r"""
+            SELECT doc_id,
+                   upper(substr(text, 1, 15)) AS head_upper,
+                   length(text) AS n_chars_c,
+                   regexp_matches(text, 'spark') AS has_spark,
+                   starts_with(text, 'the ') AS starts_the,
+                   regexp_replace(substr(text, 1, 20), '[aeiou]', '_', 'g') AS devoweled,
+                   nullif(regexp_extract(text, '(sp[a-z]+)', 1), '') AS sp_word,
+                   len(regexp_extract_all(text, 'data')) AS n_data,
+                   length(trim(text)) AS n_stripped
+            FROM documents
+        """,
+        "dsl_math_ops": """
+            SELECT l_orderkey,
+                   CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   round_even(l_extendedprice / 7, 2) AS price_div7_r2,
+                   floor(l_quantity / 3) AS qty_div3_floor,
+                   ceil(l_quantity / 3) AS qty_div3_ceil,
+                   sqrt(l_extendedprice) AS price_sqrt,
+                   round(power(l_discount, 2), 6) AS disc_sq,
+                   abs(l_tax - 0.04) AS tax_dev
+            FROM lineitem
+        """,
+        "dsl_datetime_ops": """
+            SELECT l_orderkey,
+                   CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+                   CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+                   CAST(day(l_shipdate) AS BIGINT) AS ship_day,
+                   (epoch(l_shipdate) - epoch(TIMESTAMP '1995-01-01')) / 86400.0 AS days_since_95
+            FROM lineitem
+        """,
+        "dsl_membership": """
+            SELECT o_orderkey,
+                   o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_urgent,
+                   (o_totalprice >= 50000.0 AND o_totalprice < 150000.0) AS mid_price,
+                   o_orderstatus IN ('F') AS is_final
+            FROM orders
+        """,
+        "q1_pricing_summary": _Q1_SQL,
+        "q3_top_revenue_orders": """
+            SELECT o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-06-01'
+              AND l_shipdate > TIMESTAMP '1997-06-01'
+            GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "q5_region_revenue": """
+            SELECT r_name, n_name,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "events_daily": """
+            SELECT event_type,
+                   strftime(ts, '%Y-%m-%d') AS day,
+                   COUNT(*) AS n,
+                   MIN(value) AS min_value,
+                   MAX(value) AS max_value,
+                   MIN(epoch_us(ts)) AS first_us,
+                   MAX(epoch_us(ts)) AS last_us
+            FROM events
+            GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+        """,
+        "events_sessions": """
+            WITH m AS (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+            ),
+            s AS (
+                SELECT user_id, ts_us,
+                       CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                FROM m
+            )
+            SELECT user_id, session_id,
+                   COUNT(*) AS n_events,
+                   MIN(ts_us) AS start_us,
+                   MAX(ts_us) AS end_us
+            FROM s GROUP BY user_id, session_id
+        """,
+        "events_user_top3": """
+            SELECT user_id, event_id, rn FROM (
+                SELECT user_id, event_id,
+                       CAST(row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rn
+                FROM events
+            ) WHERE rn <= 3
+        """,
+        "text_profile": _TEXT_BASE_CTE + """
+            SELECT doc_id,
+                   CAST(n_chars_c AS BIGINT) AS n_chars_c,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_bpe AS BIGINT) AS n_bpe,
+                   round(mean_tok_len_raw, 6) AS mean_tok_len,
+                   round(stop_ratio_raw, 6) AS stop_ratio,
+                   round(punct_ratio_raw, 6) AS punct_ratio,
+                   round(digit_ratio_raw, 6) AS digit_ratio,
+                   quality,
+                   lang_pred,
+                   md5(norm) AS fingerprint
+            FROM scored
+        """,
+        "lang_histogram": _TEXT_BASE_CTE + """
+            SELECT lang_pred, COUNT(*) AS n FROM scored GROUP BY lang_pred
+        """,
+        "dedup_exact": """
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+            FROM documents d
+            JOIN (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text) k
+              USING (doc_id)
+        """,
+        "dedup_exact_normalized": r"""
+            WITH n AS (
+                SELECT *,
+                       regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g') AS norm
+                FROM documents
+            )
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+            FROM documents d
+            JOIN (SELECT MIN(doc_id) AS doc_id FROM n GROUP BY norm) k
+              USING (doc_id)
+        """,
+        "jaccard_pairs": r"""
+            WITH s AS (
+                SELECT doc_id,
+                       CASE WHEN length(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE list_distinct(regexp_split_to_array(
+                                regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g'),
+                                ' '))
+                       END AS sh
+                FROM documents
+            )
+            SELECT * FROM (
+                SELECT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b,
+                       round(CASE WHEN len(list_distinct(list_concat(l.sh, r.sh))) = 0 THEN 0.0
+                                  ELSE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                                       / len(list_distinct(list_concat(l.sh, r.sh)))
+                             END, 6) AS jaccard
+                FROM s l JOIN s r
+                  ON l.doc_id < r.doc_id AND r.doc_id <= l.doc_id + 25
+            ) WHERE jaccard >= 0.2
+        """,
+        "knn_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+            sc AS (
+                SELECT q.query_id, e.vec_id,
+                       round(CASE WHEN sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)) > 0
+                                  THEN list_dot_product(e.v, q.qv)
+                                       / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+                             END, 6) AS sim
+                FROM e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, vec_id, sim, rank FROM (
+                SELECT query_id, vec_id, sim,
+                       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+                FROM sc
+            ) WHERE rank <= 5
+        """,
+        "embedding_neardup": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings)
+            SELECT * FROM (
+                SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+                       round(CASE WHEN sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)) > 0
+                                  THEN list_dot_product(l.v, r.v)
+                                       / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)))
+                             END, 6) AS cosine
+                FROM e l JOIN e r ON l.vec_id < r.vec_id AND l.label = r.label
+            ) WHERE cosine >= 0.3
+        """,
+        "multimodal_meta": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CAST(octet_length(encode(text)) % 1024 AS BIGINT) AS width,
+                   CAST((octet_length(encode(text)) * 7) % 768 AS BIGINT) AS height,
+                   'fake' AS fmt
+            FROM documents
+        """,
+        "frame_sample": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CAST(i AS BIGINT) AS frame_idx,
+                   CAST(i * 64 AS BIGINT) AS byte_offset
+            FROM documents,
+                 LATERAL (SELECT unnest(range(0, CAST(ceil(greatest(octet_length(encode(text)), 1) / 64.0) AS BIGINT))) AS i)
+        """,
+        # minhash_pairs / minhash_dedup_ids / simhash_pairs / lsh_topk:
+        # intentionally omitted — they depend on Spark-native xxhash64 /
+        # hash seeds that DuckDB cannot reproduce; the driver records a
+        # rows-only check for these (documented in SURVEY.md §7).
+    }

@@ -1,0 +1,16 @@
+"""Large-scale data-pipeline operators (extensions beyond the
+reference surface — see SURVEY.md §7.1 step 7).
+
+- :mod:`.dedup` — exact, MinHash-LSH, SimHash, n-gram Jaccard,
+  embedding-cosine near-duplicate detection.
+- :mod:`.similarity` — cosine/dot/norm expressions, brute-force and
+  LSH-bucketed approximate nearest neighbors.
+- :mod:`.text` — language ID, quality scoring, token counting,
+  fingerprinting.
+- :mod:`.multimodal` — opaque binary payload columns with typed
+  metadata, decoded via Arrow-batched ``mapInPandas``.
+"""
+
+from . import dedup, multimodal, similarity, text
+
+__all__ = ["dedup", "multimodal", "similarity", "text"]

@@ -1,0 +1,421 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram
+Jaccard, and embedding-cosine near-dup.
+
+Extensions beyond the reference surface (BASELINE.json north star),
+each designed shuffle-first for 100 TB inputs:
+
+- **exact**: one ``groupBy(key)`` shuffle carrying only the key +
+  id columns (column pruning keeps the payload out of the exchange);
+  map-side partial aggregation collapses duplicates before shuffle.
+- **MinHash**: signatures are computed row-local from the token
+  array with pure ``F.transform``/``F.aggregate`` expressions — NO
+  explode, NO shuffle for signature computation. LSH banding then
+  groups by (band, band-signature): candidate pairs come from one
+  shuffle whose width is #bands × docs, never the quadratic pair
+  space.
+- **SimHash**: 64-bit signature computed row-local the same way;
+  near-dup candidates via band buckets + hamming distance.
+- **n-gram Jaccard**: exact pairwise similarity on word shingle
+  sets, for candidate verification or small blocked joins.
+- **embedding near-dup**: cosine over an embedding column with a
+  blocking key to bound the join.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import cosine
+from .text import normalize_text, tokens
+
+# A large prime below 2^31 for permutation hashing  (x -> (a*x+b) % P)
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(
+    df: DataFrame,
+    subset: list[str] | None = None,
+    id_col: str = "doc_id",
+    normalize: bool = False,
+) -> DataFrame:
+    """Keep one row (minimum ``id_col``) per distinct key.
+
+    Deterministic — unlike ``dropDuplicates``, which keeps an
+    arbitrary row per key and so can't be oracle-checked. Returns the
+    surviving ids joined back to full rows.
+    """
+    subset = subset or [c for c in df.columns if c != id_col]
+    keys = [
+        normalize_text(c).alias(c) if normalize else F.col(c) for c in subset
+    ]
+    keep = (
+        df.select(F.col(id_col), *keys)
+        .groupBy(*subset)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="inner")
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of normalized text."""
+    toks = tokens(normalize_text(text))
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def _permutation_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for minhash permutations."""
+    params = []
+    state = seed
+    for _ in range(num_perm):
+        state = (state * 6364136223846793005 + 1442695040888963407) & (
+            (1 << 63) - 1
+        )
+        a = (state % (_MERSENNE - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) & (
+            (1 << 63) - 1
+        )
+        b = state % _MERSENNE
+        params.append((a, b))
+    return params
+
+
+def minhash_signature(
+    shingles: Column, num_perm: int = 64, seed: int = 42
+) -> Column:
+    """MinHash signature (array<long> of length ``num_perm``) as a
+    single Column expression.
+
+    WARNING: inlines the shingle subtree into every permutation —
+    fine for small ``num_perm``, but Catalyst's optimizer cost grows
+    super-linearly with the duplicated tree (64 perms over a full
+    tokenize+shingle tree takes *minutes* to plan). Pipelines should
+    use :func:`with_minhash_signature`, which stages the hash array
+    through a materialized column so each permutation references a
+    cheap attribute.
+    """
+    hashes = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    perms = []
+    for a, b in _permutation_params(num_perm, seed):
+        perms.append(
+            F.array_min(
+                F.transform(
+                    hashes,
+                    lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE)),
+                )
+            )
+        )
+    return F.array(*perms)
+
+
+def with_minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "__sig",
+    num_perm: int = 64,
+    bands: int | None = None,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Attach a MinHash signature column, staged for plan efficiency.
+
+    Two projection stages: (1) shingle + hash once into ``__mh_h``;
+    (2) ``num_perm`` small ``array_min(transform(__mh_h, ...))``
+    expressions over that attribute. Catalyst's CollapseProject rule
+    keeps the stages separate (it refuses to duplicate non-cheap
+    expressions referenced many times), so optimizer time stays
+    linear in ``num_perm`` and the hash array is computed once per
+    row at runtime. Map-only — no shuffle.
+    """
+    hashed = df.withColumn(
+        "__mh_h",
+        F.transform(
+            word_shingles(text_col, shingle_n),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)),
+        ),
+    )
+    def _perm(a: int, b: int):
+        # plain closure: PySpark reads the lambda's signature, so
+        # default-arg tricks (lambda h, a=a: ...) break arity checks
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
+
+    perms = [
+        F.array_min(F.transform(F.col("__mh_h"), _perm(a, b)))
+        for a, b in _permutation_params(num_perm, seed)
+    ]
+    return hashed.withColumn(out_col, F.array(*perms)).drop("__mh_h")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs with estimated Jaccard >= threshold.
+
+    Pipeline: signature (map-only) → band explode (×bands rows) →
+    ``groupBy(band, band_hash)`` shuffle → within-bucket self-join →
+    signature-agreement estimate. Returns distinct
+    ``(doc_id_a, doc_id_b, est_jaccard)`` with ``a < b``.
+    """
+    rows_per_band = num_perm // bands
+    sig = with_minhash_signature(
+        df.select(id_col, text_col),
+        text_col=text_col,
+        out_col="__sig",
+        num_perm=num_perm,
+        shingle_n=shingle_n,
+        seed=seed,
+    ).select(id_col, "__sig")
+    # Empty shingle sets produce all-null signatures; drop them so
+    # degenerate docs don't pile into one quadratic bucket.
+    sig = sig.where(F.col("__sig")[0].isNotNull())
+
+    banded = sig.select(
+        id_col,
+        "__sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(
+                    F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_id_a"),
+            F.col(f"r.{id_col}").alias("doc_id_b"),
+            F.col("l.__sig").alias("__sig_a"),
+            F.col("r.__sig").alias("__sig_b"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("__sig_a"), F.col("__sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    est = agree.cast("double") / F.lit(float(len(_permutation_params(num_perm, seed))))
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "est_jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Drop near-duplicates: a doc survives unless a lower-id doc is
+    its near-duplicate (single-pass representative selection; full
+    connected components would iterate — documented simplification)."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
+    losers = pairs.select(F.col("doc_id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def with_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "__sim",
+    bits: int = 63,
+) -> DataFrame:
+    """Attach a SimHash signature column (bigint), staged for plan
+    efficiency.
+
+    Classic SimHash: bit *j* of the signature is the sign of
+    ``sum over tokens of (+1 if bit j of xxhash64(token) else -1)``,
+    equivalently ``2 * popcount_j > n_tokens``. Stages: (1) hash each
+    token once into a materialized array column; (2) ``bits`` small
+    ``size(filter(...))`` expressions over that attribute — keeps
+    Catalyst's optimizer cost linear in ``bits`` (a single giant
+    inlined expression takes minutes to plan). Map-only, no shuffle.
+    ``bits`` defaults to 63 so the value stays non-negative.
+    """
+    hashed = df.withColumn(
+        "__sh_h",
+        F.transform(tokens(normalize_text(text_col)), lambda t: F.xxhash64(t)),
+    )
+    n = F.size(F.col("__sh_h"))
+
+    def _bit_set(j: int):
+        return lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1
+
+    terms = []
+    for j in range(bits):
+        popcount_j = F.size(F.filter(F.col("__sh_h"), _bit_set(j)))
+        terms.append(
+            F.when(popcount_j * 2 > n, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    sig = reduce(lambda a, b: a + b, terms)
+    return hashed.withColumn(out_col, sig).drop("__sh_h")
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash banding + hamming threshold.
+
+    Classic trick: signatures within hamming distance d must agree
+    exactly on at least one of d+1 disjoint bit bands, so candidates
+    come from ``n_bands`` bucket joins instead of all pairs.
+    """
+    band_bits = 64 // n_bands
+    sig = with_simhash(
+        df.select(id_col, text_col), text_col=text_col, out_col="__sim"
+    ).select(id_col, "__sim")
+    # unrolled driver-side: shiftrightunsigned requires an int shift
+    band_keys = F.array(
+        *[
+            F.shiftrightunsigned(F.col("__sim"), b * band_bits).bitwiseAND(
+                F.lit((1 << band_bits) - 1)
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select(
+        id_col,
+        "__sim",
+        F.posexplode(band_keys).alias("band", "band_key"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_id_a"),
+            F.col(f"r.{id_col}").alias("doc_id_b"),
+            hamming64(F.col("l.__sim"), F.col("r.__sim")).alias("hamming"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+        .where(F.col("hamming") <= max_distance)
+    )
+
+
+def jaccard_words(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two distinct-word-set arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    max_id_gap: int | None = None,
+    shingle_n: int = 1,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact pairwise word-shingle Jaccard within a bounded block.
+
+    Unblocked all-pairs Jaccard is quadratic — callers must bound the
+    join with ``block_col`` (e.g. language/source) and/or
+    ``max_id_gap``. Used both directly (small blocks) and as the
+    verification stage after MinHash candidate generation.
+    """
+    base = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("__sh"),
+        *( [F.col(block_col)] if block_col else [] ),
+    )
+    left = base.alias("l")
+    right = base.alias("r")
+    cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"l.{block_col}") == F.col(f"r.{block_col}"))
+    if max_id_gap is not None:
+        cond = cond & (
+            F.col(f"r.{id_col}") <= F.col(f"l.{id_col}") + max_id_gap
+        )
+    return (
+        left.join(right, cond)
+        .select(
+            F.col(f"l.{id_col}").alias("doc_id_a"),
+            F.col(f"r.{id_col}").alias("doc_id_b"),
+            F.round(jaccard_words(F.col("l.__sh"), F.col("r.__sh")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key."""
+    cols = [F.col(id_col), F.col(vec_col)] + (
+        [F.col(block_col)] if block_col else []
+    )
+    base = df.select(*cols)
+    left = base.alias("l")
+    right = base.alias("r")
+    cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"l.{block_col}") == F.col(f"r.{block_col}"))
+    return (
+        left.join(right, cond)
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.round(
+                cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Extensions beyond the reference surface (BASELINE.json north star).
+Scale design notes:
+
+- ``cosine`` / ``dot`` / ``norm`` are pure ``F.zip_with`` /
+  ``F.aggregate`` expressions — JVM-side, no Python crossing.
+- ``brute_force_topk`` broadcasts the (small) query set against the
+  (huge) corpus: a map-side nested loop with a per-partition top-k
+  (window over query id), so the corpus is scanned once and only
+  ``|queries| * k`` rows survive the final shuffle.
+- ``signature_bits`` implements random-hyperplane LSH with planes
+  derived deterministically from a seed, giving a bucketed
+  (sub-linear candidate set) path for corpus-vs-corpus search at
+  scale; buckets replace the quadratic cross join with a
+  ``groupBy(bucket)`` shuffle.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    """L2 norm of an array<numeric> column."""
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; null-safe on zero vectors (returns null)."""
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot(a, b) / denom)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns ``(query_id, vec_id, sim, rank)``. The query side is
+    broadcast — correct whenever queries fit in executor memory
+    (thousands of vectors); the corpus side streams through a single
+    scan. Excludes self-matches when ids collide.
+    """
+    query_id_col = query_id_col or id_col
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    joined = corpus.crossJoin(F.broadcast(q)).where(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(n_bits: int, dim: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes.
+
+    A tiny splitmix-style generator (no numpy dependency at the
+    executor, planes are driver-side literals) — reproducible across
+    runs and machines.
+    """
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    planes: list[list[float]] = []
+
+    def next_float() -> float:
+        nonlocal state
+        state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = state
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z ^= z >> 31
+        u = (z >> 11) / float(1 << 53)  # uniform [0,1)
+        return u
+
+    for _ in range(n_bits):
+        # Box-Muller pairs for approximately gaussian components
+        row = []
+        while len(row) < dim:
+            u1, u2 = max(next_float(), 1e-12), next_float()
+            r = math.sqrt(-2.0 * math.log(u1))
+            row.append(r * math.cos(2 * math.pi * u2))
+            if len(row) < dim:
+                row.append(r * math.sin(2 * math.pi * u2))
+        planes.append(row[:dim])
+    return planes
+
+
+def signature_bits(
+    vec: Column, dim: int, n_bits: int = 16, seed: int = 42
+) -> Column:
+    """Random-hyperplane LSH signature as a bigint (bit i = sign of
+    the projection onto plane i). Pure column expressions."""
+    planes = _hyperplanes(n_bits, dim, seed)
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        proj = dot(vec, F.array(*[F.lit(float(w)) for w in plane]))
+        sig = sig + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate all-pairs top-k within LSH buckets.
+
+    Corpus-vs-corpus search without the quadratic cross join: vectors
+    sharing a signature bucket are candidate neighbors; one
+    ``groupBy(bucket)``-shaped self-join shuffle replaces the cross
+    product. Recall depends on ``n_bits`` (fewer bits = bigger
+    buckets = higher recall, more compute).
+    """
+    with_sig = corpus.select(
+        F.col(id_col), F.col(vec_col), signature_bits(F.col(vec_col), dim, n_bits, seed).alias("__sig")
+    )
+    left = with_sig.alias("l")
+    right = with_sig.alias("r")
+    pairs = left.join(
+        right,
+        (F.col("l.__sig") == F.col("r.__sig"))
+        & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")),
+    )
+    scored = pairs.select(
+        F.col(f"l.{id_col}").alias("query_id"),
+        F.col(f"r.{id_col}").alias(id_col),
+        F.round(cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

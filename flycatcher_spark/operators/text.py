@@ -1,0 +1,182 @@
+"""Text-analysis operators for large-scale document pipelines.
+
+Extensions beyond the reference surface (per BASELINE.json north star):
+language identification, quality scoring, token counting, and document
+fingerprinting over a ``documents``-shaped table. Every operator is a
+pure Column expression — no UDFs, no shuffles — so it runs row-local
+inside whole-stage codegen and scales linearly with input splits: at
+100 TB these are map-only stages whose cost is the parquet scan
+itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Whitespace tokenizer pattern shared by all operators (and by the
+# DuckDB oracle SQL — keep dialect-neutral: \s and \W only).
+_WS = r"\s+"
+
+# BPE-ish word/punctuation segmentation: a run of word chars OR a
+# single non-word non-space char approximates subword token counts
+# within a few percent for latin text.
+_BPE_ISH = r"[0-9A-Za-z_]+|[^0-9A-Za-z_\s]"
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic
+# language ID. Deterministic and dialect-neutral so the same logic is
+# expressible in the oracle SQL.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "los", "las", "es", "una"],
+    "zh": ["de", "shi", "le", "zai", "you"],
+}
+
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "for", "on", "with", "as", "at", "by",
+]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens of trimmed text (empty string -> empty array)."""
+    c = F.col(text) if isinstance(text, str) else text
+    trimmed = F.regexp_replace(c, r"^\s+|\s+$", "")
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, _WS)
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Subword-ish token estimate: word runs + individual punctuation."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(_BPE_ISH))
+
+
+def char_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c)
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    """Fraction of whitespace tokens that are (lowercased) stopwords."""
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(STOPWORDS)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(toks)
+    )
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are punctuation (non-word, non-space)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^0-9A-Za-z_\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n)
+
+
+def digit_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+    digits = F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(digits.cast("double") / n)
+
+
+def mean_token_length(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(toks)
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite document-quality heuristic in [0, 1].
+
+    Rewards natural stopword density and 3-8 char mean token length;
+    penalizes punctuation/digit noise and degenerate length. The exact
+    formula is arbitrary but deterministic — its value is that it is
+    cheap (one codegen stage) and monotone in the usual LLM-data
+    heuristics (C4/Gopher-style length + symbol filters).
+    """
+    n_tok = token_count(text).cast("double")
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 5000), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    mtl = mean_token_length(text)
+    mtl_ok = F.when((mtl >= 3.0) & (mtl <= 8.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    sw = stopword_ratio(text)
+    sw_ok = F.least(sw * 4.0, F.lit(1.0))
+    noise = punct_ratio(text) + digit_ratio(text)
+    noise_ok = F.greatest(F.lit(0.0), F.lit(1.0) - noise * 2.0)
+    return F.round((length_ok + mtl_ok + sw_ok + noise_ok) / 4.0, 6)
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit counts over lowercased tokens."""
+    toks = F.transform(tokens(text), F.lower)
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column | str) -> Column:
+    """Argmax language over marker-hit counts; ties break by language
+    code order; no hits at all -> 'und' (undetermined)."""
+    scores = lang_scores(text)
+    # build: pick lang with max count, deterministic order
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(scores):  # later iterations win only on strict >
+        s = scores[lang]
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_lang
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, trim, collapse
+    internal whitespace to single spaces."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(c), r"^\s+|\s+$", ""), _WS, " "
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text.
+
+    md5 (not xxhash64) so external systems — including the DuckDB
+    oracle — produce the identical value from the identical bytes.
+    """
+    return F.md5(normalize_text(text))
+
+
+def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis profile as columns (map-only)."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_chars_computed": char_count(c),
+            "n_tokens": token_count(c),
+            "n_bpe_ish_tokens": bpe_ish_token_count(c),
+            "mean_token_len": F.round(mean_token_length(c), 6),
+            "stopword_ratio": F.round(stopword_ratio(c), 6),
+            "punct_ratio": F.round(punct_ratio(c), 6),
+            "digit_ratio": F.round(digit_ratio(c), 6),
+            "quality": quality_score(c),
+            "lang_pred": lang_id(c),
+            "fingerprint": fingerprint(c),
+        }
+    )
