@@ -25,8 +25,11 @@ from __future__ import annotations
 
 from functools import reduce
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
 
 from .similarity import cosine
 from .text import normalize_text, tokens
@@ -61,16 +64,23 @@ def exact_dedup(
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of normalized text."""
+    """Distinct word n-gram shingles of normalized text.
+
+    Documents with fewer than ``n`` tokens yield an empty array —
+    guarded explicitly because ``sequence(0, size-n)`` would count
+    *downward* for short docs and make ``slice`` throw on index 0.
+    """
     toks = tokens(normalize_text(text))
     if n == 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    return F.array_distinct(
+    shingled = F.array_distinct(
         F.transform(
-            idx,
+            F.sequence(F.lit(0), F.size(toks) - n),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
+    )
+    return F.when(F.size(toks) >= n, shingled).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -127,16 +137,26 @@ def with_minhash_signature(
     bands: int | None = None,
     shingle_n: int = 3,
     seed: int = 42,
+    impl: str = "pandas",
 ) -> DataFrame:
-    """Attach a MinHash signature column, staged for plan efficiency.
+    """Attach a MinHash signature column (array<long>, null for an
+    empty shingle set). Map-only — no shuffle.
 
-    Two projection stages: (1) shingle + hash once into ``__mh_h``;
-    (2) ``num_perm`` small ``array_min(transform(__mh_h, ...))``
-    expressions over that attribute. Catalyst's CollapseProject rule
-    keeps the stages separate (it refuses to duplicate non-cheap
-    expressions referenced many times), so optimizer time stays
-    linear in ``num_perm`` and the hash array is computed once per
-    row at runtime. Map-only — no shuffle.
+    Shingling + base hashing always run JVM-side (``xxhash64``). The
+    ``num_perm`` permutation-min step has two implementations:
+
+    - ``impl="pandas"`` (default): an Arrow-batched pandas UDF doing
+      the (perm × shingle) min as one numpy matrix op per row.
+      Catalyst higher-order functions are CodegenFallback
+      (interpreted), so the pure-SQL path burns ~num_perm interpreted
+      ops per shingle; numpy does the same math in C. Integer
+      semantics match the JVM exactly: base hashes are pre-reduced
+      mod a 31-bit prime so ``a*h+b`` stays below 2^62 (no overflow),
+      and both numpy and pmod use sign-of-divisor modulo.
+    - ``impl="sql"``: pure Catalyst expressions, staged through a
+      materialized hash column so optimizer cost stays linear in
+      ``num_perm`` (inlining the shingle tree into every permutation
+      makes planning take minutes).
     """
     hashed = df.withColumn(
         "__mh_h",
@@ -145,6 +165,25 @@ def with_minhash_signature(
             lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)),
         ),
     )
+    params = _permutation_params(num_perm, seed)
+
+    if impl == "pandas":
+        pa_ = np.array([p[0] for p in params], dtype=np.int64)[:, None]
+        pb_ = np.array([p[1] for p in params], dtype=np.int64)[:, None]
+
+        @pandas_udf("array<bigint>")
+        def _sig(hashes: pd.Series) -> pd.Series:
+            out = []
+            for h in hashes:
+                if h is None or len(h) == 0:
+                    out.append(None)
+                    continue
+                hh = np.asarray(h, dtype=np.int64)[None, :]
+                out.append(((pa_ * hh + pb_) % _MERSENNE).min(axis=1).tolist())
+            return pd.Series(out)
+
+        return hashed.withColumn(out_col, _sig(F.col("__mh_h"))).drop("__mh_h")
+
     def _perm(a: int, b: int):
         # plain closure: PySpark reads the lambda's signature, so
         # default-arg tricks (lambda h, a=a: ...) break arity checks
@@ -152,9 +191,11 @@ def with_minhash_signature(
 
     perms = [
         F.array_min(F.transform(F.col("__mh_h"), _perm(a, b)))
-        for a, b in _permutation_params(num_perm, seed)
+        for a, b in params
     ]
-    return hashed.withColumn(out_col, F.array(*perms)).drop("__mh_h")
+    # null signature for empty shingle sets (parity with pandas impl)
+    sig = F.when(F.size(F.col("__mh_h")) > 0, F.array(*perms))
+    return hashed.withColumn(out_col, sig).drop("__mh_h")
 
 
 def minhash_lsh_pairs(
@@ -175,21 +216,41 @@ def minhash_lsh_pairs(
     ``(doc_id_a, doc_id_b, est_jaccard)`` with ``a < b``.
     """
     rows_per_band = num_perm // bands
+    # Repartition BEFORE the signature map: hashing is compute-dense
+    # (num_perm × shingles per row) and a small parquet input would
+    # otherwise run it on a single split.
+    src = df.select(id_col, text_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    # Drop degenerate docs (fewer tokens than one shingle) BEFORE the
+    # signature map. Filtering on the signature column afterwards
+    # would be pushed down through the projection by Catalyst,
+    # inlining the whole num_perm-wide expression into the filter and
+    # recomputing the hash array per permutation (~5× slower); the
+    # token-count predicate is a small scan-side expression instead.
+    src = src.where(F.size(tokens(normalize_text(text_col))) >= shingle_n)
     sig = with_minhash_signature(
-        df.select(id_col, text_col),
+        src,
         text_col=text_col,
         out_col="__sig",
         num_perm=num_perm,
         shingle_n=shingle_n,
         seed=seed,
     ).select(id_col, "__sig")
-    # Empty shingle sets produce all-null signatures; drop them so
-    # degenerate docs don't pile into one quadratic bucket.
-    sig = sig.where(F.col("__sig")[0].isNotNull())
+    # The signature table is referenced three times below (banding +
+    # two candidate re-joins). persist() alone is not enough: the
+    # referencing stages can start concurrently and each recompute
+    # the compute-dense signature map before the cache fills, so
+    # materialize it eagerly with a cheap count. At cluster scale
+    # this is the stage you'd checkpoint/write to storage.
+    sig = sig.persist()
+    sig.count()
 
+    # Band join carries ONLY (id, band, band_hash) — the 8×num_perm-
+    # byte signature array stays out of the wide shuffle and is
+    # re-attached to the (small) candidate pair set afterwards.
     banded = sig.select(
         id_col,
-        "__sig",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -212,11 +273,17 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"l.{id_col}").alias("doc_id_a"),
             F.col(f"r.{id_col}").alias("doc_id_b"),
-            F.col("l.__sig").alias("__sig_a"),
-            F.col("r.__sig").alias("__sig_b"),
         )
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
+
+    sig_a = sig.select(
+        F.col(id_col).alias("doc_id_a"), F.col("__sig").alias("__sig_a")
+    )
+    sig_b = sig.select(
+        F.col(id_col).alias("doc_id_b"), F.col("__sig").alias("__sig_b")
+    )
+    cand = cand.join(sig_a, "doc_id_a").join(sig_b, "doc_id_b")
 
     agree = F.size(
         F.filter(
@@ -224,7 +291,7 @@ def minhash_lsh_pairs(
             lambda eq: eq,
         )
     )
-    est = agree.cast("double") / F.lit(float(len(_permutation_params(num_perm, seed))))
+    est = agree.cast("double") / F.lit(float(num_perm))
     return (
         cand.withColumn("est_jaccard", F.round(est, 6))
         .where(F.col("est_jaccard") >= threshold)
@@ -304,9 +371,12 @@ def simhash_pairs(
     come from ``n_bands`` bucket joins instead of all pairs.
     """
     band_bits = 64 // n_bands
-    sig = with_simhash(
-        df.select(id_col, text_col), text_col=text_col, out_col="__sim"
-    ).select(id_col, "__sim")
+    src = df.select(id_col, text_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    sig = with_simhash(src, text_col=text_col, out_col="__sim").select(
+        id_col, "__sim"
+    )
     # unrolled driver-side: shiftrightunsigned requires an int shift
     band_keys = F.array(
         *[
@@ -364,20 +434,50 @@ def ngram_jaccard_pairs(
     join with ``block_col`` (e.g. language/source) and/or
     ``max_id_gap``. Used both directly (small blocks) and as the
     verification stage after MinHash candidate generation.
+
+    Scale design: an ``id <= id + gap`` range predicate alone would
+    plan as a BroadcastNestedLoopJoin — an O(n²) scan on a single
+    task. The gap is therefore *bucketized*: each row gets bucket
+    ``id DIV gap``; a right-side row can only pair with left rows in
+    its own or the previous bucket, so exploding the right side to
+    two bucket keys turns the range join into a shuffled equi-join
+    whose residual range filter runs per bucket. Inputs are
+    repartitioned first: shingle/compare work is compute-dense, and
+    small parquet inputs otherwise plan as one split.
     """
     base = df.select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("__sh"),
         *( [F.col(block_col)] if block_col else [] ),
-    )
-    left = base.alias("l")
-    right = base.alias("r")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+
     cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
     if block_col:
         cond = cond & (F.col(f"l.{block_col}") == F.col(f"r.{block_col}"))
+
     if max_id_gap is not None:
-        cond = cond & (
-            F.col(f"r.{id_col}") <= F.col(f"l.{id_col}") + max_id_gap
+        gap = int(max_id_gap)
+        left = base.withColumn("__bucket", F.expr(f"{id_col} DIV {gap}")).alias("l")
+        right = (
+            base.withColumn(
+                "__bucket",
+                F.explode(
+                    F.array(
+                        F.expr(f"{id_col} DIV {gap}"),
+                        F.expr(f"{id_col} DIV {gap}") - 1,
+                    )
+                ),
+            )
+            .alias("r")
         )
+        cond = (
+            (F.col("l.__bucket") == F.col("r.__bucket"))
+            & cond
+            & (F.col(f"r.{id_col}") <= F.col(f"l.{id_col}") + gap)
+        )
+    else:
+        left = base.alias("l")
+        right = base.alias("r")
+
     return (
         left.join(right, cond)
         .select(

@@ -1,0 +1,321 @@
+"""Tests for the scale-extension operators (SURVEY.md §7.1 step 7):
+dedup, similarity search, text analysis, multimodal plumbing.
+
+Hand-computed expectations on tiny inline frames, mirroring the
+reference's per-operator unit-test pattern
+(/root/reference/tests/test_validators.py style)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from flycatcher_spark.operators import dedup, multimodal, similarity, text
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),          # exact dup of 1
+        (3, "  The  cat sat on the MAT  "),     # dup of 1 after normalize
+        (4, "der hund und die katze und das haus"),
+        (5, "le chat et le chien et les oiseaux"),
+        (6, "12345 !!! ??? 678"),
+        (7, ""),
+        (8, "one"),
+        (9, "completely different words entirely unrelated tokens here"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _one(df, col):
+    return {r["doc_id"]: r[col] for r in df.collect()}
+
+
+class TestText:
+    def test_token_count(self, spark, docs):
+        got = _one(docs.select("doc_id", text.token_count("text").alias("n")), "n")
+        assert got[1] == 6
+        assert got[3] == 6  # leading/trailing/multiple spaces collapse
+        assert got[7] == 0
+        assert got[8] == 1
+
+    def test_bpe_ish_count(self, spark, docs):
+        got = _one(
+            docs.select("doc_id", text.bpe_ish_token_count("text").alias("n")), "n"
+        )
+        assert got[6] == 2 + 6  # two number runs + six punctuation chars
+        assert got[7] == 0
+
+    def test_stopword_ratio(self, spark, docs):
+        got = _one(
+            docs.select("doc_id", text.stopword_ratio("text").alias("r")), "r"
+        )
+        # "the" x2 + "on" of 6 tokens
+        assert got[1] == pytest.approx(3 / 6)
+        assert got[7] == 0.0
+
+    def test_punct_digit_ratio(self, spark, docs):
+        p = _one(docs.select("doc_id", text.punct_ratio("text").alias("r")), "r")
+        d = _one(docs.select("doc_id", text.digit_ratio("text").alias("r")), "r")
+        s = "12345 !!! ??? 678"
+        assert p[6] == pytest.approx(6 / len(s))
+        assert d[6] == pytest.approx(8 / len(s))
+        assert p[7] == 0.0 and d[7] == 0.0
+
+    def test_lang_id(self, spark, docs):
+        got = _one(docs.select("doc_id", text.lang_id("text").alias("l")), "l")
+        assert got[1] == "en"
+        assert got[3] == "en"
+        assert got[4] == "de"
+        assert got[5] == "fr"
+        assert got[7] == "und"
+        assert got[9] == "und"
+
+    def test_fingerprint_normalizes(self, spark, docs):
+        got = _one(docs.select("doc_id", text.fingerprint("text").alias("f")), "f")
+        assert got[1] == got[2] == got[3]
+        assert got[1] != got[4]
+
+    def test_mean_token_length(self, spark, docs):
+        got = _one(
+            docs.select("doc_id", text.mean_token_length("text").alias("m")), "m"
+        )
+        assert got[1] == pytest.approx((3 + 3 + 3 + 2 + 3 + 3) / 6)
+        assert got[7] == 0.0
+
+    def test_profile_schema(self, spark, docs):
+        prof = text.profile(docs)
+        expected = {
+            "n_chars_computed", "n_tokens", "n_bpe_ish_tokens", "mean_token_len",
+            "stopword_ratio", "punct_ratio", "digit_ratio", "quality",
+            "lang_pred", "fingerprint",
+        }
+        assert expected <= set(prof.columns)
+        assert prof.count() == docs.count()
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+class TestExactDedup:
+    def test_keeps_min_id(self, spark, docs):
+        kept = dedup.exact_dedup(docs, subset=["text"], id_col="doc_id")
+        ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+        assert 1 in ids and 2 not in ids  # doc 2 is an exact dup of 1
+        assert 3 in ids  # differs before normalization
+
+    def test_normalized(self, spark, docs):
+        kept = dedup.exact_dedup(
+            docs, subset=["text"], id_col="doc_id", normalize=True
+        )
+        ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+        assert 1 in ids and 2 not in ids and 3 not in ids
+
+
+class TestShingles:
+    def test_trigram(self, spark):
+        df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+        [row] = df.select(dedup.word_shingles("text", 3).alias("s")).collect()
+        assert sorted(row["s"]) == ["a b c", "b c d"]
+
+    def test_short_docs_empty(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, ""), (3, "x")], ["doc_id", "text"]
+        )
+        rows = df.select(dedup.word_shingles("text", 3).alias("s")).collect()
+        assert all(r["s"] == [] for r in rows)
+
+
+class TestMinHash:
+    def test_pandas_sql_impl_agree(self, spark, docs):
+        a = dedup.with_minhash_signature(docs, impl="pandas").select(
+            "doc_id", F.col("__sig").alias("a")
+        )
+        b = dedup.with_minhash_signature(docs, impl="sql").select(
+            "doc_id", F.col("__sig").alias("b")
+        )
+        diff = a.join(b, "doc_id").where(F.expr("NOT (a <=> b)")).count()
+        assert diff == 0
+
+    def test_near_dups_found(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        rows = [
+            (1, base),
+            (2, base + " extra"),               # near dup of 1
+            (3, "completely different text about spark dataframes and shuffles at scale"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        pairs = dedup.minhash_lsh_pairs(
+            df, num_perm=64, bands=16, shingle_n=3, threshold=0.3
+        ).collect()
+        got = {(r["doc_id_a"], r["doc_id_b"]) for r in pairs}
+        assert (1, 2) in got
+        assert all(3 not in p for p in got)
+
+    def test_dedup_drops_later_dup(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        df = spark.createDataFrame(
+            [(1, base), (2, base), (3, "something else entirely different here")],
+            ["doc_id", "text"],
+        )
+        kept = dedup.minhash_dedup(df, threshold=0.9)
+        ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+        assert ids == {1, 3}
+
+
+class TestSimHash:
+    def test_identical_zero_distance(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+            ["doc_id", "text"],
+        )
+        pairs = dedup.simhash_pairs(df, max_distance=0).collect()
+        assert [(p["doc_id_a"], p["doc_id_b"], p["hamming"]) for p in pairs] == [
+            (1, 2, 0)
+        ]
+
+    def test_signature_deterministic(self, spark):
+        df = spark.createDataFrame([(1, "alpha beta gamma")], ["doc_id", "text"])
+        s1 = dedup.with_simhash(df).select("__sim").collect()[0][0]
+        s2 = dedup.with_simhash(df).select("__sim").collect()[0][0]
+        assert s1 == s2 and s1 >= 0
+
+
+class TestJaccard:
+    def test_exact_value(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],
+            ["doc_id", "text"],
+        )
+        pairs = dedup.ngram_jaccard_pairs(df, shingle_n=1, threshold=0.0)
+        got = {
+            (r["doc_id_a"], r["doc_id_b"]): r["jaccard"] for r in pairs.collect()
+        }
+        assert got[(1, 2)] == pytest.approx(3 / 5)
+        assert got[(1, 3)] == 0.0
+
+    def test_id_gap_blocks(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (100, "a b")], ["doc_id", "text"]
+        )
+        pairs = dedup.ngram_jaccard_pairs(df, shingle_n=1, max_id_gap=10)
+        got = {(r["doc_id_a"], r["doc_id_b"]) for r in pairs.collect()}
+        assert got == {(1, 2)}  # 100 is out of gap range for both
+
+    def test_block_col(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b", "en"), (2, "a b", "en"), (3, "a b", "de")],
+            ["doc_id", "text", "lang"],
+        )
+        pairs = dedup.ngram_jaccard_pairs(df, shingle_n=1, block_col="lang")
+        got = {(r["doc_id_a"], r["doc_id_b"]) for r in pairs.collect()}
+        assert got == {(1, 2)}
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0], 0),   # close to 1
+        (3, [0.0, 1.0, 0.0], 0),   # orthogonal to 1
+        (4, [0.0, 0.0, 1.0], 1),
+        (5, [0.0, 0.0, -1.0], 1),  # opposite of 4
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+class TestSimilarity:
+    def test_dot_norm_cosine(self, spark, vecs):
+        row = (
+            vecs.filter(F.col("vec_id") == 2)
+            .select(
+                similarity.dot(F.col("embedding"), F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0))).alias("d"),
+                similarity.norm(F.col("embedding")).alias("n"),
+            )
+            .collect()[0]
+        )
+        assert row["d"] == pytest.approx(0.9)
+        assert row["n"] == pytest.approx(math.sqrt(0.81 + 0.01))
+
+    def test_topk_ranking(self, spark, vecs):
+        q = vecs.filter(F.col("vec_id") == 1)
+        res = similarity.brute_force_topk(vecs, q, k=2)
+        rows = sorted(
+            [(r["vec_id"], r["rank"]) for r in res.collect()], key=lambda x: x[1]
+        )
+        assert rows[0][0] == 2  # nearest is vec 2
+        assert len(rows) == 2
+
+    def test_cosine_zero_vector_null(self, spark):
+        df = spark.createDataFrame([(1, [0.0, 0.0], [1.0, 0.0])], ["i", "a", "b"])
+        [row] = df.select(
+            similarity.cosine(F.col("a"), F.col("b")).alias("c")
+        ).collect()
+        assert row["c"] is None
+
+    def test_neardup_blocked(self, spark, vecs):
+        pairs = dedup.embedding_neardup_pairs(
+            vecs, id_col="vec_id", vec_col="embedding", block_col="label",
+            threshold=0.5,
+        )
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert got == {(1, 2)}  # 4/5 are opposite; cross-label blocked
+
+    def test_lsh_topk_finds_close_pair(self, spark, vecs):
+        res = similarity.lsh_bucketed_topk(
+            vecs, k=2, dim=3, n_bits=2, seed=7
+        ).collect()
+        pairs = {(r["query_id"], r["vec_id"]) for r in res}
+        # recall is approximate, but an identical-direction pair in the
+        # same bucket must find each other
+        assert (1, 2) in pairs or (2, 1) in pairs
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+class TestMultimodal:
+    def test_decode_meta(self, spark):
+        df = spark.createDataFrame([(1, "abcd"), (2, "")], ["doc_id", "text"])
+        with_payload = multimodal.attach_payload(df)
+        meta = {r["doc_id"]: r.asDict() for r in multimodal.decode_meta(with_payload).collect()}
+        assert meta[1]["n_bytes"] == 4
+        assert meta[1]["width"] == 4 % 1024
+        assert meta[1]["height"] == (4 * 7) % 768
+        assert meta[1]["fmt"] == "fake"
+        assert meta[2]["n_bytes"] == 0
+
+    def test_decode_meta_custom_fn(self, spark):
+        df = spark.createDataFrame([(1, "xyz")], ["doc_id", "text"])
+        with_payload = multimodal.attach_payload(df)
+
+        def decoder(payloads):
+            return {
+                "n_bytes": [len(p) for p in payloads],
+                "width": [7 for _ in payloads],
+                "height": [9 for _ in payloads],
+                "fmt": ["png" for _ in payloads],
+            }
+
+        [row] = multimodal.decode_meta(with_payload, decode_fn=decoder).collect()
+        assert (row["width"], row["height"], row["fmt"]) == (7, 9, "png")
+
+    def test_frame_sample(self, spark):
+        df = spark.createDataFrame([(1, "x" * 130)], ["doc_id", "text"])
+        with_payload = multimodal.attach_payload(df)
+        frames = multimodal.frame_sample_plan(
+            with_payload, every_n_bytes=64
+        ).collect()
+        assert [(f["frame_idx"], f["byte_offset"]) for f in frames] == [
+            (0, 0), (1, 64), (2, 128),
+        ]
