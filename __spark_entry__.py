@@ -273,6 +273,57 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q9_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-shaped: profit-ish by part brand × supplier nation; part and
+    supplier dims broadcast, the fact table shuffles only for the
+    final group-by."""
+    part = _read(spark, sf_dir, "part")
+    supplier = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    li = _read(spark, sf_dir, "lineitem")
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", "8,4")))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("p_brand", "n_name")
+        .agg(
+            revenue.cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_quantity", "8,2")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def q_validate_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 default injection: a defaulted column absent from the input
+    is added filled with the default (reference polars.py:144-157)."""
+
+    class OrderChannelSchema(Schema):
+        o_orderkey: int = Field(ge=1)
+        o_orderstatus: str
+        o_totalprice: float
+        channel: str = "web"
+        priority_rank: int = 99
+
+    v = OrderChannelSchema.to_spark_validator()
+    return v.validate_lazy(_read(spark, sf_dir, "orders"))
+
+
+def q_dsl_between_closures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """is_between with all four interval closures + multiple_of."""
+    orders = _read(spark, sf_dir, "orders")
+    lo, hi = 50000.0, 150000.0
+    return orders.select(
+        "o_orderkey",
+        col("o_totalprice").is_between(lo, hi, closed="both").to_spark().alias("c_both"),
+        col("o_totalprice").is_between(lo, hi, closed="left").to_spark().alias("c_left"),
+        col("o_totalprice").is_between(lo, hi, closed="right").to_spark().alias("c_right"),
+        col("o_totalprice").is_between(lo, hi, closed="none").to_spark().alias("c_none"),
+        (col("o_orderkey") % 7 == 0).to_spark().alias("div7"),
+    )
+
+
 def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     return ev.groupBy(
@@ -304,6 +355,40 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts_us").alias("start_us"),
             F.max("ts_us").alias("end_us"),
         )
+    )
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: JSON props extraction."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window gap sessions (batch mode; the streaming
+    path is flycatcher_spark.streaming.session_windows). Cross-checked
+    against the lag()-based oracle formulation."""
+    from flycatcher_spark.streaming import session_windows
+
+    ev = _read(spark, sf_dir, "events")
+    sess = session_windows(
+        ev, ts_col="ts", key_cols=["user_id"], gap="30 minutes", watermark=None
+    )
+    return sess.select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
+        "n_events",
     )
 
 
@@ -452,12 +537,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_math_ops": q_dsl_math_ops,
         "dsl_datetime_ops": q_dsl_datetime_ops,
         "dsl_membership": q_dsl_membership,
+        "dsl_between_closures": q_dsl_between_closures,
+        "validate_defaults": q_validate_defaults,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue_orders": q3_top_revenue_orders,
         "q5_region_revenue": q5_region_revenue,
+        "q9_brand_revenue": q9_brand_revenue,
         "events_daily": q_events_daily,
         "events_sessions": q_events_sessions,
         "events_user_top3": q_events_user_top3,
+        "events_json_props": q_events_json_props,
+        "events_session_window": q_events_session_window,
         "text_profile": q_text_profile,
         "lang_histogram": q_lang_histogram,
         "dedup_exact": q_dedup_exact,
@@ -633,6 +723,64 @@ def oracle_sql() -> dict[str, str]:
                    (o_totalprice >= 50000.0 AND o_totalprice < 150000.0) AS mid_price,
                    o_orderstatus IN ('F') AS is_final
             FROM orders
+        """,
+        "dsl_between_closures": """
+            SELECT o_orderkey,
+                   (o_totalprice >= 50000.0 AND o_totalprice <= 150000.0) AS c_both,
+                   (o_totalprice >= 50000.0 AND o_totalprice < 150000.0) AS c_left,
+                   (o_totalprice > 50000.0 AND o_totalprice <= 150000.0) AS c_right,
+                   (o_totalprice > 50000.0 AND o_totalprice < 150000.0) AS c_none,
+                   (o_orderkey % 7 = 0) AS div7
+            FROM orders
+        """,
+        "validate_defaults": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice,
+                   'web' AS channel,
+                   CAST(99 AS BIGINT) AS priority_rank
+            FROM orders
+            WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL
+              AND o_totalprice IS NOT NULL AND o_orderkey >= 1
+        """,
+        "q9_brand_revenue": """
+            SELECT p_brand, n_name,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY p_brand, n_name
+        """,
+        "events_json_props": """
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+            FROM events
+            GROUP BY event_type
+        """,
+        "events_session_window": """
+            WITH m AS (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+            ),
+            s AS (
+                SELECT user_id, ts_us,
+                       CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                FROM m
+            )
+            SELECT user_id,
+                   MIN(ts_us) AS start_us,
+                   MAX(ts_us) + 1800000000 AS end_us,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY user_id, session_id
         """,
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_revenue_orders": """

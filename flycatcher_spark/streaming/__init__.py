@@ -1,0 +1,24 @@
+"""Structured Streaming support (extension beyond the reference —
+the reference has no streaming surface at all, SURVEY.md §2.8).
+
+The validator's bulk pipeline is built from pure lazy transformations
+(cast/select + filters), so it composes with streaming DataFrames
+unchanged; this package adds the streaming-specific pieces: source
+wiring, watermarked windowed quality metrics, and gap sessionization.
+"""
+
+from .pipeline import (
+    flag_violations_stream,
+    read_stream,
+    session_windows,
+    validate_stream,
+    windowed_quality,
+)
+
+__all__ = [
+    "flag_violations_stream",
+    "read_stream",
+    "session_windows",
+    "validate_stream",
+    "windowed_quality",
+]
