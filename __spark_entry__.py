@@ -74,7 +74,7 @@ class LineitemSchema(Schema):
     l_tax: float = Field(ge=0.0)
     l_returnflag: str = Field(min_length=1, max_length=1)
     l_linestatus: str = Field(pattern="^[A-Z]$")
-    l_shipdate: datetime
+    l_shipdate: datetime = Field(ge=datetime(1990, 1, 1))
 
     @model_validator
     def discounted_price_positive():
@@ -107,6 +107,7 @@ _LINEITEM_KEEP_SQL = """
     AND l_tax >= 0.0
     AND length(l_returnflag) >= 1 AND length(l_returnflag) <= 1
     AND regexp_matches(l_linestatus, '^[A-Z]$')
+    AND l_shipdate >= TIMESTAMP '1990-01-01'
     AND l_extendedprice * (1 - l_discount) > 0
 """
 
@@ -159,6 +160,8 @@ def q_dsl_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("text").str.extract("(sp[a-z]+)", 1).to_spark().alias("sp_word"),
         col("text").str.count_matches("data").to_spark().cast("long").alias("n_data"),
         col("text").str.strip_chars().str.len_chars().to_spark().cast("long").alias("n_stripped"),
+        col("text").str.ends_with("dup").to_spark().alias("ends_dup"),
+        col("text").str.slice(0, 10).str.to_lowercase().to_spark().alias("head_lower"),
     )
 
 
@@ -173,6 +176,7 @@ def q_dsl_math_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("l_extendedprice").sqrt().to_spark().alias("price_sqrt"),
         F.round(col("l_discount").pow(2).to_spark(), 6).alias("disc_sq"),
         (col("l_tax") - 0.04).abs().to_spark().alias("tax_dev"),
+        (col("l_quantity") + col("l_linenumber")).to_spark().alias("qty_plus_line"),
     )
 
 
@@ -186,6 +190,35 @@ def q_dsl_datetime_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("l_shipdate").dt.day().to_spark().cast("long").alias("ship_day"),
         col("l_shipdate").dt.total_days(datetime(1995, 1, 1)).to_spark().alias("days_since_95"),
     )
+
+
+def q_dsl_datetime_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-of-day component extraction on microsecond timestamps."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        col("ts").dt.hour().to_spark().cast("long").alias("h"),
+        col("ts").dt.minute().to_spark().cast("long").alias("m"),
+        col("ts").dt.second().to_spark().cast("long").alias("s"),
+    )
+
+
+def q_validate_fill_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4(a) fill_nulls: nulls in defaulted columns are replaced by
+    the default when fill_nulls=True (reference polars.py:177-189).
+    Nulls are synthesized (the test tables are clean)."""
+
+    class NotedOrderSchema(Schema):
+        o_orderkey: int = Field(ge=1)
+        o_totalprice: float
+        note: str | None = Field(default="none", nullable=True)
+
+    orders = _read(spark, sf_dir, "orders").withColumn(
+        "note",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("third")),
+    )
+    v = NotedOrderSchema.to_spark_validator()
+    return v.validate_lazy(orders, fill_nulls=True)
 
 
 def q_dsl_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -536,7 +569,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_string_ops": q_dsl_string_ops,
         "dsl_math_ops": q_dsl_math_ops,
         "dsl_datetime_ops": q_dsl_datetime_ops,
+        "dsl_datetime_events": q_dsl_datetime_events,
         "dsl_membership": q_dsl_membership,
+        "validate_fill_nulls": q_validate_fill_nulls,
         "dsl_between_closures": q_dsl_between_closures,
         "validate_defaults": q_validate_defaults,
         "q1_pricing_summary": q1_pricing_summary,
@@ -694,7 +729,9 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(substr(text, 1, 20), '[aeiou]', '_', 'g') AS devoweled,
                    nullif(regexp_extract(text, '(sp[a-z]+)', 1), '') AS sp_word,
                    len(regexp_extract_all(text, 'data')) AS n_data,
-                   length(trim(text)) AS n_stripped
+                   length(trim(text)) AS n_stripped,
+                   ends_with(text, 'dup') AS ends_dup,
+                   lower(substr(text, 1, 10)) AS head_lower
             FROM documents
         """,
         "dsl_math_ops": """
@@ -705,7 +742,8 @@ def oracle_sql() -> dict[str, str]:
                    ceil(l_quantity / 3) AS qty_div3_ceil,
                    sqrt(l_extendedprice) AS price_sqrt,
                    round(power(l_discount, 2), 6) AS disc_sq,
-                   abs(l_tax - 0.04) AS tax_dev
+                   abs(l_tax - 0.04) AS tax_dev,
+                   l_quantity + l_linenumber AS qty_plus_line
             FROM lineitem
         """,
         "dsl_datetime_ops": """
@@ -716,6 +754,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(day(l_shipdate) AS BIGINT) AS ship_day,
                    (epoch(l_shipdate) - epoch(TIMESTAMP '1995-01-01')) / 86400.0 AS days_since_95
             FROM lineitem
+        """,
+        "dsl_datetime_events": """
+            SELECT event_id,
+                   CAST(hour(ts) AS BIGINT) AS h,
+                   CAST(minute(ts) AS BIGINT) AS m,
+                   CAST(second(ts) AS BIGINT) AS s
+            FROM events
+        """,
+        "validate_fill_nulls": """
+            SELECT o_orderkey, o_totalprice,
+                   CASE WHEN o_orderkey % 3 = 0 THEN 'third' ELSE 'none' END AS note
+            FROM orders
+            WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+              AND o_orderkey >= 1
         """,
         "dsl_membership": """
             SELECT o_orderkey,
