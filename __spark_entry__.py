@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flycatcher_spark import Field, Schema, col, model_validator
-from flycatcher_spark.operators import dedup, multimodal, similarity, text
+from flycatcher_spark.operators import dedup, multimodal, similarity, stats, text
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -540,6 +540,17 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # queries — multimodal plumbing (SURVEY.md §7.1 step 7)
 # ---------------------------------------------------------------------------
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass dataset profiler over orders (exact mode so the
+    oracle can reproduce; production uses approx_count_distinct)."""
+    orders = _read(spark, sf_dir, "orders")
+    return stats.profile_stats(
+        orders,
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        exact=True,
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     with_payload = multimodal.attach_payload(docs, text_col="text")
@@ -594,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_topk": q_knn_topk,
         "embedding_neardup": q_embedding_neardup,
         "lsh_topk": q_lsh_topk,
+        "table_profile": q_table_profile,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
     }
@@ -982,6 +994,39 @@ def oracle_sql() -> dict[str, str]:
                              END, 6) AS cosine
                 FROM e l JOIN e r ON l.vec_id < r.vec_id AND l.label = r.label
             ) WHERE cosine >= 0.3
+        """,
+        "table_profile": """
+            SELECT 'o_orderkey' AS "column", 'bigint' AS dtype,
+                   COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   COUNT(DISTINCT o_orderkey) AS n_distinct,
+                   CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+                   CAST(MAX(o_orderkey) AS VARCHAR) AS max_str,
+                   SUM(CAST(o_orderkey AS DOUBLE)) AS sum,
+                   SUM(CAST(o_orderkey AS DOUBLE)) / COUNT(o_orderkey) AS mean
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', 'bigint', COUNT(*),
+                   CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   COUNT(DISTINCT o_custkey),
+                   CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR),
+                   SUM(CAST(o_custkey AS DOUBLE)),
+                   SUM(CAST(o_custkey AS DOUBLE)) / COUNT(o_custkey)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', 'string', COUNT(*),
+                   CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   COUNT(DISTINCT o_orderstatus),
+                   MIN(o_orderstatus), MAX(o_orderstatus),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', 'string', COUNT(*),
+                   CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   COUNT(DISTINCT o_orderpriority),
+                   MIN(o_orderpriority), MAX(o_orderpriority),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+            FROM orders
         """,
         "multimodal_meta": """
             SELECT doc_id,

@@ -9,8 +9,11 @@ reference surface — see SURVEY.md §7.1 step 7).
   fingerprinting.
 - :mod:`.multimodal` — opaque binary payload columns with typed
   metadata, decoded via Arrow-batched ``mapInPandas``.
+- :mod:`.stats` — single-pass dataset profiling (counts, distincts,
+  extrema, moments, approximate quantiles).
+- :mod:`.skew` — salted joins/aggregations for hot-key workloads.
 """
 
-from . import dedup, multimodal, similarity, text
+from . import dedup, multimodal, similarity, skew, stats, text
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "multimodal", "similarity", "skew", "stats", "text"]
