@@ -528,6 +528,16 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (KMeans coarse quantizer — approximate; rows-only)."""
+    em = _emb_double(spark, sf_dir)
+    q = em.filter(F.col("vec_id") < 10)
+    res = similarity.ivf_topk(
+        em, q, k=5, id_col="vec_id", vec_col="embedding", n_cells=8, n_probe=3
+    )
+    return res.select("query_id", "vec_id", "sim", F.col("rank").cast("long").alias("rank"))
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (approximate — no SQL oracle; rows-only check)."""
     em = _emb_double(spark, sf_dir)
@@ -605,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_topk": q_knn_topk,
         "embedding_neardup": q_embedding_neardup,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "table_profile": q_table_profile,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,

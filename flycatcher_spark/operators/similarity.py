@@ -128,6 +128,103 @@ def signature_bits(
     return sig
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    max_train_rows: int = 100_000,
+) -> DataFrame:
+    """IVF-style approximate nearest neighbors.
+
+    Classic inverted-file search re-expressed Spark-first:
+
+    1. **Train** a coarse quantizer (MLlib KMeans, ``n_cells``
+       centroids) on a bounded sample of the corpus — iterative
+       driver-coordinated jobs over the sample only.
+    2. **Assign** every corpus vector to its nearest centroid — the
+       centroid table is tiny and broadcast; assignment is a map-only
+       scored-window pass, so the corpus shuffles once on cell id.
+    3. **Probe**: each query searches only its ``n_probe`` nearest
+       cells — the candidate set shrinks ~``n_cells/n_probe``× vs
+       brute force, the recall/compute dial of IVF.
+
+    Returns ``(query_id, vec_id, sim, rank)`` like
+    :func:`brute_force_topk` (which remains the exact baseline).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    query_id_col = query_id_col or id_col
+
+    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    n = train.count()
+    if n > max_train_rows:
+        train = train.sample(fraction=max_train_rows / n, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    centroids = [
+        [float(x) for x in c] for c in model.clusterCenters()
+    ]
+
+    def _cell_scores(vec: Column) -> list[Column]:
+        # negative squared L2 to each centroid (driver-side literals)
+        scores = []
+        for c in centroids:
+            lit_c = F.array(*[F.lit(w) for w in c])
+            diff = F.zip_with(vec, lit_c, lambda x, y: (x - y) * (x - y))
+            scores.append(F.aggregate(diff, F.lit(0.0), lambda a, v: a + v))
+        return scores
+
+    def _assign(df: DataFrame, n_best: int, out: str) -> DataFrame:
+        dists = F.array(*_cell_scores(F.col(vec_col)))
+        ranked = F.transform(
+            F.array_sort(
+                F.zip_with(
+                    dists,
+                    F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                    lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
+                )
+            ),
+            lambda s: s["cell"],
+        )
+        return df.withColumn(out, F.slice(ranked, 1, n_best))
+
+    corpus_cells = _assign(corpus, 1, "__cells").withColumn(
+        "__cell", F.col("__cells")[0]
+    ).drop("__cells")
+    query_cells = (
+        _assign(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(vec_col).alias("__qvec"),
+            ).withColumnRenamed("__qvec", vec_col),
+            n_probe,
+            "__cells",
+        )
+        .select("query_id", F.col(vec_col).alias("__qvec"), F.explode("__cells").alias("__cell"))
+    )
+
+    joined = corpus_cells.join(F.broadcast(query_cells), "__cell").where(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     k: int = 10,

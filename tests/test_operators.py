@@ -271,6 +271,26 @@ class TestSimilarity:
         got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
         assert got == {(1, 2)}  # 4/5 are opposite; cross-label blocked
 
+    def test_ivf_probe_all_equals_exact(self, spark, vecs):
+        """Probing every cell makes IVF exhaustive — must equal the
+        brute-force baseline exactly (same ranking, same sims)."""
+        q = vecs.filter(F.col("vec_id") <= 2)
+        exact = similarity.brute_force_topk(vecs, q, k=3)
+        ivf = similarity.ivf_topk(vecs, q, k=3, n_cells=2, n_probe=2, seed=7)
+        key = lambda r: (r["query_id"], r["rank"])
+        e = sorted(((r["query_id"], r["rank"], r["vec_id"], r["sim"])
+                    for r in exact.collect()))
+        a = sorted(((r["query_id"], r["rank"], r["vec_id"], r["sim"])
+                    for r in ivf.collect()))
+        assert e == a
+
+    def test_ivf_partial_probe_subset(self, spark, vecs):
+        q = vecs.filter(F.col("vec_id") == 1)
+        res = similarity.ivf_topk(vecs, q, k=2, n_cells=2, n_probe=1, seed=7)
+        rows = res.collect()
+        assert 1 <= len(rows) <= 2
+        assert all(r["query_id"] == 1 and r["vec_id"] != 1 for r in rows)
+
     def test_lsh_topk_finds_close_pair(self, spark, vecs):
         res = similarity.lsh_bucketed_topk(
             vecs, k=2, dim=3, n_bits=2, seed=7
