@@ -425,6 +425,32 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click attaches the user's most recent prior
+    (or simultaneous) purchase. Union+window formulation — one
+    shuffle, no nested-loop join; oracled by DuckDB's native ASOF."""
+    from flycatcher_spark.operators import asof
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts_us"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts_us", "value"
+    )
+    joined = asof.asof_join(
+        clicks, purchases, on="user_id", ts_col="ts_us", suffix="_p"
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "purchase_id_p",
+        F.col("value_p").alias("purchase_value"),
+        F.col("ts_us_p").alias("purchase_ts_us"),
+    )
+
+
 def q_events_user_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
@@ -602,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": q_events_daily,
         "events_sessions": q_events_sessions,
         "events_user_top3": q_events_user_top3,
+        "events_asof_join": q_events_asof_join,
         "events_json_props": q_events_json_props,
         "events_session_window": q_events_session_window,
         "text_profile": q_text_profile,
@@ -914,6 +941,23 @@ def oracle_sql() -> dict[str, str]:
                    MIN(ts_us) AS start_us,
                    MAX(ts_us) AS end_us
             FROM s GROUP BY user_id, session_id
+        """,
+        "events_asof_join": """
+            WITH clicks AS (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us
+                FROM events WHERE event_type = 'click'
+            ),
+            purchases AS (
+                SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS ts_us, value
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT c.user_id, c.event_id, c.ts_us,
+                   p.purchase_id AS purchase_id_p,
+                   p.value AS purchase_value,
+                   p.ts_us AS purchase_ts_us
+            FROM clicks c
+            ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
         """,
         "events_user_top3": """
             SELECT user_id, event_id, rn FROM (
