@@ -357,6 +357,62 @@ def q_dsl_between_closures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP(region, nation) — subtotal rows
+    have nation NULL, grand total has both NULL."""
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", "8,4")))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(revenue.cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers ordering in BOTH halves of 1997
+    (INTERSECT) and in H1 only (EXCEPT), labeled and unioned."""
+    orders = _read(spark, sf_dir, "orders")
+    h1 = orders.filter(
+        (F.col("o_orderdate") >= F.lit(datetime(1997, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1997, 7, 1)))
+    ).select("o_custkey")
+    h2 = orders.filter(
+        (F.col("o_orderdate") >= F.lit(datetime(1997, 7, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1998, 1, 1)))
+    ).select("o_custkey")
+    both = h1.intersect(h2).withColumn("segment", F.lit("both"))
+    h1_only = h1.subtract(h2).withColumn("segment", F.lit("h1_only"))
+    return both.unionByName(h1_only)
+
+
+def q_orders_no_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: orders with no lineitem rows (NOT EXISTS shape)."""
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    return orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"], "left_anti"
+    ).select("o_orderkey", "o_orderstatus")
+
+
+def q_median_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median + min/max per order status."""
+    orders = _read(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.median("o_totalprice"), 6).alias("median_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
 def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     return ev.groupBy(
@@ -625,6 +681,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_revenue_orders": q3_top_revenue_orders,
         "q5_region_revenue": q5_region_revenue,
         "q9_brand_revenue": q9_brand_revenue,
+        "rollup_revenue": q_rollup_revenue,
+        "set_ops_customers": q_set_ops_customers,
+        "orders_no_lineitems": q_orders_no_lineitems,
+        "median_stats": q_median_stats,
         "events_daily": q_events_daily,
         "events_sessions": q_events_sessions,
         "events_user_top3": q_events_user_top3,
@@ -909,6 +969,53 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name, n_name
+        """,
+        "rollup_revenue": """
+            SELECT r_name, n_name,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "set_ops_customers": """
+            WITH h1 AS (
+                SELECT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                  AND o_orderdate < TIMESTAMP '1997-07-01'
+            ),
+            h2 AS (
+                SELECT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+                  AND o_orderdate < TIMESTAMP '1998-01-01'
+            )
+            SELECT o_custkey, 'both' AS segment FROM (
+                SELECT o_custkey FROM h1 INTERSECT SELECT o_custkey FROM h2
+            )
+            UNION ALL
+            SELECT o_custkey, 'h1_only' AS segment FROM (
+                SELECT DISTINCT o_custkey FROM h1
+                EXCEPT SELECT DISTINCT o_custkey FROM h2
+            )
+        """,
+        "orders_no_lineitems": """
+            SELECT o_orderkey, o_orderstatus
+            FROM orders
+            WHERE NOT EXISTS (
+                SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+            )
+        """,
+        "median_stats": """
+            SELECT o_orderstatus,
+                   COUNT(*) AS n,
+                   round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+                   MIN(o_totalprice) AS min_price,
+                   MAX(o_totalprice) AS max_price
+            FROM orders
+            GROUP BY o_orderstatus
         """,
         "events_daily": """
             SELECT event_type,
