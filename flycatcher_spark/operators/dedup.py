@@ -158,13 +158,38 @@ def with_minhash_signature(
       ``num_perm`` (inlining the shingle tree into every permutation
       makes planning take minutes).
     """
-    hashed = df.withColumn(
-        "__mh_h",
-        F.transform(
-            word_shingles(text_col, shingle_n),
-            lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)),
-        ),
+    # Stage 1: token hashes into a materialized column. Combining
+    # must NOT reference the token-hash expression tree directly:
+    # interpreted element_at(tree, i) re-evaluates the whole tree per
+    # access (O(tokens²) per row); element_at(attribute, i) is O(1).
+    toks_h = F.transform(
+        tokens(normalize_text(text_col)),
+        lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE)),
     )
+    staged = df.withColumn("__mh_th", toks_h)
+    # Stage 2: n-gram hashes by modular polynomial combine (31-bit
+    # inputs keep products < 2^62 — ANSI mode throws on overflow).
+    th = F.col("__mh_th")
+    if shingle_n == 1:
+        sh = F.array_distinct(th)
+    else:
+        B = 1_000_003
+
+        def _combine(i: Column) -> Column:
+            acc = F.element_at(th, i + 1)
+            for j in range(1, shingle_n):
+                acc = F.pmod(
+                    acc * F.lit(B) + F.element_at(th, i + 1 + j), F.lit(_MERSENNE)
+                )
+            return acc
+
+        sh = F.when(
+            F.size(th) >= shingle_n,
+            F.array_distinct(
+                F.transform(F.sequence(F.lit(0), F.size(th) - shingle_n), _combine)
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+    hashed = staged.withColumn("__mh_h", sh).drop("__mh_th")
     params = _permutation_params(num_perm, seed)
 
     if impl == "pandas":
