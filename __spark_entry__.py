@@ -632,6 +632,15 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # queries — multimodal plumbing (SURVEY.md §7.1 step 7)
 # ---------------------------------------------------------------------------
+def q_skew_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation on genuinely skewed keys (3
+    returnflag values over 600k rows) — must equal a plain GROUP BY."""
+    from flycatcher_spark.operators import skew
+
+    li = _read(spark, sf_dir, "lineitem")
+    return skew.salted_groupby_count(li, ["l_returnflag"], salt_buckets=16)
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass dataset profiler over orders (exact mode so the
     oracle can reproduce; production uses approx_count_distinct)."""
@@ -703,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "skew_salted_counts": q_skew_salted_counts,
         "table_profile": q_table_profile,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
@@ -1156,6 +1166,9 @@ def oracle_sql() -> dict[str, str]:
                              END, 6) AS cosine
                 FROM e l JOIN e r ON l.vec_id < r.vec_id AND l.label = r.label
             ) WHERE cosine >= 0.3
+        """,
+        "skew_salted_counts": """
+            SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag
         """,
         "table_profile": """
             SELECT 'o_orderkey' AS "column", 'bigint' AS dtype,

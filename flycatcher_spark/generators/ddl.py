@@ -153,6 +153,33 @@ def write(
     writer.save(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Write as a bucketed (and optionally sorted) managed table.
+
+    Two tables bucketed on the same columns with the same bucket
+    count join WITHOUT an Exchange on either side — the shuffle is
+    paid once at write time instead of on every join. This is the
+    storage-layout lever for repeated co-located joins at 100 TB
+    (e.g. fact tables repeatedly joined on the same key).
+    """
+    writer = (
+        df.write.format(fmt)
+        .mode(mode)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

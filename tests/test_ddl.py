@@ -78,6 +78,32 @@ class TestSchemaEnforcedIO:
         assert "junk" not in df.columns
         assert dict(df.dtypes)["score"] == "double"
 
+    def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
+        """Tables bucketed on the join key must join shuffle-free —
+        the Exchange is paid once at write time."""
+        from flycatcher_spark.generators import ddl
+
+        a = spark.createDataFrame([(i, i * 2) for i in range(100)], "k long, x long")
+        b = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "k long, s string")
+        ddl.write_bucketed(a, "bucketed_a", ["k"], num_buckets=4, sort_cols=["k"])
+        ddl.write_bucketed(b, "bucketed_b", ["k"], num_buckets=4, sort_cols=["k"])
+        try:
+            ta = spark.table("bucketed_a")
+            tb = spark.table("bucketed_b")
+            # disable broadcast so the bucketed path is actually exercised
+            prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                joined = ta.join(tb, "k")
+                plan = joined._jdf.queryExecution().executedPlan().toString()
+                assert "Exchange" not in plan
+                assert joined.count() == 100
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bucketed_a")
+            spark.sql("DROP TABLE IF EXISTS bucketed_b")
+
     def test_write_round_trip(self, spark, tmp_path):
         path = str(tmp_path / "out")
         df = spark.createDataFrame([(1, "A"), (2, "B")], ["id", "name"])
