@@ -328,6 +328,192 @@ def q9_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6-shaped: single filtered aggregation. Every predicate reaches
+    the parquet scan as a PushedFilter; no shuffle at all (partial
+    aggs combine map-side into one row)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(datetime(1997, 1, 1)))
+            & (F.col("l_shipdate") < F.lit(datetime(1998, 1, 1)))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount", "8,4"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped: EXISTS via left-semi join with a non-equi residual
+    (lineitem shipped >60 days after order date), then count by
+    priority."""
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(datetime(1997, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1997, 10, 1)))
+    )
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-shaped: top-20 customers by revenue lost to returns.
+    customer/nation broadcast; orders⋈lineitem shuffles on orderkey."""
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(datetime(1997, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1997, 7, 1)))
+    )
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", "8,4")))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-shaped: customer × order-count histogram. LEFT OUTER join
+    (customers with zero orders kept), double aggregation."""
+    cust = _read(spark, sf_dir, "customer").select("c_custkey")
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-shaped: monthly % of revenue from PROMO parts. Conditional
+    decimal sums; the double division of two exact sums is
+    bit-deterministic on both engines."""
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _read(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", "8,4"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0).cast("decimal(12,2)")))
+    total = F.sum(disc_price)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+        .agg(
+            (F.lit(100.0) * promo.cast("double") / total.cast("double")).alias("promo_pct"),
+            total.cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-shaped: orders whose total quantity exceeds 200 (HAVING on
+    an aggregate), joined back to customer. The heavy groupBy runs
+    on lineitem alone; customer is broadcast after the filter."""
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity", "8,2")).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > 200)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-shaped: disjunction of brand/size/quantity bands. One
+    broadcast hash join; the OR-of-ANDs stays a single residual
+    predicate (no union of three scans)."""
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _read(spark, sf_dir, "lineitem")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", "8,4")))
+    return joined.filter(band).agg(
+        revenue.cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function coverage in one plan: row_number / lag / lead /
+    running sum / moving avg over a time-ordered per-customer frame,
+    plus rank / dense_rank / ntile / percent_rank over a value-ordered
+    frame. Both windows share the same partitioning (one shuffle)."""
+    orders = _read(spark, sf_dir, "orders")
+    w_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w_time.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_mov = w_time.rowsBetween(-2, 0)
+    w_val = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    price_dec = _dec("o_totalprice", "14,4")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(w_time).cast("bigint").alias("rn"),
+        F.lag("o_totalprice").over(w_time).alias("prev_price"),
+        F.lead("o_totalprice").over(w_time).alias("next_price"),
+        F.sum(price_dec).over(w_run).cast("double").alias("run_total"),
+        (
+            F.sum(price_dec).over(w_mov).cast("double")
+            / F.count(F.lit(1)).over(w_mov)
+        ).alias("moving_avg3"),
+        F.rank().over(w_val).cast("bigint").alias("price_rank"),
+        F.dense_rank().over(w_val).cast("bigint").alias("price_dense_rank"),
+        F.ntile(4).over(w_val).cast("bigint").alias("price_quartile"),
+        F.percent_rank().over(w_val).alias("price_pct_rank"),
+    )
+
+
 def q_validate_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V2 default injection: a defaulted column absent from the input
     is added filled with the default (reference polars.py:144-157)."""
@@ -688,8 +874,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_defaults": q_validate_defaults,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue_orders": q3_top_revenue_orders,
+        "q4_order_priority": q4_order_priority,
         "q5_region_revenue": q5_region_revenue,
+        "q6_forecast_revenue": q6_forecast_revenue,
         "q9_brand_revenue": q9_brand_revenue,
+        "q10_returned_customers": q10_returned_customers,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q14_promo_revenue_ratio": q14_promo_revenue_ratio,
+        "q18_large_orders": q18_large_orders,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "window_suite": q_window_suite,
         "rollup_revenue": q_rollup_revenue,
         "set_ops_customers": q_set_ops_customers,
         "orders_no_lineitems": q_orders_no_lineitems,
@@ -979,6 +1173,105 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name, n_name
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-10-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+              )
+            GROUP BY o_orderpriority
+        """,
+        "q6_forecast_revenue": """
+            SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q10_returned_customers": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-07-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "q13_order_count_distribution": """
+            SELECT c_count, COUNT(*) AS custdist
+            FROM (
+                SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                FROM customer
+                LEFT JOIN orders ON c_custkey = o_custkey
+                    AND o_orderpriority <> '4-NOT SPECIFIED'
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+        """,
+        "q14_promo_revenue_ratio": """
+            SELECT strftime(l_shipdate, '%Y-%m') AS month,
+                   100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))
+                       ELSE CAST(0 AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS promo_pct,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS total_revenue
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            GROUP BY strftime(l_shipdate, '%Y-%m')
+        """,
+        "q18_large_orders": """
+            SELECT c_custkey, c_name, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_totalprice,
+                   CAST(CAST(big.sum_qty_dec AS VARCHAR) AS DOUBLE) AS sum_qty
+            FROM (
+                SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(8,2))) AS sum_qty_dec
+                FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(CAST(l_quantity AS DECIMAL(8,2))) > 200
+            ) big
+            JOIN orders ON big.l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+               OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+               OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+        """,
+        "window_suite": """
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   ROW_NUMBER() OVER w_time AS rn,
+                   LAG(o_totalprice) OVER w_time AS prev_price,
+                   LEAD(o_totalprice) OVER w_time AS next_price,
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS run_total,
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) OVER w_mov AS VARCHAR) AS DOUBLE)
+                       / COUNT(*) OVER w_mov AS moving_avg3,
+                   RANK() OVER w_val AS price_rank,
+                   DENSE_RANK() OVER w_val AS price_dense_rank,
+                   NTILE(4) OVER w_val AS price_quartile,
+                   PERCENT_RANK() OVER w_val AS price_pct_rank
+            FROM orders
+            WINDOW w_time AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                   w_mov AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                   w_val AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
         """,
         "rollup_revenue": """
             SELECT r_name, n_name,
