@@ -482,6 +482,229 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-shaped correlated min: for each part, the supplier(s) with
+    the lowest account balance among suppliers that shipped it.
+    The correlated subquery is decorrelated into a window-min over
+    the distinct (part, supplier) pairs — one shuffle on l_partkey."""
+    pairs = (
+        _read(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    supp = _read(spark, sf_dir, "supplier")
+    w = Window.partitionBy("l_partkey")
+    return (
+        pairs.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select("l_partkey", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-shaped: shipping volume between two nations by year, both
+    directions. Both nation lookups broadcast; one fact shuffle."""
+    n1 = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _read(spark, sf_dir, "lineitem")
+    pair = (
+        ((F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2"))
+        | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
+    )
+    volume = F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", "8,4")))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(volume.cast("double").alias("volume"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-shaped: NATION_3 suppliers' share of ASIA-customer revenue
+    per year — conditional-sum ratio of two exact decimal sums."""
+    nat_c = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    nat_s = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    region = _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _read(spark, sf_dir, "lineitem")
+    vol = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", "8,4"))
+    zero = F.lit(0).cast("decimal(12,2)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat_c), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat_s), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(zero)).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+    )
+
+
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-shaped: distinct-supplier counts per (brand, type, size
+    band) excluding one brand and suppliers with negative balance
+    (NOT IN anti-join, broadcast)."""
+    part = _read(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#5")
+    bad_supp = (
+        _read(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = _read(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", (F.col("p_size") - F.col("p_size") % 10).cast("bigint").alias("size_band"))
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-shaped correlated AVG: revenue from Brand#1 lineitems whose
+    quantity is below half the part's average quantity. The per-part
+    average is an exact decimal-sum/count (order-independent), joined
+    back broadcast."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.sum(_dec("l_quantity", "8,2")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(per_part), F.col("l_partkey") == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-shaped double EXISTS/NOT EXISTS: suppliers that were the
+    ONLY late shipper in a multi-supplier order. Decorrelated into
+    one per-(order,supplier) aggregate + one per-order window — no
+    self-joins of the fact table."""
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = F.max(
+        F.when(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
+        ).otherwise(0)
+    )
+    per_supp = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(late.alias("late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("late").over(w))
+        .filter((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-shaped: well-funded customers with no recent orders.
+    Threshold is the exact median of positive balances (a scalar
+    subquery both engines compute identically); recency is an
+    anti-join against 1999+ orders."""
+    cust = _read(spark, sf_dir, "customer")
+    recent = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(datetime(1999, 1, 1)))
+        .select("o_custkey")
+    )
+    nation = _read(spark, sf_dir, "nation")
+    threshold = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.median("c_acctbal").alias("m"))
+    )
+    return (
+        cust.join(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("m"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal", "14,4")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-shaped: supplier(s) with the maximum revenue in a quarter.
+    The scalar MAX subquery becomes an unpartitioned window max over
+    the (tiny) per-supplier aggregate."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(datetime(1997, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime(1997, 4, 1)))
+    )
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", "8,4")))
+        .alias("rev_dec")
+    )
+    w = Window.partitionBy()
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.withColumn("max_rev", F.max("rev_dec").over(w))
+        .filter(F.col("rev_dec") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("rev_dec").cast("double").alias("total_revenue")
+        )
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11-shaped: parts whose inventory value exceeds a fraction of
+    the global total — HAVING compared against a broadcast scalar."""
+    li = _read(spark, sf_dir, "lineitem")
+    value = F.sum(_dec("l_extendedprice") * _dec("l_quantity", "8,2"))
+    per_part = li.groupBy("l_partkey").agg(value.alias("value_dec"))
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("value_dec").cast("double")
+            > 0.0006 * F.col("total_dec").cast("double")
+        )
+        .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
+    )
+
+
 def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function coverage in one plan: row_number / lag / lead /
     running sum / moving avg over a time-ordered per-customer frame,
@@ -883,6 +1106,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue_ratio": q14_promo_revenue_ratio,
         "q18_large_orders": q18_large_orders,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q2_min_acctbal_supplier": q2_min_acctbal_supplier,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q16_supplier_counts": q16_supplier_counts,
+        "q17_small_qty_revenue": q17_small_qty_revenue,
+        "q21_sole_late_supplier": q21_sole_late_supplier,
+        "q22_dormant_customers": q22_dormant_customers,
+        "q15_top_supplier": q15_top_supplier,
+        "q11_important_parts": q11_important_parts,
         "window_suite": q_window_suite,
         "rollup_revenue": q_rollup_revenue,
         "set_ops_customers": q_set_ops_customers,
@@ -1252,6 +1484,131 @@ def oracle_sql() -> dict[str, str]:
             WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
                OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
                OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+        """,
+        "q2_min_acctbal_supplier": """
+            SELECT l_partkey, s_suppkey, s_name, s_acctbal
+            FROM (
+                SELECT l_partkey, s_suppkey, s_name, s_acctbal,
+                       MIN(s_acctbal) OVER (PARTITION BY l_partkey) AS min_bal
+                FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+                JOIN supplier ON l_suppkey = s_suppkey
+            )
+            WHERE s_acctbal = min_bal
+        """,
+        "q7_nation_volume": """
+            SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS volume,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            GROUP BY n2.n_name, n1.n_name, year(l_shipdate)
+        """,
+        "q8_market_share": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                       THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))
+                       ELSE CAST(0 AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS mkt_share,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS total_volume
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'ASIA'
+            GROUP BY year(o_orderdate)
+        """,
+        "q16_supplier_counts": """
+            SELECT p_brand, p_type,
+                   CAST(p_size - p_size % 10 AS BIGINT) AS size_band,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#5'
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size - p_size % 10
+        """,
+        "q17_small_qty_revenue": """
+            WITH per_part AS (
+                SELECT l_partkey,
+                       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS small_qty_revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN per_part USING (l_partkey)
+            WHERE p_brand = 'Brand#1'
+              AND l_quantity < 0.5 * avg_qty
+        """,
+        "q21_sole_late_supplier": """
+            WITH per_supp AS (
+                SELECT l_orderkey, l_suppkey,
+                       MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY l_orderkey, l_suppkey
+            ),
+            flagged AS (
+                SELECT *,
+                       COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+                       SUM(late) OVER (PARTITION BY l_orderkey) AS n_late
+                FROM per_supp
+            )
+            SELECT s_suppkey, s_name, COUNT(*) AS numwait
+            FROM flagged
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE late = 1 AND n_supp > 1 AND n_late = 1
+            GROUP BY s_suppkey, s_name
+        """,
+        "q15_top_supplier": """
+            WITH per_supp AS (
+                SELECT l_suppkey,
+                       SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS rev_dec
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name,
+                   CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS total_revenue
+            FROM per_supp
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rev_dec = (SELECT MAX(rev_dec) FROM per_supp)
+        """,
+        "q11_important_parts": """
+            WITH per_part AS (
+                SELECT l_partkey,
+                       SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(8,2))) AS value_dec
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT l_partkey,
+                   CAST(CAST(value_dec AS VARCHAR) AS DOUBLE) AS part_value
+            FROM per_part
+            WHERE CAST(CAST(value_dec AS VARCHAR) AS DOUBLE)
+                  > 0.0006 * (SELECT CAST(CAST(SUM(value_dec) AS VARCHAR) AS DOUBLE) FROM per_part)
+        """,
+        "q22_dormant_customers": """
+            SELECT n_name, COUNT(*) AS numcust,
+                   CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS VARCHAR) AS DOUBLE) AS totacctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_acctbal > (SELECT median(c_acctbal) FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01'
+              )
+            GROUP BY n_name
         """,
         "window_suite": """
             SELECT o_orderkey, o_custkey, o_totalprice,
