@@ -737,6 +737,123 @@ def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts and exact decimal revenue spread across
+    status columns, one row per priority. Compiles to a single
+    conditional aggregation (no extra shuffle vs plain groupBy)."""
+    orders = _read(spark, sf_dir, "orders")
+    price = _dec("o_totalprice", "14,4")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(price).cast("double").alias("total"),
+        )
+    )
+
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping combinations
+    in one pass (the partial aggregate is reused across grouping
+    sets — no re-scan per combination)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode / lateral view: whitespace-tokenize documents, count
+    the top-50 lowercased tokens. The explode happens map-side; only
+    (token, partial count) pairs shuffle."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(F.explode(toks).alias("token"))
+        .select(F.lower(F.col("token")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(50)
+    )
+
+
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed second-moment statistics computed EXACTLY: variance,
+    stddev, covariance, and correlation are derived from decimal sums
+    (n, Σx, Σy, Σx², Σy², Σxy), so the result is bit-identical across
+    engines and partitionings — a naive float stddev is not."""
+    li = _read(spark, sf_dir, "lineitem")
+    x = _dec("l_quantity", "8,2")
+    y = _dec("l_extendedprice", "12,2")
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(x).cast("double")
+    sy = F.sum(y).cast("double")
+    sxx = F.sum(x * x).cast("double")
+    syy = F.sum(y * y).cast("double")
+    sxy = F.sum(x * y).cast("double")
+    var_x = (sxx - sx * sx / n) / (n - 1)
+    var_y = (syy - sy * sy / n) / (n - 1)
+    cov = (sxy - sx * sy / n) / (n - 1)
+    return li.groupBy("l_returnflag").agg(
+        n.cast("bigint").alias("n"),
+        var_x.alias("var_qty"),
+        F.sqrt(var_x).alias("std_qty"),
+        var_y.alias("var_price"),
+        cov.alias("cov_qty_price"),
+        (cov / F.sqrt(var_x * var_y)).alias("corr_qty_price"),
+    )
+
+
+def q_percentile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p25/p50/p75/p95) per order
+    priority — sort-based, so deterministic across engines."""
+    orders = _read(spark, sf_dir, "orders")
+    pct = F.percentile("o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)))
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(pct[0], 6).alias("p25"),
+        F.round(pct[1], 6).alias("p50"),
+        F.round(pct[2], 6).alias("p75"),
+        F.round(pct[3], 6).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-distinct aggregation: distinct customers, distinct
+    order days, and rows per market segment in one pass."""
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count_distinct(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("n_order_days"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts with the exact value
+    and relative error side-by-side (rows-only check: HLL sketches
+    are implementation-specific, so no cross-engine oracle)."""
+    orders = _read(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),
+        F.count_distinct("o_custkey").alias("exact_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 def q_validate_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V2 default injection: a defaulted column absent from the input
     is added filled with the default (reference polars.py:144-157)."""
@@ -1115,6 +1232,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_dormant_customers": q22_dormant_customers,
         "q15_top_supplier": q15_top_supplier,
         "q11_important_parts": q11_important_parts,
+        "pivot_order_status": q_pivot_order_status,
+        "cube_revenue": q_cube_revenue,
+        "token_counts": q_token_counts,
+        "stats_moments": q_stats_moments,
+        "percentile_suite": q_percentile_suite,
+        "distinct_stats": q_distinct_stats,
+        "approx_distinct": q_approx_distinct,
         "window_suite": q_window_suite,
         "rollup_revenue": q_rollup_revenue,
         "set_ops_customers": q_set_ops_customers,
@@ -1596,6 +1720,74 @@ def oracle_sql() -> dict[str, str]:
             FROM per_part
             WHERE CAST(CAST(value_dec AS VARCHAR) AS DOUBLE)
                   > 0.0006 * (SELECT CAST(CAST(SUM(value_dec) AS VARCHAR) AS DOUBLE) FROM per_part)
+        """,
+        "pivot_order_status": """
+            SELECT o_orderpriority,
+                   SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O_n,
+                   CAST(CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(14,4)) END) AS VARCHAR) AS DOUBLE) AS O_total,
+                   SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F_n,
+                   CAST(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(14,4)) END) AS VARCHAR) AS DOUBLE) AS F_total,
+                   SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P_n,
+                   CAST(CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(14,4)) END) AS VARCHAR) AS DOUBLE) AS P_total
+            FROM orders
+            GROUP BY o_orderpriority
+        """,
+        "cube_revenue": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price,
+                   GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "token_counts": """
+            SELECT lower(token) AS token, COUNT(*) AS n
+            FROM (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+                FROM documents
+                WHERE length(trim(text)) > 0
+            )
+            GROUP BY lower(token)
+            ORDER BY n DESC, token
+            LIMIT 50
+        """,
+        "stats_moments": """
+            SELECT l_returnflag,
+                   CAST(n AS BIGINT) AS n,
+                   (sxx - sx * sx / n) / (n - 1) AS var_qty,
+                   sqrt((sxx - sx * sx / n) / (n - 1)) AS std_qty,
+                   (syy - sy * sy / n) / (n - 1) AS var_price,
+                   (sxy - sx * sy / n) / (n - 1) AS cov_qty_price,
+                   ((sxy - sx * sy / n) / (n - 1))
+                       / sqrt(((sxx - sx * sx / n) / (n - 1)) * ((syy - sy * sy / n) / (n - 1))) AS corr_qty_price
+            FROM (
+                SELECT l_returnflag,
+                       CAST(COUNT(*) AS DOUBLE) AS n,
+                       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS sx,
+                       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy,
+                       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_quantity AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+                       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syy,
+                       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxy
+                FROM lineitem GROUP BY l_returnflag
+            )
+        """,
+        "percentile_suite": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+                   round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+                   round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+                   round(quantile_cont(o_totalprice, 0.95), 6) AS p95,
+                   COUNT(*) AS n
+            FROM orders
+            GROUP BY o_orderpriority
+        """,
+        "distinct_stats": """
+            SELECT c_mktsegment,
+                   COUNT(DISTINCT o_custkey) AS n_customers,
+                   COUNT(DISTINCT strftime(o_orderdate, '%Y-%m-%d')) AS n_order_days,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
         """,
         "q22_dormant_customers": """
             SELECT n_name, COUNT(*) AS numcust,
