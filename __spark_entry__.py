@@ -854,6 +854,31 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized point-in-interval range join (operators.range_join):
+    events landing in the first 10 days of any order month. A naive
+    non-equi join here is a single-task nested loop; the bucketized
+    form shuffles on the bucket id like any equi-join."""
+    from flycatcher_spark.operators import range_join
+
+    six_hours_us = 6 * 3600 * 1_000_000
+    ev = _read_events(spark, sf_dir).select("event_id", "ts_us", "event_type", "value")
+    win = (
+        ev.select(F.date_trunc("day", F.timestamp_micros(F.col("ts_us"))).alias("w_start"))
+        .distinct()
+        .select(F.unix_micros(F.col("w_start")).alias("w_start_us"))
+        .withColumn("w_end_us", F.col("w_start_us") + F.lit(six_hours_us))
+    )
+    joined = range_join.point_in_interval_join(
+        ev, win, point="ts_us", start="w_start_us", end="w_end_us",
+        bucket_width=six_hours_us, closed="left",
+    )
+    return joined.groupBy("w_start_us", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
 def q_validate_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V2 default injection: a defaulted column absent from the input
     is added filled with the default (reference polars.py:144-157)."""
@@ -1239,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_suite": q_percentile_suite,
         "distinct_stats": q_distinct_stats,
         "approx_distinct": q_approx_distinct,
+        "events_range_join": q_events_range_join,
         "window_suite": q_window_suite,
         "rollup_revenue": q_rollup_revenue,
         "set_ops_customers": q_set_ops_customers,
@@ -1788,6 +1814,18 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "events_range_join": """
+            WITH win AS (
+                SELECT DISTINCT epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS w_start_us,
+                       epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP)) + 21600000000 AS w_end_us
+                FROM events
+            )
+            SELECT w_start_us, event_type, COUNT(*) AS n,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+            FROM (SELECT epoch_us(ts) AS ts_us, event_type, value FROM events) e
+            JOIN win ON e.ts_us >= w_start_us AND e.ts_us < w_end_us
+            GROUP BY w_start_us, event_type
         """,
         "q22_dormant_customers": """
             SELECT n_name, COUNT(*) AS numcust,

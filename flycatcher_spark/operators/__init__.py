@@ -14,6 +14,6 @@ reference surface — see SURVEY.md §7.1 step 7).
 - :mod:`.skew` — salted joins/aggregations for hot-key workloads.
 """
 
-from . import asof, dedup, multimodal, similarity, skew, stats, text
+from . import asof, dedup, multimodal, range_join, similarity, skew, stats, text
 
 __all__ = ["asof", "dedup", "multimodal", "similarity", "skew", "stats", "text"]
