@@ -879,6 +879,27 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed vector aggregation: per-label embedding centroids.
+    Element sums use fixed-point int64 (trunc(x*1e8)) so the reduce is
+    exact and order-independent — a float sum would drift with
+    partitioning. posexplode keeps the whole job in one shuffle on
+    (label, dim)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.posexplode("embedding").alias("pos", "val"),
+    )
+    fp = (F.col("val").cast("double") * 1e8).cast("long")
+    return (
+        exploded.groupBy("label", F.col("pos").cast("bigint").alias("pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(fp) / F.count(F.lit(1)) / 1e8).alias("centroid"),
+        )
+    )
+
+
 def q_validate_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V2 default injection: a defaulted column absent from the input
     is added filled with the default (reference polars.py:144-157)."""
@@ -1265,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_stats": q_distinct_stats,
         "approx_distinct": q_approx_distinct,
         "events_range_join": q_events_range_join,
+        "label_centroids": q_label_centroids,
         "window_suite": q_window_suite,
         "rollup_revenue": q_rollup_revenue,
         "set_ops_customers": q_set_ops_customers,
@@ -1814,6 +1836,19 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "label_centroids": """
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(ord - 1 AS BIGINT) AS pos,
+                   COUNT(*) AS n,
+                   SUM(CAST(trunc(CAST(val AS DOUBLE) * 1e8) AS BIGINT)) / COUNT(*) / 1e8 AS centroid
+            FROM (
+                SELECT label,
+                       unnest(embedding) AS val,
+                       unnest(range(1, len(embedding) + 1)) AS ord
+                FROM embeddings
+            )
+            GROUP BY label, ord
         """,
         "events_range_join": """
             WITH win AS (

@@ -7,6 +7,7 @@ unchanged; this package adds the streaming-specific pieces: source
 wiring, watermarked windowed quality metrics, and gap sessionization.
 """
 
+from .stateful import running_counts, running_dedup
 from .pipeline import (
     flag_violations_stream,
     read_stream,
@@ -17,6 +18,8 @@ from .pipeline import (
 
 __all__ = [
     "flag_violations_stream",
+    "running_counts",
+    "running_dedup",
     "read_stream",
     "session_windows",
     "validate_stream",
