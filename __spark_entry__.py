@@ -900,6 +900,74 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment: md5(key) → bucket →
+    split. Hash-based (not sample()) so the split is stable across
+    runs, partitionings, engines, and data order — the property a
+    training pipeline actually needs."""
+    docs = _read(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000
+    )
+    split = (
+        F.when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over embeddings: filter/exists/
+    transform/aggregate/sort/slice. Values go through fixed-point
+    int64 so cross-engine results are exact. (HOFs are interpreted —
+    CodegenFallback — fine for per-row array math at this width; the
+    hot-path similarity ops use Arrow pandas_udfs instead.)"""
+    emb = _read(spark, sf_dir, "embeddings")
+    fp = F.transform(
+        F.col("embedding"), lambda x: (x.cast("double") * 1e6).cast("long")
+    )
+    e = emb.withColumn("fp", fp)
+    return e.select(
+        "vec_id",
+        F.size(F.filter(F.col("fp"), lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        F.exists(F.col("fp"), lambda x: x > 3_000_000).alias("has_large"),
+        F.aggregate(
+            F.transform(F.col("fp"), lambda x: F.abs(x)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("l1_fp"),
+        F.array_join(
+            F.slice(F.sort_array(F.col("fp"), asc=False), 1, 3), ","
+        ).alias("top3_fp"),
+    )
+
+
+def q_name_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join on edit distance: supplier-name pairs within
+    Levenshtein distance 1 (broadcast n² on the small dim — the
+    string-dedup pattern for short keys)."""
+    s1 = _read(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k1"), F.col("s_name").alias("n1")
+    )
+    s2 = _read(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k2"), F.col("s_name").alias("n2")
+    )
+    return (
+        s1.join(F.broadcast(s2), F.col("k1") < F.col("k2"))
+        .withColumn("dist", F.levenshtein("n1", "n2").cast("bigint"))
+        .filter(F.col("dist") <= 1)
+        .select("k1", "k2", "n1", "n2", "dist")
+    )
+
+
 def q_validate_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V2 default injection: a defaulted column absent from the input
     is added filled with the default (reference polars.py:144-157)."""
@@ -1287,6 +1355,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": q_approx_distinct,
         "events_range_join": q_events_range_join,
         "label_centroids": q_label_centroids,
+        "deterministic_split": q_deterministic_split,
+        "array_ops": q_array_ops,
+        "name_editdist_pairs": q_name_editdist_pairs,
         "window_suite": q_window_suite,
         "rollup_revenue": q_rollup_revenue,
         "set_ops_customers": q_set_ops_customers,
@@ -1836,6 +1907,42 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "deterministic_split": """
+            SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+                   MIN(doc_id) AS min_doc_id
+            FROM (
+                SELECT *,
+                       CASE WHEN b < 800 THEN 'train'
+                            WHEN b < 900 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM (
+                    SELECT *,
+                           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS b
+                    FROM documents
+                )
+            )
+            GROUP BY split
+        """,
+        "array_ops": """
+            SELECT vec_id,
+                   CAST(len(list_filter(fp, x -> x > 0)) AS BIGINT) AS n_pos,
+                   len(list_filter(fp, x -> x > 3000000)) > 0 AS has_large,
+                   list_sum(list_transform(fp, x -> abs(x))) AS l1_fp,
+                   array_to_string(list_slice(list_sort(fp, 'DESC'), 1, 3), ',') AS top3_fp
+            FROM (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS fp
+                FROM embeddings
+            )
+        """,
+        "name_editdist_pairs": """
+            SELECT s1.s_suppkey AS k1, s2.s_suppkey AS k2,
+                   s1.s_name AS n1, s2.s_name AS n2,
+                   CAST(levenshtein(s1.s_name, s2.s_name) AS BIGINT) AS dist
+            FROM supplier s1, supplier s2
+            WHERE s1.s_suppkey < s2.s_suppkey
+              AND levenshtein(s1.s_name, s2.s_name) <= 1
         """,
         "label_centroids": """
             SELECT CAST(label AS BIGINT) AS label,
