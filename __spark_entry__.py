@@ -566,6 +566,61 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shaped: per line-status (the schema's shipmode analog),
+    how many 1997-shipped lineitems belong to critical vs ordinary
+    orders — conditional counts after an orderkey join."""
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(datetime(1997, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime(1998, 1, 1)))
+    )
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(critical, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(critical, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q20_promo_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20-shaped nested aggregate + semi join: suppliers for whom
+    some PROMO part's 1997 shipments exceed half of that part's
+    all-time shipments from them. The inner aggregate runs once per
+    (supplier, part) — no correlated re-execution."""
+    part = _read(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    li = _read(spark, sf_dir, "lineitem")
+    in_97 = (F.col("l_shipdate") >= F.lit(datetime(1997, 1, 1))) & (
+        F.col("l_shipdate") < F.lit(datetime(1998, 1, 1))
+    )
+    qty = _dec("l_quantity", "8,2")
+    zero = F.lit(0).cast("decimal(8,2)")
+    per_sp = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_97, qty).otherwise(zero)).alias("qty_97"),
+            F.sum(qty).alias("qty_all"),
+        )
+        .filter(
+            (F.col("qty_97").cast("double") > 0.6 * F.col("qty_all").cast("double"))
+            & (F.col("qty_all").cast("double") > 50)
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        supp.join(per_sp, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
 def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q16-shaped: distinct-supplier counts per (brand, type, size
     band) excluding one brand and suppliers with negative balance
@@ -1340,6 +1395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_min_acctbal_supplier": q2_min_acctbal_supplier,
         "q7_nation_volume": q7_nation_volume,
         "q8_market_share": q8_market_share,
+        "q12_priority_shipping": q12_priority_shipping,
+        "q20_promo_heavy_suppliers": q20_promo_heavy_suppliers,
         "q16_supplier_counts": q16_supplier_counts,
         "q17_small_qty_revenue": q17_small_qty_revenue,
         "q21_sole_late_supplier": q21_sole_late_supplier,
@@ -1769,6 +1826,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n2 ON s_nationkey = n2.n_nationkey
             WHERE r_name = 'ASIA'
             GROUP BY year(o_orderdate)
+        """,
+        "q12_priority_shipping": """
+            SELECT l_linestatus,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_linestatus
+        """,
+        "q20_promo_heavy_suppliers": """
+            SELECT s_suppkey, s_name, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_suppkey IN (
+                SELECT l_suppkey
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                WHERE p_type = 'PROMO'
+                GROUP BY l_suppkey, l_partkey
+                HAVING CAST(CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                                            AND l_shipdate < TIMESTAMP '1998-01-01'
+                                          THEN CAST(l_quantity AS DECIMAL(8,2))
+                                          ELSE CAST(0 AS DECIMAL(8,2)) END) AS VARCHAR) AS DOUBLE)
+                       > 0.6 * CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE)
+                   AND CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) > 50
+            )
         """,
         "q16_supplier_counts": """
             SELECT p_brand, p_type,
