@@ -14,6 +14,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
@@ -52,9 +54,19 @@ def main() -> None:
     import __spark_entry__ as E
 
     qs = E.queries()
-    # Warm the JVM/scan path once so the first timed query doesn't
-    # absorb session startup (codegen compilation, file listing).
+    # Warm the JVM/scan path AND the Python/Arrow worker pool once so
+    # the first timed query doesn't absorb session startup (codegen
+    # compilation, file listing, pandas_udf worker fork + Arrow init
+    # — measured ~5s of one-time cost otherwise).
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(1000).repartition(int(cpus)).select(_warm(F.col("id"))).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
