@@ -29,6 +29,14 @@ __all__ = ["point_in_interval_join", "interval_overlap_join"]
 _BUCKET = "__fc_bucket"
 
 
+def _floor_div(col_name: str, width: int) -> "Column":
+    """Exact floor division for BIGINT of either sign. Spark's DIV
+    truncates toward zero (-7 DIV 2 = -3), which would put negative
+    coordinates in the wrong bucket; subtracting the positive pmod
+    first makes the quotient a true floor (-7 -> -4 for width 2)."""
+    return F.expr(f"(`{col_name}` - pmod(`{col_name}`, {width})) DIV {width}")
+
+
 def _check_closed(closed: str) -> tuple[bool, bool]:
     table = {
         "both": (True, True),
@@ -78,17 +86,14 @@ def point_in_interval_join(
             f"ambiguous columns on both sides (rename first): {sorted(overlap)}"
         )
 
-    p = points.withColumn(_BUCKET, F.expr(f"`{point}` DIV {bucket_width}"))
-    # Explode the interval to every bucket it touches. floor division
-    # on both endpoints is correct for negative values too (DIV is
-    # floor-div for BIGINT in Spark SQL only for positive divisors —
-    # bucket_width is validated positive above).
+    p = points.withColumn(_BUCKET, _floor_div(point, bucket_width))
+    # Explode the interval to every bucket it touches.
     iv = intervals.withColumn(
         _BUCKET,
         F.explode(
             F.sequence(
-                F.expr(f"`{start}` DIV {bucket_width}"),
-                F.expr(f"`{end}` DIV {bucket_width}"),
+                _floor_div(start, bucket_width),
+                _floor_div(end, bucket_width),
             )
         ),
     )
@@ -137,27 +142,17 @@ def interval_overlap_join(
     lb, rb = "__fc_lbucket", _BUCKET
     l = left.withColumn(
         lb,
-        F.explode(
-            F.sequence(
-                F.expr(f"`{left_start}` DIV {bucket_width}"),
-                F.expr(f"`{left_end}` DIV {bucket_width}"),
-            )
-        ),
+        F.explode(F.sequence(_floor_div(left_start, bucket_width), _floor_div(left_end, bucket_width))),
     )
     r = right.withColumn(
         rb,
-        F.explode(
-            F.sequence(
-                F.expr(f"`{right_start}` DIV {bucket_width}"),
-                F.expr(f"`{right_end}` DIV {bucket_width}"),
-            )
-        ),
+        F.explode(F.sequence(_floor_div(right_start, bucket_width), _floor_div(right_end, bucket_width))),
     )
     cond = [l[lb] == r[rb]] + [l[c] == r[c] for c in equi]
     # first common bucket = max(floor(l.start/w), floor(r.start/w))
     first_common = F.greatest(
-        F.expr(f"`{left_start}` DIV {bucket_width}"),
-        F.expr(f"`{right_start}` DIV {bucket_width}"),
+        _floor_div(left_start, bucket_width),
+        _floor_div(right_start, bucket_width),
     )
     joined = (
         l.join(r, cond, "inner")

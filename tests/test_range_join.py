@@ -108,3 +108,18 @@ def test_rejects_bad_args(spark, points, intervals):
         range_join.point_in_interval_join(
             points.withColumnRenamed("pid", "s"), intervals, "p", "s", "e", 10
         )
+
+
+def test_negative_coordinates_bucket_correctly(spark):
+    # Spark's DIV truncates toward zero; floor-div bucketing must
+    # still match the naive join when coordinates span zero.
+    pts = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(range(-100, 101, 7))], "pid long, p long"
+    )
+    ivs = spark.createDataFrame(
+        [(j, s, s + 15) for j, s in enumerate(range(-95, 90, 23))],
+        "iid long, s long, e long",
+    )
+    got = range_join.point_in_interval_join(pts, ivs, "p", "s", "e", bucket_width=16)
+    naive = pts.crossJoin(ivs).filter((F.col("s") <= F.col("p")) & (F.col("p") <= F.col("e")))
+    assert _key_set(got) == _key_set(naive)
