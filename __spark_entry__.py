@@ -1023,6 +1023,52 @@ def q_name_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup with gap fill: hourly buckets per
+    event type over the table's full span, empty buckets materialized
+    from a generated time grid (sequence+explode — no driver loop)
+    and forward-filled with the last observed hourly mean."""
+    hour_us = 3600 * 1_000_000
+    ev = _read(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            (F.col("ts_us") - F.pmod(F.col("ts_us"), F.lit(hour_us))).alias("bucket_us"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+             / F.count(F.lit(1))).alias("mean_value"),
+        )
+    )
+    span = ev.agg(
+        (F.min("ts_us") - F.pmod(F.min("ts_us"), F.lit(hour_us))).alias("lo"),
+        (F.max("ts_us") - F.pmod(F.max("ts_us"), F.lit(hour_us))).alias("hi"),
+    )
+    grid = (
+        ev.select("event_type").distinct()
+        .join(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.lit(hour_us))).alias("bucket_us"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "bucket_us"], "left")
+        .select(
+            "event_type",
+            "bucket_us",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.last("mean_value", ignorenulls=True).over(w).alias("filled_mean"),
+        )
+    )
+
+
 def q_validate_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V2 default injection: a defaulted column absent from the input
     is added filled with the default (reference polars.py:144-157)."""
@@ -1442,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
+        "events_gapfill": q_events_gapfill,
     }
 
 
@@ -2325,6 +2372,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(i * 64 AS BIGINT) AS byte_offset
             FROM documents,
                  LATERAL (SELECT unnest(range(0, CAST(ceil(greatest(octet_length(encode(text)), 1) / 64.0) AS BIGINT))) AS i)
+        """,
+        "events_gapfill": """
+            WITH ev AS (
+                SELECT event_type, epoch_us(ts) AS ts_us, value FROM events
+            ),
+            hourly AS (
+                SELECT event_type,
+                       ts_us - (ts_us % 3600000000) AS bucket_us,
+                       COUNT(*) AS n,
+                       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                           / COUNT(*) AS mean_value
+                FROM ev GROUP BY 1, 2
+            ),
+            span AS (
+                SELECT MIN(ts_us) - (MIN(ts_us) % 3600000000) AS lo,
+                       MAX(ts_us) - (MAX(ts_us) % 3600000000) AS hi
+                FROM ev
+            ),
+            grid AS (
+                SELECT et.event_type,
+                       unnest(generate_series(s.lo, s.hi, 3600000000)) AS bucket_us
+                FROM (SELECT DISTINCT event_type FROM ev) et CROSS JOIN span s
+            )
+            SELECT g.event_type, g.bucket_us,
+                   COALESCE(h.n, 0) AS n,
+                   LAST_VALUE(h.mean_value IGNORE NULLS) OVER (
+                       PARTITION BY g.event_type ORDER BY g.bucket_us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS filled_mean
+            FROM grid g
+            LEFT JOIN hourly h ON g.event_type = h.event_type AND g.bucket_us = h.bucket_us
         """,
         # minhash_pairs / minhash_dedup_ids / simhash_pairs / lsh_topk:
         # intentionally omitted — they depend on Spark-native xxhash64 /
