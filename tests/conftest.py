@@ -7,9 +7,19 @@ behavioral parity is asserted against the same inputs.
 
 from __future__ import annotations
 
+import os
+import sys
 from datetime import datetime
 
 import pytest
+
+# Python workers deserialize custom DataSource classes by module
+# reference; make the repo importable there no matter where pytest is
+# invoked from (must happen before the JVM starts).
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 from flycatcher_spark import Field, Schema
 from flycatcher_spark.session import get_spark
