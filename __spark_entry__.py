@@ -1069,6 +1069,16 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: overlapping 32-token windows (stride
+    24) per document, pure Catalyst (sequence→explode→slice), with a
+    per-document chunk count check column."""
+    from flycatcher_spark.functions import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, size=32, overlap=8)
+
+
 def q_validate_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V2 default injection: a defaulted column absent from the input
     is added filled with the default (reference polars.py:144-157)."""
@@ -1489,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
         "events_gapfill": q_events_gapfill,
+        "doc_chunks": q_doc_chunks,
     }
 
 
@@ -2403,6 +2414,29 @@ def oracle_sql() -> dict[str, str]:
                    ) AS filled_mean
             FROM grid g
             LEFT JOIN hourly h ON g.event_type = h.event_type AND g.bucket_us = h.bucket_us
+        """,
+        "doc_chunks": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+                       END AS toks
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, toks,
+                       CASE WHEN len(toks) = 0 THEN 0
+                            ELSE 1 + CAST(ceil(greatest(len(toks) - 32, 0) / 24.0) AS BIGINT)
+                       END AS n_chunks
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS chunk_idx,
+                   array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text,
+                   CAST(len(toks[i * 24 + 1 : i * 24 + 32]) AS BIGINT) AS n_chunk_tokens
+            FROM c, LATERAL (SELECT unnest(range(0, n_chunks)) AS i)
         """,
         # minhash_pairs / minhash_dedup_ids / simhash_pairs / lsh_topk:
         # intentionally omitted — they depend on Spark-native xxhash64 /
