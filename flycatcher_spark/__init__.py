@@ -12,7 +12,11 @@ Define your schema once; validate at cluster scale. The declarative
 Beyond validation, ``flycatcher_spark.operators`` adds the operators a
 large-scale training-data pipeline needs: deduplication (exact,
 MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine), similarity
-search, text analysis, and multimodal-column plumbing.
+search, text analysis, and multimodal-column plumbing. Supporting
+packages: ``functions`` (column helpers + SQL registration +
+chunking), ``sources`` (schema-enforced readers, synthetic batch and
+streaming data sources), ``plans`` (physical-plan inspection and
+scale assertions), ``streaming`` (watermarked and stateful pipelines).
 
 Capability surface modeled on the reference library mrmcmullan/flycatcher
 (see SURVEY.md); architecture is Spark-first, not a port.

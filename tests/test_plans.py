@@ -1,0 +1,78 @@
+"""Plan-inspection tests: the report must see what explain() shows."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flycatcher_spark import Field, Schema, plans
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet")
+
+
+class TestPlanReport:
+    def test_validation_is_shuffle_free_with_pushdown(self, lineitem):
+        class L(Schema):
+            l_orderkey: int = Field(ge=1)
+            l_quantity: float = Field(gt=0)
+
+        good = L.to_spark_validator().validate(lineitem, strict=False)
+        r = plans.assert_no_shuffle(good)
+        plans.assert_pushed_filters(good)
+        plans.assert_jvm_only(good)
+        assert r.codegen_stages >= 1
+        assert r.scans and r.scans[0]["format"] == "parquet"
+
+    def test_groupby_counts_a_shuffle(self, lineitem):
+        agg = lineitem.groupBy("l_returnflag").count()
+        r = plans.plan_report(agg)
+        assert r.n_shuffles >= 1
+
+    def test_broadcast_join_detected(self, lineitem, orders):
+        j = lineitem.join(
+            F.broadcast(orders.select("o_orderkey")),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
+        r = plans.plan_report(j)
+        assert r.broadcast_hash_joins == 1 and r.n_broadcasts == 1
+        assert r.sort_merge_joins == 0
+
+    def test_nested_loop_join_flagged(self, lineitem, orders):
+        j = lineitem.limit(10).join(
+            orders.limit(10),
+            lineitem.l_extendedprice > orders.o_totalprice,
+        )
+        r = plans.plan_report(j)
+        assert r.nested_loop_joins >= 1
+
+    def test_python_node_detected(self, lineitem, spark):
+        def ident(it):
+            for pdf in it:
+                yield pdf
+
+        mapped = lineitem.select("l_orderkey").mapInPandas(
+            ident, "l_orderkey bigint"
+        )
+        r = plans.plan_report(mapped)
+        assert r.python_nodes
+        with pytest.raises(AssertionError):
+            plans.assert_jvm_only(mapped)
+
+    def test_assert_no_shuffle_raises_on_agg(self, lineitem):
+        with pytest.raises(AssertionError, match="shuffle-free"):
+            plans.assert_no_shuffle(lineitem.groupBy("l_returnflag").count())
+
+    def test_summary_readable(self, lineitem):
+        s = plans.plan_report(lineitem.filter("l_orderkey = 3")).summary()
+        assert "scan parquet" in s and "pushed=" in s
