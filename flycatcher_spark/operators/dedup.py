@@ -167,7 +167,88 @@ def with_minhash_signature(
         lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE)),
     )
     staged = df.withColumn("__mh_th", toks_h)
-    # Stage 2: n-gram hashes by modular polynomial combine (31-bit
+    params = _permutation_params(num_perm, seed)
+
+    if impl == "pandas":
+        # Everything after the JVM token-hash transform happens in one
+        # Arrow-batched numpy kernel: the n-gram modular combine AND the
+        # permutation-min. Doing the shingle combine JVM-side costs
+        # ~5 interpreted expression evals per shingle (higher-order
+        # functions are CodegenFallback) — measured ~2× the whole
+        # signature stage; numpy does the identical int64 math (same
+        # values bit-for-bit) in a few vectorized passes.
+        pa_ = np.array([p[0] for p in params], dtype=np.int64)[:, None]
+        pb_ = np.array([p[1] for p in params], dtype=np.int64)[:, None]
+        B = 1_000_003
+        n_ = shingle_n
+
+        @pandas_udf("array<bigint>")
+        def _sig(tok_hashes: pd.Series) -> pd.Series:
+            lens = np.fromiter(
+                (0 if h is None else len(h) for h in tok_hashes), dtype=np.int64
+            )
+            keep = lens >= n_  # docs shorter than one shingle -> null
+            if not keep.any():
+                return pd.Series([None] * len(tok_hashes))
+            flat = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for h in tok_hashes[keep]]
+            )
+            klens = lens[keep]
+            n_docs = int(keep.sum())
+            offsets = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(klens[:-1], out=offsets[1:])
+
+            # Shingle combine over the flat array, then drop the
+            # cross-document positions. acc < 2^31 and B < 2^20 keep
+            # acc*B + h < 2^52 — no int64 overflow. (No distinct:
+            # min over a multiset equals min over its set.)
+            N = len(flat)
+            if n_ == 1:
+                sh = flat
+                sh_lens = klens
+            else:
+                acc = flat[: N - n_ + 1].copy()
+                for j in range(1, n_):
+                    acc *= B
+                    acc += flat[j : N - n_ + 1 + j]
+                    acc %= _MERSENNE
+                ends = offsets + klens
+                doc_of = np.repeat(np.arange(n_docs), klens)[: N - n_ + 1]
+                valid = np.arange(N - n_ + 1) + n_ - 1 < ends[doc_of]
+                sh = acc[valid]
+                sh_lens = klens - (n_ - 1)
+            sh_offsets = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(sh_lens[:-1], out=sh_offsets[1:])
+            sh_ends = sh_offsets + sh_lens
+
+            # Permutation-min, chunked by documents so the (num_perm ×
+            # chunk) matrix stays ~32 MB: one matrix over a big batch
+            # is GBs of temporaries and goes memory-bandwidth bound —
+            # chunking measured ~20× faster on 2M hashes. In-place
+            # += / %= avoid two more full-size temporaries.
+            mins = np.empty((num_perm, n_docs), dtype=np.int64)
+            target = 64_000
+            i = 0
+            while i < n_docs:
+                j = i
+                total = 0
+                while j < n_docs and (total == 0 or total + sh_lens[j] <= target):
+                    total += sh_lens[j]
+                    j += 1
+                lo, hi = sh_offsets[i], sh_ends[j - 1]
+                vals = np.multiply(pa_, sh[lo:hi][None, :])
+                vals += pb_
+                vals %= _MERSENNE
+                mins[:, i:j] = np.minimum.reduceat(
+                    vals, sh_offsets[i:j] - lo, axis=1
+                )
+                i = j
+            sigs = iter(mins.T.tolist())
+            return pd.Series([next(sigs) if k else None for k in keep])
+
+        return staged.withColumn(out_col, _sig(F.col("__mh_th"))).drop("__mh_th")
+
+    # impl="sql": n-gram hashes by modular polynomial combine (31-bit
     # inputs keep products < 2^62 — ANSI mode throws on overflow).
     th = F.col("__mh_th")
     if shingle_n == 1:
@@ -190,39 +271,6 @@ def with_minhash_signature(
             ),
         ).otherwise(F.array().cast("array<bigint>"))
     hashed = staged.withColumn("__mh_h", sh).drop("__mh_th")
-    params = _permutation_params(num_perm, seed)
-
-    if impl == "pandas":
-        pa_ = np.array([p[0] for p in params], dtype=np.int64)[:, None]
-        pb_ = np.array([p[1] for p in params], dtype=np.int64)[:, None]
-
-        @pandas_udf("array<bigint>")
-        def _sig(hashes: pd.Series) -> pd.Series:
-            # One numpy pass for the whole Arrow batch: flatten every
-            # row's hash list, apply all permutations as a single
-            # (num_perm × total_hashes) matrix op, then segment-min
-            # with minimum.reduceat — ~8× faster than a per-row loop
-            # (the loop spends its time in 5000 tiny-array dispatches
-            # and per-row .tolist()).
-            lens = np.fromiter(
-                (0 if h is None else len(h) for h in hashes), dtype=np.int64
-            )
-            keep = lens > 0
-            if not keep.any():
-                return pd.Series([None] * len(hashes))
-            flat = np.concatenate(
-                [np.asarray(h, dtype=np.int64) for h in hashes[keep]]
-            )
-            offsets = np.zeros(int(keep.sum()), dtype=np.int64)
-            np.cumsum(lens[keep][:-1], out=offsets[1:])
-            vals = (pa_ * flat[None, :] + pb_) % _MERSENNE
-            mins = np.minimum.reduceat(vals, offsets, axis=1)  # perm × docs
-            sigs = iter(mins.T.tolist())
-            return pd.Series(
-                [next(sigs) if k else None for k in keep]
-            )
-
-        return hashed.withColumn(out_col, _sig(F.col("__mh_h"))).drop("__mh_h")
 
     def _perm(a: int, b: int):
         # plain closure: PySpark reads the lambda's signature, so
@@ -317,6 +365,10 @@ def minhash_lsh_pairs(
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
 
+    # Join strategy is left to AQE: the signature table scales with
+    # the corpus (never force-broadcast it) while the candidate set
+    # scales with duplication; AQE picks broadcast at runtime when
+    # either side turns out small.
     sig_a = sig.select(
         F.col(id_col).alias("doc_id_a"), F.col("__sig").alias("__sig_a")
     )
