@@ -15,6 +15,7 @@ from .pipeline import (
     validate_stream,
     windowed_quality,
 )
+from .tws import timeout_sessions, timeout_sessions_tws
 
 __all__ = [
     "flag_violations_stream",
@@ -22,6 +23,8 @@ __all__ = [
     "running_dedup",
     "read_stream",
     "session_windows",
+    "timeout_sessions",
+    "timeout_sessions_tws",
     "validate_stream",
     "windowed_quality",
 ]

@@ -1,0 +1,229 @@
+"""Inactivity-timeout sessionization: emit a session when its key
+goes quiet — a moment with, by definition, no input rows for the key.
+
+Two implementations of the same semantics:
+
+- :func:`timeout_sessions` (default) — ``applyInPandasWithState``
+  with ``GroupStateTimeout.EventTimeTimeout``: the state store calls
+  the function with ``state.hasTimedOut`` once the watermark passes
+  ``setTimeoutTimestamp`` — no protobuf dependency, runs everywhere
+  PySpark runs.
+- :func:`timeout_sessions_tws` — the same operator on Spark 4's
+  ``transformWithStateInPandas`` with explicit event-time timers
+  (``registerTimer`` / ``handleExpiredTimer``). The newer API also
+  offers list/map state and multiple timers per key; its Python
+  worker protocol requires the ``protobuf`` package, so this variant
+  raises a clear error when that is missing (as in this container —
+  tests skip it) and is otherwise drop-in equivalent.
+
+Scale notes:
+- Session state is 4 scalars per live key (no event buffering);
+  memory is O(live keys), independent of event rate. Keys shard
+  across executors with the state store (RocksDB on a cluster).
+- Emission is append-only at watermark passage, so downstream sinks
+  see each session exactly once.
+
+The reference engine has no streaming at all
+(``/root/reference/README.md:425-440`` roadmap); this is §7
+scale-extension surface.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["timeout_sessions", "timeout_sessions_tws"]
+
+
+def _out_schema(sdf: DataFrame, key_cols: list[str]) -> StructType:
+    return StructType(
+        [sdf.schema[k] for k in key_cols]
+        + [
+            StructField("session_start_ms", LongType(), False),
+            StructField("session_end_ms", LongType(), False),
+            StructField("n_events", LongType(), False),
+            StructField("total_value", DoubleType(), False),
+        ]
+    )
+
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ms", LongType(), False),
+        StructField("last_ms", LongType(), False),
+        StructField("n", LongType(), False),
+        StructField("total", DoubleType(), False),
+    ]
+)
+
+
+def _ts_ms(series: pd.Series) -> pd.Series:
+    return series.astype("datetime64[ms]").astype("int64")
+
+
+def timeout_sessions(
+    sdf: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    gap_seconds: int = 300,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Sessions closed by event-time inactivity, emitted on close.
+
+    Unlike the built-in ``session_window`` aggregation (fixed agg
+    shapes through the agg operator), this is the custom-logic hook:
+    arbitrary per-session state, arbitrary record shape at close.
+    Output (append-only):
+    ``key_cols + (session_start_ms, session_end_ms, n_events,
+    total_value)``. ``ts_col`` must be TIMESTAMP (cast TIMESTAMP_NTZ
+    first); the watermark bounds late data and timeout lag.
+    """
+    gap_ms = gap_seconds * 1000
+    key_names = list(key_cols)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start_ms, last_ms, n, total = state.get
+            state.remove()
+            row = dict(zip(key_names, key))
+            row.update(
+                session_start_ms=int(start_ms),
+                session_end_ms=int(last_ms),
+                n_events=int(n),
+                total_value=float(total),
+            )
+            yield pd.DataFrame([row])
+            return
+        start_ms, last_ms, n, total = (
+            state.get if state.exists else (None, None, 0, 0.0)
+        )
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ms = _ts_ms(pdf[ts_col])
+            lo, hi = int(ms.min()), int(ms.max())
+            start_ms = lo if start_ms is None else min(start_ms, lo)
+            last_ms = hi if last_ms is None else max(last_ms, hi)
+            n += len(pdf)
+            total += float(pdf[value_col].fillna(0.0).sum())
+        if start_ms is not None:
+            state.update((start_ms, last_ms, n, total))
+            # deadline moves forward with every batch touching the key
+            state.setTimeoutTimestamp(last_ms + gap_ms)
+
+    return (
+        sdf.withWatermark(ts_col, watermark_delay)
+        .groupBy(*key_cols)
+        .applyInPandasWithState(
+            fn,
+            _out_schema(sdf, key_cols),
+            _STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def timeout_sessions_tws(
+    sdf: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    gap_seconds: int = 300,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """:func:`timeout_sessions` on ``transformWithStateInPandas``
+    (explicit timers). Requires the ``protobuf`` package for the
+    transformWithState worker protocol; raises ``RuntimeError`` with
+    that explanation if missing."""
+    try:
+        import google.protobuf  # noqa: F401  (worker-side requirement)
+    except ImportError as exc:  # pragma: no cover - env without protobuf
+        raise RuntimeError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(pyspark's state-server protocol); install protobuf or use "
+            "timeout_sessions() which has no such dependency"
+        ) from exc
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    gap_ms = gap_seconds * 1000
+    key_names = list(key_cols)
+    state_ddl = "start_ms long, last_ms long, n long, total double"
+
+    class _SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._state = handle.getValueState("session", state_ddl)
+
+        def handleInputRows(
+            self, key: Any, rows: Iterator[pd.DataFrame], timerValues
+        ) -> Iterator[pd.DataFrame]:
+            if self._state.exists():
+                start_ms, last_ms, n, total = self._state.get()
+            else:
+                start_ms, last_ms, n, total = None, None, 0, 0.0
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                ms = _ts_ms(pdf[ts_col])
+                lo, hi = int(ms.min()), int(ms.max())
+                start_ms = lo if start_ms is None else min(start_ms, lo)
+                last_ms = hi if last_ms is None else max(last_ms, hi)
+                n += len(pdf)
+                total += float(pdf[value_col].fillna(0.0).sum())
+            if start_ms is not None:
+                self._state.update((start_ms, last_ms, n, total))
+                # one live timer per key: replace the old deadline
+                for t in self._handle.listTimers():
+                    self._handle.deleteTimer(t)
+                self._handle.registerTimer(last_ms + gap_ms)
+            return iter([])
+
+        def handleExpiredTimer(
+            self, key: Any, timerValues, expiredTimerInfo
+        ) -> Iterator[pd.DataFrame]:
+            if not self._state.exists():
+                return
+            start_ms, last_ms, n, total = self._state.get()
+            self._state.clear()
+            row = dict(zip(key_names, key))
+            row.update(
+                session_start_ms=int(start_ms),
+                session_end_ms=int(last_ms),
+                n_events=int(n),
+                total_value=float(total),
+            )
+            yield pd.DataFrame([row])
+
+        def close(self) -> None:
+            pass
+
+    out_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in _out_schema(sdf, key_cols).fields
+    )
+    return (
+        sdf.withWatermark(ts_col, watermark_delay)
+        .groupBy(*key_cols)
+        .transformWithStateInPandas(
+            statefulProcessor=_SessionProcessor(),
+            outputStructType=out_ddl,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
