@@ -1079,6 +1079,95 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, size=32, overlap=8)
 
 
+def q_events_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day time series: daily event counts per type with
+    lag-window delta and percent change (null on the first day)."""
+    ev = _read(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("n").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        prev.alias("prev_n"),
+        (F.col("n") - prev).alias("delta"),
+        F.round((F.col("n") - prev).cast("double") / prev * 100.0, 6).alias(
+            "pct_change"
+        ),
+    )
+
+
+def q_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification: per-label centroids (exact
+    fixed-point means), broadcast to every vector (labels are few —
+    broadcastable at ANY corpus size), cosine argmax per vector.
+    One shuffle for the centroid agg; the scoring join is map-side."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.col("label").cast("bigint").alias("true_label"),
+    )
+    cent_long = (
+        emb.select("true_label", F.posexplode("v").alias("pos", "val"))
+        .groupBy(F.col("true_label").alias("label"), "pos")
+        .agg(
+            (
+                F.sum((F.col("val") * 1e8).cast("long"))
+                / F.count(F.lit(1))
+                / F.lit(1e8)
+            ).alias("c")
+        )
+    )
+    centroids = cent_long.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s.c
+        ).alias("cvec")
+    )
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    # All centroids in ONE broadcast row; per-vector argmax is then an
+    # inline array reduction — no shuffle of the vector table at all
+    # (a row_number window over vec_id would reshuffle the entire
+    # corpus just to pick each row's max). Struct max orders by field:
+    # (sim, -label) == sim DESC, label ASC tie-break.
+    cents = centroids.agg(
+        F.collect_list(F.struct("label", "cvec")).alias("cents")
+    )
+    sims = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            F.round(
+                dot(F.col("v"), c.cvec)
+                / (
+                    F.sqrt(dot(F.col("v"), F.col("v")))
+                    * F.sqrt(dot(c.cvec, c.cvec))
+                ),
+                6,
+            ).alias("sim"),
+            (-c.label).alias("neg_label"),
+        ),
+    )
+    # stage best through a column: referencing it twice in one select
+    # would re-evaluate the whole sims array per reference
+    return (
+        emb.join(F.broadcast(cents))
+        .withColumn("__best", F.array_max(sims))
+        .select(
+            "vec_id",
+            "true_label",
+            (-F.col("__best.neg_label")).alias("assigned_label"),
+            F.col("__best.sim").alias("sim"),
+        )
+        .withColumn(
+            "is_correct", F.col("true_label") == F.col("assigned_label")
+        )
+    )
+
+
 def q_validate_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V2 default injection: a defaulted column absent from the input
     is added filled with the default (reference polars.py:144-157)."""
@@ -1500,6 +1589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "events_gapfill": q_events_gapfill,
         "doc_chunks": q_doc_chunks,
+        "events_daily_delta": q_events_daily_delta,
+        "nearest_centroid": q_nearest_centroid,
     }
 
 
@@ -2437,6 +2528,58 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text,
                    CAST(len(toks[i * 24 + 1 : i * 24 + 32]) AS BIGINT) AS n_chunk_tokens
             FROM c, LATERAL (SELECT unnest(range(0, n_chunks)) AS i)
+        """,
+        "events_daily_delta": """
+            WITH daily AS (
+                SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, day, n,
+                   lag(n) OVER w AS prev_n,
+                   n - lag(n) OVER w AS delta,
+                   round(CAST(n - lag(n) OVER w AS DOUBLE) / lag(n) OVER w * 100.0, 6)
+                       AS pct_change
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        """,
+        "nearest_centroid": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       CAST(label AS BIGINT) AS true_label
+                FROM embeddings
+            ),
+            cent AS (
+                SELECT label,
+                       CAST(ord - 1 AS BIGINT) AS pos,
+                       SUM(CAST(trunc(CAST(val AS DOUBLE) * 1e8) AS BIGINT))
+                           / COUNT(*) / 1e8 AS c
+                FROM (
+                    SELECT CAST(label AS BIGINT) AS label,
+                           unnest(embedding) AS val,
+                           unnest(range(1, len(embedding) + 1)) AS ord
+                    FROM embeddings
+                )
+                GROUP BY label, ord
+            ),
+            cvecs AS (
+                SELECT label, list(c ORDER BY pos) AS cvec FROM cent GROUP BY label
+            ),
+            scored AS (
+                SELECT e.vec_id, e.true_label,
+                       c.label AS assigned_label,
+                       round(list_dot_product(e.v, c.cvec)
+                             / (sqrt(list_dot_product(e.v, e.v))
+                                * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS sim
+                FROM e CROSS JOIN cvecs c
+            )
+            SELECT vec_id, true_label, assigned_label, sim,
+                   true_label = assigned_label AS is_correct
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY sim DESC, assigned_label
+                ) AS rn
+                FROM scored
+            ) WHERE rn = 1
         """,
         # minhash_pairs / minhash_dedup_ids / simhash_pairs / lsh_topk:
         # intentionally omitted — they depend on Spark-native xxhash64 /
