@@ -1168,6 +1168,22 @@ def q_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components (iterative
+    distributed min-label propagation, flycatcher_spark.operators.
+    dedup.connected_components) over the exact-cosine pair graph,
+    with per-cluster sizes. Oracle: DuckDB recursive CTE."""
+    em = _emb_double(spark, sf_dir)
+    pairs = dedup.embedding_neardup_pairs(
+        em, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.3
+    )
+    comp = dedup.connected_components(pairs, "id_a", "id_b")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("comp_size"))
+    return comp.join(sizes, "component").select(
+        "node", "component", "comp_size"
+    )
+
+
 def q_validate_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V2 default injection: a defaulted column absent from the input
     is added filled with the default (reference polars.py:144-157)."""
@@ -1591,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "events_daily_delta": q_events_daily_delta,
         "nearest_centroid": q_nearest_centroid,
+        "neardup_components": q_neardup_components,
     }
 
 
@@ -2580,6 +2597,34 @@ def oracle_sql() -> dict[str, str]:
                 ) AS rn
                 FROM scored
             ) WHERE rn = 1
+        """,
+        "neardup_components": """
+            WITH RECURSIVE e0 AS (
+                SELECT l.vec_id AS a, r.vec_id AS b
+                FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings) l
+                JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings) r
+                  ON l.vec_id < r.vec_id AND l.label = r.label
+                WHERE round(CASE WHEN sqrt(list_dot_product(l.v, l.v))
+                                      * sqrt(list_dot_product(r.v, r.v)) > 0
+                                 THEN list_dot_product(l.v, r.v)
+                                      / (sqrt(list_dot_product(l.v, l.v))
+                                         * sqrt(list_dot_product(r.v, r.v)))
+                            END, 6) >= 0.3
+            ),
+            edges AS (
+                SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+            ),
+            reach(node, comp) AS (
+                SELECT a AS node, a AS comp FROM edges
+                UNION
+                SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.node
+            ),
+            comp AS (
+                SELECT node, MIN(comp) AS component FROM reach GROUP BY node
+            )
+            SELECT node, component,
+                   COUNT(*) OVER (PARTITION BY component) AS comp_size
+            FROM comp
         """,
         # minhash_pairs / minhash_dedup_ids / simhash_pairs / lsh_topk:
         # intentionally omitted — they depend on Spark-native xxhash64 /

@@ -611,3 +611,103 @@ def embedding_neardup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_id_a",
+    dst_col: str = "doc_id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive duplicate clusters: connected components over a
+    candidate-pair edge list by distributed min-label propagation.
+
+    Returns ``(node, component)`` for every node that appears in an
+    edge, where ``component`` is the minimum node id reachable from
+    ``node``. Pair generators (minhash/simhash/jaccard/embedding)
+    emit *edges*; real dedup needs the transitive closure — A~B and
+    B~C must place A,B,C in one cluster even if A~C never banded
+    together.
+
+    Scale design:
+    - each round is one shuffle join (labels re-keyed by neighbor) +
+      a min-aggregate; rounds needed = graph diameter. Near-dup
+      clusters are near-cliques, so 2-4 rounds in practice; the
+      O(log n) alternating large-star/small-star variant only pays
+      off on long-chain graphs.
+    - ``localCheckpoint`` truncates the per-round lineage; without it
+      the plan doubles every iteration and the optimizer, not the
+      data, becomes the bottleneck. On a cluster prefer
+      ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
+      fault tolerance.
+    - convergence is detected with a count of changed labels — one
+      extra cheap action per round on the (small) label table.
+    """
+    edges = pairs.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    edges = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    edges.count()
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst2"),
+                edges.dst == F.col("dst2"),
+            )
+            .groupBy("src")
+            .agg(F.min("component").alias("neigh_component"))
+        )
+        updated = (
+            labels.join(
+                neigh_min, labels.node == neigh_min.src, "left"
+            )
+            .select(
+                "node",
+                "component",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("neigh_component"), F.col("component")),
+                ).alias("new_component"),
+            )
+        )
+        changed = updated.where(
+            F.col("new_component") != F.col("component")
+        ).count()
+        labels = updated.select(
+            "node", F.col("new_component").alias("component")
+        ).localCheckpoint()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def minhash_dedup_transitive(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Drop near-duplicates with full transitive clustering: one
+    survivor (min id) per connected component of the near-dup graph.
+    Compare :func:`minhash_dedup`, which only drops direct pair
+    losers and can keep two docs that are both near-dups of a third."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
+    comp = connected_components(pairs, "doc_id_a", "doc_id_b")
+    losers = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

@@ -339,3 +339,48 @@ class TestMultimodal:
         assert [(f["frame_idx"], f["byte_offset"]) for f in frames] == [
             (0, 0), (1, 64), (2, 128),
         ]
+
+
+class TestConnectedComponents:
+    def test_chain_resolves_transitively(self, spark):
+        # 8-9-10-11 is a chain: 8~11 never appear as a pair
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (10, 11)],
+            "doc_id_a long, doc_id_b long",
+        )
+        got = {
+            (r.node, r.component)
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert got == {
+            (1, 1), (2, 1), (3, 1),
+            (5, 5), (6, 5),
+            (8, 8), (9, 8), (10, 8), (11, 8),
+        }
+
+    def test_edge_direction_irrelevant(self, spark):
+        pairs = spark.createDataFrame(
+            [(7, 3), (3, 9)], "doc_id_a long, doc_id_b long"
+        )
+        got = {
+            (r.node, r.component)
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert got == {(3, 3), (7, 3), (9, 3)}
+
+    def test_transitive_dedup_keeps_one_per_cluster(self, spark):
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "alpha beta gamma delta epsilon eta"),   # near-dup of 1/2
+            (10, "one two three four five six"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        kept = {
+            r.doc_id
+            for r in dedup.minhash_dedup_transitive(
+                df, threshold=0.3, shingle_n=2
+            ).collect()
+        }
+        assert 10 in kept and 1 in kept
+        assert 2 not in kept  # exact dup of 1
