@@ -1,9 +1,12 @@
-"""End-to-end training-data pipeline over the synthetic documents
-table: profile → quality-filter → exact + fuzzy dedup → fingerprint.
+"""End-to-end training-data pipeline: generate/read → profile →
+quality-filter → exact + transitive fuzzy dedup → chunk → split.
 
 This is the scale-extension showcase (SURVEY.md §7.1 step 7) — every
 stage is a DataFrame transformation that inherits Catalyst/AQE
-scaling; see SCALE.md for the per-operator design notes.
+scaling; see SCALE.md for the per-operator design notes. The corpus
+comes from the custom Python DataSource (any size, reproducible, no
+files needed); swap the format string for `spark.read.parquet` in a
+real pipeline.
 
 Run: python examples/training_data_pipeline.py
 """
@@ -15,6 +18,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F
 
+from flycatcher_spark import sources
+from flycatcher_spark.functions import chunk_documents, fingerprint
 from flycatcher_spark.operators import dedup, stats, text
 from flycatcher_spark.session import get_spark
 
@@ -24,16 +29,26 @@ DATA = "/root/testdata/sf0.01"
 def main() -> None:
     spark = get_spark(app_name="training_data_pipeline", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
-    docs = spark.read.parquet(f"{DATA}/documents.parquet")
+
+    # 0. A reproducible corpus from the custom DataSource: 20k docs,
+    #    every 8 consecutive ids share one text (dup clusters for the
+    #    dedup stages to find). Generation is partitioned + Arrow-
+    #    batched; doc_id filters push into the generator.
+    sources.register(spark)
+    docs = (
+        spark.read.format("flycatcher_docs")
+        .option("rows", 20_000)
+        .option("partitions", 16)
+        .option("dup_every", 8)
+        .load()
+    )
 
     # 1. Profile the raw table (one aggregation scan)
-    stats.profile_stats(docs, columns=["doc_id", "lang", "n_chars"], exact=True).show()
+    stats.profile_stats(docs, columns=["doc_id", "lang", "n_tokens"], exact=True).show()
 
     # 2. Text quality + language signals (map-only, codegen'd)
     profiled = text.profile(docs)
-    keep = profiled.filter(
-        (F.col("quality") >= 0.5) & (F.col("n_tokens") >= 5)
-    )
+    keep = profiled.filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 5))
     print("after quality filter:", keep.count(), "/", docs.count())
 
     # 3. Exact dedup (deterministic min-id representative)
@@ -42,12 +57,33 @@ def main() -> None:
     )
     print("after exact dedup:", deduped.count())
 
-    # 4. Fuzzy dedup: MinHash-LSH candidates at Jaccard >= 0.7
-    final = dedup.minhash_dedup(deduped, threshold=0.7)
-    print("after minhash dedup:", final.count())
+    # 4. Fuzzy dedup with TRANSITIVE clustering: MinHash-LSH pair graph
+    #    → connected components → one survivor per cluster (A~B, B~C
+    #    collapses all three even if A and C never banded together)
+    final = dedup.minhash_dedup_transitive(deduped, threshold=0.7)
+    print("after transitive minhash dedup:", final.count())
 
-    # 5. Stable fingerprints for downstream joins / incremental runs
-    final.select("doc_id", text.fingerprint(F.col("text")).alias("fp")).show(5)
+    # 5. Chunk surviving docs into overlapping token windows (pure
+    #    Catalyst: sequence → explode → slice; no Python in the path)
+    chunks = chunk_documents(final, size=32, overlap=8)
+    print("training chunks:", chunks.count())
+
+    # 6. Deterministic train/val/test split + stable fingerprints —
+    #    hash-based, so assignment survives reruns and repartitioning
+    split = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_text",
+        fingerprint(F.col("chunk_text")).alias("fp"),
+        (F.pmod(F.xxhash64("doc_id"), F.lit(100))).alias("bucket"),
+    ).withColumn(
+        "split",
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "val")
+        .otherwise("test"),
+    )
+    split.groupBy("split").count().orderBy("split").show()
+    split.select("doc_id", "chunk_idx", "fp", "split").show(5)
 
     spark.stop()
 
