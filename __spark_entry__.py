@@ -1184,6 +1184,33 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: chunks are assigned to
+    fixed-budget (128-token) sequences per document via a windowed
+    running token count — the window partitions by doc_id, so packing
+    parallelizes per document (a global pack order would serialize
+    into one task at scale)."""
+    from flycatcher_spark.functions import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_documents(docs, size=32, overlap=8)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_chunk_tokens").over(w)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+        cum.alias("cum_tokens"),
+        ((cum - F.col("n_chunk_tokens")) / F.lit(128))
+        .cast("bigint")
+        .alias("seq_id"),
+    )
+
+
 def q_validate_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V2 default injection: a defaulted column absent from the input
     is added filled with the default (reference polars.py:144-157)."""
@@ -1608,6 +1635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_delta": q_events_daily_delta,
         "nearest_centroid": q_nearest_centroid,
         "neardup_components": q_neardup_components,
+        "chunk_packing": q_chunk_packing,
     }
 
 
@@ -2625,6 +2653,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, component,
                    COUNT(*) OVER (PARTITION BY component) AS comp_size
             FROM comp
+        """,
+        "chunk_packing": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+                       END AS toks
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, toks,
+                       CASE WHEN len(toks) = 0 THEN 0
+                            ELSE 1 + CAST(ceil(greatest(len(toks) - 32, 0) / 24.0) AS BIGINT)
+                       END AS n_chunks
+                FROM t
+            ),
+            chunks AS (
+                SELECT doc_id,
+                       CAST(i AS BIGINT) AS chunk_idx,
+                       CAST(len(toks[i * 24 + 1 : i * 24 + 32]) AS BIGINT) AS n_chunk_tokens
+                FROM c, LATERAL (SELECT unnest(range(0, n_chunks)) AS i)
+            )
+            SELECT doc_id, chunk_idx, n_chunk_tokens,
+                   SUM(n_chunk_tokens) OVER w AS cum_tokens,
+                   CAST(trunc((SUM(n_chunk_tokens) OVER w - n_chunk_tokens) / 128.0) AS BIGINT)
+                       AS seq_id
+            FROM chunks
+            WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         # minhash_pairs / minhash_dedup_ids / simhash_pairs / lsh_topk:
         # intentionally omitted — they depend on Spark-native xxhash64 /

@@ -30,6 +30,8 @@ HEADLINE = [
     "jaccard_pairs",
     "knn_topk",
     "multimodal_meta",
+    "doc_chunks",
+    "nearest_centroid",
 ]
 
 

@@ -589,12 +589,60 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     block_col: str | None = "label",
     threshold: float = 0.95,
+    impl: str = "sql",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within a blocking key."""
+    """Embedding-cosine near-duplicate pairs within a blocking key.
+
+    - ``impl="sql"``: pairwise self-join with a sequential-fold dot
+      product — exact, engine-portable values (the oracle-checkable
+      path), but the fold is interpreted: O(pairs × dim) expression
+      evals.
+    - ``impl="numpy"``: one ``applyInPandas`` per block computing the
+      full cosine matrix with a BLAS matmul — the scale path
+      (measured ~20× on 1000-vector blocks). Values can differ from
+      the fold in the last float ulp (pairwise vs sequential
+      summation), so use the sql impl when hash-comparing against
+      another engine. Each block must fit one task: n×dim for the
+      vectors plus n² for the similarity matrix — cap blocks at a
+      few thousand vectors via the blocking key.
+    """
     cols = [F.col(id_col), F.col(vec_col)] + (
         [F.col(block_col)] if block_col else []
     )
     base = df.select(*cols)
+    if impl == "numpy":
+        if block_col is None:
+            raise ValueError("impl='numpy' requires a blocking column")
+        thr = threshold
+
+        def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(id_col)
+            ids = pdf[id_col].to_numpy()
+            if len(ids) < 2:
+                return pd.DataFrame(
+                    {"id_a": ids[:0], "id_b": ids[:0], "cosine": []}
+                )
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(V, axis=1)
+            denom = np.outer(norms, norms)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = np.where(denom > 0, (V @ V.T) / denom, np.nan)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            sims = np.round(S[ia, ib], 6)
+            keep = sims >= thr  # NaN (zero vector) compares False
+            return pd.DataFrame(
+                {
+                    "id_a": ids[ia[keep]],
+                    "id_b": ids[ib[keep]],
+                    "cosine": sims[keep],
+                }
+            )
+
+        id_type = df.schema[id_col].dataType.simpleString()
+        return base.groupBy(block_col).applyInPandas(
+            per_block, f"id_a {id_type}, id_b {id_type}, cosine double"
+        )
+
     left = base.alias("l")
     right = base.alias("r")
     cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
@@ -670,6 +718,9 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("neigh_component"))
         )
+        # checkpoint BEFORE the convergence count so the join runs
+        # once per round — counting first would recompute the whole
+        # join again for the checkpoint
         updated = (
             labels.join(
                 neigh_min, labels.node == neigh_min.src, "left"
@@ -682,13 +733,14 @@ def connected_components(
                     F.coalesce(F.col("neigh_component"), F.col("component")),
                 ).alias("new_component"),
             )
+            .localCheckpoint()
         )
         changed = updated.where(
             F.col("new_component") != F.col("component")
         ).count()
         labels = updated.select(
             "node", F.col("new_component").alias("component")
-        ).localCheckpoint()
+        )
         if changed == 0:
             break
     edges.unpersist()

@@ -384,3 +384,41 @@ class TestConnectedComponents:
         }
         assert 10 in kept and 1 in kept
         assert 2 not in kept  # exact dup of 1
+
+
+class TestEmbeddingNeardupImpls:
+    def test_numpy_matches_sql_pairs(self, spark):
+        em = (
+            spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+            .selectExpr(
+                "vec_id", "CAST(embedding AS array<double>) AS embedding", "label"
+            )
+        )
+        a = dedup.embedding_neardup_pairs(em, threshold=0.3, impl="sql")
+        b = dedup.embedding_neardup_pairs(em, threshold=0.3, impl="numpy")
+        j = a.alias("a").join(b.alias("b"), ["id_a", "id_b"], "full").selectExpr(
+            "a.cosine AS ca", "b.cosine AS cb"
+        )
+        assert j.where("ca IS NULL OR cb IS NULL").count() == 0
+        assert j.where("abs(ca - cb) > 1e-9").count() == 0
+
+    def test_numpy_zero_vector_excluded(self, spark):
+        rows = [
+            (1, [0.0, 0.0], "x"),
+            (2, [1.0, 0.0], "x"),
+            (3, [1.0, 0.01], "x"),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label string"
+        )
+        got = dedup.embedding_neardup_pairs(
+            df, threshold=0.5, impl="numpy"
+        ).collect()
+        assert [(r.id_a, r.id_b) for r in got] == [(2, 3)]
+
+    def test_numpy_requires_block(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="blocking"):
+            dedup.embedding_neardup_pairs(df, block_col=None, impl="numpy")
