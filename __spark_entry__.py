@@ -1211,6 +1211,42 @@ def q_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per event type, the trailing-2-hour moving
+    event-value average at every event — a value-based frame (all rows
+    within the time interval), not a row-count frame."""
+    two_h_us = 2 * 3600 * 1_000_000
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us")
+        .rangeBetween(-two_h_us, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_2h"),
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("avg_2h"),
+    )
+
+
+def q_part_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long): part measures melted into (measure, value)
+    rows via the stack generator — the inverse of pivot."""
+    part = _read(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'size', CAST(p_size AS DOUBLE), "
+            "'retailprice', p_retailprice) AS (measure, value)"
+        ),
+    )
+
+
 def q_validate_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V2 default injection: a defaulted column absent from the input
     is added filled with the default (reference polars.py:144-157)."""
@@ -1636,6 +1672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_centroid": q_nearest_centroid,
         "neardup_components": q_neardup_components,
         "chunk_packing": q_chunk_packing,
+        "events_moving_avg": q_events_moving_avg,
+        "part_unpivot": q_part_unpivot,
     }
 
 
@@ -2684,6 +2722,20 @@ def oracle_sql() -> dict[str, str]:
             FROM chunks
             WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_idx
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "events_moving_avg": """
+            SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+                   COUNT(*) OVER w AS n_2h,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE)
+                       / COUNT(*) OVER w AS avg_2h
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW)
+        """,
+        "part_unpivot": """
+            SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+            UNION ALL
+            SELECT p_partkey, 'retailprice', p_retailprice FROM part
         """,
         # minhash_pairs / minhash_dedup_ids / simhash_pairs / lsh_topk:
         # intentionally omitted — they depend on Spark-native xxhash64 /
