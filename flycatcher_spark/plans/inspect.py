@@ -70,6 +70,16 @@ def _executed_plan_string(df: DataFrame) -> str:
     return qe.executedPlan().toString()
 
 
+def _formatted_plan_string(df: DataFrame) -> str:
+    """explain('formatted') text: scan attributes (PushedFilters,
+    ReadSchema) appear one per line in the details section, so they
+    are never lost to the tree-string line truncation that drops
+    them from wide scans in ``executedPlan().toString()``."""
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
 def plan_report(df: DataFrame) -> PlanReport:
     """Inspect ``df``'s executed physical plan (pre-execution AQE tree;
     node set matches what would run)."""
@@ -94,25 +104,29 @@ def plan_report(df: DataFrame) -> PlanReport:
         for node in _PYTHON_NODES:
             if stripped.startswith(node):
                 r.python_nodes.append(node)
-        if "FileScan" in line or "BatchScan" in line:
-            fmt_m = re.search(r"(?:FileScan|BatchScan)\s+(\w+)", line)
-            pushed_m = re.search(r"PushedFilters: \[([^\]]*)\]", line)
-            schema_m = re.search(r"ReadSchema: (\S+)", line)
+    r.codegen_stages = len(set(re.findall(r"\*\((\d+)\)", plan)))
+
+    # Scan details come from explain('formatted'), where PushedFilters
+    # and ReadSchema are standalone lines — the tree string truncates
+    # them away on wide scans (maxToStringFields), which would make a
+    # healthy pushdown look missing.
+    current: dict | None = None
+    for line in _formatted_plan_string(df).splitlines():
+        ls = line.strip()
+        scan_m = re.match(r"\(\d+\) (?:Batch)?Scan (\w+)", ls)
+        if scan_m:
+            current = {"format": scan_m.group(1), "pushed_filters": [], "read_schema": ""}
+            r.scans.append(current)
+        elif current is not None and ls.startswith("PushedFilters: ["):
+            inner = ls[len("PushedFilters: [") :].rstrip("]")
             # each filter is Name(args…), possibly one level nested
             # (Not(EqualTo(c,v))) — match whole units, not commas
-            pushed = (
-                re.findall(r"\w+\((?:[^()]|\([^()]*\))*\)", pushed_m.group(1))
-                if pushed_m
-                else []
+            current["pushed_filters"] = re.findall(
+                r"\w+\((?:[^()]|\([^()]*\))*\)", inner
             )
-            r.scans.append(
-                {
-                    "format": fmt_m.group(1) if fmt_m else "?",
-                    "pushed_filters": pushed,
-                    "read_schema": schema_m.group(1) if schema_m else "",
-                }
-            )
-    r.codegen_stages = len(set(re.findall(r"\*\((\d+)\)", plan)))
+        elif current is not None and ls.startswith("ReadSchema: "):
+            current["read_schema"] = ls[len("ReadSchema: ") :]
+            current = None
     return r
 
 
