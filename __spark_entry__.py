@@ -1247,6 +1247,29 @@ def q_part_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by document-corpus frequency
+    (explode → count, map-side partial agg collapses per-partition
+    duplicates before the shuffle), ties broken lexically."""
+    from flycatcher_spark.operators.text import normalize_text, tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens(normalize_text("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject — a distributed
+    # partial top-k per partition, NOT a full sort; the rank window
+    # then runs over only the 50 survivors (a global row_number over
+    # the whole vocabulary would serialize into one task).
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(50)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"), "token", "n"
+    )
+
+
 def q_validate_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V2 default injection: a defaulted column absent from the input
     is added filled with the default (reference polars.py:144-157)."""
@@ -1674,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_packing": q_chunk_packing,
         "events_moving_avg": q_events_moving_avg,
         "part_unpivot": q_part_unpivot,
+        "vocab_topk": q_vocab_topk,
     }
 
 
@@ -2736,6 +2760,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
             UNION ALL
             SELECT p_partkey, 'retailprice', p_retailprice FROM part
+        """,
+        "vocab_topk": r"""
+            WITH toks AS (
+                SELECT unnest(
+                    CASE WHEN length(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0
+                         THEN CAST([] AS VARCHAR[])
+                         ELSE regexp_split_to_array(
+                             regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'),
+                                            '\s+', ' ', 'g'), ' ')
+                    END) AS token
+                FROM documents
+            ),
+            counts AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token)
+            SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank,
+                   token, n
+            FROM counts
+            QUALIFY rank <= 50
         """,
         # minhash_pairs / minhash_dedup_ids / simhash_pairs / lsh_topk:
         # intentionally omitted — they depend on Spark-native xxhash64 /
