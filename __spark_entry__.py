@@ -1270,6 +1270,39 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF document keywords: term frequency per doc × smoothed
+    inverse document frequency, top-3 terms per document. Two
+    aggregations (term-per-doc, doc-frequency) + a broadcast-eligible
+    join on term; the top-k window partitions by doc_id so ranking
+    parallelizes per document."""
+    from flycatcher_spark.operators.text import normalize_text, tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar; one cheap count job
+    terms = docs.select(
+        "doc_id", F.explode(tokens(normalize_text("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df", "tfidf")
+    )
+
+
 def q_validate_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V2 default injection: a defaulted column absent from the input
     is added filled with the default (reference polars.py:144-157)."""
@@ -1698,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_avg": q_events_moving_avg,
         "part_unpivot": q_part_unpivot,
         "vocab_topk": q_vocab_topk,
+        "doc_tfidf_top3": q_doc_tfidf_top3,
     }
 
 
@@ -2777,6 +2811,32 @@ def oracle_sql() -> dict[str, str]:
                    token, n
             FROM counts
             QUALIFY rank <= 50
+        """,
+        "doc_tfidf_top3": r"""
+            WITH terms AS (
+                SELECT doc_id, unnest(
+                    CASE WHEN length(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0
+                         THEN CAST([] AS VARCHAR[])
+                         ELSE regexp_split_to_array(
+                             regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'),
+                                            '\s+', ' ', 'g'), ' ')
+                    END) AS term
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                       round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
+                FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            )
+            SELECT doc_id,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY tfidf DESC, term) AS BIGINT) AS rank,
+                   term, tf, df, tfidf
+            FROM scored
+            QUALIFY rank <= 3
         """,
         # minhash_pairs / minhash_dedup_ids / simhash_pairs / lsh_topk:
         # intentionally omitted — they depend on Spark-native xxhash64 /
