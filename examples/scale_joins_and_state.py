@@ -29,8 +29,11 @@ HOUR_US = 3600 * 1_000_000
 
 def read_events(spark):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = spark.read.parquet(f"{DATA}/events.parquet")
-    return raw.withColumn("ts_us", F.expr("ts DIV 1000"))
+    if raw.schema["ts"].dataType.simpleString() == "bigint":
+        return raw.withColumn("ts_us", F.expr("ts DIV 1000"))
+    return raw.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
 
 
 def main() -> None:

@@ -50,6 +50,17 @@ def compare(name, spark_pdf, duck_pdf):
     problems = []
     if sc != dc:
         problems.append(f"columns differ: spark={sc} duck={dc}")
+    else:
+        # The driver's value hash is dtype-strict (int64 3 != float64
+        # 3.0). Replicate that: numeric column kinds must match.
+        for c in sc:
+            sk = spark_pdf[c].dtype.kind
+            dk = duck_pdf[c].dtype.kind
+            if sk != dk and {sk, dk} <= {"i", "u", "f", "b"}:
+                problems.append(
+                    f"dtype differs on {c}: spark={spark_pdf[c].dtype} "
+                    f"duck={duck_pdf[c].dtype}"
+                )
     if len(sr) != len(dr):
         problems.append(f"row count: spark={len(sr)} duck={len(dr)}")
     if not problems:
