@@ -734,8 +734,11 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15-shaped: supplier(s) with the maximum revenue in a quarter.
-    The scalar MAX subquery becomes an unpartitioned window max over
-    the (tiny) per-supplier aggregate."""
+
+    The scalar MAX subquery becomes a 1-row aggregate broadcast back
+    onto the per-supplier aggregate — NOT an unpartitioned window,
+    which would funnel every group into a single task at scale.
+    """
     li = _read(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit(datetime(1997, 1, 1)))
         & (F.col("l_shipdate") < F.lit(datetime(1997, 4, 1)))
@@ -744,10 +747,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", "8,4")))
         .alias("rev_dec")
     )
-    w = Window.partitionBy()
+    max_rev = per_supp.agg(F.max("rev_dec").alias("max_rev"))
     supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        per_supp.withColumn("max_rev", F.max("rev_dec").over(w))
+        per_supp.join(F.broadcast(max_rev))
         .filter(F.col("rev_dec") == F.col("max_rev"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
@@ -1188,7 +1191,8 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     with per-cluster sizes. Oracle: DuckDB recursive CTE."""
     em = _emb_double(spark, sf_dir)
     pairs = dedup.embedding_neardup_pairs(
-        em, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.3
+        em, id_col="vec_id", vec_col="embedding", block_col="label",
+        threshold=0.3, impl="sql",  # oracle mode: engine-portable values
     )
     comp = dedup.connected_components(pairs, "id_a", "id_b")
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("comp_size"))
@@ -1594,7 +1598,8 @@ def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = _emb_double(spark, sf_dir)
     return dedup.embedding_neardup_pairs(
-        em, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.3
+        em, id_col="vec_id", vec_col="embedding", block_col="label",
+        threshold=0.3, impl="sql",  # oracle mode: engine-portable values
     )
 
 

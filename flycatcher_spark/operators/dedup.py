@@ -589,22 +589,22 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     block_col: str | None = "label",
     threshold: float = 0.95,
-    impl: str = "sql",
+    impl: str = "numpy",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking key.
 
+    - ``impl="numpy"`` (default): one ``applyInPandas`` per block
+      computing the full cosine matrix with a BLAS matmul — the scale
+      path (measured ~20× on 1000-vector blocks). Values can differ
+      from the sql fold in the last float ulp (pairwise vs sequential
+      summation). Each block must fit one task: n×dim for the vectors
+      plus n² for the similarity matrix — cap blocks at a few
+      thousand vectors via the blocking key.
     - ``impl="sql"``: pairwise self-join with a sequential-fold dot
-      product — exact, engine-portable values (the oracle-checkable
-      path), but the fold is interpreted: O(pairs × dim) expression
-      evals.
-    - ``impl="numpy"``: one ``applyInPandas`` per block computing the
-      full cosine matrix with a BLAS matmul — the scale path
-      (measured ~20× on 1000-vector blocks). Values can differ from
-      the fold in the last float ulp (pairwise vs sequential
-      summation), so use the sql impl when hash-comparing against
-      another engine. Each block must fit one task: n×dim for the
-      vectors plus n² for the similarity matrix — cap blocks at a
-      few thousand vectors via the blocking key.
+      product — exact, engine-portable values. Use this explicit
+      oracle mode when hash-comparing against another engine; the
+      fold is interpreted (O(pairs × dim) expression evals), so keep
+      it off production paths.
     """
     cols = [F.col(id_col), F.col(vec_col)] + (
         [F.col(block_col)] if block_col else []

@@ -20,8 +20,11 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -119,13 +122,50 @@ def signature_bits(
     vec: Column, dim: int, n_bits: int = 16, seed: int = 42
 ) -> Column:
     """Random-hyperplane LSH signature as a bigint (bit i = sign of
-    the projection onto plane i). Pure column expressions."""
+    the projection onto plane i). Pure column expressions — the
+    engine-portable parity path. Catalyst HOF folds are
+    CodegenFallback (interpreted): this evaluates ``n_bits``
+    interpreted dot-product folds per row, so production pipelines
+    should use :func:`signature_bits_kernel` (one BLAS matmul per
+    Arrow batch, bit-identical; pinned by a pytest)."""
     planes = _hyperplanes(n_bits, dim, seed)
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         proj = dot(vec, F.array(*[F.lit(float(w)) for w in plane]))
         sig = sig + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
     return sig
+
+
+def signature_bits_kernel(
+    vec: Column, dim: int, n_bits: int = 16, seed: int = 42
+) -> Column:
+    """Arrow/numpy implementation of :func:`signature_bits`: one
+    ``V @ P.T`` matmul per batch instead of ``n_bits`` interpreted
+    fold evaluations per row. Planes are identical (same
+    deterministic generator); a float64 matmul differs from the
+    sequential fold only in summation order, which can flip a sign
+    bit only when a projection lands within rounding error of zero —
+    tests pin bit-equality on the real embeddings."""
+    P = np.array(_hyperplanes(n_bits, dim, seed), dtype=np.float64)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    @pandas_udf("bigint")
+    def _sig(vecs: pd.Series) -> pd.Series:
+        # null/short vectors get signature 0, matching the SQL fold
+        # (null projection contributes the otherwise(0) branch).
+        mask = np.fromiter(
+            (v is not None and len(v) == dim for v in vecs), dtype=bool
+        )
+        out = np.zeros(len(vecs), dtype=np.int64)
+        if mask.any():
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in vecs[mask]]
+            )
+            bits = (V @ P.T) > 0  # (n, n_bits)
+            out[mask] = bits @ weights
+        return pd.Series(out)
+
+    return _sig(vec)
 
 
 def ivf_topk(
@@ -139,6 +179,7 @@ def ivf_topk(
     n_probe: int = 2,
     seed: int = 42,
     max_train_rows: int = 100_000,
+    impl: str = "numpy",
 ) -> DataFrame:
     """IVF-style approximate nearest neighbors.
 
@@ -153,6 +194,12 @@ def ivf_topk(
     3. **Probe**: each query searches only its ``n_probe`` nearest
        cells — the candidate set shrinks ~``n_cells/n_probe``× vs
        brute force, the recall/compute dial of IVF.
+
+    ``impl="numpy"`` (default) assigns cells with one Arrow-batched
+    numpy distance matrix per batch; ``impl="sql"`` keeps the pure
+    Catalyst fold (interpreted HOFs — ``n_cells`` fold evals per row,
+    the parity/oracle path). Both break distance ties toward the
+    lower cell index; tests pin assignment equality.
 
     Returns ``(query_id, vec_id, sim, rank)`` like
     :func:`brute_force_topk` (which remains the exact baseline).
@@ -181,6 +228,25 @@ def ivf_topk(
         return scores
 
     def _assign(df: DataFrame, n_best: int, out: str) -> DataFrame:
+        if impl == "numpy":
+            C = np.array(centroids, dtype=np.float64)  # (cells, dim)
+
+            @pandas_udf("array<int>")
+            def _cells(vecs: pd.Series) -> pd.Series:
+                V = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in vecs]
+                )  # (n, dim)
+                # Explicit (v-c)^2 sum — same arithmetic as the SQL
+                # fold up to summation order; ||v||²-2vc+||c||² would
+                # drift more. (n, cells, dim) stays small: Arrow
+                # batches are ~10k rows and n_cells is tens.
+                D = np.square(V[:, None, :] - C[None, :, :]).sum(axis=2)
+                # stable argsort == struct(d, cell) ordering: ties
+                # break toward the lower cell index
+                order = np.argsort(D, axis=1, kind="stable")[:, :n_best]
+                return pd.Series(list(order.astype(np.int32)))
+
+            return df.withColumn(out, _cells(F.col(vec_col)))
         dists = F.array(*_cell_scores(F.col(vec_col)))
         ranked = F.transform(
             F.array_sort(
@@ -233,6 +299,7 @@ def lsh_bucketed_topk(
     dim: int = 64,
     n_bits: int = 12,
     seed: int = 42,
+    impl: str = "numpy",
 ) -> DataFrame:
     """Approximate all-pairs top-k within LSH buckets.
 
@@ -240,10 +307,13 @@ def lsh_bucketed_topk(
     sharing a signature bucket are candidate neighbors; one
     ``groupBy(bucket)``-shaped self-join shuffle replaces the cross
     product. Recall depends on ``n_bits`` (fewer bits = bigger
-    buckets = higher recall, more compute).
+    buckets = higher recall, more compute). ``impl="numpy"``
+    (default) computes signatures with the Arrow matmul kernel;
+    ``impl="sql"`` uses the interpreted Catalyst fold (parity path).
     """
+    sig_fn = signature_bits_kernel if impl == "numpy" else signature_bits
     with_sig = corpus.select(
-        F.col(id_col), F.col(vec_col), signature_bits(F.col(vec_col), dim, n_bits, seed).alias("__sig")
+        F.col(id_col), F.col(vec_col), sig_fn(F.col(vec_col), dim, n_bits, seed).alias("__sig")
     )
     left = with_sig.alias("l")
     right = with_sig.alias("r")

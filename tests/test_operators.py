@@ -300,6 +300,53 @@ class TestSimilarity:
         # same bucket must find each other
         assert (1, 2) in pairs or (2, 1) in pairs
 
+    def test_signature_kernel_matches_sql(self, spark):
+        """The Arrow matmul signature must be bit-identical to the
+        Catalyst fold on real embeddings (mirrors the MinHash
+        pandas≡sql pin)."""
+        em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        dim = len(em.select("embedding").first()[0])
+        both = em.select(
+            "vec_id",
+            similarity.signature_bits(
+                F.col("embedding").cast("array<double>"), dim, 16, 42
+            ).alias("sql_sig"),
+            similarity.signature_bits_kernel(
+                F.col("embedding").cast("array<double>"), dim, 16, 42
+            ).alias("np_sig"),
+        )
+        bad = both.filter(F.col("sql_sig") != F.col("np_sig")).count()
+        assert bad == 0
+
+    def test_signature_kernel_null_and_short(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (2, [0.5]), (3, [0.5, -0.5, 0.25])],
+            "vec_id long, embedding array<double>",
+        )
+        rows = {
+            r["vec_id"]: (r["s"], r["k"])
+            for r in df.select(
+                "vec_id",
+                similarity.signature_bits(F.col("embedding"), 3, 4, 7).alias("s"),
+                similarity.signature_bits_kernel(F.col("embedding"), 3, 4, 7).alias("k"),
+            ).collect()
+        }
+        for vid, (s, k) in rows.items():
+            assert s == k, (vid, s, k)
+
+    def test_ivf_impls_agree(self, spark):
+        """numpy and sql cell assignment produce identical top-k."""
+        em = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        q = em.filter(F.col("vec_id") < 5)
+        key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["sim"])
+        a = sorted(map(key, similarity.ivf_topk(
+            em, q, k=3, n_cells=4, n_probe=2, seed=7, impl="numpy").collect()))
+        b = sorted(map(key, similarity.ivf_topk(
+            em, q, k=3, n_cells=4, n_probe=2, seed=7, impl="sql").collect()))
+        assert a == b
+
 
 # ---------------------------------------------------------------------------
 # multimodal
