@@ -1578,6 +1578,53 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified with exact trigram Jaccard.
+
+    Turns the seed-dependent candidate stage into a value-checkable
+    result: every true pair in this corpus has trigram Jaccard >=
+    0.88, so 16-band/4-row banding has full recall (P(miss) <
+    1e-6 per pair, and the seeded pipeline is deterministic) and the
+    verified output equals ground-truth all-pairs Jaccard >= 0.5 —
+    which DuckDB computes directly."""
+    docs = _read(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_pairs(
+        docs, num_perm=64, bands=16, shingle_n=3, threshold=0.0
+    )
+    return dedup.verify_pairs_jaccard(
+        cand, docs, shingle_n=3, threshold=0.5
+    )
+
+
+def q_simhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding candidates verified with exact trigram Jaccard
+    (same ground-truth-equality design as minhash_verified_pairs;
+    near-dup docs here differ by a few tokens; the true pairs'
+    signatures measure hamming <= 9, so radius 12 covers them with
+    margin). n_bands > max_distance (the d+1 pigeonhole) makes band
+    recall exact, not probabilistic."""
+    docs = _read(spark, sf_dir, "documents")
+    cand = dedup.simhash_pairs(docs, max_distance=12, n_bands=13)
+    return dedup.verify_pairs_jaccard(
+        cand, docs, shingle_n=3, threshold=0.5
+    )
+
+
+def q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN probing every cell: exhaustive search, so the output
+    must equal exact brute-force top-k — an oracle-checkable proof of
+    the assign/probe/score machinery (pruned-probe recall is covered
+    by the rows-only ivf_topk)."""
+    em = _emb_double(spark, sf_dir)
+    q = em.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    res = similarity.ivf_topk(
+        em, q, k=4, n_cells=8, n_probe=8, seed=7
+    )
+    return res.select(
+        "query_id", "vec_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — similarity search (SURVEY.md §7.1 step 7)
 # ---------------------------------------------------------------------------
@@ -1717,6 +1764,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_split": q_deterministic_split,
         "array_ops": q_array_ops,
         # -- new-this-round queries get inserted here ---------------
+        "minhash_verified_pairs": q_minhash_verified_pairs,
+        "simhash_verified_pairs": q_simhash_verified_pairs,
+        "ivf_full_probe": q_ivf_full_probe,
         # -- rotation of previously-green queries -------------------
         "validate_lineitem": q_validate_lineitem,
         "violation_counts": q_violation_counts,
@@ -2565,6 +2615,84 @@ def oracle_sql() -> dict[str, str]:
                 FROM s l JOIN s r
                   ON l.doc_id < r.doc_id AND r.doc_id <= l.doc_id + 25
             ) WHERE jaccard >= 0.2
+        """,
+        "minhash_verified_pairs": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN length(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g'),
+                                ' ')
+                       END AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                            ELSE list_distinct(list_transform(
+                                range(1, len(toks) - 1),
+                                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       END AS sh
+                FROM t
+            )
+            SELECT * FROM (
+                SELECT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b,
+                       round(CASE WHEN len(list_distinct(list_concat(l.sh, r.sh))) = 0 THEN 0.0
+                                  ELSE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                                       / len(list_distinct(list_concat(l.sh, r.sh)))
+                             END, 6) AS jaccard
+                FROM s l JOIN s r ON l.doc_id < r.doc_id
+                WHERE len(l.sh) > 0 AND len(r.sh) > 0
+            ) WHERE jaccard >= 0.5
+        """,
+        "simhash_verified_pairs": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN length(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g'),
+                                ' ')
+                       END AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                            ELSE list_distinct(list_transform(
+                                range(1, len(toks) - 1),
+                                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       END AS sh
+                FROM t
+            )
+            SELECT * FROM (
+                SELECT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b,
+                       round(CASE WHEN len(list_distinct(list_concat(l.sh, r.sh))) = 0 THEN 0.0
+                                  ELSE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                                       / len(list_distinct(list_concat(l.sh, r.sh)))
+                             END, 6) AS jaccard
+                FROM s l JOIN s r ON l.doc_id < r.doc_id
+                WHERE len(l.sh) > 0 AND len(r.sh) > 0
+            ) WHERE jaccard >= 0.5
+        """,
+        "ivf_full_probe": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id >= 10 AND vec_id < 15),
+            sc AS (
+                SELECT q.query_id, e.vec_id,
+                       round(CASE WHEN sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)) > 0
+                                  THEN list_dot_product(e.v, q.qv)
+                                       / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+                             END, 6) AS sim
+                FROM e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, vec_id, sim, rank FROM (
+                SELECT query_id, vec_id, sim,
+                       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+                FROM sc
+            ) WHERE rank <= 4
         """,
         "knn_topk": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -391,6 +391,48 @@ def minhash_lsh_pairs(
     )
 
 
+def verify_pairs_jaccard(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification stage for candidate pairs.
+
+    LSH banding (MinHash/SimHash) generates *candidates*; this stage
+    recomputes the exact word-shingle Jaccard on just those pairs and
+    keeps the true near-duplicates. Two shuffles on the (small)
+    candidate set; the corpus is scanned once for shingle sets. When
+    banding parameters give full recall at ``threshold``, the output
+    equals ground-truth all-pairs Jaccard — which is how the oracle
+    queries turn seed-dependent candidate generation into
+    value-checkable results.
+
+    Returns ``(doc_id_a, doc_id_b, jaccard)`` with ``jaccard``
+    rounded to 6 places.
+    """
+    sh = docs.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("__sh")
+    )
+    a = sh.select(F.col(id_col).alias("doc_id_a"), F.col("__sh").alias("__sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_id_b"), F.col("__sh").alias("__sh_b"))
+    return (
+        pairs.select("doc_id_a", "doc_id_b")
+        .join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(jaccard_words(F.col("__sh_a"), F.col("__sh_b")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from typing import Any, Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -72,6 +73,49 @@ def _ts_ms(series: pd.Series) -> pd.Series:
     return series.astype("datetime64[ms]").astype("int64")
 
 
+def _fold_segments(pdfs, ts_col, value_col, gap_ms, stored=None):
+    """Collapse a batch's rows (plus the optional carried-over open
+    session) into gap-separated ``[start_ms, last_ms, n, total]``
+    segments.
+
+    This is what makes the operator's semantics independent of
+    micro-batch granularity: a replay/catch-up batch can span hours of
+    event time and so contain SEVERAL sessions for one key — folding
+    only min/max over the whole batch would silently merge them. All
+    but the time-wise last segment are already closed (a > gap void
+    follows each); the last stays open in state.
+
+    Returns ``(closed_segments, open_segment_or_None)``.
+    """
+    segs: list[list] = []
+    if stored is not None:
+        segs.append([int(stored[0]), int(stored[1]), int(stored[2]), float(stored[3])])
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        big = pd.concat(frames) if len(frames) > 1 else frames[0]
+        ms = _ts_ms(big[ts_col]).to_numpy()
+        vals = big[value_col].fillna(0.0).to_numpy(dtype="float64")
+        order = np.argsort(ms, kind="stable")
+        ms, vals = ms[order], vals[order]
+        brk = np.flatnonzero(np.diff(ms) > gap_ms) + 1
+        for cm, cv in zip(np.split(ms, brk), np.split(vals, brk)):
+            segs.append([int(cm[0]), int(cm[-1]), len(cm), float(cv.sum())])
+    if not segs:
+        return [], None
+    segs.sort(key=lambda s: (s[0], s[1]))
+    merged = [segs[0]]
+    for s in segs[1:]:
+        cur = merged[-1]
+        if s[0] - cur[1] <= gap_ms:
+            cur[0] = min(cur[0], s[0])
+            cur[1] = max(cur[1], s[1])
+            cur[2] += s[2]
+            cur[3] += s[3]
+        else:
+            merged.append(s)
+    return merged[:-1], merged[-1]
+
+
 def timeout_sessions(
     sdf: DataFrame,
     key_cols: list[str],
@@ -108,22 +152,28 @@ def timeout_sessions(
             )
             yield pd.DataFrame([row])
             return
-        start_ms, last_ms, n, total = (
-            state.get if state.exists else (None, None, 0, 0.0)
+        stored = state.get if state.exists else None
+        closed, open_seg = _fold_segments(
+            pdfs, ts_col, value_col, gap_ms, stored
         )
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            ms = _ts_ms(pdf[ts_col])
-            lo, hi = int(ms.min()), int(ms.max())
-            start_ms = lo if start_ms is None else min(start_ms, lo)
-            last_ms = hi if last_ms is None else max(last_ms, hi)
-            n += len(pdf)
-            total += float(pdf[value_col].fillna(0.0).sum())
-        if start_ms is not None:
-            state.update((start_ms, last_ms, n, total))
+        if open_seg is not None:
+            state.update(tuple(open_seg))
             # deadline moves forward with every batch touching the key
-            state.setTimeoutTimestamp(last_ms + gap_ms)
+            state.setTimeoutTimestamp(open_seg[1] + gap_ms)
+        if closed:
+            # sessions already followed by a > gap void inside this
+            # batch: emit now, no timer needed
+            rows = []
+            for s in closed:
+                row = dict(zip(key_names, key))
+                row.update(
+                    session_start_ms=s[0],
+                    session_end_ms=s[1],
+                    n_events=s[2],
+                    total_value=s[3],
+                )
+                rows.append(row)
+            yield pd.DataFrame(rows)
 
     return (
         sdf.withWatermark(ts_col, watermark_delay)
@@ -173,26 +223,29 @@ def timeout_sessions_tws(
         def handleInputRows(
             self, key: Any, rows: Iterator[pd.DataFrame], timerValues
         ) -> Iterator[pd.DataFrame]:
-            if self._state.exists():
-                start_ms, last_ms, n, total = self._state.get()
-            else:
-                start_ms, last_ms, n, total = None, None, 0, 0.0
-            for pdf in rows:
-                if not len(pdf):
-                    continue
-                ms = _ts_ms(pdf[ts_col])
-                lo, hi = int(ms.min()), int(ms.max())
-                start_ms = lo if start_ms is None else min(start_ms, lo)
-                last_ms = hi if last_ms is None else max(last_ms, hi)
-                n += len(pdf)
-                total += float(pdf[value_col].fillna(0.0).sum())
-            if start_ms is not None:
-                self._state.update((start_ms, last_ms, n, total))
+            stored = self._state.get() if self._state.exists() else None
+            closed, open_seg = _fold_segments(
+                rows, ts_col, value_col, gap_ms, stored
+            )
+            if open_seg is not None:
+                self._state.update(tuple(open_seg))
                 # one live timer per key: replace the old deadline
                 for t in self._handle.listTimers():
                     self._handle.deleteTimer(t)
-                self._handle.registerTimer(last_ms + gap_ms)
-            return iter([])
+                self._handle.registerTimer(open_seg[1] + gap_ms)
+            if not closed:
+                return iter([])
+            out = []
+            for s in closed:
+                row = dict(zip(key_names, key))
+                row.update(
+                    session_start_ms=s[0],
+                    session_end_ms=s[1],
+                    n_events=s[2],
+                    total_value=s[3],
+                )
+                out.append(row)
+            return iter([pd.DataFrame(out)])
 
         def handleExpiredTimer(
             self, key: Any, timerValues, expiredTimerInfo

@@ -14,7 +14,10 @@ import pytest
 EXAMPLES = Path(__file__).resolve().parent.parent / "examples"
 
 
-@pytest.mark.parametrize("name", ["basic_usage.py", "validation_modes.py"])
+@pytest.mark.parametrize(
+    "name",
+    ["basic_usage.py", "validation_modes.py", "cross_field_validators.py"],
+)
 def test_example_runs_clean(name):
     proc = subprocess.run(
         [sys.executable, str(EXAMPLES / name)],

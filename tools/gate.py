@@ -1,0 +1,56 @@
+"""One-command quality gate: runs every checker available in the
+environment and fails if any runnable gate is red.
+
+Gates (mirroring the reference CI, /root/reference/.github/workflows/
+ci.yml): ruff check, ruff format --check, mypy, pytest (unit tests +
+library doctests via pyproject addopts). ruff/mypy are skipped with a
+notice when not installed (the build container has neither); pytest is
+mandatory.
+
+Usage: python tools/gate.py [extra pytest args]
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import subprocess
+import sys
+
+REPO = "/root/repo"
+
+
+def _run(name: str, cmd: list[str]) -> bool:
+    print(f"=== {name}: {' '.join(cmd)}", flush=True)
+    rc = subprocess.call(cmd, cwd=REPO)
+    print(f"=== {name}: {'OK' if rc == 0 else f'FAILED rc={rc}'}", flush=True)
+    return rc == 0
+
+
+def main() -> int:
+    failures = []
+    if importlib.util.find_spec("ruff"):
+        if not _run("ruff-check", [sys.executable, "-m", "ruff", "check", "."]):
+            failures.append("ruff-check")
+        if not _run(
+            "ruff-format", [sys.executable, "-m", "ruff", "format", "--check", "."]
+        ):
+            failures.append("ruff-format")
+    else:
+        print("=== ruff: not installed, skipped")
+    if importlib.util.find_spec("mypy"):
+        if not _run("mypy", [sys.executable, "-m", "mypy", "flycatcher_spark"]):
+            failures.append("mypy")
+    else:
+        print("=== mypy: not installed, skipped")
+    extra = sys.argv[1:] or ["-q"]
+    if not _run("pytest", [sys.executable, "-m", "pytest", *extra]):
+        failures.append("pytest")
+    if failures:
+        print(f"GATE RED: {failures}")
+        return 1
+    print("GATE GREEN")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
