@@ -1296,14 +1296,18 @@ def q_doc_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flycatcher_spark.operators.text import normalize_text, tokens
 
     docs = _read(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar; one cheap count job
+    # corpus size as a broadcast 1-row aggregate — no separate driver
+    # count job, stays one lazy plan
+    n_docs_df = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("__n_docs")
+    )
     terms = docs.select(
         "doc_id", F.explode(tokens(normalize_text("text"))).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
-    scored = tf.join(dfreq, "term").select(
+    idf = F.log((F.col("__n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(dfreq, "term").join(F.broadcast(n_docs_df)).select(
         "doc_id",
         "term",
         "tf",
@@ -1318,6 +1322,57 @@ def q_doc_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("doc_id", "rank", "term", "tf", "df", "tfidf")
     )
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters: top/duplicate word
+    n-gram character fractions per document (text.repetition_profile).
+    Explode → combiner-friendly (doc, gram) count → per-doc aggregate;
+    map-side partial aggregation keeps the shuffle proportional to
+    distinct grams, not occurrences."""
+    docs = _read(spark, sf_dir, "documents")
+    return text.repetition_profile(docs, ns=(2, 3))
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (emails/URLs/intl phone numbers) as
+    map-only regexp chains. The corpus is synthetic and PII-free, so
+    the query plants deterministic PII derived from doc_id into each
+    text and verifies both the counts and the redacted string
+    cell-for-cell against the oracle."""
+    docs = _read(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via https://ex.example/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" tel +1555"),
+        F.lpad(F.col("doc_id").cast("string"), 7, "0"),
+    )
+    counts = text.pii_counts(aug)
+    return docs.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_urls"].alias("n_urls"),
+        counts["n_phones"].alias("n_phones"),
+        text.redact_pii(aug).alias("redacted"),
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source stratified sampling (md5-bucket, no
+    rand()): reproducible across runs, engines, partitionings, and row
+    order — domain mixing a training pipeline can re-run safely."""
+    docs = _read(spark, sf_dir, "documents")
+    sampled = text.hash_stratified_sample(
+        docs,
+        strata_col="source",
+        fractions={"src0": 0.8, "src1": 0.5, "src2": 0.25},
+        key_col="doc_id",
+        default_fraction=0.1,
+    )
+    return sampled.select("doc_id", "source")
 
 
 def q_validate_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1767,6 +1822,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "simhash_verified_pairs": q_simhash_verified_pairs,
         "ivf_full_probe": q_ivf_full_probe,
+        "doc_repetition": q_doc_repetition,
+        "pii_redaction": q_pii_redaction,
+        "stratified_sample": q_stratified_sample,
         # -- rotation of previously-green queries -------------------
         "validate_lineitem": q_validate_lineitem,
         "violation_counts": q_violation_counts,
@@ -2615,6 +2673,97 @@ def oracle_sql() -> dict[str, str]:
                 FROM s l JOIN s r
                   ON l.doc_id < r.doc_id AND r.doc_id <= l.doc_id + 25
             ) WHERE jaccard >= 0.2
+        """,
+        "doc_repetition": r"""
+            WITH nrm AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g') AS norm
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, length(norm) AS nc,
+                       CASE WHEN length(norm) = 0 THEN CAST([] AS VARCHAR[])
+                            ELSE string_split(norm, ' ') END AS toks
+                FROM nrm
+            ),
+            g2 AS (
+                SELECT doc_id, nc, unnest(CASE WHEN len(toks) >= 2
+                            THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                            ELSE CAST([] AS VARCHAR[]) END) AS gram
+                FROM tok
+            ),
+            g3 AS (
+                SELECT doc_id, nc, unnest(CASE WHEN len(toks) >= 3
+                            THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                            ELSE CAST([] AS VARCHAR[]) END) AS gram
+                FROM tok
+            ),
+            c2 AS (SELECT doc_id, nc, gram, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2, 3),
+            c3 AS (SELECT doc_id, nc, gram, COUNT(*) AS cnt FROM g3 GROUP BY 1, 2, 3),
+            t2 AS (
+                SELECT doc_id, gram, cnt, nc FROM (
+                    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+                    FROM c2
+                ) WHERE rn = 1
+            ),
+            t3 AS (
+                SELECT doc_id, gram, cnt, nc FROM (
+                    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+                    FROM c3
+                ) WHERE rn = 1
+            ),
+            m2 AS (
+                SELECT c.doc_id,
+                       any_value(t.gram) AS top2_gram,
+                       CAST(any_value(t.cnt) AS BIGINT) AS top2_count,
+                       round(least(1.0, CAST(any_value(t.cnt) * length(any_value(t.gram)) AS DOUBLE) / any_value(c.nc)), 6) AS top2_char_frac,
+                       round(least(1.0, CAST(COALESCE(SUM(CASE WHEN c.cnt > 1 THEN c.cnt * length(c.gram) END), 0) AS DOUBLE) / any_value(c.nc)), 6) AS dup2_char_frac
+                FROM c2 c JOIN t2 t ON c.doc_id = t.doc_id
+                GROUP BY c.doc_id
+            ),
+            m3 AS (
+                SELECT c.doc_id,
+                       any_value(t.gram) AS top3_gram,
+                       CAST(any_value(t.cnt) AS BIGINT) AS top3_count,
+                       round(least(1.0, CAST(any_value(t.cnt) * length(any_value(t.gram)) AS DOUBLE) / any_value(c.nc)), 6) AS top3_char_frac,
+                       round(least(1.0, CAST(COALESCE(SUM(CASE WHEN c.cnt > 1 THEN c.cnt * length(c.gram) END), 0) AS DOUBLE) / any_value(c.nc)), 6) AS dup3_char_frac
+                FROM c3 c JOIN t3 t ON c.doc_id = t.doc_id
+                GROUP BY c.doc_id
+            )
+            SELECT t.doc_id, CAST(t.nc AS BIGINT) AS n_chars_norm,
+                   m2.top2_gram, m2.top2_count, m2.top2_char_frac, m2.dup2_char_frac,
+                   m3.top3_gram, m3.top3_count, m3.top3_char_frac, m3.dup3_char_frac
+            FROM tok t
+            LEFT JOIN m2 ON t.doc_id = m2.doc_id
+            LEFT JOIN m3 ON t.doc_id = m3.doc_id
+        """,
+        "pii_redaction": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com via https://ex.example/d/' || CAST(doc_id AS VARCHAR)
+                            || ' tel +1555' || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+                   CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS INT) AS n_urls,
+                   CAST(len(regexp_extract_all(t, '\+[0-9]{7,15}')) AS INT) AS n_phones,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+                           'https?://[^\s]+', '[PII]', 'g'),
+                       '\+[0-9]{7,15}', '[PII]', 'g') AS redacted
+            FROM aug
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b,
+                       CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.5
+                                   WHEN 'src2' THEN 0.25 ELSE 0.1 END AS f
+                FROM documents
+            ) WHERE b < CAST(f * 10000 AS BIGINT)
         """,
         "minhash_verified_pairs": r"""
             WITH t AS (

@@ -180,3 +180,146 @@ def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(c),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+def _gram_metrics(
+    df: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Per-document word n-gram repetition metrics.
+
+    Definitions (documented so the DuckDB oracle can mirror them
+    exactly):
+
+    - ``top{n}_gram``: the most frequent n-gram, ties broken to the
+      lexicographically smallest;
+    - ``top{n}_char_frac``: occurrences x len(gram) of that gram over
+      the normalized text length, capped at 1.0;
+    - ``dup{n}_char_frac``: the same numerator summed over every
+      n-gram occurring more than once.
+
+    Shape: one map-side explode, a partial-aggregated
+    ``groupBy(id, gram)``, then a per-doc aggregate — two shuffles on
+    (id, gram)/(id), both combiner-friendly. Documents shorter than
+    ``n`` tokens contribute null metrics.
+    """
+    toks = tokens(normalize_text(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(
+        F.col(id_col),
+        F.length(normalize_text(text_col)).alias("__nc"),
+        F.explode(grams).alias("__gram"),
+    )
+    counted = exploded.groupBy(id_col, "__nc", "__gram").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    # min(struct(-count, gram)) == (max count, lex-min gram)
+    top = F.min(F.struct((-F.col("__cnt")).alias("negc"), F.col("__gram").alias("g")))
+    dup_chars = F.sum(
+        F.when(F.col("__cnt") > 1, F.col("__cnt") * F.length("__gram")).otherwise(0)
+    )
+    frac = lambda chars: F.round(
+        F.least(F.lit(1.0), chars.cast("double") / F.col("__nc")), 6
+    )
+    return counted.groupBy(id_col, "__nc").agg(
+        top.alias("__top"), dup_chars.alias("__dup")
+    ).select(
+        F.col(id_col),
+        F.col("__top.g").alias(f"top{n}_gram"),
+        (-F.col("__top.negc")).alias(f"top{n}_count"),
+        frac(-F.col("__top.negc") * F.length(F.col("__top.g"))).alias(
+            f"top{n}_char_frac"
+        ),
+        frac(F.col("__dup")).alias(f"dup{n}_char_frac"),
+    )
+
+
+def repetition_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Gopher-style repetition quality filters: for each n in ``ns``,
+    the most-frequent word n-gram's character share and the character
+    share of all duplicated n-grams. High values flag boilerplate and
+    degenerate repetition — standard pretraining-corpus filters."""
+    base = df.select(
+        F.col(id_col),
+        F.length(normalize_text(text_col)).alias("n_chars_norm"),
+    )
+    out = base
+    for n in ns:
+        out = out.join(_gram_metrics(df, n, text_col, id_col), id_col, "left")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PII / URL redaction
+# ---------------------------------------------------------------------------
+# Dialect-neutral patterns (identical semantics in Java regex and
+# RE2): no backrefs, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+PHONE_RE = r"\+[0-9]{7,15}"
+
+
+def pii_counts(text: Column | str) -> Column:
+    """Struct of match counts per PII class (map-only)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.struct(
+        F.regexp_count(c, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(c, F.lit(URL_RE)).alias("n_urls"),
+        F.regexp_count(c, F.lit(PHONE_RE)).alias("n_phones"),
+    )
+
+
+def redact_pii(text: Column | str, repl: str = "[PII]") -> Column:
+    """Replace emails, URLs, and international-format phone numbers
+    with ``repl``. Order matters: emails before URLs so ``mailto:``-
+    like forms can't leave partial addresses behind; all three are
+    plain ``regexp_replace`` chains — JVM-side, codegen, map-only."""
+    c = F.col(text) if isinstance(text, str) else text
+    out = F.regexp_replace(c, EMAIL_RE, repl)
+    out = F.regexp_replace(out, URL_RE, repl)
+    return F.regexp_replace(out, PHONE_RE, repl)
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+def hash_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum sampling that is reproducible across runs, engines,
+    partitionings, and row order: a row survives iff
+    ``md5(key) % 10000 < fraction * 10000``.
+
+    The property a training-data pipeline needs from domain mixing:
+    re-running the job (or running it on another engine) selects the
+    SAME rows, so downstream caches/joins stay consistent. ``sample``/
+    ``sampleBy`` cannot promise that across partitionings. Map-only;
+    the fraction table is a literal CASE chain, no join.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10000
+    )
+    expr = F.lit(float(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        expr = F.when(
+            F.col(strata_col) == value, F.lit(float(frac))
+        ).otherwise(expr)
+    return df.where(bucket < (expr * 10000.0).cast("long"))

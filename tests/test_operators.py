@@ -101,6 +101,71 @@ class TestText:
         assert prof.count() == docs.count()
 
 
+class TestRepetition:
+    def test_top_and_dup_fracs(self, spark):
+        # "a b a b a b": bigrams a b (x3), b a (x2); norm len 11
+        df = spark.createDataFrame([(1, "a b a b a b")], ["doc_id", "text"])
+        [r] = text.repetition_profile(df, ns=(2,)).collect()
+        assert r["top2_gram"] == "a b" and r["top2_count"] == 3
+        assert r["top2_char_frac"] == round(min(1.0, 3 * 3 / 11), 6)
+        # both grams duplicated: 3*3 + 2*3 = 15 chars -> capped at 1.0
+        assert r["dup2_char_frac"] == 1.0
+
+    def test_tie_breaks_lexicographically(self, spark):
+        df = spark.createDataFrame([(1, "z q z q")], ["doc_id", "text"])
+        [r] = text.repetition_profile(df, ns=(2,)).collect()
+        assert r["top2_gram"] == "z q" and r["top2_count"] == 2
+
+    def test_short_doc_null_metrics(self, spark):
+        df = spark.createDataFrame([(1, "one"), (2, "")], ["doc_id", "text"])
+        rows = {r["doc_id"]: r for r in text.repetition_profile(df, ns=(2,)).collect()}
+        assert rows[1]["top2_gram"] is None
+        assert rows[2]["top2_gram"] is None and rows[2]["n_chars_norm"] == 0
+
+
+class TestPII:
+    def test_redacts_and_counts(self, spark):
+        df = spark.createDataFrame(
+            [(1, "mail a.b+c@x-corp.io or visit https://x.io/p?q=1 call +15551234567 now")],
+            ["doc_id", "text"],
+        )
+        [r] = df.select(
+            text.pii_counts("text").alias("c"),
+            text.redact_pii("text").alias("red"),
+        ).collect()
+        assert (r["c"]["n_emails"], r["c"]["n_urls"], r["c"]["n_phones"]) == (1, 1, 1)
+        assert r["red"] == "mail [PII] or visit [PII] call [PII] now"
+
+    def test_clean_text_untouched(self, spark):
+        df = spark.createDataFrame([(1, "no pii here at all")], ["doc_id", "text"])
+        [r] = df.select(text.redact_pii("text").alias("red")).collect()
+        assert r["red"] == "no pii here at all"
+
+
+class TestStratifiedSample:
+    def test_deterministic_and_stratified(self, spark):
+        rows = [(i, "a" if i % 2 == 0 else "b") for i in range(400)]
+        df = spark.createDataFrame(rows, ["id", "src"])
+
+        def pick():
+            return {
+                r["id"]
+                for r in text.hash_stratified_sample(
+                    df, "src", {"a": 0.5, "b": 0.0}, "id"
+                ).collect()
+            }
+
+        s1, s2 = pick(), pick()
+        assert s1 == s2  # reproducible
+        assert all(i % 2 == 0 for i in s1)  # stratum b fully excluded
+        assert 60 <= len(s1) <= 140  # ~50% of the 200 'a' rows
+
+    def test_default_fraction(self, spark):
+        df = spark.createDataFrame([(i, "c") for i in range(200)], ["id", "src"])
+        got = text.hash_stratified_sample(df, "src", {"a": 1.0}, "id").count()
+        assert got == 0  # default 0.0 drops unlisted strata
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
