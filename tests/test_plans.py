@@ -76,3 +76,42 @@ class TestPlanReport:
     def test_summary_readable(self, lineitem):
         s = plans.plan_report(lineitem.filter("l_orderkey = 3")).summary()
         assert "scan parquet" in s and "pushed=" in s
+
+
+class TestQueryPlanQuality:
+    """Scale guarantees of the registered queries: the properties the
+    100 TB design depends on must be visible in the physical plan."""
+
+    def test_pii_and_sampling_are_map_only(self, spark):
+        import __spark_entry__ as E
+
+        for q in ("pii_redaction", "stratified_sample"):
+            df = E.queries()[q](spark, SF)
+            plans.assert_no_shuffle(df)
+            plans.assert_jvm_only(df)
+
+    def test_q15_has_no_unpartitioned_window(self, spark):
+        import __spark_entry__ as E
+
+        df = E.queries()["q15_top_supplier"](spark, SF)
+        pl = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in pl  # scalar max is a broadcast join
+
+    def test_repetition_joins_broadcast(self, spark):
+        import __spark_entry__ as E
+
+        rep = plans.plan_report(E.queries()["doc_repetition"](spark, SF))
+        assert rep.nested_loop_joins == 0
+        # gram pipelines re-join the base on id: broadcast, not SMJ
+        assert rep.broadcast_hash_joins >= 1
+
+    def test_lsh_signature_stage_is_arrow(self, spark):
+        from flycatcher_spark.operators import similarity
+
+        em = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        res = similarity.lsh_bucketed_topk(em, k=2, dim=64, n_bits=8)
+        rep = plans.plan_report(res)
+        # numpy default: signatures via ArrowEvalPython, not interpreted folds
+        assert any("Arrow" in n for n in rep.python_nodes)
