@@ -1736,6 +1736,117 @@ def q_skew_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew.salted_groupby_count(li, ["l_returnflag"], salt_buckets=16)
 
 
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (skew.salted_join): lineitem joined to the
+    supplier dimension on l_suppkey — a repeated key (~600 lines per
+    supplier at sf0.1) standing in for the hot-key case where the
+    dimension is too large to broadcast. The big side is salted, the
+    small side replicated x16 map-only, so each hot key spreads over
+    16 reducers instead of one straggler. Result must equal the plain
+    join + GROUP BY the oracle computes."""
+    from flycatcher_spark.operators import skew
+
+    li = _read(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    supp = _read(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.col("s_nationkey").alias("nationkey"),
+    )
+    joined = skew.salted_join(li, supp, on="l_suppkey", salt_buckets=16)
+    return joined.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
+    )
+
+
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate pattern: raw events roll
+    up to an hourly tier once, and the daily tier aggregates the
+    HOURLY table (not the raw events) — the pre-aggregation reuse that
+    makes dashboard stacks cheap at scale. Output: daily rows with
+    counts, sums, and the busiest hour per day (deterministic
+    min-struct tie-break)."""
+    ev = _read_events(spark, sf_dir)
+    hour_us = 3600 * 1_000_000
+    hourly = (
+        ev.select(
+            (F.col("ts_us") - F.pmod(F.col("ts_us"), F.lit(hour_us))).alias("hour_us"),
+            "value",
+        )
+        .groupBy("hour_us")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("sum_value"),
+        )
+    )
+    day_us = 24 * hour_us
+    daily = (
+        hourly.withColumn(
+            "day_us", F.col("hour_us") - F.pmod(F.col("hour_us"), F.lit(day_us))
+        )
+        .groupBy("day_us")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("sum_value"), 6).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_active_hours"),
+            F.min(
+                F.struct((-F.col("n")).alias("negn"), F.col("hour_us").alias("h"))
+            ).alias("__top"),
+        )
+    )
+    return daily.select(
+        "day_us",
+        "n_events",
+        "sum_value",
+        "n_active_hours",
+        F.col("__top.h").alias("busiest_hour_us"),
+        (-F.col("__top.negn")).alias("busiest_hour_events"),
+    )
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the approximate ANN paths against exact brute
+    force — quantitative evidence for the rows-only operators. No SQL
+    oracle (DuckDB can't run KMeans/LSH), but the output is
+    deterministic: seeded quantizer/planes over deterministic data."""
+    em = _emb_double(spark, sf_dir)
+    q = em.filter(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(em, q, k=5).select(
+        "query_id", F.col("vec_id").alias("nn")
+    )
+    results = []
+
+    def lsh(n_bits: int, n_tables: int) -> DataFrame:
+        return (
+            similarity.lsh_bucketed_topk(
+                em, k=5, dim=64, n_bits=n_bits, n_tables=n_tables
+            )
+            .where(F.col("query_id") < 20)
+            .select("query_id", F.col("vec_id").alias("nn"))
+        )
+
+    ivf = similarity.ivf_topk(em, q, k=5, n_cells=8, n_probe=2, seed=7).select(
+        "query_id", F.col("vec_id").alias("nn")
+    )
+    n_truth = F.lit(100.0)  # 20 queries x k=5
+    configs = (
+        ("lsh_4bit_16tables", lsh(4, 16)),  # high recall, more compute
+        ("lsh_6bit_8tables", lsh(6, 8)),    # cheaper, lower recall
+        ("ivf_probe2of8", ivf),
+    )
+    for name, approx in configs:
+        hit = exact.join(approx, ["query_id", "nn"], "left_semi")
+        results.append(
+            hit.agg(
+                F.lit(name).alias("method"),
+                F.round(F.count(F.lit(1)) / n_truth, 4).alias("recall_at_5"),
+            )
+        )
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass dataset profiler over orders (exact mode so the
     oracle can reproduce; production uses approx_count_distinct)."""
@@ -1825,6 +1936,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "pii_redaction": q_pii_redaction,
         "stratified_sample": q_stratified_sample,
+        "skew_salted_join": q_skew_salted_join,
+        "events_hourly_rollup": q_events_hourly_rollup,
+        "ann_recall": q_ann_recall,
         # -- rotation of previously-green queries -------------------
         "validate_lineitem": q_validate_lineitem,
         "violation_counts": q_violation_counts,
@@ -2673,6 +2787,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM s l JOIN s r
                   ON l.doc_id < r.doc_id AND r.doc_id <= l.doc_id + 25
             ) WHERE jaccard >= 0.2
+        """,
+        "skew_salted_join": """
+            SELECT s_nationkey AS nationkey,
+                   COUNT(*) AS n_lines,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_price
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY 1
+        """,
+        "events_hourly_rollup": """
+            WITH hourly AS (
+                SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+                       COUNT(*) AS n,
+                       SUM(COALESCE(value, 0.0)) AS sum_value
+                FROM events
+                GROUP BY 1
+            )
+            SELECT day_us,
+                   CAST(SUM(n) AS BIGINT) AS n_events,
+                   round(SUM(sum_value), 6) AS sum_value,
+                   COUNT(*) AS n_active_hours,
+                   (SELECT h2.hour_us FROM hourly h2
+                    WHERE h2.hour_us - h2.hour_us % 86400000000 = h.day_us
+                    ORDER BY h2.n DESC, h2.hour_us LIMIT 1) AS busiest_hour_us,
+                   (SELECT CAST(h2.n AS BIGINT) FROM hourly h2
+                    WHERE h2.hour_us - h2.hour_us % 86400000000 = h.day_us
+                    ORDER BY h2.n DESC, h2.hour_us LIMIT 1) AS busiest_hour_events
+            FROM (SELECT *, hour_us - hour_us % 86400000000 AS day_us FROM hourly) h
+            GROUP BY day_us
         """,
         "doc_repetition": r"""
             WITH nrm AS (

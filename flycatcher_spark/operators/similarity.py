@@ -300,33 +300,98 @@ def lsh_bucketed_topk(
     n_bits: int = 12,
     seed: int = 42,
     impl: str = "numpy",
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate all-pairs top-k within LSH buckets.
 
     Corpus-vs-corpus search without the quadratic cross join: vectors
-    sharing a signature bucket are candidate neighbors; one
-    ``groupBy(bucket)``-shaped self-join shuffle replaces the cross
-    product. Recall depends on ``n_bits`` (fewer bits = bigger
-    buckets = higher recall, more compute). ``impl="numpy"``
-    (default) computes signatures with the Arrow matmul kernel;
-    ``impl="sql"`` uses the interpreted Catalyst fold (parity path).
+    sharing a signature bucket are candidate neighbors; a
+    ``groupBy(table, bucket)``-shaped self-join shuffle replaces the
+    cross product.
+
+    Recall has two dials (classic LSH amplification): ``n_bits`` ANDs
+    hyperplane agreements (fewer bits = bigger buckets = higher
+    recall, more compute) and ``n_tables`` ORs independent signature
+    tables (a pair is a candidate if it collides in ANY table) —
+    far-apart neighbors need several tables, since a single
+    random-hyperplane table only reliably buckets near-identical
+    vectors. With multiple tables the candidate pair set is
+    deduplicated BEFORE scoring, so each pair's cosine is computed
+    once; the signature stage stays map-only and the bucket join
+    carries only ``(id, table, sig)``.
+
+    ``impl="numpy"`` (default) computes signatures with the Arrow
+    matmul kernel; ``impl="sql"`` uses the interpreted Catalyst fold
+    (parity path).
     """
     sig_fn = signature_bits_kernel if impl == "numpy" else signature_bits
-    with_sig = corpus.select(
-        F.col(id_col), F.col(vec_col), sig_fn(F.col(vec_col), dim, n_bits, seed).alias("__sig")
-    )
-    left = with_sig.alias("l")
-    right = with_sig.alias("r")
-    pairs = left.join(
-        right,
-        (F.col("l.__sig") == F.col("r.__sig"))
-        & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")),
-    )
-    scored = pairs.select(
-        F.col(f"l.{id_col}").alias("query_id"),
-        F.col(f"r.{id_col}").alias(id_col),
-        F.round(cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6).alias("sim"),
-    )
+    base = corpus.select(F.col(id_col), F.col(vec_col))
+    if n_tables == 1:
+        with_sig = base.select(
+            F.col(id_col),
+            F.col(vec_col),
+            sig_fn(F.col(vec_col), dim, n_bits, seed).alias("__sig"),
+        )
+        left = with_sig.alias("l")
+        right = with_sig.alias("r")
+        pairs = left.join(
+            right,
+            (F.col("l.__sig") == F.col("r.__sig"))
+            & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")),
+        )
+        scored = pairs.select(
+            F.col(f"l.{id_col}").alias("query_id"),
+            F.col(f"r.{id_col}").alias(id_col),
+            F.round(
+                cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6
+            ).alias("sim"),
+        )
+    else:
+        sigs = base.select(
+            F.col(id_col),
+            F.posexplode(
+                F.array(
+                    *[
+                        sig_fn(F.col(vec_col), dim, n_bits, seed + t)
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("__t", "__sig"),
+        )
+        left = sigs.alias("l")
+        right = sigs.alias("r")
+        cand = (
+            left.join(
+                right,
+                (F.col("l.__t") == F.col("r.__t"))
+                & (F.col("l.__sig") == F.col("r.__sig"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("__a"),
+                F.col(f"r.{id_col}").alias("__b"),
+            )
+            .dropDuplicates(["__a", "__b"])
+        )
+        # both directions so every member of a pair ranks the other
+        cand = cand.unionByName(
+            cand.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
+        )
+        va = base.select(
+            F.col(id_col).alias("__a"), F.col(vec_col).alias("__va")
+        )
+        vb = base.select(
+            F.col(id_col).alias("__b"), F.col(vec_col).alias("__vb")
+        )
+        scored = (
+            cand.join(va, "__a")
+            .join(vb, "__b")
+            .select(
+                F.col("__a").alias("query_id"),
+                F.col("__b").alias(id_col),
+                F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("sim"),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col(id_col).asc()
     )

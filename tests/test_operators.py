@@ -365,6 +365,30 @@ class TestSimilarity:
         # same bucket must find each other
         assert (1, 2) in pairs or (2, 1) in pairs
 
+    def test_lsh_multi_table_amplifies_recall(self, spark):
+        """OR-ing independent signature tables must find at least the
+        union of what each table finds alone (classic amplification),
+        and scored pairs must be unique per (query, neighbor)."""
+        em = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        single = similarity.lsh_bucketed_topk(em, k=3, dim=64, n_bits=4, seed=42)
+        multi = similarity.lsh_bucketed_topk(
+            em, k=3, dim=64, n_bits=4, seed=42, n_tables=8
+        )
+        ns, nm = single.count(), multi.count()
+        assert nm >= ns  # more tables -> more (or equal) found pairs
+        # no duplicate scored pairs despite multi-table collisions
+        dup = (
+            multi.groupBy("query_id", "vec_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        assert dup == 0
+
     def test_signature_kernel_matches_sql(self, spark):
         """The Arrow matmul signature must be bit-identical to the
         Catalyst fold on real embeddings (mirrors the MinHash
