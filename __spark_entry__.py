@@ -1375,6 +1375,42 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.select("doc_id", "source")
 
 
+def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end training-corpus selection: the composed
+    pipeline a pretraining data job actually runs —
+
+    1. normalized exact dedup (min-doc_id survivor),
+    2. quality floor (heuristic quality score >= 0.7),
+    3. repetition ceiling (duplicate-trigram char fraction <= 0.2),
+    4. deterministic md5-bucket train split (80%).
+
+    Every stage is deterministic, so the survivor set is
+    oracle-checkable cell-for-cell. Plan shape: one (fingerprint)
+    aggregate for dedup, one gram aggregate for repetition, the rest
+    map-only; survivors carry (doc_id, lang, quality, dup3) so the
+    output is prunable to 4 columns."""
+    docs = _read(spark, sf_dir, "documents")
+    deduped = dedup.exact_dedup(
+        docs, subset=["text"], id_col="doc_id", normalize=True
+    )
+    rep = text.repetition_profile(docs, ns=(3,)).select(
+        "doc_id", F.coalesce(F.col("dup3_char_frac"), F.lit(0.0)).alias("dup3")
+    )
+    scored = deduped.select(
+        "doc_id",
+        "lang",
+        text.quality_score(F.col("text")).alias("quality"),
+    ).join(rep, "doc_id")
+    kept = scored.where(
+        (F.col("quality") >= 0.7) & (F.col("dup3") <= 0.2)
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000
+    )
+    return kept.where(bucket < 800).select("doc_id", "lang", "quality", "dup3")
+
+
 def q_validate_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V2 default injection: a defaulted column absent from the input
     is added filled with the default (reference polars.py:144-157)."""
@@ -1939,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join": q_skew_salted_join,
         "events_hourly_rollup": q_events_hourly_rollup,
         "ann_recall": q_ann_recall,
+        "corpus_select": q_corpus_select,
         # -- rotation of previously-green queries -------------------
         "validate_lineitem": q_validate_lineitem,
         "violation_counts": q_violation_counts,
@@ -2787,6 +2824,36 @@ def oracle_sql() -> dict[str, str]:
                 FROM s l JOIN s r
                   ON l.doc_id < r.doc_id AND r.doc_id <= l.doc_id + 25
             ) WHERE jaccard >= 0.2
+        """,
+        "corpus_select": _TEXT_BASE_CTE + r"""
+            , surv AS (
+                SELECT MIN(doc_id) AS doc_id FROM base GROUP BY norm
+            ),
+            tok3 AS (
+                SELECT doc_id, length(norm) AS nc,
+                       CASE WHEN length(norm) = 0 THEN CAST([] AS VARCHAR[])
+                            ELSE string_split(norm, ' ') END AS toks
+                FROM base
+            ),
+            g3 AS (
+                SELECT doc_id, nc, unnest(CASE WHEN len(toks) >= 3
+                            THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                            ELSE CAST([] AS VARCHAR[]) END) AS gram
+                FROM tok3
+            ),
+            c3 AS (SELECT doc_id, nc, gram, COUNT(*) AS cnt FROM g3 GROUP BY 1, 2, 3),
+            d3 AS (
+                SELECT doc_id,
+                       round(least(1.0, CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt * length(gram) END), 0) AS DOUBLE) / any_value(nc)), 6) AS dup3
+                FROM c3 GROUP BY doc_id
+            )
+            SELECT s.doc_id, d.lang, s.quality, COALESCE(d3.dup3, 0.0) AS dup3
+            FROM scored s
+            JOIN surv USING (doc_id)
+            JOIN documents d USING (doc_id)
+            LEFT JOIN d3 USING (doc_id)
+            WHERE s.quality >= 0.7 AND COALESCE(d3.dup3, 0.0) <= 0.2
+              AND CAST(concat('0x', substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 800
         """,
         "skew_salted_join": """
             SELECT s_nationkey AS nationkey,

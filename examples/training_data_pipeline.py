@@ -51,6 +51,19 @@ def main() -> None:
     keep = profiled.filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 5))
     print("after quality filter:", keep.count(), "/", docs.count())
 
+    # 2b. Repetition ceiling (Gopher-style): drop docs whose duplicated
+    #     trigrams cover too much of the text, and redact PII before
+    #     anything downstream can memorize it (both map-only)
+    rep = text.repetition_profile(keep, ns=(3,)).select(
+        "doc_id", F.coalesce(F.col("dup3_char_frac"), F.lit(0.0)).alias("dup3")
+    )
+    keep = (
+        keep.join(rep, "doc_id")
+        .filter(F.col("dup3") <= 0.6)
+        .withColumn("text", text.redact_pii(F.col("text")))
+    )
+    print("after repetition filter + PII redaction:", keep.count())
+
     # 3. Exact dedup (deterministic min-id representative)
     deduped = dedup.exact_dedup(
         keep.select("doc_id", "text"), subset=["text"], id_col="doc_id"
@@ -84,6 +97,17 @@ def main() -> None:
     )
     split.groupBy("split").count().orderBy("split").show()
     split.select("doc_id", "chunk_idx", "fp", "split").show(5)
+
+    # 7. Domain mixing: deterministic per-language sampling weights —
+    #    the same rows survive on every rerun and every engine
+    mixed = text.hash_stratified_sample(
+        split.join(docs.select("doc_id", "lang"), "doc_id"),
+        strata_col="lang",
+        fractions={"en": 1.0, "de": 0.5, "fr": 0.5},
+        key_col="doc_id",
+        default_fraction=0.25,
+    )
+    mixed.groupBy("lang").count().orderBy("lang").show()
 
     spark.stop()
 
