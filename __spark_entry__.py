@@ -1752,10 +1752,12 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (approximate — no SQL oracle; rows-only check)."""
+    """LSH-bucketed ANN, multi-table amplification path (approximate —
+    no SQL oracle; rows-only check; recall quantified by ann_recall)."""
     em = _emb_double(spark, sf_dir)
     res = similarity.lsh_bucketed_topk(
-        em, k=5, id_col="vec_id", vec_col="embedding", dim=64, n_bits=10
+        em, k=5, id_col="vec_id", vec_col="embedding", dim=64, n_bits=10,
+        n_tables=4,
     )
     return res.select("query_id", "vec_id", "sim", F.col("rank").cast("long").alias("rank"))
 
