@@ -11,6 +11,8 @@ itself.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -242,16 +244,101 @@ def _gram_metrics(
     )
 
 
+def _gram_list(text_col: str, n: int):
+    """Full (non-distinct) word n-gram list of normalized text; null
+    for docs shorter than one shingle. JVM-side, so the Python kernel
+    never tokenizes — normalization/tokenization semantics stay
+    identical between impls."""
+    toks = tokens(normalize_text(text_col))
+    if n == 1:
+        grams = toks
+    else:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.lit(None).cast("array<string>")
+    )
+
+
+def _make_gram_stats_kernel():
+    """Arrow kernel for per-row n-gram stats: (most-frequent gram with
+    lex-min tie-break, its count, total chars inside duplicated
+    grams). ``np.unique`` returns lexicographically sorted uniques, so
+    the first argmax IS the lex-min tie-break — matching the SQL
+    path's ``min(struct(-count, gram))`` (UTF-8 byte order equals
+    codepoint order). Null gram lists (short docs) yield null stats.
+
+    Built lazily (session-free imports) as a closure so cloudpickle
+    ships it by value to executors, like the MinHash kernel."""
+
+    def gram_stats(grams: pd.Series) -> pd.DataFrame:
+        g_out, c_out, d_out = [], [], []
+        for arr in grams:
+            if arr is None or len(arr) == 0:
+                g_out.append(None)
+                c_out.append(None)
+                d_out.append(None)
+                continue
+            uniq, counts = np.unique(
+                np.asarray(arr, dtype=object), return_counts=True
+            )
+            top = int(np.argmax(counts))
+            lens = np.fromiter(
+                (len(u) for u in uniq), dtype=np.int64, count=len(uniq)
+            )
+            dup = counts > 1
+            g_out.append(uniq[top])
+            c_out.append(int(counts[top]))
+            d_out.append(int((counts[dup] * lens[dup]).sum()))
+        return pd.DataFrame({"g": g_out, "c": c_out, "d": d_out})
+
+    return F.pandas_udf(gram_stats, "g string, c bigint, d bigint")
+
+
 def repetition_profile(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     ns: tuple[int, ...] = (2, 3),
+    impl: str = "pandas",
 ) -> DataFrame:
     """Gopher-style repetition quality filters: for each n in ``ns``,
     the most-frequent word n-gram's character share and the character
     share of all duplicated n-grams. High values flag boilerplate and
-    degenerate repetition — standard pretraining-corpus filters."""
+    degenerate repetition — standard pretraining-corpus filters.
+
+    A document's n-grams live in one row, so the counting is
+    row-local. ``impl="pandas"`` (default) runs one Arrow kernel over
+    the JVM-built gram list — map-only, ZERO shuffles, no joins;
+    measured ~30x over the explode path at 100k docs, and the gap
+    widens with corpus size since the explode path shuffles every
+    gram occurrence twice. ``impl="sql"`` keeps the explode +
+    two-shuffle aggregation as the pure-Catalyst parity path (pytest
+    pins output equality)."""
+    if impl == "pandas":
+        kernel = _make_gram_stats_kernel()
+        out = df.select(
+            F.col(id_col),
+            F.length(normalize_text(text_col)).alias("n_chars_norm"),
+            *[_gram_list(text_col, n).alias(f"__g{n}") for n in ns],
+        )
+        for n in ns:
+            out = out.withColumn(f"__m{n}", kernel(F.col(f"__g{n}")))
+        frac = lambda chars: F.round(
+            F.least(F.lit(1.0), chars.cast("double") / F.col("n_chars_norm")), 6
+        )
+        cols = [F.col(id_col), F.col("n_chars_norm")]
+        for n in ns:
+            m = F.col(f"__m{n}")
+            cols += [
+                m["g"].alias(f"top{n}_gram"),
+                m["c"].alias(f"top{n}_count"),
+                frac(m["c"] * F.length(m["g"])).alias(f"top{n}_char_frac"),
+                frac(m["d"]).alias(f"dup{n}_char_frac"),
+            ]
+        return out.select(*cols)
     base = df.select(
         F.col(id_col),
         F.length(normalize_text(text_col)).alias("n_chars_norm"),

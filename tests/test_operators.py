@@ -102,6 +102,18 @@ class TestText:
 
 
 class TestRepetition:
+    def test_kernel_matches_sql_on_corpus(self, spark):
+        """The row-local Arrow kernel and the explode-aggregate SQL
+        path must agree cell-for-cell on the real corpus (mirrors the
+        MinHash/LSH kernel parity pins)."""
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = text.repetition_profile(docs, ns=(2, 3), impl="pandas")
+        b = text.repetition_profile(docs, ns=(2, 3), impl="sql")
+        cols = sorted(a.columns)
+        ar = sorted(tuple(r) for r in a.select(cols).collect())
+        br = sorted(tuple(r) for r in b.select(cols).collect())
+        assert ar == br
+
     def test_top_and_dup_fracs(self, spark):
         # "a b a b a b": bigrams a b (x3), b a (x2); norm len 11
         df = spark.createDataFrame([(1, "a b a b a b")], ["doc_id", "text"])
