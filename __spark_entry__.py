@@ -1687,6 +1687,18 @@ def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified fuzzy dedup: LSH proposes, exact trigram Jaccard
+    decides (minhash_dedup(verify_threshold=0.5)). With full-recall
+    banding the survivor set equals ground truth — DuckDB drops every
+    doc that has a lower-id pair at exact Jaccard >= 0.5."""
+    docs = _read(spark, sf_dir, "documents")
+    kept = dedup.minhash_dedup(
+        docs, num_perm=64, bands=16, shingle_n=3, verify_threshold=0.5
+    )
+    return kept.select("doc_id", "source", "lang")
+
+
 def q_simhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banding candidates verified with exact trigram Jaccard
     (same ground-truth-equality design as minhash_verified_pairs;
@@ -1978,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": q_events_hourly_rollup,
         "ann_recall": q_ann_recall,
         "corpus_select": q_corpus_select,
+        "minhash_dedup_verified": q_minhash_dedup_verified,
         # -- rotation of previously-green queries -------------------
         "validate_lineitem": q_validate_lineitem,
         "violation_counts": q_violation_counts,
@@ -3006,6 +3019,39 @@ def oracle_sql() -> dict[str, str]:
                 FROM s l JOIN s r ON l.doc_id < r.doc_id
                 WHERE len(l.sh) > 0 AND len(r.sh) > 0
             ) WHERE jaccard >= 0.5
+        """,
+        "minhash_dedup_verified": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN length(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g'),
+                                ' ')
+                       END AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                            ELSE list_distinct(list_transform(
+                                range(1, len(toks) - 1),
+                                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       END AS sh
+                FROM t
+            ),
+            losers AS (
+                SELECT DISTINCT r.doc_id
+                FROM s l JOIN s r ON l.doc_id < r.doc_id
+                WHERE len(l.sh) > 0 AND len(r.sh) > 0
+                  AND round(CASE WHEN len(list_distinct(list_concat(l.sh, r.sh))) = 0 THEN 0.0
+                            ELSE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                                 / len(list_distinct(list_concat(l.sh, r.sh)))
+                        END, 6) >= 0.5
+            )
+            SELECT d.doc_id, d.source, d.lang
+            FROM documents d
+            ANTI JOIN losers USING (doc_id)
         """,
         "simhash_verified_pairs": r"""
             WITH t AS (

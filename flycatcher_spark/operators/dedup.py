@@ -437,12 +437,34 @@ def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    verify_threshold: float | None = None,
     **kwargs,
 ) -> DataFrame:
     """Drop near-duplicates: a doc survives unless a lower-id doc is
     its near-duplicate (single-pass representative selection; full
-    connected components would iterate — documented simplification)."""
-    pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
+    connected components would iterate — documented simplification).
+
+    With ``verify_threshold`` set, LSH banding only *proposes*
+    candidates (estimate filter disabled) and each candidate pair is
+    re-checked with exact shingle Jaccard before any doc is dropped —
+    the production shape: banding recall bounds what you can find,
+    verification precision decides what you delete. The verified
+    output is also engine-checkable: with full-recall banding it
+    equals ground-truth all-pairs Jaccard dedup.
+    """
+    if verify_threshold is not None:
+        kwargs = dict(kwargs, threshold=0.0)
+        cand = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
+        pairs = verify_pairs_jaccard(
+            cand,
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_n=kwargs.get("shingle_n", 3),
+            threshold=verify_threshold,
+        )
+    else:
+        pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
     losers = pairs.select(F.col("doc_id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
 

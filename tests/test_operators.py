@@ -221,6 +221,34 @@ class TestMinHash:
         diff = a.join(b, "doc_id").where(F.expr("NOT (a <=> b)")).count()
         assert diff == 0
 
+    def test_verified_dedup_gates_on_exact_jaccard(self, spark):
+        """verify_threshold: banding proposes, exact Jaccard decides —
+        a strict threshold must keep docs the estimate alone would
+        have dropped."""
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            (1, base),
+            (2, base),  # exact dup of 1 -> jaccard 1.0, always dropped
+            (3, base.replace("dog", "cat").replace("quick", "slow")),
+            (4, "completely different words entirely unrelated tokens here now"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        kept_loose = {
+            r["doc_id"]
+            for r in dedup.minhash_dedup(
+                df, num_perm=64, bands=32, verify_threshold=0.3
+            ).collect()
+        }
+        kept_strict = {
+            r["doc_id"]
+            for r in dedup.minhash_dedup(
+                df, num_perm=64, bands=32, verify_threshold=1.0
+            ).collect()
+        }
+        assert 2 not in kept_loose and 1 in kept_loose and 4 in kept_loose
+        # at threshold 1.0 only the exact dup goes; doc 3 survives
+        assert kept_strict == {1, 3, 4}
+
     def test_near_dups_found(self, spark):
         base = "the quick brown fox jumps over the lazy dog again and again today"
         rows = [
