@@ -97,12 +97,23 @@ class TestQueryPlanQuality:
         pl = df._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in pl  # scalar max is a broadcast join
 
-    def test_repetition_joins_broadcast(self, spark):
+    def test_repetition_kernel_is_shuffle_free(self, spark):
         import __spark_entry__ as E
 
+        # default impl: row-local Arrow kernel — no joins, no shuffles
         rep = plans.plan_report(E.queries()["doc_repetition"](spark, SF))
+        assert rep.n_shuffles == 0
+        assert rep.broadcast_hash_joins + rep.sort_merge_joins == 0
+
+    def test_repetition_sql_path_joins_broadcast(self, spark):
+        from flycatcher_spark.operators import text
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        rep = plans.plan_report(
+            text.repetition_profile(docs, ns=(2,), impl="sql")
+        )
         assert rep.nested_loop_joins == 0
-        # gram pipelines re-join the base on id: broadcast, not SMJ
+        # gram pipeline re-joins the base on id: broadcast, not SMJ
         assert rep.broadcast_hash_joins >= 1
 
     def test_lsh_signature_stage_is_arrow(self, spark):
