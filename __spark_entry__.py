@@ -51,6 +51,12 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP_NTZ); handle both. Session timezone is pinned to UTC so
     ntz <-> epoch-micros conversions are exact and match DuckDB's
     `epoch_us(ts)` oracle semantics.
+
+    Deliberate session-level side effect: setting the timezone here
+    is safe for every other registered query because all test tables
+    carry TIMESTAMP_NTZ columns and their literal comparisons are
+    timezone-independent; only the explicit ntz<->epoch casts in the
+    events path observe the session zone, and they require UTC.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -977,10 +983,7 @@ def q_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs, partitionings, engines, and data order — the property a
     training pipeline actually needs."""
     docs = _read(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 1000
-    )
+    bucket = text.md5_bucket(F.col("doc_id"), 1000)
     split = (
         F.when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
     )
@@ -1393,7 +1396,9 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup.exact_dedup(
         docs, subset=["text"], id_col="doc_id", normalize=True
     )
-    rep = text.repetition_profile(docs, ns=(3,)).select(
+    # repetition metrics are row-local: compute them on the survivors
+    # only, not the pre-dedup corpus
+    rep = text.repetition_profile(deduped, ns=(3,)).select(
         "doc_id", F.coalesce(F.col("dup3_char_frac"), F.lit(0.0)).alias("dup3")
     )
     scored = deduped.select(
@@ -1404,10 +1409,7 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = scored.where(
         (F.col("quality") >= 0.7) & (F.col("dup3") <= 0.2)
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 1000
-    )
+    bucket = text.md5_bucket(F.col("doc_id"), 1000)
     return kept.where(bucket < 800).select("doc_id", "lang", "quality", "dup3")
 
 
@@ -1993,7 +1995,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "simhash_verified_pairs": q_simhash_verified_pairs,
         "minhash_dedup_verified": q_minhash_dedup_verified,
-        # -- rotation of previously-green queries -------------------
+        # -- rotation of previously-green queries (the new-this-round
+        # -- block grew to 11 entries, so only ~1 rotation slot is
+        # -- left inside a 50-entry window; the rest of this section
+        # -- is effectively past the window this round) --------------
         "validate_lineitem": q_validate_lineitem,
         "violation_counts": q_violation_counts,
         "q1_pricing_summary": q1_pricing_summary,

@@ -205,9 +205,22 @@ def ivf_topk(
     :func:`brute_force_topk` (which remains the exact baseline).
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     query_id_col = query_id_col or id_col
+
+    # Null / ragged embeddings crash KMeans training and can't be
+    # assigned a cell; drop them from BOTH sides up front (one cheap
+    # first() to learn the modal dimensionality).
+    first = corpus.where(F.col(vec_col).isNotNull()).select(
+        F.size(F.col(vec_col)).alias("d")
+    ).first()
+    if first is None:
+        raise ValueError("ivf_topk: corpus has no non-null vectors")
+    vdim = int(first["d"])
+    valid = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == vdim)
+    corpus = corpus.where(valid)
+    queries = queries.where(valid)
 
     train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
     n = train.count()
@@ -231,20 +244,37 @@ def ivf_topk(
         if impl == "numpy":
             C = np.array(centroids, dtype=np.float64)  # (cells, dim)
 
+            dim = C.shape[1]
+
             @pandas_udf("array<int>")
             def _cells(vecs: pd.Series) -> pd.Series:
-                V = np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in vecs]
-                )  # (n, dim)
-                # Explicit (v-c)^2 sum — same arithmetic as the SQL
-                # fold up to summation order; ||v||²-2vc+||c||² would
-                # drift more. (n, cells, dim) stays small: Arrow
-                # batches are ~10k rows and n_cells is tens.
-                D = np.square(V[:, None, :] - C[None, :, :]).sum(axis=2)
-                # stable argsort == struct(d, cell) ordering: ties
-                # break toward the lower cell index
-                order = np.argsort(D, axis=1, kind="stable")[:, :n_best]
-                return pd.Series(list(order.astype(np.int32)))
+                # null / ragged vectors -> null cells, matching the
+                # SQL fold (null fold result -> null assignment)
+                mask = np.fromiter(
+                    (v is not None and len(v) == dim for v in vecs),
+                    dtype=bool,
+                )
+                out = [None] * len(vecs)
+                if mask.any():
+                    V = np.stack(
+                        [
+                            np.asarray(v, dtype=np.float64)
+                            for v, m in zip(vecs, mask)
+                            if m
+                        ]
+                    )  # (n, dim)
+                    # Explicit (v-c)^2 sum — same arithmetic as the
+                    # SQL fold up to summation order; ||v||²-2vc+||c||²
+                    # would drift more. (n, cells, dim) stays small:
+                    # Arrow batches are ~10k rows and n_cells is tens.
+                    D = np.square(V[:, None, :] - C[None, :, :]).sum(axis=2)
+                    # stable argsort == struct(d, cell) ordering: ties
+                    # break toward the lower cell index
+                    order = np.argsort(D, axis=1, kind="stable")[:, :n_best]
+                    rows = iter(order.astype(np.int32))
+                    for i in np.flatnonzero(mask):
+                        out[i] = next(rows)
+                return pd.Series(out, dtype=object)
 
             return df.withColumn(out, _cells(F.col(vec_col)))
         dists = F.array(*_cell_scores(F.col(vec_col)))
@@ -373,6 +403,12 @@ def lsh_bucketed_topk(
             )
             .dropDuplicates(["__a", "__b"])
         )
+        # The deduped candidate set is referenced twice (itself + its
+        # mirror); without materialization the expensive bucket
+        # self-join + dropDuplicates subtree can execute twice — same
+        # rationale as the MinHash signature persist.
+        cand = cand.persist()
+        cand.count()
         # both directions so every member of a pair ranks the other
         cand = cand.unionByName(
             cand.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))

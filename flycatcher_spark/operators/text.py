@@ -11,6 +11,8 @@ itself.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -383,6 +385,19 @@ def redact_pii(text: Column | str, repl: str = "[PII]") -> Column:
 # ---------------------------------------------------------------------------
 # deterministic stratified sampling
 # ---------------------------------------------------------------------------
+def md5_bucket(key: Column, mod: int) -> Column:
+    """Engine-portable deterministic bucket: the first 8 hex chars of
+    md5(key) as an integer, mod ``mod``. The SAME expression is
+    reproducible in DuckDB as ``CAST(concat('0x', substr(md5(CAST(key
+    AS VARCHAR)), 1, 8)) AS BIGINT) % mod`` — the single definition
+    behind splits, stratified sampling, and the split/sample oracle
+    queries (keep them in sync through this helper)."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("long") % int(mod)
+    )
+
+
 def hash_stratified_sample(
     df: DataFrame,
     strata_col: str,
@@ -400,13 +415,17 @@ def hash_stratified_sample(
     ``sampleBy`` cannot promise that across partitionings. Map-only;
     the fraction table is a literal CASE chain, no join.
     """
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
-        .cast("long") % 10000
-    )
-    expr = F.lit(float(default_fraction))
+    bucket = md5_bucket(F.col(key_col), 10000)
+    # Thresholds resolve to integer literals ON THE DRIVER with
+    # round-half-up, matching SQL engines' CAST(f * 10000 AS BIGINT)
+    # rounding; a runtime float multiply + truncating cast would keep
+    # e.g. 0.35 * 10000.0 = 3499.999... and silently drop bucket 3499.
+    def _thresh(f: float) -> int:
+        return int(math.floor(float(f) * 10000 + 0.5))
+
+    expr = F.lit(_thresh(default_fraction))
     for value, frac in sorted(fractions.items()):
         expr = F.when(
-            F.col(strata_col) == value, F.lit(float(frac))
+            F.col(strata_col) == value, F.lit(_thresh(frac))
         ).otherwise(expr)
-    return df.where(bucket < (expr * 10000.0).cast("long"))
+    return df.where(bucket < expr)

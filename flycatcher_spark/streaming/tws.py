@@ -38,6 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -59,12 +60,18 @@ def _out_schema(sdf: DataFrame, key_cols: list[str]) -> StructType:
     )
 
 
+# Parallel arrays of pending segments (gap-separated sessions that the
+# watermark has not yet sealed): index i across the four arrays is one
+# segment. A single-segment state is NOT enough — a batch can close a
+# segment internally (a > gap void inside the batch) while the
+# watermark still admits an out-of-order event that bridges the void,
+# so "closed in batch" and "safe to emit" are different predicates.
 _STATE_SCHEMA = StructType(
     [
-        StructField("start_ms", LongType(), False),
-        StructField("last_ms", LongType(), False),
-        StructField("n", LongType(), False),
-        StructField("total", DoubleType(), False),
+        StructField("starts", ArrayType(LongType()), False),
+        StructField("lasts", ArrayType(LongType()), False),
+        StructField("ns", ArrayType(LongType()), False),
+        StructField("totals", ArrayType(DoubleType()), False),
     ]
 )
 
@@ -73,23 +80,23 @@ def _ts_ms(series: pd.Series) -> pd.Series:
     return series.astype("datetime64[ms]").astype("int64")
 
 
-def _fold_segments(pdfs, ts_col, value_col, gap_ms, stored=None):
-    """Collapse a batch's rows (plus the optional carried-over open
-    session) into gap-separated ``[start_ms, last_ms, n, total]``
-    segments.
+def _fold_segments(pdfs, ts_col, value_col, gap_ms, stored=()):
+    """Collapse a batch's rows (plus carried-over pending segments)
+    into gap-separated ``[start_ms, last_ms, n, total]`` segments.
 
     This is what makes the operator's semantics independent of
     micro-batch granularity: a replay/catch-up batch can span hours of
     event time and so contain SEVERAL sessions for one key — folding
-    only min/max over the whole batch would silently merge them. All
-    but the time-wise last segment are already closed (a > gap void
-    follows each); the last stays open in state.
+    only min/max over the whole batch would silently merge them.
+    ``stored`` segments participate in merging, so an in-watermark
+    out-of-order event can still bridge a void seen in an earlier
+    batch.
 
-    Returns ``(closed_segments, open_segment_or_None)``.
+    Returns the merged segment list sorted by start time.
     """
-    segs: list[list] = []
-    if stored is not None:
-        segs.append([int(stored[0]), int(stored[1]), int(stored[2]), float(stored[3])])
+    segs: list[list] = [
+        [int(s[0]), int(s[1]), int(s[2]), float(s[3])] for s in stored
+    ]
     frames = [pdf for pdf in pdfs if len(pdf)]
     if frames:
         big = pd.concat(frames) if len(frames) > 1 else frames[0]
@@ -101,7 +108,7 @@ def _fold_segments(pdfs, ts_col, value_col, gap_ms, stored=None):
         for cm, cv in zip(np.split(ms, brk), np.split(vals, brk)):
             segs.append([int(cm[0]), int(cm[-1]), len(cm), float(cv.sum())])
     if not segs:
-        return [], None
+        return []
     segs.sort(key=lambda s: (s[0], s[1]))
     merged = [segs[0]]
     for s in segs[1:]:
@@ -113,7 +120,48 @@ def _fold_segments(pdfs, ts_col, value_col, gap_ms, stored=None):
             cur[3] += s[3]
         else:
             merged.append(s)
-    return merged[:-1], merged[-1]
+    return merged
+
+
+def _split_safe(segs, gap_ms, wm_ms):
+    """Partition segments into (emittable, pending). A segment is
+    sealed only when the watermark strictly passed ``last + gap`` —
+    an admissible event (ts >= watermark) can otherwise still extend
+    it (merge condition ``ts - last <= gap``)."""
+    safe = [s for s in segs if s[1] + gap_ms < wm_ms]
+    pending = [s for s in segs if s[1] + gap_ms >= wm_ms]
+    return safe, pending
+
+
+def _seg_rows(key_names, key, segs):
+    rows = []
+    for s in segs:
+        row = dict(zip(key_names, key))
+        row.update(
+            session_start_ms=s[0],
+            session_end_ms=s[1],
+            n_events=s[2],
+            total_value=s[3],
+        )
+        rows.append(row)
+    return rows
+
+
+def _encode(segs):
+    return (
+        [s[0] for s in segs],
+        [s[1] for s in segs],
+        [s[2] for s in segs],
+        [s[3] for s in segs],
+    )
+
+
+def _decode(state_tuple):
+    starts, lasts, ns, totals = state_tuple
+    return [
+        [int(a), int(b), int(c), float(d)]
+        for a, b, c, d in zip(starts, lasts, ns, totals)
+    ]
 
 
 def timeout_sessions(
@@ -140,40 +188,36 @@ def timeout_sessions(
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        wm = state.getCurrentWatermarkMs()
         if state.hasTimedOut:
-            start_ms, last_ms, n, total = state.get
-            state.remove()
-            row = dict(zip(key_names, key))
-            row.update(
-                session_start_ms=int(start_ms),
-                session_end_ms=int(last_ms),
-                n_events=int(n),
-                total_value=float(total),
-            )
-            yield pd.DataFrame([row])
-            return
-        stored = state.get if state.exists else None
-        closed, open_seg = _fold_segments(
-            pdfs, ts_col, value_col, gap_ms, stored
-        )
-        if open_seg is not None:
-            state.update(tuple(open_seg))
-            # deadline moves forward with every batch touching the key
-            state.setTimeoutTimestamp(open_seg[1] + gap_ms)
-        if closed:
-            # sessions already followed by a > gap void inside this
-            # batch: emit now, no timer needed
-            rows = []
-            for s in closed:
-                row = dict(zip(key_names, key))
-                row.update(
-                    session_start_ms=s[0],
-                    session_end_ms=s[1],
-                    n_events=s[2],
-                    total_value=s[3],
+            safe, pending = _split_safe(_decode(state.get), gap_ms, wm)
+            if pending:
+                state.update(_encode(pending))
+                state.setTimeoutTimestamp(
+                    max(min(s[1] for s in pending) + gap_ms, wm + 1)
                 )
-                rows.append(row)
-            yield pd.DataFrame(rows)
+            else:
+                state.remove()
+            if safe:
+                yield pd.DataFrame(_seg_rows(key_names, key, safe))
+            return
+        stored = _decode(state.get) if state.exists else []
+        segs = _fold_segments(pdfs, ts_col, value_col, gap_ms, stored)
+        # Emit ONLY watermark-sealed segments: a segment closed by an
+        # in-batch void can still be extended by an admissible
+        # out-of-order event until the watermark passes last + gap.
+        safe, pending = _split_safe(segs, gap_ms, wm)
+        if pending:
+            state.update(_encode(pending))
+            # earliest pending deadline; timers must sit above the
+            # current watermark
+            state.setTimeoutTimestamp(
+                max(min(s[1] for s in pending) + gap_ms, wm + 1)
+            )
+        elif state.exists:
+            state.remove()
+        if safe:
+            yield pd.DataFrame(_seg_rows(key_names, key, safe))
 
     return (
         sdf.withWatermark(ts_col, watermark_delay)
@@ -213,7 +257,10 @@ def timeout_sessions_tws(
 
     gap_ms = gap_seconds * 1000
     key_names = list(key_cols)
-    state_ddl = "start_ms long, last_ms long, n long, total double"
+    state_ddl = (
+        "starts array<long>, lasts array<long>, "
+        "ns array<long>, totals array<double>"
+    )
 
     class _SessionProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -223,45 +270,44 @@ def timeout_sessions_tws(
         def handleInputRows(
             self, key: Any, rows: Iterator[pd.DataFrame], timerValues
         ) -> Iterator[pd.DataFrame]:
-            stored = self._state.get() if self._state.exists() else None
-            closed, open_seg = _fold_segments(
-                rows, ts_col, value_col, gap_ms, stored
+            wm = timerValues.getCurrentWatermarkInMs()
+            stored = (
+                _decode(self._state.get()) if self._state.exists() else []
             )
-            if open_seg is not None:
-                self._state.update(tuple(open_seg))
+            segs = _fold_segments(rows, ts_col, value_col, gap_ms, stored)
+            safe, pending = _split_safe(segs, gap_ms, wm)
+            if pending:
+                self._state.update(_encode(pending))
                 # one live timer per key: replace the old deadline
                 for t in self._handle.listTimers():
                     self._handle.deleteTimer(t)
-                self._handle.registerTimer(open_seg[1] + gap_ms)
-            if not closed:
-                return iter([])
-            out = []
-            for s in closed:
-                row = dict(zip(key_names, key))
-                row.update(
-                    session_start_ms=s[0],
-                    session_end_ms=s[1],
-                    n_events=s[2],
-                    total_value=s[3],
+                self._handle.registerTimer(
+                    max(min(s[1] for s in pending) + gap_ms, wm + 1)
                 )
-                out.append(row)
-            return iter([pd.DataFrame(out)])
+            elif self._state.exists():
+                self._state.clear()
+            if not safe:
+                return iter([])
+            return iter([pd.DataFrame(_seg_rows(key_names, key, safe))])
 
         def handleExpiredTimer(
             self, key: Any, timerValues, expiredTimerInfo
         ) -> Iterator[pd.DataFrame]:
             if not self._state.exists():
                 return
-            start_ms, last_ms, n, total = self._state.get()
-            self._state.clear()
-            row = dict(zip(key_names, key))
-            row.update(
-                session_start_ms=int(start_ms),
-                session_end_ms=int(last_ms),
-                n_events=int(n),
-                total_value=float(total),
+            wm = timerValues.getCurrentWatermarkInMs()
+            safe, pending = _split_safe(
+                _decode(self._state.get()), gap_ms, wm
             )
-            yield pd.DataFrame([row])
+            if pending:
+                self._state.update(_encode(pending))
+                self._handle.registerTimer(
+                    max(min(s[1] for s in pending) + gap_ms, wm + 1)
+                )
+            else:
+                self._state.clear()
+            if safe:
+                yield pd.DataFrame(_seg_rows(key_names, key, safe))
 
         def close(self) -> None:
             pass

@@ -177,6 +177,32 @@ class TestStratifiedSample:
         got = text.hash_stratified_sample(df, "src", {"a": 1.0}, "id").count()
         assert got == 0  # default 0.0 drops unlisted strata
 
+    def test_non_dyadic_fraction_matches_duckdb(self, spark):
+        """0.35 * 10000.0 is 3499.999... in doubles; a truncating cast
+        would drop bucket 3499 while SQL engines' rounding cast keeps
+        it. The selected row sets must agree exactly."""
+        import duckdb
+
+        rows = [(i, "a") for i in range(2000)]
+        df = spark.createDataFrame(rows, ["id", "src"])
+        got = {
+            r["id"]
+            for r in text.hash_stratified_sample(
+                df, "src", {"a": 0.35}, "id"
+            ).collect()
+        }
+        want = {
+            r[0]
+            for r in duckdb.sql(
+                """
+                SELECT i FROM range(2000) t(i)
+                WHERE CAST(concat('0x', substr(md5(CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+                      < CAST(0.35 * 10000 AS BIGINT)
+                """
+            ).fetchall()
+        }
+        assert got == want and len(want) > 0
+
 
 # ---------------------------------------------------------------------------
 # dedup
@@ -462,6 +488,22 @@ class TestSimilarity:
         }
         for vid, (s, k) in rows.items():
             assert s == k, (vid, s, k)
+
+    def test_ivf_numpy_tolerates_null_vectors(self, spark):
+        """A null/ragged embedding must not crash the numpy assignment
+        kernel; the row silently drops, matching the SQL fold."""
+        rows = [
+            (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]),
+            (4, None), (5, [0.5]),  # null + ragged
+            (6, [0.1, 0.9]), (7, [0.8, 0.2]), (8, [0.2, 0.8]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = df.filter(F.col("vec_id") == 1)
+        got = similarity.ivf_topk(
+            df, q, k=3, n_cells=2, n_probe=2, seed=7, impl="numpy"
+        ).collect()
+        assert all(r["vec_id"] not in (4, 5) for r in got)
+        assert len(got) >= 1
 
     def test_ivf_impls_agree(self, spark):
         """numpy and sql cell assignment produce identical top-k."""

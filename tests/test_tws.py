@@ -142,3 +142,60 @@ def test_tws_variant_gated_without_protobuf(spark, src_dir):
     else:
         with pytest.raises(RuntimeError, match="protobuf"):
             timeout_sessions_tws(sdf, ["user"], "ts", "v", gap_seconds=60)
+
+
+def test_in_batch_void_bridged_by_late_event(spark, src_dir, tmp_path):
+    """A batch may close a segment internally (void > gap) while the
+    watermark still admits an out-of-order event that bridges the
+    void. The operator must NOT emit the early segment until the
+    watermark seals it — otherwise one true session is split in two.
+
+    gap=300s, delay=10s. Batch 1: a@10:00:00 and a@10:05:05 (void of
+    305s > gap). Batch 2: a@10:04:58 — admissible (watermark is only
+    10:04:55) and bridges both segments into ONE session.
+    """
+    _write_batch(
+        spark,
+        src_dir,
+        [
+            ("a", _ts("2024-01-01 10:00:00"), 1.0),
+            ("a", _ts("2024-01-01 10:05:05"), 2.0),
+        ],
+    )
+    sdf = spark.readStream.schema("user string, ts timestamp, v double").parquet(
+        src_dir
+    )
+    out = timeout_sessions(
+        sdf, ["user"], "ts", "v", gap_seconds=300, watermark_delay="10 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_bridge")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bridge"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM tws_bridge").count() == 0
+
+        # bridging out-of-order event, still above the watermark
+        _write_batch(spark, src_dir, [("a", _ts("2024-01-01 10:04:58"), 4.0)])
+        q.processAllAvailable()
+
+        # flush: far-future rows push the watermark past the deadline
+        _write_batch(spark, src_dir, [("b", _ts("2024-01-01 11:00:00"), 0.0)])
+        q.processAllAvailable()
+        _write_batch(spark, src_dir, [("b", _ts("2024-01-01 11:00:01"), 0.0)])
+        q.processAllAvailable()
+
+        rows = spark.sql(
+            "SELECT * FROM tws_bridge WHERE user = 'a'"
+        ).collect()
+        assert len(rows) == 1, [tuple(r) for r in rows]
+        s = rows[0]
+        assert s.session_start_ms == int(_ts("2024-01-01 10:00:00").timestamp() * 1000)
+        assert s.session_end_ms == int(_ts("2024-01-01 10:05:05").timestamp() * 1000)
+        assert s.n_events == 3 and s.total_value == 7.0
+    finally:
+        q.stop()
