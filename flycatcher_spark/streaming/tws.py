@@ -17,9 +17,12 @@ Two implementations of the same semantics:
   tests skip it) and is otherwise drop-in equivalent.
 
 Scale notes:
-- Session state is 4 scalars per live key (no event buffering);
-  memory is O(live keys), independent of event rate. Keys shard
-  across executors with the state store (RocksDB on a cluster).
+- Session state is 4 scalars per PENDING SEGMENT (no event
+  buffering); pending segments per key are bounded by the number of
+  gap-separated sessions inside one watermark-delay window (1 in
+  steady state, a handful during replay/catch-up), so memory stays
+  O(live keys), independent of event rate. Keys shard across
+  executors with the state store (RocksDB on a cluster).
 - Emission is append-only at watermark passage, so downstream sinks
   see each session exactly once.
 
