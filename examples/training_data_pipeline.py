@@ -73,7 +73,9 @@ def main() -> None:
     # 4. Fuzzy dedup with TRANSITIVE clustering: MinHash-LSH pair graph
     #    → connected components → one survivor per cluster (A~B, B~C
     #    collapses all three even if A and C never banded together)
-    final = dedup.minhash_dedup_transitive(deduped, threshold=0.7)
+    #    Edges are VERIFIED with exact Jaccard before clustering — one
+    #    false LSH edge would merge two whole clusters
+    final = dedup.minhash_dedup_transitive(deduped, verify_threshold=0.7)
     print("after transitive minhash dedup:", final.count())
 
     # 5. Chunk surviving docs into overlapping token windows (pure

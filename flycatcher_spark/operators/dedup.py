@@ -815,13 +815,30 @@ def minhash_dedup_transitive(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    verify_threshold: float | None = None,
     **kwargs,
 ) -> DataFrame:
     """Drop near-duplicates with full transitive clustering: one
     survivor (min id) per connected component of the near-dup graph.
     Compare :func:`minhash_dedup`, which only drops direct pair
-    losers and can keep two docs that are both near-dups of a third."""
-    pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
+    losers and can keep two docs that are both near-dups of a third.
+    ``verify_threshold`` re-checks every candidate edge with exact
+    shingle Jaccard before clustering, like :func:`minhash_dedup` —
+    especially important transitively, where one false edge merges
+    two whole clusters."""
+    if verify_threshold is not None:
+        kwargs = dict(kwargs, threshold=0.0)
+        cand = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
+        pairs = verify_pairs_jaccard(
+            cand,
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_n=kwargs.get("shingle_n", 3),
+            threshold=verify_threshold,
+        )
+    else:
+        pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
     comp = connected_components(pairs, "doc_id_a", "doc_id_b")
     losers = comp.where(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
