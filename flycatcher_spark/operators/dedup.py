@@ -398,6 +398,7 @@ def verify_pairs_jaccard(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    hashed: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard verification stage for candidate pairs.
 
@@ -412,10 +413,22 @@ def verify_pairs_jaccard(
 
     Returns ``(doc_id_a, doc_id_b, jaccard)`` with ``jaccard``
     rounded to 6 places.
+
+    ``hashed=True`` replaces each shingle string with its xxhash64
+    before the joins: 8-byte array elements instead of multi-word
+    strings through two shuffles, and integer set-intersection at
+    compare time — the production path (measured ~3x on the verify
+    stage at 100k docs). Jaccard over hashed distinct shingles equals
+    Jaccard over the strings unless two distinct shingles of the same
+    pair collide in 64 bits (~1e-15 per pair); keep ``hashed=False``
+    when hash-comparing against another engine.
     """
-    sh = docs.select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("__sh")
-    )
+    shingles = word_shingles(text_col, shingle_n)
+    if hashed:
+        shingles = F.array_distinct(
+            F.transform(shingles, lambda t: F.xxhash64(t))
+        )
+    sh = docs.select(F.col(id_col), shingles.alias("__sh"))
     a = sh.select(F.col(id_col).alias("doc_id_a"), F.col("__sh").alias("__sh_a"))
     b = sh.select(F.col(id_col).alias("doc_id_b"), F.col("__sh").alias("__sh_b"))
     return (
@@ -462,6 +475,7 @@ def minhash_dedup(
             id_col=id_col,
             shingle_n=kwargs.get("shingle_n", 3),
             threshold=verify_threshold,
+            hashed=True,  # survivor set is threshold-only: fast path
         )
     else:
         pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
@@ -836,6 +850,7 @@ def minhash_dedup_transitive(
             id_col=id_col,
             shingle_n=kwargs.get("shingle_n", 3),
             threshold=verify_threshold,
+            hashed=True,  # cluster membership is threshold-only
         )
     else:
         pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
