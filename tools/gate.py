@@ -13,10 +13,11 @@ Usage: python tools/gate.py [extra pytest args]
 from __future__ import annotations
 
 import importlib.util
+import os
 import subprocess
 import sys
 
-REPO = "/root/repo"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run(name: str, cmd: list[str]) -> bool:
