@@ -28,7 +28,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flycatcher_spark import Field, Schema, col, model_validator
-from flycatcher_spark.operators import dedup, multimodal, similarity, stats, text
+from flycatcher_spark import plans
+from flycatcher_spark.operators import (
+    decontam,
+    dedup,
+    multimodal,
+    similarity,
+    stats,
+    text,
+)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -1731,6 +1739,95 @@ def q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# queries — decontamination / incremental dedup / bloom pruning (round 3)
+# ---------------------------------------------------------------------------
+def q_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination report: trigram overlap of every
+    corpus doc (doc_id % 50 != 7) against a held-out benchmark slice
+    (doc_id % 50 == 7). The benchmark's hashed grams broadcast; the
+    only shuffle carries one row per doc. Planted near-duplicates of
+    benchmark docs surface with contamination_frac near 1."""
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 7)
+    corpus = docs.where(F.col("doc_id") % 50 != 7)
+    return decontam.contamination_report(
+        corpus, bench, n=3, frac_threshold=0.5
+    )
+
+
+def q_incremental_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: a 'new batch' (doc_id % 10 == 3, plus
+    re-keyed copies of doc_id % 7 == 0 planted as known duplicates)
+    deduplicated against the accepted corpus (doc_id % 10 != 3) by
+    normalized fingerprint, then min-id within the batch. The planted
+    copies exercise both drop paths deterministically."""
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 3)
+    injected = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    new_batch = (
+        docs.where(F.col("doc_id") % 10 == 3)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .unionByName(injected)
+    )
+    kept = dedup.incremental_exact_dedup(new_batch, corpus)
+    return kept.select("doc_id", "lang", "source", "n_chars")
+
+
+def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental fuzzy dedup: new docs (doc_id % 10 == 3) are
+    dropped when LSH banding proposes a corpus partner and exact
+    trigram Jaccard confirms >= 0.5. Same full-recall banding
+    argument as minhash_verified_pairs (true pairs here measure
+    >= 0.9), so the survivor set equals ground truth — which DuckDB
+    computes from an inverted trigram index."""
+    docs = _read(spark, sf_dir, "documents")
+    new_batch = docs.where(F.col("doc_id") % 10 == 3)
+    corpus = docs.where(F.col("doc_id") % 10 != 3)
+    kept = dedup.incremental_minhash_dedup(
+        new_batch,
+        corpus,
+        num_perm=64,
+        bands=16,
+        shingle_n=3,
+        verify_threshold=0.5,
+    )
+    return kept.select("doc_id", "lang", "source")
+
+
+def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large×large join with Catalyst runtime bloom-filter pruning
+    (SPARK-32268): the selective orders side builds a bloom filter
+    over its join keys and a might_contain predicate prunes lineitem
+    rows BEFORE the shuffle. The pruned execution runs inside the
+    conf context (verified in tests/test_plans.py); the returned
+    frame is value-identical under session defaults, so later
+    queries' planning is untouched."""
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000)
+    )
+    li = _read(spark, sf_dir, "lineitem")
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", "8,4")))
+    out = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            revenue.cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+    with plans.runtime_bloom_pruning(spark):
+        out.count()
+    return out
+
+
+# ---------------------------------------------------------------------------
 # queries — similarity search (SURVEY.md §7.1 step 7)
 # ---------------------------------------------------------------------------
 def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1958,8 +2055,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "knn_topk": q_knn_topk,
         "embedding_neardup": q_embedding_neardup,
-        "lsh_topk": q_lsh_topk,
-        "ivf_topk": q_ivf_topk,
         "skew_salted_counts": q_skew_salted_counts,
         "table_profile": q_table_profile,
         "multimodal_meta": q_multimodal_meta,
@@ -1991,14 +2086,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join": q_skew_salted_join,
         "ivf_full_probe": q_ivf_full_probe,
         "corpus_select": q_corpus_select,
-        "ann_recall": q_ann_recall,
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "simhash_verified_pairs": q_simhash_verified_pairs,
         "minhash_dedup_verified": q_minhash_dedup_verified,
-        # -- rotation of previously-green queries (the new-this-round
-        # -- block grew to 11 entries, so only ~1 rotation slot is
-        # -- left inside a 50-entry window; the rest of this section
-        # -- is effectively past the window this round) --------------
+        # -- new in round 3 (decontamination / incremental dedup /
+        # -- runtime bloom pruning), all oracle-bearing ---------------
+        "decontam_report": q_decontam_report,
+        "incremental_dedup_exact": q_incremental_dedup_exact,
+        "incremental_minhash_dedup": q_incremental_minhash_dedup,
+        "bloom_pruned_join": q_bloom_pruned_join,
+        # -- past the 50-entry window from here on. Evicted to make
+        # -- room this round: rows-only ann_recall / lsh_topk /
+        # -- ivf_topk (their value-level evidence comes from the
+        # -- oracle-checked knn_topk + ivf_full_probe, which stay)
+        # -- and double-green validate_lineitem (r1+r2). -------------
+        "ann_recall": q_ann_recall,
+        "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "validate_lineitem": q_validate_lineitem,
         "violation_counts": q_violation_counts,
         "q1_pricing_summary": q1_pricing_summary,
@@ -3059,6 +3163,109 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source, d.lang
             FROM documents d
             ANTI JOIN losers USING (doc_id)
+        """,
+        "decontam_report": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN length(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g'),
+                                ' ')
+                       END AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                            ELSE list_distinct(list_transform(
+                                range(1, len(toks) - 1),
+                                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       END AS sh
+                FROM t
+            ),
+            bench AS (
+                SELECT DISTINCT unnest(sh) AS gram FROM s WHERE doc_id % 50 = 7
+            ),
+            corp AS (SELECT doc_id, sh FROM s WHERE doc_id % 50 <> 7),
+            inv AS (SELECT doc_id, unnest(sh) AS gram FROM corp),
+            m AS (
+                SELECT inv.doc_id, count(*) AS n_matched
+                FROM inv JOIN bench USING (gram)
+                GROUP BY inv.doc_id
+            )
+            SELECT c.doc_id,
+                   CAST(len(c.sh) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+                   round(CASE WHEN len(c.sh) = 0 THEN 0.0
+                              ELSE CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / len(c.sh)
+                         END, 6) AS contamination_frac,
+                   round(CASE WHEN len(c.sh) = 0 THEN 0.0
+                              ELSE CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / len(c.sh)
+                         END, 6) >= 0.5 AS is_contaminated
+            FROM corp c LEFT JOIN m ON c.doc_id = m.doc_id
+        """,
+        "incremental_dedup_exact": r"""
+            WITH n AS (
+                SELECT doc_id, lang, source, n_chars,
+                       regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g') AS norm
+                FROM documents
+            ),
+            corp AS (SELECT norm FROM n WHERE doc_id % 10 <> 3),
+            newb AS (
+                SELECT doc_id, lang, source, n_chars, norm FROM n WHERE doc_id % 10 = 3
+                UNION ALL
+                SELECT CAST(doc_id + 1000 AS BIGINT), lang, source, n_chars, norm FROM n WHERE doc_id % 7 = 0
+            ),
+            fresh AS (SELECT * FROM newb ANTI JOIN corp USING (norm)),
+            keep AS (SELECT min(doc_id) AS doc_id FROM fresh GROUP BY norm)
+            SELECT f.doc_id, f.lang, f.source, f.n_chars
+            FROM fresh f JOIN keep USING (doc_id)
+        """,
+        "incremental_minhash_dedup": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN length(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g'),
+                                ' ')
+                       END AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                            ELSE list_distinct(list_transform(
+                                range(1, len(toks) - 1),
+                                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       END AS sh
+                FROM t
+            ),
+            losers AS (
+                SELECT DISTINCT r.doc_id
+                FROM s l JOIN s r
+                  ON l.doc_id % 10 <> 3 AND r.doc_id % 10 = 3
+                WHERE len(l.sh) > 0 AND len(r.sh) > 0
+                  AND round(CASE WHEN len(list_distinct(list_concat(l.sh, r.sh))) = 0 THEN 0.0
+                            ELSE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                                 / len(list_distinct(list_concat(l.sh, r.sh)))
+                        END, 6) >= 0.5
+            )
+            SELECT doc_id, lang, source
+            FROM documents
+            WHERE doc_id % 10 = 3
+              AND doc_id NOT IN (SELECT doc_id FROM losers)
+        """,
+        "bloom_pruned_join": """
+            SELECT l_returnflag,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT'
+              AND o_totalprice > 150000
+            GROUP BY l_returnflag
         """,
         "simhash_verified_pairs": r"""
             WITH t AS (

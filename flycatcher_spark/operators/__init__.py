@@ -12,8 +12,29 @@ reference surface — see SURVEY.md §7.1 step 7).
 - :mod:`.stats` — single-pass dataset profiling (counts, distincts,
   extrema, moments, approximate quantiles).
 - :mod:`.skew` — salted joins/aggregations for hot-key workloads.
+- :mod:`.decontam` — benchmark n-gram decontamination for training
+  corpora.
 """
 
-from . import asof, dedup, multimodal, range_join, similarity, skew, stats, text
+from . import (
+    asof,
+    decontam,
+    dedup,
+    multimodal,
+    range_join,
+    similarity,
+    skew,
+    stats,
+    text,
+)
 
-__all__ = ["asof", "dedup", "multimodal", "similarity", "skew", "stats", "text"]
+__all__ = [
+    "asof",
+    "decontam",
+    "dedup",
+    "multimodal",
+    "similarity",
+    "skew",
+    "stats",
+    "text",
+]

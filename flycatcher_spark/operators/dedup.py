@@ -859,3 +859,123 @@ def minhash_dedup_transitive(
         F.col("node").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+def incremental_exact_dedup(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact incremental dedup: the shape a production ingest actually
+    runs — a new batch arrives and must be deduplicated *against the
+    already-accepted corpus* without rewriting the corpus.
+
+    A new document is dropped if its normalized fingerprint (md5 of
+    lowercased, whitespace-collapsed text) already exists in the
+    corpus, or if a lower-id document in the same batch shares it.
+
+    Scale shape: the corpus contributes only its distinct fingerprint
+    column to a ``left_anti`` hash join (key-only, payload pruned at
+    the scan); the within-batch pass is one ``groupBy(fingerprint)``
+    shuffle over the (small) batch. Neither side ever shuffles the
+    corpus text.
+    """
+    fp = F.md5(normalize_text(text_col))
+    corpus_fp = corpus.select(fp.alias("__fp")).distinct()
+    batch = new_batch.withColumn("__fp", fp)
+    fresh = batch.join(corpus_fp, on="__fp", how="left_anti")
+    keep = (
+        fresh.groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return new_batch.join(keep, on=id_col, how="inner")
+
+
+def incremental_minhash_dedup(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    verify_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Fuzzy incremental dedup: drop new documents that are
+    near-duplicates (exact shingle Jaccard >= ``verify_threshold``)
+    of any corpus document. Ids must be unique across both tables.
+
+    LSH proposes, exact Jaccard decides (same contract as
+    :func:`minhash_dedup`): banding recall bounds what can be found,
+    the verification stage guarantees nothing is dropped below the
+    threshold.
+
+    Scale shape: signatures are computed in one map-only pass over
+    ``new ∪ corpus`` (one scan of the compute-dense stage instead of
+    two); the band join is new-side × corpus-side within each
+    (band, band_hash) bucket — never a corpus self-join, so cost
+    scales with the *batch*, not the corpus. Candidate verification
+    and the final anti-join touch only candidate ids.
+    """
+    rows_per_band = num_perm // bands
+    tagged = (
+        new_batch.select(id_col, text_col)
+        .withColumn("__is_new", F.lit(True))
+        .unionByName(
+            corpus.select(id_col, text_col).withColumn(
+                "__is_new", F.lit(False)
+            )
+        )
+    )
+    src = tagged.repartition(
+        tagged.sparkSession.sparkContext.defaultParallelism
+    ).where(F.size(tokens(normalize_text(text_col))) >= shingle_n)
+    sig = with_minhash_signature(
+        src,
+        text_col=text_col,
+        out_col="__sig",
+        num_perm=num_perm,
+        shingle_n=shingle_n,
+        seed=seed,
+    ).select(id_col, "__is_new", "__sig")
+    banded = sig.select(
+        id_col,
+        "__is_new",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(
+                    F.slice(
+                        F.col("__sig"), b * rows_per_band + 1, rows_per_band
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    new_side = banded.where(F.col("__is_new")).alias("l")
+    corp_side = banded.where(~F.col("__is_new")).alias("r")
+    cand = (
+        new_side.join(
+            corp_side,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_id_a"),
+            F.col(f"r.{id_col}").alias("doc_id_b"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    confirmed = verify_pairs_jaccard(
+        cand,
+        tagged,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_n=shingle_n,
+        threshold=verify_threshold,
+        hashed=True,  # survivor set is threshold-only: fast path
+    )
+    losers = confirmed.select(F.col("doc_id_a").alias(id_col)).distinct()
+    return new_batch.join(losers, on=id_col, how="left_anti")

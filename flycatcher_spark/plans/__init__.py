@@ -14,6 +14,7 @@ from .inspect import (
     assert_pushed_filters,
     plan_report,
 )
+from .tuning import runtime_bloom_pruning, session_confs
 
 __all__ = [
     "PlanReport",
@@ -21,4 +22,6 @@ __all__ = [
     "assert_no_shuffle",
     "assert_pushed_filters",
     "assert_jvm_only",
+    "runtime_bloom_pruning",
+    "session_confs",
 ]

@@ -1,0 +1,81 @@
+"""Session-scoped optimizer tuning helpers.
+
+Some Catalyst optimizations are controlled only by session
+configuration, not by the plan — the pattern here is a context
+manager that sets the relevant confs for the duration of an *action*
+and restores them afterwards, so one aggressive query can't silently
+change the planning of every query that follows it in the session.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from typing import Iterator
+
+from pyspark.sql import SparkSession
+
+_UNSET = object()
+
+
+@contextmanager
+def session_confs(spark: SparkSession, confs: dict[str, str]) -> Iterator[None]:
+    """Set Spark SQL confs, restoring previous values (or unsetting)
+    on exit. Confs are read at *action* time, so wrap the action —
+    wrapping only DataFrame construction has no effect."""
+    old: dict[str, object] = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = _UNSET
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, prev in old.items():
+            if prev is _UNSET:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, str(prev))
+
+
+@contextmanager
+def runtime_bloom_pruning(
+    spark: SparkSession,
+    application_side_scan_threshold: str = "0",
+    creation_side_threshold: str = "256MB",
+    disable_broadcast: bool = True,
+) -> Iterator[None]:
+    """Force Catalyst's runtime bloom-filter injection (SPARK-32268)
+    for large×large joins with a selective build side.
+
+    When a join's smaller side carries a selective filter, Spark can
+    aggregate a bloom filter over its join keys and push a
+    ``might_contain`` predicate onto the *other* side's scan — rows
+    that cannot match are dropped before the shuffle, which at 100 TB
+    means the probe side's exchange shrinks by the filter's
+    selectivity. This is the engine-native replacement for
+    hand-rolled semi-join pre-filters.
+
+    The defaults exist for clusters (application side must scan
+    >10 GB); local tests never reach them, so this context lowers the
+    application-side threshold and (optionally) disables broadcast
+    joins — injection only applies to shuffle joins, and at test
+    scale every dimension fits under the broadcast threshold. On a
+    real cluster you typically need only ``creation_side_threshold``
+    raised (the filtered build side of a 100 TB join is often larger
+    than the default 10 MB build budget).
+
+    Verify with :func:`flycatcher_spark.plans.plan_report`: the
+    executed plan gains ``bloom_filter_agg`` on the build side and a
+    ``might_contain`` filter above the probe-side scan.
+    """
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": application_side_scan_threshold,
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": creation_side_threshold,
+    }
+    if disable_broadcast:
+        confs["spark.sql.autoBroadcastJoinThreshold"] = "-1"
+    with session_confs(spark, confs):
+        yield
