@@ -310,21 +310,26 @@ def minhash_lsh_pairs(
     src = df.select(id_col, text_col).repartition(
         df.sparkSession.sparkContext.defaultParallelism
     )
-    # Drop degenerate docs (fewer tokens than one shingle) BEFORE the
-    # signature map. Filtering on the signature column afterwards
-    # would be pushed down through the projection by Catalyst,
-    # inlining the whole num_perm-wide expression into the filter and
-    # recomputing the hash array per permutation (~5× slower); the
-    # token-count predicate is a small scan-side expression instead.
-    src = src.where(F.size(tokens(normalize_text(text_col))) >= shingle_n)
-    sig = with_minhash_signature(
-        src,
-        text_col=text_col,
-        out_col="__sig",
-        num_perm=num_perm,
-        shingle_n=shingle_n,
-        seed=seed,
-    ).select(id_col, "__sig")
+    # Degenerate docs (fewer tokens than one shingle) are dropped by
+    # filtering on the kernel's null signature AFTER the map — the
+    # Arrow kernel already nulls them, Catalyst never pushes a
+    # predicate through a Python UDF projection (no recompute risk),
+    # and it avoids a second full tokenize pass that a scan-side
+    # token-count predicate would cost. (With impl="sql" this would
+    # be wrong: pushdown would inline the num_perm-wide expression
+    # tree into the filter — keep the pre-filter if you switch.)
+    sig = (
+        with_minhash_signature(
+            src,
+            text_col=text_col,
+            out_col="__sig",
+            num_perm=num_perm,
+            shingle_n=shingle_n,
+            seed=seed,
+        )
+        .select(id_col, "__sig")
+        .where(F.col("__sig").isNotNull())
+    )
     # The signature table is referenced three times below (banding +
     # two candidate re-joins). persist() alone is not enough: the
     # referencing stages can start concurrently and each recompute
@@ -931,15 +936,21 @@ def incremental_minhash_dedup(
     )
     src = tagged.repartition(
         tagged.sparkSession.sparkContext.defaultParallelism
-    ).where(F.size(tokens(normalize_text(text_col))) >= shingle_n)
-    sig = with_minhash_signature(
-        src,
-        text_col=text_col,
-        out_col="__sig",
-        num_perm=num_perm,
-        shingle_n=shingle_n,
-        seed=seed,
-    ).select(id_col, "__is_new", "__sig")
+    )
+    # Short docs drop on the kernel's null signature (see
+    # minhash_lsh_pairs for why this beats a scan-side pre-filter).
+    sig = (
+        with_minhash_signature(
+            src,
+            text_col=text_col,
+            out_col="__sig",
+            num_perm=num_perm,
+            shingle_n=shingle_n,
+            seed=seed,
+        )
+        .select(id_col, "__is_new", "__sig")
+        .where(F.col("__sig").isNotNull())
+    )
     banded = sig.select(
         id_col,
         "__is_new",
