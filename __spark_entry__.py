@@ -1976,11 +1976,15 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = similarity.ivf_topk(em, q, k=5, n_cells=8, n_probe=2, seed=7).select(
         "query_id", F.col("vec_id").alias("nn")
     )
+    pq = similarity.pq_topk(em, q, k=5, m=32, n_codes=16, seed=42).select(
+        "query_id", F.col("vec_id").alias("nn")
+    )
     n_truth = F.lit(100.0)  # 20 queries x k=5
     configs = (
         ("lsh_4bit_16tables", lsh(4, 16)),  # high recall, more compute
         ("lsh_6bit_8tables", lsh(6, 8)),    # cheaper, lower recall
         ("ivf_probe2of8", ivf),
+        ("pq_m32_codes16", pq),  # 8x-compressed codes, ADC scoring
     )
     for name, approx in configs:
         hit = exact.join(approx, ["query_id", "nn"], "left_semi")
@@ -1994,6 +1998,22 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in results[1:]:
         out = out.unionByName(r)
     return out
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: corpus vectors stored as 32-byte PQ
+    codes (8x compression at dim=64) and scored by asymmetric
+    distance (m table lookups per candidate — no float vectors move
+    at query time). Rows-only: k-means codebooks are seed-dependent;
+    the value-level guarantee (ADC == exact cosine against the
+    reconstructed vector) is pinned in tests/test_operators.py, and
+    recall is quantified by ann_recall."""
+    em = _emb_double(spark, sf_dir)
+    q = em.filter(F.col("vec_id") < 10)
+    res = similarity.pq_topk(em, q, k=5, m=32, n_codes=16, seed=42)
+    return res.select(
+        "query_id", "vec_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
 
 
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2103,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "pq_topk": q_pq_topk,
         "validate_lineitem": q_validate_lineitem,
         "violation_counts": q_violation_counts,
         "q1_pricing_summary": q1_pricing_summary,

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -640,3 +642,102 @@ class TestEmbeddingNeardupImpls:
         )
         with pytest.raises(ValueError, match="blocking"):
             dedup.embedding_neardup_pairs(df, block_col=None, impl="numpy")
+
+
+class TestProductQuantization:
+    @pytest.fixture(scope="class")
+    def em(self, spark):
+        return spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+
+    @pytest.fixture(scope="class")
+    def books(self, em):
+        return similarity.train_pq_codebooks(
+            em, m=8, n_codes=16, seed=42, max_train_rows=500
+        )
+
+    def test_codebook_shape_and_determinism(self, em, books):
+        assert books.shape == (8, 16, 8)
+        again = similarity.train_pq_codebooks(
+            em, m=8, n_codes=16, seed=42, max_train_rows=500
+        )
+        assert np.array_equal(books, again)
+
+    def test_encode_is_m_bytes_and_deterministic(self, em, books):
+        codes = {
+            r["vec_id"]: r["pq_code"]
+            for r in similarity.pq_encode(em, books).select(
+                "vec_id", "pq_code"
+            ).collect()
+        }
+        assert all(len(c) == 8 for c in codes.values())
+        again = {
+            r["vec_id"]: r["pq_code"]
+            for r in similarity.pq_encode(em, books).select(
+                "vec_id", "pq_code"
+            ).collect()
+        }
+        assert codes == again
+
+    def test_adc_equals_cosine_of_reconstruction(self, em, books):
+        """The PQ guarantee that makes a seed-dependent operator
+        checkable: ADC similarity IS the exact cosine between the
+        query and the decoded corpus vector."""
+        q = em.filter(F.col("vec_id") < 3)
+        res = similarity.pq_topk(
+            em, q, k=10, m=8, n_codes=16, codebooks=books
+        ).collect()
+        enc = similarity.pq_encode(em, books).select(
+            "vec_id", "embedding", "pq_code"
+        ).collect()
+        recon = {
+            r["vec_id"]: similarity.pq_decode_np(
+                books, np.frombuffer(r["pq_code"], dtype=np.uint8)[None, :]
+            )[0]
+            for r in enc
+        }
+        vecs = {r["vec_id"]: np.asarray(r["embedding"]) for r in enc}
+        assert len(res) == 30
+        for r in res:
+            qv = vecs[r["query_id"]]
+            rx = recon[r["vec_id"]]
+            exact = float(
+                qv @ rx / (np.linalg.norm(qv) * np.linalg.norm(rx))
+            )
+            assert abs(round(exact, 6) - r["sim"]) <= 2e-6
+
+    def test_recall_floor_vs_brute_force(self, em):
+        """m=32 x 16 codes (8x compression) on the deterministic
+        corpus: seeded, so recall is a constant — pin a floor under
+        the measured 0.68."""
+        q = em.filter(F.col("vec_id") < 5)
+        exact = {
+            (r["query_id"], r["vec_id"])
+            for r in similarity.brute_force_topk(em, q, k=5).collect()
+        }
+        approx = {
+            (r["query_id"], r["vec_id"])
+            for r in similarity.pq_topk(
+                em, q, k=5, m=32, n_codes=16, seed=42
+            ).collect()
+        }
+        assert len(exact & approx) / len(exact) >= 0.5
+
+    def test_null_and_ragged_vectors_excluded(self, spark, books):
+        bad = spark.createDataFrame(
+            [(1, [1.0] * 64), (2, None), (3, [1.0] * 10)],
+            "vec_id long, embedding array<double>",
+        )
+        codes = {
+            r["vec_id"]: r["pq_code"]
+            for r in similarity.pq_encode(bad, books).collect()
+        }
+        assert codes[2] is None and codes[3] is None
+        assert codes[1] is not None
+
+    def test_dim_not_divisible_raises(self, em):
+        with pytest.raises(ValueError, match="not divisible"):
+            similarity.train_pq_codebooks(em, m=7, n_codes=8)
