@@ -190,3 +190,62 @@ def write_jdbc(
     """Write a validated DataFrame to a JDBC sink (the reference's
     SQLAlchemy-insert pipeline shape, executor-parallel)."""
     df.write.jdbc(url=url, table=table, mode=mode, properties=properties)
+
+
+def read_routed(
+    spark: SparkSession,
+    schema_cls: "type[Schema]",
+    path: str,
+    fmt: str = "json",
+    corrupt_col: str = "_corrupt_record",
+    **options,
+) -> "tuple[DataFrame, DataFrame]":
+    """Schema-on-read with corrupt-record routing: returns
+    ``(good, quarantine)``.
+
+    Malformed source lines (broken JSON, CSV rows that don't fit the
+    schema) must not kill a 100 TB ingest, and silently dropping them
+    (``mode=DROPMALFORMED``) loses data. This reads PERMISSIVE with
+    the corrupt-record capture column appended to the declared
+    schema: parseable rows come back typed in ``good``; unparseable
+    lines come back verbatim in ``quarantine`` (one string column
+    ``raw``) for reprocessing — the dead-letter pattern.
+
+    The parsed frame is persisted so both outputs come from ONE scan
+    of the source (Spark also disallows filters that reference only
+    the internal corrupt column on an unpersisted raw scan); at
+    cluster scale this is the stage you'd write to a silver/dead-
+    letter table pair. Downstream, ``good`` feeds
+    ``schema_cls.to_spark_validator().validate(...)`` — parse errors
+    and constraint violations stay separately accounted.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    struct = schema_cls.to_spark_schema()
+    if corrupt_col in struct.fieldNames():
+        raise ValueError(
+            f"read_routed: schema already defines {corrupt_col!r}"
+        )
+    # StructType.add mutates in place — build a fresh StructType so the
+    # declared schema (used for the good-side projection) stays clean.
+    read_schema = StructType(
+        list(struct.fields) + [StructField(corrupt_col, StringType(), True)]
+    )
+    raw = (
+        spark.read.format(fmt)
+        .options(**options)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(read_schema)
+        .load(path)
+    )
+    raw = raw.persist()
+    from pyspark.sql import functions as F
+
+    good = raw.where(F.col(corrupt_col).isNull()).select(
+        *[f.name for f in struct.fields]
+    )
+    quarantine = raw.where(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw")
+    )
+    return good, quarantine

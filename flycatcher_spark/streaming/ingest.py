@@ -1,0 +1,77 @@
+"""Streaming ingest dedup: the corpus-growing foreachBatch pattern.
+
+Production corpora are not built in one batch job — documents arrive
+continuously and each micro-batch must be deduplicated against
+everything already accepted (the static seed corpus AND the survivors
+of every earlier batch). This wires
+:func:`~flycatcher_spark.operators.dedup.incremental_exact_dedup`
+into ``foreachBatch``:
+
+- per batch, the accepted-so-far table is read back and unioned with
+  the seed corpus — the corpus side contributes only its distinct
+  fingerprint column to the anti-join, so batch cost scales with the
+  batch (see SCALE.md);
+- survivors append to the accepted table, becoming the dedup target
+  for the next batch: a within-stream duplicate is dropped even
+  across micro-batches, without any in-memory operator state (the
+  accepted table IS the state — restart-safe and inspectable).
+
+Exactly-once caveat: a plain parquet append re-appends the epoch's
+survivors if the batch is retried after the write. For production,
+write per-epoch partitions (``accepted_dir/epoch=<id>``, overwrite
+mode) or an ACID table format; the epoch id is passed through for
+exactly that.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.dedup import incremental_exact_dedup
+
+
+def incremental_dedup_stream(
+    sdf: DataFrame,
+    corpus: DataFrame,
+    accepted_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+    on_batch: Callable[[DataFrame, int], None] | None = None,
+) -> StreamingQuery:
+    """Run streaming incremental dedup; survivors accumulate in
+    ``accepted_dir`` (parquet). Returns the started query.
+
+    ``on_batch(kept, epoch_id)`` runs after each batch's survivors
+    are computed (metrics, side outputs); ``available_now=True``
+    drains the source and stops — the backfill/test mode.
+    """
+    spark = sdf.sparkSession
+    cols = [id_col, text_col]
+    seed = corpus.select(*cols)
+
+    def _process(batch: DataFrame, epoch_id: int) -> None:
+        try:
+            accepted = spark.read.parquet(accepted_dir).select(*cols)
+            target = seed.unionByName(accepted)
+        except Exception:  # first epoch: accepted table doesn't exist yet
+            target = seed
+        kept = incremental_exact_dedup(
+            batch, target, text_col=text_col, id_col=id_col
+        )
+        kept.write.mode("append").parquet(accepted_dir)
+        if on_batch is not None:
+            on_batch(kept, epoch_id)
+
+    writer = (
+        sdf.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

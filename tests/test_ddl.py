@@ -114,3 +114,64 @@ class TestSchemaEnforcedIO:
         import os
 
         assert any(d.startswith("id=") for d in os.listdir(path) if not d.startswith("_"))
+
+
+class TestCorruptRecordRouting:
+    class Doc(Schema):
+        doc_id: int = Field(ge=0)
+        text: str
+        score: float | None = None
+
+    def test_json_routing(self, spark, tmp_path):
+        p = tmp_path / "in.json"
+        p.write_text(
+            '{"doc_id": 1, "text": "ok", "score": 0.5}\n'
+            '{"doc_id": 2, "text": "also ok"}\n'
+            'this is not json at all\n'
+            '{"doc_id": "abc", "text": "type mismatch"}\n'
+        )
+        good, quarantine = ddl.read_routed(
+            spark, self.Doc, str(p), fmt="json"
+        )
+        rows = {r["doc_id"]: r for r in good.collect()}
+        assert set(rows) == {1, 2}
+        assert rows[2]["score"] is None
+        bad = sorted(r["raw"] for r in quarantine.collect())
+        assert bad == [
+            "this is not json at all",
+            '{"doc_id": "abc", "text": "type mismatch"}',
+        ]
+        assert good.columns == ["doc_id", "text", "score"]
+
+    def test_csv_routing(self, spark, tmp_path):
+        p = tmp_path / "in.csv"
+        p.write_text("1,alpha,0.5\nnot_an_int,beta,0.1\n3,gamma,0.9\n")
+        good, quarantine = ddl.read_routed(
+            spark, self.Doc, str(p), fmt="csv"
+        )
+        assert {r["doc_id"] for r in good.collect()} == {1, 3}
+        assert quarantine.count() == 1
+        assert quarantine.collect()[0]["raw"] == "not_an_int,beta,0.1"
+
+    def test_good_rows_feed_the_validator(self, spark, tmp_path):
+        p = tmp_path / "v.json"
+        p.write_text(
+            '{"doc_id": 1, "text": "ok"}\n'
+            '{"doc_id": -5, "text": "constraint violation"}\n'
+            "garbage line\n"
+        )
+        good, quarantine = ddl.read_routed(
+            spark, self.Doc, str(p), fmt="json"
+        )
+        v = self.Doc.to_spark_validator()
+        kept = v.validate(good, strict=False)
+        # parse error and constraint violation are separate ledgers
+        assert quarantine.count() == 1
+        assert [r["doc_id"] for r in kept.collect()] == [1]
+        assert v.last_violations[0]["count"] == 1
+
+    def test_schema_collision_raises(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="already defines"):
+            ddl.read_routed(
+                spark, self.Doc, str(tmp_path), fmt="json", corrupt_col="text"
+            )

@@ -1,0 +1,105 @@
+"""Streaming incremental dedup: replay-to-batch equivalence.
+
+Three document files arrive as separate micro-batches
+(maxFilesPerTrigger=1, mtime-ordered); the accepted table after the
+stream drains must equal one batch call of
+``incremental_exact_dedup`` over all new docs — proof that the
+foreachBatch corpus-growing loop implements the same semantics
+across batch boundaries (a duplicate of an *earlier batch's*
+survivor is dropped, not just duplicates of the seed corpus).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from flycatcher_spark.operators.dedup import incremental_exact_dedup
+from flycatcher_spark.streaming import incremental_dedup_stream
+
+SCHEMA = "doc_id long, text string"
+
+
+def _write_file(spark, path, rows, mtime):
+    df = spark.createDataFrame(rows, SCHEMA).coalesce(1)
+    df.write.mode("overwrite").parquet(path)
+    for name in os.listdir(path):
+        os.utime(os.path.join(path, name), (mtime, mtime))
+    os.utime(path, (mtime, mtime))
+
+
+def test_stream_equals_batch_incremental(spark, tmp_path):
+    corpus_rows = [
+        (1, "seed document one about rivers"),
+        (2, "seed document two about mountains"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, SCHEMA)
+
+    batches = [
+        [
+            (10, "fresh batch-one doc"),
+            (11, "Seed Document ONE about rivers"),  # dup of corpus 1
+        ],
+        [
+            (20, "fresh batch-two doc"),
+            (21, "fresh  batch-one DOC"),  # dup of batch-1 survivor 10
+            (22, "another original text"),
+        ],
+        [
+            (30, "another  ORIGINAL text"),  # dup of batch-2 survivor 22
+            (31, "completely new in batch three"),
+            (32, "completely NEW in batch three"),  # in-batch dup of 31
+        ],
+    ]
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # One file per micro-batch; mtimes force arrival order so the
+    # stream processes ids in increasing order (the batch min-id rule
+    # then describes the same survivor set).
+    base = time.time() - 1000
+    files = []
+    for i, rows in enumerate(batches):
+        staging = str(tmp_path / f"stage{i}")
+        _write_file(spark, staging, rows, base + i * 10)
+        files.append(staging)
+    # move staged part-files into the watched dir in order
+    for i, staging in enumerate(files):
+        for name in os.listdir(staging):
+            if name.endswith(".parquet"):
+                dst = str(src / f"batch{i}.parquet")
+                os.rename(os.path.join(staging, name), dst)
+                os.utime(dst, (base + i * 10, base + i * 10))
+
+    sdf = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    accepted_dir = str(tmp_path / "accepted")
+    seen_epochs = []
+    q = incremental_dedup_stream(
+        sdf,
+        corpus,
+        accepted_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        on_batch=lambda kept, epoch: seen_epochs.append(epoch),
+    )
+    q.awaitTermination(120)
+
+    assert len(seen_epochs) == 3  # one epoch per file
+
+    streamed = {
+        r["doc_id"] for r in spark.read.parquet(accepted_dir).collect()
+    }
+    all_new = spark.createDataFrame(
+        [r for b in batches for r in b], SCHEMA
+    )
+    batch_equiv = {
+        r["doc_id"]
+        for r in incremental_exact_dedup(all_new, corpus).collect()
+    }
+    assert streamed == batch_equiv
+    # and the expected survivors, spelled out:
+    assert streamed == {10, 20, 22, 31}
