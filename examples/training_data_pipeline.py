@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from flycatcher_spark import sources
 from flycatcher_spark.functions import chunk_documents, fingerprint
-from flycatcher_spark.operators import dedup, stats, text
+from flycatcher_spark.operators import decontam, dedup, stats, text
 from flycatcher_spark.session import get_spark
 
 DATA = "/root/testdata/sf0.01"
@@ -77,6 +77,37 @@ def main() -> None:
     #    false LSH edge would merge two whole clusters
     final = dedup.minhash_dedup_transitive(deduped, verify_threshold=0.7)
     print("after transitive minhash dedup:", final.count())
+
+    # 4b. Benchmark decontamination: drop any doc overlapping the
+    #     held-out eval set's trigrams (real docs from the test
+    #     parquet stand in for a benchmark; their hashed grams
+    #     broadcast — no corpus shuffle is keyed on grams)
+    benchmark = spark.read.parquet(f"{DATA}/documents.parquet").where(
+        F.col("doc_id") % 50 == 7
+    )
+    final = decontam.decontaminate(final, benchmark, frac_threshold=0.5)
+    print("after decontamination:", final.count())
+
+    # 4c. Incremental ingest: a late-arriving batch dedups AGAINST the
+    #     accepted corpus (cost scales with the batch, never a corpus
+    #     self-join) — the shape every production refresh runs
+    #     Half the batch re-sends already-seen documents (ids 19000+
+    #     duplicate corpus texts), half is genuinely new (ids 20000+):
+    #     the range filter pushes into the generator, and the re-key
+    #     keeps ids globally unique as the operator requires.
+    late = (
+        spark.read.format("flycatcher_docs")
+        .option("rows", 21_000)
+        .option("partitions", 4)
+        .option("dup_every", 8)
+        .load()
+        .filter(F.col("doc_id") >= 19_000)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    accepted = dedup.incremental_minhash_dedup(
+        late, final.select("doc_id", "text"), verify_threshold=0.7
+    )
+    print("late batch accepted:", accepted.count(), "/", late.count())
 
     # 5. Chunk surviving docs into overlapping token windows (pure
     #    Catalyst: sequence → explode → slice; no Python in the path)
