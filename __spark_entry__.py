@@ -1800,6 +1800,16 @@ def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang", "source")
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (sub-document) dedup: 8-token spans duplicated
+    anywhere in the corpus are removed, first occurrence (min doc id,
+    then earliest position) kept, text rebuilt. Catches the
+    copy-pasted passages document-level dedup can't pair up; the
+    planted near-duplicate docs lose most of their spans here."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.span_dedup(docs, span=8)
+
+
 def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large×large join with Catalyst runtime bloom-filter pruning
     (SPARK-32268): the selective orders side builds a bloom filter
@@ -2070,7 +2080,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_exact_normalized": q_dedup_exact_normalized,
         "minhash_pairs": q_minhash_pairs,
-        "minhash_dedup_ids": q_minhash_dedup_ids,
         "simhash_pairs": q_simhash_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "knn_topk": q_knn_topk,
@@ -2115,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_exact": q_incremental_dedup_exact,
         "incremental_minhash_dedup": q_incremental_minhash_dedup,
         "bloom_pruned_join": q_bloom_pruned_join,
+        "span_dedup": q_span_dedup,
         # -- past the 50-entry window from here on. Evicted to make
         # -- room this round: rows-only ann_recall / lsh_topk /
         # -- ivf_topk (their value-level evidence comes from the
@@ -2124,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
+        "minhash_dedup_ids": q_minhash_dedup_ids,
         "validate_lineitem": q_validate_lineitem,
         "violation_counts": q_violation_counts,
         "q1_pricing_summary": q1_pricing_summary,
@@ -3277,6 +3288,57 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id % 10 = 3
               AND doc_id NOT IN (SELECT doc_id FROM losers)
+        """,
+        "span_dedup": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g') AS norm
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id,
+                       CASE WHEN length(norm) = 0 THEN CAST([] AS VARCHAR[])
+                            ELSE string_split(norm, ' ') END AS toks
+                FROM base
+            ),
+            w AS (
+                SELECT doc_id, toks, CAST(len(toks) // 8 AS INT) AS n_wins FROM tok
+            ),
+            sp0 AS (
+                SELECT doc_id, toks,
+                       unnest(CASE WHEN n_wins > 0 THEN range(0, n_wins) ELSE [] END) AS widx
+                FROM w
+            ),
+            sp AS (
+                SELECT doc_id, CAST(widx AS INT) AS widx,
+                       array_to_string(list_slice(toks, widx * 8 + 1, widx * 8 + 8), ' ') AS wtext
+                FROM sp0
+            ),
+            rk AS (
+                SELECT doc_id, widx,
+                       row_number() OVER (PARTITION BY wtext ORDER BY doc_id, widx) AS rk
+                FROM sp
+            ),
+            drops AS (SELECT doc_id, widx FROM rk WHERE rk > 1),
+            dropped AS (
+                SELECT doc_id, count(*) AS n_dropped FROM drops GROUP BY doc_id
+            ),
+            kept AS (
+                SELECT s.doc_id, string_agg(s.wtext, ' ' ORDER BY s.widx) AS spans_txt
+                FROM sp s
+                ANTI JOIN drops d ON s.doc_id = d.doc_id AND s.widx = d.widx
+                GROUP BY s.doc_id
+            )
+            SELECT w.doc_id,
+                   CAST(w.n_wins AS BIGINT) AS n_spans,
+                   CAST(w.n_wins - COALESCE(dropped.n_dropped, 0) AS BIGINT) AS n_kept,
+                   trim(concat_ws(' ',
+                        COALESCE(kept.spans_txt, ''),
+                        array_to_string(list_slice(w.toks, w.n_wins * 8 + 1, len(w.toks)), ' ')
+                   )) AS text_dedup
+            FROM w
+            LEFT JOIN dropped USING (doc_id)
+            LEFT JOIN kept USING (doc_id)
         """,
         "bloom_pruned_join": """
             SELECT l_returnflag,

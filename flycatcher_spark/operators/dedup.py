@@ -990,3 +990,89 @@ def incremental_minhash_dedup(
     )
     losers = confirmed.select(F.col("doc_id_a").alias(id_col)).distinct()
     return new_batch.join(losers, on=id_col, how="left_anti")
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 16,
+) -> DataFrame:
+    """Span-level (sub-document) dedup: remove n-token spans that are
+    duplicated ANYWHERE in the corpus, keeping the first occurrence
+    (min doc id, then earliest position). The C4-style complement to
+    document-level dedup — boilerplate headers, license blocks, and
+    copy-pasted passages repeat across otherwise-distinct documents
+    that no whole-document comparison will pair up.
+
+    Documents split into NON-overlapping ``span``-token windows over
+    normalized text; the trailing partial window never participates
+    (always kept), so docs shorter than ``span`` pass through intact
+    — whole-doc dedup is :func:`exact_dedup`'s job.
+
+    Returns one row per input doc: ``(id, n_spans, n_kept,
+    text_dedup)`` where ``text_dedup`` is the surviving spans plus
+    remainder, original order, single-spaced.
+
+    Scale shape — the document text NEVER shuffles: the wide stage
+    carries only ``(span_hash, id, window_idx)`` (8+8+4 bytes per
+    span); duplicate-span positions (small by nature) come back via a
+    groupBy(id) and the text is rebuilt in a second map pass over the
+    scan. Survivor choice is a single min-struct aggregate per hash —
+    no windows, no skew pivot on a hot span beyond one (hash, count)
+    cell, and AQE is free to broadcast the loser list.
+    """
+    toks = tokens(normalize_text(text_col))
+    n_wins = F.floor(F.size(toks) / span).cast("int")
+    # Guarded: sequence(0, -1) would generate a DESCENDING [0, -1]
+    # for sub-span docs, not an empty array.
+    win_idx = F.when(
+        n_wins > 0, F.sequence(F.lit(0), n_wins - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    win_text = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.slice(toks, i * span + 1, span)
+    )
+    spans = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(win_idx, lambda i: F.xxhash64(win_text(i)))
+        ).alias("__widx", "__h"),
+    )
+
+    first = spans.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col), F.col("__widx"))).alias("__first"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    losers = (
+        spans.join(first.where(F.col("__n") > 1), "__h")
+        .where(
+            (F.col(id_col) != F.col("__first")[id_col])
+            | (F.col("__widx") != F.col("__first.__widx"))
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("__widx").alias("__drop"))
+    )
+
+    rebuilt = df.join(losers, on=id_col, how="left").select(
+        F.col(id_col),
+        n_wins.cast("bigint").alias("n_spans"),
+        (
+            n_wins - F.coalesce(F.size("__drop"), F.lit(0))
+        ).cast("bigint").alias("n_kept"),
+        F.trim(  # either part may be empty; trim the stray separator
+            F.concat_ws(
+                " ",
+                F.concat_ws(
+                    " ",
+                    F.filter(
+                        F.transform(win_idx, win_text),
+                        lambda w, i: ~F.coalesce(
+                            F.array_contains(F.col("__drop"), i), F.lit(False)
+                        ),
+                    ),
+                ),
+                F.concat_ws(" ", F.slice(toks, n_wins * span + 1, span)),
+            )
+        ).alias("text_dedup"),
+    )
+    return rebuilt

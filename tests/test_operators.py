@@ -741,3 +741,52 @@ class TestProductQuantization:
     def test_dim_not_divisible_raises(self, em):
         with pytest.raises(ValueError, match="not divisible"):
             similarity.train_pq_codebooks(em, m=7, n_codes=8)
+
+
+class TestSpanDedup:
+    def test_known_answers(self, spark):
+        rows = [
+            (1, "a b c d e f g h"),        # both spans original
+            (2, "a b c d x y z w extra"),  # span0 dups doc1 span0
+            (3, "short doc"),              # sub-span: passes intact
+            (4, ""),                       # empty doc
+            (5, "e f g h a b c d"),        # both spans dup doc1's
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in dedup.span_dedup(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                span=4,
+            ).collect()
+        }
+        assert len(out) == 5  # every input doc reported
+        assert (out[1]["n_spans"], out[1]["n_kept"]) == (2, 2)
+        assert out[1]["text_dedup"] == "a b c d e f g h"
+        # first occurrence wins: doc2 keeps its remainder + unique span
+        assert (out[2]["n_spans"], out[2]["n_kept"]) == (2, 1)
+        assert out[2]["text_dedup"] == "x y z w extra"
+        # sub-span docs never participate
+        assert (out[3]["n_spans"], out[3]["text_dedup"]) == (0, "short doc")
+        assert out[4]["text_dedup"] == ""
+        # reordered spans still dedup individually
+        assert (out[5]["n_spans"], out[5]["n_kept"]) == (2, 0)
+        assert out[5]["text_dedup"] == ""
+
+    def test_within_doc_repetition_collapses(self, spark):
+        rows = [(1, "x y z w x y z w x y z w tail")]
+        out = dedup.span_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"), span=4
+        ).collect()[0]
+        assert (out["n_spans"], out["n_kept"]) == (3, 1)
+        assert out["text_dedup"] == "x y z w tail"
+
+    def test_normalization_applies(self, spark):
+        rows = [(1, "A  b C d"), (2, "a b c d")]
+        out = {
+            r["doc_id"]: r
+            for r in dedup.span_dedup(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                span=4,
+            ).collect()
+        }
+        assert out[1]["n_kept"] == 1 and out[2]["n_kept"] == 0
