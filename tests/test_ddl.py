@@ -175,3 +175,43 @@ class TestCorruptRecordRouting:
             ddl.read_routed(
                 spark, self.Doc, str(tmp_path), fmt="json", corrupt_col="text"
             )
+
+
+class TestRangePartitionedWrite:
+    def test_file_ranges_are_disjoint_and_sorted(self, spark, tmp_path):
+        """The property that enables min/max data skipping: every
+        output file owns a disjoint key range (checked from the
+        parquet footers, the same statistics a pruning reader uses)."""
+        import pyarrow.parquet as pq
+
+        df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        out = str(tmp_path / "sorted")
+        ddl.write_range_partitioned(
+            df, out, by=["l_orderkey"], num_files=8, mode="overwrite"
+        )
+        import os
+
+        ranges = []
+        for name in sorted(os.listdir(out)):
+            if not name.endswith(".parquet"):
+                continue
+            meta = pq.ParquetFile(os.path.join(out, name)).metadata
+            mins, maxs = [], []
+            for rg in range(meta.num_row_groups):
+                col = next(
+                    meta.row_group(rg).column(i)
+                    for i in range(meta.num_columns)
+                    if meta.row_group(rg).column(i).path_in_schema
+                    == "l_orderkey"
+                )
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            if mins:
+                ranges.append((min(mins), max(maxs)))
+        assert len(ranges) >= 2  # actually split into multiple files
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, f"overlapping file ranges: {ranges}"
+        # nothing lost
+        total = spark.read.parquet(out).count()
+        assert total == df.count()
