@@ -790,3 +790,39 @@ class TestSpanDedup:
             ).collect()
         }
         assert out[1]["n_kept"] == 1 and out[2]["n_kept"] == 0
+
+
+class TestCosineKernel:
+    def test_numpy_matches_fold_and_ranking(self, spark):
+        em = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        q = em.filter(F.col("vec_id") < 3)
+        sql_res = similarity.brute_force_topk(em, q, k=5, impl="sql").collect()
+        np_res = similarity.brute_force_topk(em, q, k=5, impl="numpy").collect()
+        key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+        a = {key(r): r for r in sql_res}
+        b = {key(r): r for r in np_res}
+        assert set(a) == set(b)
+        for kk in a:
+            assert a[kk]["vec_id"] == b[kk]["vec_id"]
+            assert abs(a[kk]["sim"] - b[kk]["sim"]) <= 1e-6
+
+    def test_null_and_ragged_score_nan(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0], [1.0, 0.0]), (2, None, [1.0, 0.0]),
+             (3, [1.0], [1.0, 0.0])],
+            "id long, a array<double>, b array<double>",
+        )
+        rows = {
+            r["id"]: r["s"]
+            for r in df.select(
+                "id", similarity.cosine_kernel(F.col("a"), F.col("b")).alias("s")
+            ).collect()
+        }
+        assert rows[1] == pytest.approx(1.0)
+        import math
+        assert rows[2] is None or math.isnan(rows[2])
+        assert rows[3] is None or math.isnan(rows[3])
