@@ -55,10 +55,12 @@ def incremental_dedup_stream(
     seed = corpus.select(*cols)
 
     def _process(batch: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         try:
             accepted = spark.read.parquet(accepted_dir).select(*cols)
             target = seed.unionByName(accepted)
-        except Exception:  # first epoch: accepted table doesn't exist yet
+        except AnalysisException:  # first epoch: no accepted table yet
             target = seed
         kept = incremental_exact_dedup(
             batch, target, text_col=text_col, id_col=id_col
