@@ -33,6 +33,7 @@ from flycatcher_spark.operators import (
     decontam,
     dedup,
     multimodal,
+    quality,
     similarity,
     stats,
     text,
@@ -2049,6 +2050,96 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample_plan(with_payload, id_col="doc_id", every_n_bytes=64)
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule gate (operators/quality): per-doc rule
+    metrics plus the boolean gate, bounds fitted to the synthetic
+    corpus so the gate splits it non-trivially."""
+    docs = _read(spark, sf_dir, "documents")
+    m = quality.gopher_metrics("text")
+    return docs.select(
+        "doc_id",
+        m["n_words"].cast("long").alias("n_words"),
+        m["mean_word_len"].alias("mean_word_len"),
+        m["alpha_word_ratio"].alias("alpha_word_ratio"),
+        m["symbol_ratio"].alias("symbol_ratio"),
+        m["bullet_line_ratio"].alias("bullet_line_ratio"),
+        m["ellipsis_line_ratio"].alias("ellipsis_line_ratio"),
+        m["stopword_hits"].cast("long").alias("stopword_hits"),
+        quality.gopher_pass(
+            "text",
+            min_words=20,
+            max_words=5000,
+            min_mean_word_len=3.0,
+            max_mean_word_len=8.0,
+            min_alpha_word_ratio=0.9,
+            min_stopword_hits=1,
+        ).alias("gopher_ok"),
+    )
+
+
+def q_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier scoring (sigmoid(w.x+b), fixed
+    stand-in weights) plus the keep decision at 0.6 — the
+    FineWeb-Edu-shaped model-based filter, map-only."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        quality.classifier_score("text").alias("clf_score"),
+    ).withColumn("clf_keep", F.col("clf_score") >= 0.6)
+
+
+def q_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean unigram surprise under the corpus's own unigram
+    LM (vocab=100, OOV scale 0.5) — the perplexity-filter stand-in."""
+    docs = _read(spark, sf_dir, "documents")
+    return quality.unigram_surprise(
+        docs, vocab_size=100, oov_scale=0.5
+    ).select("doc_id", "n_tokens", "surprise")
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap: top-3 docs per source by quality score
+    (deterministic doc_id tiebreak)."""
+    docs = _read(spark, sf_dir, "documents")
+    scored = docs.withColumn("quality", text.quality_score("text"))
+    capped = quality.cap_per_key(
+        scored, "source", [F.desc("quality"), F.asc("doc_id")], 3
+    )
+    return capped.select(
+        "source", F.col("rank").cast("long").alias("rank"), "doc_id", "quality"
+    )
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (sqrt) mixture sampling toward ~120 rows, weighted
+    by per-source total chars; md5-hash acceptance so the selected
+    set is engine/partitioning-independent."""
+    docs = _read(spark, sf_dir, "documents")
+    out = quality.mixture_sample(
+        docs, "source", "doc_id", target_rows=120, weight_expr=F.sum("n_chars")
+    )
+    return out.select("doc_id", "source", F.col("__rate10k").alias("rate10k"))
+
+
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order without a single-task
+    sort: md5-prefix shards + per-shard windows + broadcast offsets."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    out = quality.training_order(docs, "doc_id", seed="epoch0")
+    return out.select("doc_id", "shard", "pos")
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup survivors: within-label cosine
+    pairs at 0.35, transitive closure, min-id representative kept
+    (impl="sql" — the engine-portable oracle mode)."""
+    em = _emb_double(spark, sf_dir)
+    out = quality.semantic_dedup(
+        em, threshold=0.35, impl="sql", cluster_col="label"
+    )
+    return out.select("vec_id", "label")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2068,6 +2159,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     replica (tools/check_oracle.py) regardless of position.
     """
     return {
+        # -- new this round (r3): corpus-curation operators ---------
+        "gopher_quality": q_gopher_quality,
+        "classifier_quality": q_classifier_quality,
+        "unigram_surprise": q_unigram_surprise,
+        "domain_cap": q_domain_cap,
+        "mixture_sample": q_mixture_sample,
+        "training_order": q_training_order,
+        "semantic_dedup": q_semantic_dedup,
         # -- never driver-checked in r1/r2: scale surface first -----
         "events_daily": q_events_daily,
         "events_sessions": q_events_sessions,
@@ -2266,6 +2365,155 @@ GROUP BY l_returnflag, l_linestatus
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "gopher_quality": r"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+                       END AS toks,
+                       str_split(text, chr(10)) AS ls
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS n_words,
+                       CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE round(CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE) / len(toks), 6)
+                       END AS mean_word_len,
+                       CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks), 6)
+                       END AS alpha_word_ratio,
+                       CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE round(CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE) / len(toks), 6)
+                       END AS symbol_ratio,
+                       round(CAST(len(list_filter(ls, x -> regexp_matches(x, '^\s*[-*•]'))) AS DOUBLE) / len(ls), 6) AS bullet_line_ratio,
+                       round(CAST(len(list_filter(ls, x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS DOUBLE) / len(ls), 6) AS ellipsis_line_ratio,
+                       CAST(len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))),
+                            ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stopword_hits
+                FROM t
+            )
+            SELECT *,
+                   (n_words >= 20 AND n_words <= 5000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 8.0
+                    AND symbol_ratio <= 0.1
+                    AND bullet_line_ratio <= 0.9
+                    AND ellipsis_line_ratio <= 0.3
+                    AND alpha_word_ratio >= 0.9
+                    AND stopword_hits >= 1) AS gopher_ok
+            FROM m
+        """,
+        "classifier_quality": _TEXT_BASE_CTE + """
+            SELECT doc_id,
+                   round(1.0 / (1.0 + exp(-(
+                       -0.5
+                       + (-2.0) * digit_ratio_raw
+                       + 0.25 * ln(CAST(n_tokens AS DOUBLE) + 1.0)
+                       + (-0.5) * abs(mean_tok_len_raw - 5.0)
+                       + (-3.0) * punct_ratio_raw
+                       + 4.0 * stop_ratio_raw
+                   ))), 6) AS clf_score,
+                   round(1.0 / (1.0 + exp(-(
+                       -0.5
+                       + (-2.0) * digit_ratio_raw
+                       + 0.25 * ln(CAST(n_tokens AS DOUBLE) + 1.0)
+                       + (-0.5) * abs(mean_tok_len_raw - 5.0)
+                       + (-3.0) * punct_ratio_raw
+                       + 4.0 * stop_ratio_raw
+                   ))), 6) >= 0.6 AS clf_keep
+            FROM feat
+        """,
+        "unigram_surprise": r"""
+            WITH toks AS (
+                SELECT doc_id, lower(token) AS token
+                FROM (
+                    SELECT doc_id,
+                           unnest(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+                                       THEN CAST([] AS VARCHAR[])
+                                       ELSE regexp_split_to_array(
+                                           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+                                  END) AS token
+                    FROM documents
+                )
+            ),
+            counts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+            total AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM counts),
+            vocab AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token ASC LIMIT 100),
+            costs AS (
+                SELECT t.doc_id,
+                       CAST(round(CASE WHEN v.cnt IS NOT NULL
+                                       THEN -ln(CAST(v.cnt AS DOUBLE) / tt.n)
+                                       ELSE -ln(0.5 / tt.n)
+                                  END, 9) AS DECIMAL(20,9)) AS cost9
+                FROM toks t LEFT JOIN vocab v USING (token) CROSS JOIN total tt
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   round(CAST(SUM(cost9) AS DOUBLE) / COUNT(*), 6) AS surprise
+            FROM costs GROUP BY doc_id
+        """,
+        "domain_cap": _TEXT_BASE_CTE + """
+            SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, quality
+            FROM (
+                SELECT d.source, d.doc_id, s.quality,
+                       row_number() OVER (PARTITION BY d.source
+                                          ORDER BY s.quality DESC, d.doc_id) AS rank
+                FROM documents d JOIN scored s USING (doc_id)
+            )
+            WHERE rank <= 3
+        """,
+        "mixture_sample": """
+            WITH stats AS (
+                SELECT source, COUNT(*) AS n_s, CAST(SUM(n_chars) AS DOUBLE) AS w_s
+                FROM documents GROUP BY source
+            ),
+            s2 AS (SELECT source, n_s, round(sqrt(w_s), 6) AS sw FROM stats),
+            denom AS (SELECT CAST(SUM(CAST(sw AS DECIMAL(20,6))) AS DOUBLE) AS t FROM s2),
+            rates AS (
+                SELECT source,
+                       CAST(FLOOR(LEAST(1.0, 120.0 * sw / t / CAST(n_s AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS rate10k
+                FROM s2 CROSS JOIN denom
+            )
+            SELECT d.doc_id, d.source, r.rate10k
+            FROM documents d JOIN rates r USING (source)
+            WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < r.rate10k
+        """,
+        "training_order": """
+            SELECT doc_id,
+                   substr(md5(concat('epoch0', ':', CAST(doc_id AS VARCHAR))), 1, 2) AS shard,
+                   CAST(row_number() OVER (
+                       ORDER BY md5(concat('epoch0', ':', CAST(doc_id AS VARCHAR))), doc_id
+                   ) - 1 AS BIGINT) AS pos
+            FROM documents
+        """,
+        "semantic_dedup": """
+            WITH RECURSIVE e0 AS (
+                SELECT l.vec_id AS a, r.vec_id AS b
+                FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings) l
+                JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings) r
+                  ON l.vec_id < r.vec_id AND l.label = r.label
+                WHERE round(CASE WHEN sqrt(list_dot_product(l.v, l.v))
+                                      * sqrt(list_dot_product(r.v, r.v)) > 0
+                                 THEN list_dot_product(l.v, r.v)
+                                      / (sqrt(list_dot_product(l.v, l.v))
+                                         * sqrt(list_dot_product(r.v, r.v)))
+                            END, 6) >= 0.35
+            ),
+            edges AS (
+                SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+            ),
+            reach(node, comp) AS (
+                SELECT a AS node, a AS comp FROM edges
+                UNION
+                SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.node
+            ),
+            comp AS (
+                SELECT node, MIN(comp) AS component FROM reach GROUP BY node
+            )
+            SELECT e.vec_id, e.label
+            FROM embeddings e
+            WHERE e.vec_id NOT IN (SELECT node FROM comp WHERE node <> component)
+        """,
         "validate_lineitem": f"""
             SELECT l_orderkey, l_partkey, l_suppkey,
                    CAST(l_linenumber AS BIGINT) AS l_linenumber,

@@ -14,6 +14,10 @@ reference surface — see SURVEY.md §7.1 step 7).
 - :mod:`.skew` — salted joins/aggregations for hot-key workloads.
 - :mod:`.decontam` — benchmark n-gram decontamination for training
   corpora.
+- :mod:`.quality` — corpus curation: Gopher-style rule gates, linear
+  classifier scoring, unigram-LM surprise, per-domain caps,
+  temperature mixture sampling, deterministic training order,
+  semantic dedup.
 """
 
 from . import (
@@ -21,6 +25,7 @@ from . import (
     decontam,
     dedup,
     multimodal,
+    quality,
     range_join,
     similarity,
     skew,
@@ -33,6 +38,7 @@ __all__ = [
     "decontam",
     "dedup",
     "multimodal",
+    "quality",
     "similarity",
     "skew",
     "stats",

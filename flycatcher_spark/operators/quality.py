@@ -1,0 +1,428 @@
+"""Corpus-curation operators for pretraining-data pipelines.
+
+Extensions beyond the reference surface (BASELINE.json north star),
+covering the selection stages a 100 TB training-data build runs after
+dedup: rule-based quality gates (Gopher-style), a linear
+quality-classifier scorer (FastText/FineWeb-Edu-shaped, fixed
+weights), unigram language-model surprise scoring, per-domain caps,
+temperature-based mixture sampling, deterministic global training
+order, and semantic dedup over embeddings.
+
+Scale posture (see SCALE.md): every per-document metric is a pure
+Column expression (map-only, whole-stage codegen, cost = the scan);
+the corpus-level statistics these operators need (vocabulary, source
+counts, shard offsets) are tiny aggregates that broadcast back —
+no operator here shuffles document text.
+
+Engine-parity rules shared with the DuckDB oracles: whitespace
+tokenization via ``text.tokens``, md5-bucket hashing via
+``text.md5_bucket``, natural ``ln`` + ``round(x, 6)`` for scores
+(the doc_tfidf pattern), and explicit ``sqrt`` for the temperature
+exponent so both engines hit the correctly-rounded IEEE path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import md5_bucket, tokens
+
+# Marker words whose presence Gopher requires (>= 2 of them) — kept
+# lowercase and engine-neutral.
+REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+# Symbols Gopher counts against the word count: hash marks and
+# ellipses (both the three-dot and the single-char form).
+_SYMBOL_RE = r"#|\.\.\.|…"
+_BULLET_RE = r"^\s*[-*•]"
+_ELLIPSIS_END_RE = r"(\.\.\.|…)\s*$"
+
+
+def _col(text: Column | str) -> Column:
+    return F.col(text) if isinstance(text, str) else text
+
+
+def lines(text: Column | str) -> Column:
+    """Lines of a document (split on newline; no trailing trim so the
+    line count matches DuckDB's ``str_split``)."""
+    return F.split(_col(text), r"\n")
+
+
+def gopher_metrics(text: Column | str) -> dict[str, Column]:
+    """The per-document metrics behind the Gopher quality rules, as
+    named Column expressions (map-only, no UDFs).
+
+    Keys: ``n_words``, ``mean_word_len``, ``alpha_word_ratio``,
+    ``symbol_ratio``, ``bullet_line_ratio``, ``ellipsis_line_ratio``,
+    ``stopword_hits``. Ratios are 0.0 on empty documents.
+    """
+    c = _col(text)
+    toks = tokens(c)
+    n_words = F.size(toks)
+    nw_d = n_words.cast("double")
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_word_len = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.round(total_len.cast("double") / nw_d, 6)
+    )
+    alpha_hits = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_word_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.round(alpha_hits.cast("double") / nw_d, 6)
+    )
+    symbol_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.round(F.regexp_count(c, F.lit(_SYMBOL_RE)).cast("double") / nw_d, 6)
+    )
+    ls = lines(c)
+    n_lines = F.size(ls).cast("double")
+    bullet_line_ratio = F.round(
+        F.size(F.filter(ls, lambda l: l.rlike(_BULLET_RE))).cast("double")
+        / n_lines,
+        6,
+    )
+    ellipsis_line_ratio = F.round(
+        F.size(F.filter(ls, lambda l: l.rlike(_ELLIPSIS_END_RE))).cast(
+            "double"
+        )
+        / n_lines,
+        6,
+    )
+    lowered = F.array_distinct(F.transform(toks, F.lower))
+    stopword_hits = F.size(
+        F.array_intersect(
+            lowered, F.array(*[F.lit(w) for w in REQUIRED_STOPWORDS])
+        )
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "alpha_word_ratio": alpha_word_ratio,
+        "symbol_ratio": symbol_ratio,
+        "bullet_line_ratio": bullet_line_ratio,
+        "ellipsis_line_ratio": ellipsis_line_ratio,
+        "stopword_hits": stopword_hits,
+    }
+
+
+def gopher_pass(
+    text: Column | str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """Gopher-style rule gate as ONE boolean Column.
+
+    Defaults follow the published Gopher ranges; callers tune them to
+    the corpus (the registered query uses bounds fitted to the
+    synthetic documents table so the gate splits it non-trivially).
+    """
+    m = gopher_metrics(text)
+    return (
+        (m["n_words"] >= min_words)
+        & (m["n_words"] <= max_words)
+        & (m["mean_word_len"] >= min_mean_word_len)
+        & (m["mean_word_len"] <= max_mean_word_len)
+        & (m["symbol_ratio"] <= max_symbol_ratio)
+        & (m["bullet_line_ratio"] <= max_bullet_line_ratio)
+        & (m["ellipsis_line_ratio"] <= max_ellipsis_line_ratio)
+        & (m["alpha_word_ratio"] >= min_alpha_word_ratio)
+        & (m["stopword_hits"] >= min_stopword_hits)
+    )
+
+
+# Default linear-model weights for the classifier scorer: a stand-in
+# for a trained FastText/regression quality model (the container has
+# no model artifacts). The *shape* is the real contract: a fixed
+# weight vector over cheap per-doc features, applied map-only.
+DEFAULT_CLASSIFIER_WEIGHTS: dict[str, float] = {
+    "stopword_ratio": 4.0,
+    "mean_word_len_centered": -0.5,  # |mean_word_len - 5| penalty
+    "punct_ratio": -3.0,
+    "digit_ratio": -2.0,
+    "log_n_words": 0.25,
+}
+DEFAULT_CLASSIFIER_BIAS = -0.5
+
+
+def classifier_score(
+    text: Column | str,
+    weights: dict[str, float] | None = None,
+    bias: float | None = None,
+) -> Column:
+    """Linear quality-classifier score ``sigmoid(w . x + b)`` in
+    [0, 1], rounded to 6 decimals.
+
+    Features are pure Column expressions (see
+    ``DEFAULT_CLASSIFIER_WEIGHTS`` for the names); swapping in real
+    trained weights changes only the dict. Map-only — at 100 TB this
+    scores at scan speed, which is exactly why production pipelines
+    distill big quality models into linear scorers.
+    """
+    from . import text as T
+
+    w = DEFAULT_CLASSIFIER_WEIGHTS if weights is None else weights
+    b = DEFAULT_CLASSIFIER_BIAS if bias is None else bias
+    c = _col(text)
+    n_words = T.token_count(c).cast("double")
+    feats: dict[str, Column] = {
+        "stopword_ratio": T.stopword_ratio(c),
+        "mean_word_len_centered": F.abs(T.mean_token_length(c) - F.lit(5.0)),
+        "punct_ratio": T.punct_ratio(c),
+        "digit_ratio": T.digit_ratio(c),
+        "log_n_words": F.log(n_words + F.lit(1.0)),
+    }
+    z = F.lit(float(b))
+    for name, weight in sorted(w.items()):
+        if name not in feats:
+            raise KeyError(f"unknown classifier feature: {name}")
+        z = z + F.lit(float(weight)) * feats[name]
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+
+
+def unigram_surprise(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+    oov_scale: float = 0.5,
+) -> DataFrame:
+    """Per-document mean unigram surprise (-ln p(token)) under the
+    corpus's own unigram LM — the cheap stand-in for perplexity-based
+    quality filtering (high surprise = unusual/noisy text).
+
+    Two aggregates over the exploded token stream, both scale-safe:
+
+    - vocabulary: ``groupBy(token)`` with map-side partial counts,
+      then top-``vocab_size`` via TakeOrderedAndProject (count desc,
+      token asc — deterministic); the vocab and the total token count
+      are tiny and BROADCAST back, so the scoring join never shuffles
+      the corpus.
+    - scoring: explode -> broadcast-join vocab -> ``groupBy(doc_id)``
+      whose shuffle carries one partial row per doc per partition
+      (tokens of a doc are partition-local), not per token.
+
+    Out-of-vocabulary tokens cost ``-ln(oov_scale / N)``. Returns
+    ``(id_col, n_tokens, surprise)`` with surprise rounded to 6.
+    Per-token costs are rounded to 9 decimals and summed as DECIMAL
+    (the repo's order-independent-aggregate rule), so the result is
+    bitwise identical under any partitioning and across engines.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.transform(tokens(text_col), F.lower)).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    vocab = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(vocab_size)
+    total = counts.agg(F.sum("cnt").cast("double").alias("__n_total"))
+    cost = F.when(
+        F.col("cnt").isNotNull(),
+        -F.log(F.col("cnt").cast("double") / F.col("__n_total")),
+    ).otherwise(-F.log(F.lit(float(oov_scale)) / F.col("__n_total")))
+    scored = (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.round(cost, 9).cast("decimal(20,9)").alias("cost9"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            F.sum("cost9").cast("double") / F.count("*"), 6
+        ).alias("surprise"),
+    )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    order_by: list[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Keep the top-``k`` rows per key (per-domain caps: no single
+    source may dominate the corpus).
+
+    One hash-partitioned window per key — the standard distributed
+    top-k-per-group. ``order_by`` MUST be a total order (add the id
+    as the last tiebreak) or the kept set is nondeterministic. At
+    scale a pathologically hot key serializes into one task; cap such
+    keys upstream (mixture_sample) or pre-aggregate a per-key
+    threshold first — documented rather than hidden, because the
+    window is exact and AQE cannot split a window partition.
+    """
+    w = Window.partitionBy(key_col).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= int(k))
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    target_rows: int,
+    temperature_sqrt: bool = True,
+    weight_expr: Column | None = None,
+) -> DataFrame:
+    """Temperature-based source mixing: deterministically sample each
+    stratum so the output approximates ``target_rows`` rows allocated
+    proportionally to ``weight^alpha`` (alpha=0.5, the sqrt
+    temperature — flattens head sources, boosts tail sources).
+
+    The per-stratum statistics (row count and weight basis, default
+    the row count itself) are ONE tiny aggregate that broadcasts back;
+    acceptance is the md5-bucket rule (``text.hash_stratified_sample``
+    semantics) so the selected set is a pure function of the key —
+    re-runs, other engines, and any partitioning agree. The exponent
+    is an explicit ``sqrt`` (not ``pow(x, 0.5)``) because IEEE sqrt is
+    correctly rounded in every engine, keeping the driver's
+    hash-compare exact.
+
+    Returns the sampled rows with a ``__rate10k`` integer column (the
+    acceptance threshold out of 10000) so callers can audit rates.
+    """
+    if not temperature_sqrt:
+        raise NotImplementedError(
+            "only the sqrt temperature is engine-parity-safe; "
+            "use hash_stratified_sample for explicit fractions"
+        )
+    wexpr = F.count(F.lit(1)).cast("double") if weight_expr is None else weight_expr
+    stats = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("__n_s"),
+        wexpr.cast("double").alias("__w_s"),
+    )
+    # sqrt rounded to 6 and summed as DECIMAL: the denominator is
+    # order-independent, so acceptance thresholds can't flip on a
+    # repartition or an engine's summation order.
+    stats = stats.withColumn("__sw", F.round(F.sqrt(F.col("__w_s")), 6))
+    denom = stats.agg(
+        F.sum(F.col("__sw").cast("decimal(20,6)"))
+        .cast("double")
+        .alias("__sw_total")
+    )
+    rates = (
+        stats.crossJoin(F.broadcast(denom))
+        .select(
+            F.col(strata_col),
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(target_rows))
+                    * F.col("__sw")
+                    / F.col("__sw_total")
+                    / F.col("__n_s").cast("double"),
+                )
+                * 10000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("__rate10k"),
+        )
+    )
+    bucket = md5_bucket(F.col(key_col), 10000)
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .where(bucket < F.col("__rate10k"))
+    )
+
+
+def training_order(
+    df: DataFrame,
+    key_col: str,
+    seed: str = "epoch0",
+    shard_hex_chars: int = 2,
+    pos_col: str = "pos",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Deterministic global training order WITHOUT a single-task
+    global sort: every row gets a dense position 0..n-1 ordered by
+    ``md5(seed || ':' || key)``.
+
+    The md5 hex's first ``shard_hex_chars`` chars are the shard (a
+    PREFIX of the sort key, so shard order == global order). Within a
+    shard, position comes from a hash-partitioned window; shard row
+    counts (256 rows for 2 hex chars) aggregate tiny, take a
+    cumulative sum, and broadcast back as offsets:
+    ``pos = offset[shard] + rank_within_shard``. Writing shards in
+    order yields a globally shuffled, reproducible epoch — the q15
+    lesson (never ``Window.partitionBy()`` over everything) applied
+    to ordering.
+
+    Epoch reshuffles = new ``seed``. Collision tiebreak is the key
+    itself, so the order is total even if md5 prefixes collide.
+    """
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string")))
+    base = df.withColumn("__h", h).withColumn(
+        shard_col, F.substring(F.col("__h"), 1, int(shard_hex_chars))
+    )
+    w = Window.partitionBy(shard_col).orderBy(F.col("__h"), F.col(key_col))
+    ranked = base.withColumn("__r", F.row_number().over(w))
+    counts = base.groupBy(shard_col).agg(F.count(F.lit(1)).alias("__c"))
+    offs = counts.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__c").over(
+                Window.orderBy(shard_col).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select(shard_col, "__off")
+    return (
+        ranked.join(F.broadcast(offs), shard_col)
+        .withColumn(pos_col, (F.col("__off") + F.col("__r") - 1).cast("long"))
+        .drop("__h", "__r", "__off")
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    threshold: float = 0.97,
+    impl: str = "numpy",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: within each cluster, drop every
+    vector whose cosine to another cluster member exceeds
+    ``threshold``, keeping one deterministic representative (min id)
+    per near-duplicate component.
+
+    The cluster column is the blocking key — any assignment works
+    (a label, an IVF/KMeans cell from ``similarity.ivf_topk``'s
+    quantizer, an LSH bucket); clusters bound the pairwise work to
+    intra-cluster, which is the entire reason SemDeDup clusters
+    first. Pairs come from ``dedup.embedding_neardup_pairs`` (BLAS
+    per-block matmul by default, exact fold for oracle runs);
+    transitive closure via ``dedup.connected_components`` so chains
+    A~B~C collapse to one survivor even when A~C is under threshold.
+
+    Returns the surviving rows of ``vectors`` (all original columns).
+    """
+    from .dedup import connected_components, embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(
+        vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col=cluster_col,
+        threshold=threshold,
+        impl=impl,
+    )
+    comp = connected_components(pairs, src_col="id_a", dst_col="id_b")
+    losers = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return vectors.join(F.broadcast(losers), id_col, "left_anti")

@@ -1,0 +1,292 @@
+"""Corpus-curation operator tests (operators/quality): known-answer
+fixtures for the rule gate / classifier / unigram LM, determinism
+checks for sampling and training order, transitive-closure semantics
+for semantic dedup, and plan-shape assertions (map-only metrics)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from flycatcher_spark import plans
+from flycatcher_spark.operators import quality
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            # clean prose: passes every rule
+            (1, "the cat sat on the mat and it was happy to be there with food"),
+            # bullet list: every line starts with '-'
+            (2, "- first item\n- second item\n- third item"),
+            # ellipsis-heavy: both lines end with ...
+            (3, "teaser one...\nteaser two…"),
+            # symbol noise: hash marks
+            (4, "# # # header # # # and # more # hashes #"),
+            # numeric: words carry no alpha chars
+            (5, "12 34 56 78 90 11 22 33"),
+            # empty
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+class TestGopherRules:
+    def test_metrics_known_answers(self, docs):
+        m = quality.gopher_metrics("text")
+        rows = {
+            r["doc_id"]: r
+            for r in docs.select(
+                "doc_id", *[v.alias(k) for k, v in m.items()]
+            ).collect()
+        }
+        r1 = rows[1]
+        assert r1["n_words"] == 15
+        assert r1["alpha_word_ratio"] == 1.0
+        assert r1["symbol_ratio"] == 0.0
+        assert r1["bullet_line_ratio"] == 0.0
+        # 'the','and','be','to','with' present -> 5 required hits
+        assert r1["stopword_hits"] == 5
+        # bullets: 3 of 3 lines
+        assert rows[2]["bullet_line_ratio"] == 1.0
+        # ellipses: both forms counted, 2 of 2 lines
+        assert rows[3]["ellipsis_line_ratio"] == 1.0
+        # '...' and '…' also count as symbols: 2 symbols / 4 words
+        # (the newline is a token separator)
+        assert rows[3]["symbol_ratio"] == 0.5
+        # 9 hashes / 13 words
+        assert rows[4]["symbol_ratio"] == round(9 / 13, 6)
+        assert rows[5]["alpha_word_ratio"] == 0.0
+        # empty doc: zero words, zero ratios (no NaNs/nulls)
+        r6 = rows[6]
+        assert r6["n_words"] == 0 and r6["mean_word_len"] == 0.0
+        assert r6["alpha_word_ratio"] == 0.0 and r6["symbol_ratio"] == 0.0
+
+    def test_gate_decisions(self, docs):
+        got = {
+            r["doc_id"]: r["ok"]
+            for r in docs.select(
+                "doc_id",
+                quality.gopher_pass(
+                    "text", min_words=3, min_stopword_hits=1
+                ).alias("ok"),
+            ).collect()
+        }
+        assert got[1] is True  # clean prose
+        assert got[2] is False  # bullet ratio 1.0 > 0.9
+        assert got[3] is False  # ellipsis ratio 1.0 > 0.3
+        assert got[4] is False  # symbol ratio > 0.1
+        assert got[5] is False  # alpha ratio 0 < 0.8
+        assert got[6] is False  # below min_words
+
+    def test_metrics_are_map_only(self, docs):
+        m = quality.gopher_metrics("text")
+        out = docs.select("doc_id", *[v.alias(k) for k, v in m.items()])
+        plans.assert_no_shuffle(out)
+        plans.assert_jvm_only(out)
+
+
+class TestClassifierScore:
+    def test_known_value(self, spark):
+        # one word 'hello': stop=0, mtl=5 (centered term 0), punct=0,
+        # digit=0, log_n_words=ln(2) -> z = -0.5 + 0.25*ln(2)
+        df = spark.createDataFrame([(1, "hello")], "id long, text string")
+        z = -0.5 + 0.25 * math.log(2.0)
+        want = round(1.0 / (1.0 + math.exp(-z)), 6)
+        got = df.select(quality.classifier_score("text").alias("s")).first()["s"]
+        assert got == want
+
+    def test_monotone_in_stopwords(self, spark):
+        df = spark.createDataFrame(
+            [(1, "xxxxx yyyyy zzzzz"), (2, "the and of")],
+            "id long, text string",
+        )
+        s = {
+            r["id"]: r["s"]
+            for r in df.select(
+                "id", quality.classifier_score("text").alias("s")
+            ).collect()
+        }
+        assert s[2] > s[1]
+
+    def test_unknown_feature_raises(self, spark):
+        df = spark.createDataFrame([(1, "x")], "id long, text string")
+        with pytest.raises(KeyError):
+            df.select(quality.classifier_score("text", weights={"nope": 1.0}))
+
+    def test_map_only(self, docs):
+        out = docs.select(quality.classifier_score("text").alias("s"))
+        plans.assert_no_shuffle(out)
+        plans.assert_jvm_only(out)
+
+
+class TestUnigramSurprise:
+    def test_known_answer(self, spark):
+        # corpus: a:3 b:1 c:1, N=5. vocab_size=2 keeps a(3) and b(1)
+        # (count desc, token asc beats c); c is OOV at 0.5/5.
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in quality.unigram_surprise(df, vocab_size=2).collect()
+        }
+        c_a, c_b, c_oov = -math.log(3 / 5), -math.log(1 / 5), -math.log(0.5 / 5)
+        d9 = lambda x: round(x, 9)
+        assert out[1]["n_tokens"] == 3
+        assert out[1]["surprise"] == round((2 * d9(c_a) + d9(c_b)) / 3, 6)
+        assert out[2]["n_tokens"] == 2
+        assert out[2]["surprise"] == round((d9(c_a) + d9(c_oov)) / 2, 6)
+
+    def test_lowercases_before_counting(self, spark):
+        df = spark.createDataFrame(
+            [(1, "The the THE")], "doc_id long, text string"
+        )
+        out = quality.unigram_surprise(df, vocab_size=10).first()
+        # all three tokens are one vocab entry with p=1 -> surprise 0
+        assert out["surprise"] == 0.0
+
+    def test_partitioning_invariant(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"tok{i % 7} tok{i % 3} shared") for i in range(60)],
+            "doc_id long, text string",
+        )
+        a = {
+            (r["doc_id"], r["surprise"])
+            for r in quality.unigram_surprise(df, vocab_size=5).collect()
+        }
+        b = {
+            (r["doc_id"], r["surprise"])
+            for r in quality.unigram_surprise(
+                df.repartition(7), vocab_size=5
+            ).collect()
+        }
+        assert a == b
+
+
+class TestCapPerKey:
+    def test_known_answer(self, spark):
+        df = spark.createDataFrame(
+            [("s1", 1, 0.9), ("s1", 2, 0.8), ("s1", 3, 0.7), ("s1", 4, 0.6),
+             ("s2", 5, 0.5)],
+            "source string, doc_id long, q double",
+        )
+        kept = quality.cap_per_key(
+            df, "source", [F.desc("q"), F.asc("doc_id")], 2
+        )
+        got = sorted((r["source"], r["doc_id"], r["rank"]) for r in kept.collect())
+        assert got == [("s1", 1, 1), ("s1", 2, 2), ("s2", 5, 1)]
+
+    def test_tiebreak_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [("s", i, 1.0) for i in range(10)],
+            "source string, doc_id long, q double",
+        )
+        kept = quality.cap_per_key(
+            df.repartition(5), "source", [F.desc("q"), F.asc("doc_id")], 3
+        )
+        assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 2]
+
+
+class TestMixtureSample:
+    @pytest.fixture(scope="class")
+    def skewed(self, spark):
+        rows = [(f"d{i}", "head") for i in range(90)] + [
+            (f"t{i}", "tail") for i in range(10)
+        ]
+        return spark.createDataFrame(rows, "key string, source string")
+
+    def test_rates_follow_sqrt_temperature(self, skewed):
+        out = quality.mixture_sample(skewed, "source", "key", target_rows=40)
+        rates = {
+            r["source"]: r["__rate10k"]
+            for r in out.select("source", "__rate10k").distinct().collect()
+        }
+        sw_head, sw_tail = round(math.sqrt(90), 6), round(math.sqrt(10), 6)
+        t = sw_head + sw_tail
+        want_head = math.floor(min(1.0, 40 * sw_head / t / 90) * 10000 + 0.5)
+        want_tail = math.floor(min(1.0, 40 * sw_tail / t / 10) * 10000 + 0.5)
+        assert rates == {"head": want_head, "tail": want_tail}
+        # sqrt temperature: the tail stratum is sampled at a HIGHER
+        # rate than the head (that's the point of flattening).
+        assert rates["tail"] > rates["head"]
+
+    def test_deterministic_and_partition_invariant(self, skewed):
+        a = {r["key"] for r in quality.mixture_sample(
+            skewed, "source", "key", target_rows=40).collect()}
+        b = {r["key"] for r in quality.mixture_sample(
+            skewed.repartition(13), "source", "key", target_rows=40).collect()}
+        assert a == b and len(a) > 0
+
+    def test_rate_capped_at_one(self, spark):
+        df = spark.createDataFrame(
+            [(f"k{i}", "only") for i in range(5)], "key string, source string"
+        )
+        out = quality.mixture_sample(df, "source", "key", target_rows=1000)
+        assert out.count() == 5  # rate clamps to 10000/10000
+
+
+class TestTrainingOrder:
+    def test_dense_permutation(self, spark):
+        df = spark.createDataFrame(
+            [(i,) for i in range(200)], "doc_id long"
+        )
+        out = quality.training_order(df, "doc_id", seed="e0")
+        pos = sorted(r["pos"] for r in out.collect())
+        assert pos == list(range(200))
+
+    def test_matches_global_md5_sort(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+        out = quality.training_order(df.repartition(7), "doc_id", seed="e0")
+        got = [r["doc_id"] for r in out.orderBy("pos").collect()]
+        import hashlib
+
+        want = sorted(
+            range(50),
+            key=lambda i: hashlib.md5(f"e0:{i}".encode()).hexdigest(),
+        )
+        assert got == want
+
+    def test_seed_changes_order(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+        a = [r["doc_id"] for r in
+             quality.training_order(df, "doc_id", seed="e0").orderBy("pos").collect()]
+        b = [r["doc_id"] for r in
+             quality.training_order(df, "doc_id", seed="e1").orderBy("pos").collect()]
+        assert a != b and sorted(a) == sorted(b)
+
+
+class TestSemanticDedup:
+    @pytest.fixture(scope="class")
+    def vectors(self, spark):
+        # cluster 0: chain a~b (cos 1.0), b~c (cos≈0.995), a~c lower;
+        # d orthogonal. cluster 1: copy of a — must NOT be compared
+        # across clusters.
+        rows = [
+            (1, [1.0, 0.0, 0.0], 0),
+            (2, [1.0, 0.0, 0.0], 0),
+            (3, [1.0, 0.1, 0.0], 0),
+            (4, [0.0, 1.0, 0.0], 0),
+            (5, [1.0, 0.0, 0.0], 1),
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+
+    @pytest.mark.parametrize("impl", ["sql", "numpy"])
+    def test_transitive_min_id_survivor(self, vectors, impl):
+        out = quality.semantic_dedup(
+            vectors, threshold=0.99, impl=impl, cluster_col="label"
+        )
+        kept = sorted(r["vec_id"] for r in out.collect())
+        # 1~2 exact, 2~3 cos=1/sqrt(1.01)≈0.995 -> component {1,2,3}
+        # keeps 1; 4 orthogonal survives; 5 isolated in cluster 1.
+        assert kept == [1, 4, 5]
+
+    def test_threshold_keeps_everything(self, vectors):
+        out = quality.semantic_dedup(vectors, threshold=1.1, impl="sql")
+        assert out.count() == 5
