@@ -2129,6 +2129,55 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "shard", "pos")
 
 
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling: select 60 docs from the non-src0
+    corpus whose unigram profile matches the src0 target set, via
+    deterministic Gumbel top-k over mean unigram log-ratios."""
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    out = quality.dsir_sample(
+        corpus, target, k=60, vocab_size=100, oov_scale=0.5, seed="dsir0"
+    )
+    return out.select("doc_id", "source", "logw")
+
+
+def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed round-3 curation flagship — the selection pipeline a
+    pretraining-data job runs, end-to-end as ONE oracle-checked query:
+
+    1. Gopher rule gate (corpus-fitted bounds),
+    2. classifier floor (sigmoid linear scorer >= 0.6),
+    3. sqrt-temperature mixture sampling toward 150 rows, weighted by
+       per-source total chars over the SURVIVORS of 1-2,
+    4. deterministic epoch order (md5 shards, dense positions).
+
+    Every stage is a pure function of the data, so the final ordered
+    sample is cell-for-cell checkable. Evidence the quality operators
+    compose, like corpus_select is for the dedup family."""
+    docs = _read(spark, sf_dir, "documents")
+    gated = docs.where(
+        quality.gopher_pass(
+            "text",
+            min_words=20,
+            max_words=5000,
+            min_mean_word_len=3.0,
+            max_mean_word_len=8.0,
+            min_alpha_word_ratio=0.9,
+            min_stopword_hits=1,
+        )
+    )
+    scored = gated.withColumn("clf_score", quality.classifier_score("text"))
+    kept = scored.where(F.col("clf_score") >= 0.6)
+    mixed = quality.mixture_sample(
+        kept, "source", "doc_id", target_rows=150, weight_expr=F.sum("n_chars")
+    )
+    ordered = quality.training_order(
+        mixed.select("doc_id", "source", "clf_score"), "doc_id", seed="epoch0"
+    )
+    return ordered.select("pos", "doc_id", "source", "clf_score")
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup survivors: within-label cosine
     pairs at 0.35, transitive closure, min-id representative kept
@@ -2167,6 +2216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "training_order": q_training_order,
         "semantic_dedup": q_semantic_dedup,
+        "curated_corpus": q_curated_corpus,
+        "dsir_sample": q_dsir_sample,
         # -- never driver-checked in r1/r2: scale surface first -----
         "events_daily": q_events_daily,
         "events_sessions": q_events_sessions,
@@ -2485,6 +2536,141 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY md5(concat('epoch0', ':', CAST(doc_id AS VARCHAR))), doc_id
                    ) - 1 AS BIGINT) AS pos
             FROM documents
+        """,
+        "dsir_sample": r"""
+            WITH split_toks AS (
+                SELECT doc_id, source, lower(token) AS token
+                FROM (
+                    SELECT doc_id, source,
+                           unnest(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+                                       THEN CAST([] AS VARCHAR[])
+                                       ELSE regexp_split_to_array(
+                                           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+                                  END) AS token
+                    FROM documents
+                )
+            ),
+            ct AS (SELECT doc_id, token FROM split_toks WHERE source <> 'src0'),
+            tt AS (SELECT token FROM split_toks WHERE source = 'src0'),
+            tcounts AS (SELECT token, COUNT(*) AS cnt_t FROM tt GROUP BY token),
+            tvocab AS (SELECT token, cnt_t FROM tcounts ORDER BY cnt_t DESC, token LIMIT 100),
+            ttotal AS (SELECT CAST(SUM(cnt_t) AS DOUBLE) AS n_t FROM tcounts),
+            ccounts AS (SELECT token, COUNT(*) AS cnt_c FROM ct GROUP BY token),
+            cvocab AS (SELECT token, cnt_c FROM ccounts ORDER BY cnt_c DESC, token LIMIT 100),
+            ctotal AS (SELECT CAST(SUM(cnt_c) AS DOUBLE) AS n_c FROM ccounts),
+            scored AS (
+                SELECT doc_id,
+                       CAST(SUM(CAST(round(
+                           (CASE WHEN tv.cnt_t IS NOT NULL
+                                 THEN ln(CAST(tv.cnt_t AS DOUBLE) / t.n_t)
+                                 ELSE ln(0.5 / t.n_t) END)
+                           - (CASE WHEN cv.cnt_c IS NOT NULL
+                                   THEN ln(CAST(cv.cnt_c AS DOUBLE) / c.n_c)
+                                   ELSE ln(0.5 / c.n_c) END)
+                       , 9) AS DECIMAL(20,9))) AS DOUBLE) AS logw_raw
+                FROM ct
+                LEFT JOIN tvocab tv USING (token)
+                LEFT JOIN cvocab cv USING (token)
+                CROSS JOIN ttotal t CROSS JOIN ctotal c
+                GROUP BY doc_id
+            ),
+            keyed AS (
+                SELECT doc_id, logw_raw,
+                       logw_raw + (-ln(-ln(
+                           (CAST(concat('0x', substr(md5(concat('dsir0', ':', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000 + 0.5)
+                           / 1000000.0
+                       ))) AS gkey
+                FROM scored
+            ),
+            picked AS (
+                SELECT doc_id, logw_raw FROM keyed
+                ORDER BY gkey DESC, doc_id LIMIT 60
+            )
+            SELECT d.doc_id, d.source, round(p.logw_raw, 6) AS logw
+            FROM documents d JOIN picked p USING (doc_id)
+        """,
+        "curated_corpus": r"""
+            WITH t AS (
+                SELECT doc_id, text, source, n_chars,
+                       CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+                       END AS toks,
+                       str_split(text, chr(10)) AS ls
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id, source, n_chars,
+                       len(toks) AS n_words_i,
+                       CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE round(CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE) / len(toks), 6)
+                       END AS mean_word_len,
+                       CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks), 6)
+                       END AS alpha_word_ratio,
+                       CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE round(CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE) / len(toks), 6)
+                       END AS symbol_ratio,
+                       round(CAST(len(list_filter(ls, x -> regexp_matches(x, '^\s*[-*•]'))) AS DOUBLE) / len(ls), 6) AS bullet_line_ratio,
+                       round(CAST(len(list_filter(ls, x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS DOUBLE) / len(ls), 6) AS ellipsis_line_ratio,
+                       len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))),
+                            ['the','be','to','of','and','that','have','with'])) AS stopword_hits,
+                       CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE) / len(toks)
+                       END AS mtl_raw,
+                       CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE CAST(len(list_filter(toks, x -> lower(x) IN
+                                ('the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by')))
+                                AS DOUBLE) / len(toks)
+                       END AS stop_ratio_raw,
+                       CASE WHEN length(text) = 0 THEN 0.0
+                            ELSE CAST(length(text) - length(regexp_replace(text, '[^0-9A-Za-z_\s]', '', 'g')) AS DOUBLE) / length(text)
+                       END AS punct_ratio_raw,
+                       CASE WHEN length(text) = 0 THEN 0.0
+                            ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text)
+                       END AS digit_ratio_raw
+                FROM t
+            ),
+            kept AS (
+                SELECT doc_id, source, n_chars,
+                       round(1.0 / (1.0 + exp(-(
+                           -0.5
+                           + (-2.0) * digit_ratio_raw
+                           + 0.25 * ln(CAST(n_words_i AS DOUBLE) + 1.0)
+                           + (-0.5) * abs(mtl_raw - 5.0)
+                           + (-3.0) * punct_ratio_raw
+                           + 4.0 * stop_ratio_raw
+                       ))), 6) AS clf_score
+                FROM m
+                WHERE n_words_i >= 20 AND n_words_i <= 5000
+                  AND mean_word_len >= 3.0 AND mean_word_len <= 8.0
+                  AND symbol_ratio <= 0.1 AND bullet_line_ratio <= 0.9
+                  AND ellipsis_line_ratio <= 0.3 AND alpha_word_ratio >= 0.9
+                  AND stopword_hits >= 1
+            ),
+            kept2 AS (SELECT * FROM kept WHERE clf_score >= 0.6),
+            stats AS (
+                SELECT source, COUNT(*) AS n_s, CAST(SUM(n_chars) AS DOUBLE) AS w_s
+                FROM kept2 GROUP BY source
+            ),
+            s2 AS (SELECT source, n_s, round(sqrt(w_s), 6) AS sw FROM stats),
+            denom AS (SELECT CAST(SUM(CAST(sw AS DECIMAL(20,6))) AS DOUBLE) AS tt FROM s2),
+            rates AS (
+                SELECT source,
+                       CAST(FLOOR(LEAST(1.0, 150.0 * sw / tt / CAST(n_s AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS rate10k
+                FROM s2 CROSS JOIN denom
+            ),
+            sampled AS (
+                SELECT k.doc_id, k.source, k.clf_score
+                FROM kept2 k JOIN rates r USING (source)
+                WHERE CAST(concat('0x', substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < r.rate10k
+            )
+            SELECT CAST(row_number() OVER (
+                       ORDER BY md5(concat('epoch0', ':', CAST(doc_id AS VARCHAR))), doc_id
+                   ) - 1 AS BIGINT) AS pos,
+                   doc_id, source, clf_score
+            FROM sampled
         """,
         "semantic_dedup": """
             WITH RECURSIVE e0 AS (

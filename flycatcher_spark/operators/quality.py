@@ -242,6 +242,103 @@ def unigram_surprise(
     )
 
 
+def dsir_sample(
+    corpus: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+    oov_scale: float = 0.5,
+    seed: str = "dsir0",
+) -> DataFrame:
+    """DSIR-style importance resampling: select ``k`` corpus docs
+    whose unigram distribution looks most like the ``target`` set,
+    sampled (not just top-k ranked) via deterministic Gumbel top-k.
+
+    Per-doc importance: ``logw = sum over tokens of
+    ln p_target(tok) - ln p_corpus(tok)`` — the document's log
+    importance weight under top-``vocab_size`` unigram LMs (OOV floor
+    ``oov_scale/N``), the published DSIR estimator (a product over
+    token probabilities, in log space). Per-token log-ratios are
+    rounded to 9 decimals and DECIMAL-summed (order-independent).
+    Sampling: Gumbel noise ``-ln(-ln(u))`` with ``u`` derived from
+    ``md5(seed:id)`` — a pure function of the key, so the selected
+    set reproduces across runs, engines, and partitionings (the
+    md5-bucket rule applied to Gumbel top-k); selection is
+    ``ORDER BY logw + g DESC, id LIMIT k`` — a distributed
+    TakeOrdered, no global sort.
+
+    Scale: both LMs are tiny (top-V) broadcasts; the corpus is
+    scanned for tokens and reduced to one partial row per doc in the
+    scoring aggregate. Docs with zero tokens carry no evidence and
+    are excluded. Returns the selected corpus rows plus ``logw``
+    (rounded 6).
+    """
+    ctoks = corpus.select(
+        F.col(id_col),
+        F.explode(F.transform(tokens(text_col), F.lower)).alias("token"),
+    )
+    ttoks = target.select(
+        F.explode(F.transform(tokens(text_col), F.lower)).alias("token")
+    )
+
+    def lm(toks_df: DataFrame, tag: str):
+        counts = toks_df.groupBy("token").agg(F.count("*").alias(f"cnt_{tag}"))
+        vocab = counts.orderBy(
+            F.desc(f"cnt_{tag}"), F.asc("token")
+        ).limit(vocab_size)
+        total = counts.agg(
+            F.sum(f"cnt_{tag}").cast("double").alias(f"n_{tag}")
+        )
+        return vocab, total
+
+    tv, tn = lm(ttoks, "t")
+    cv, cn = lm(ctoks, "c")
+    oov = F.lit(float(oov_scale))
+    lnp_t = F.when(
+        F.col("cnt_t").isNotNull(),
+        F.log(F.col("cnt_t").cast("double") / F.col("n_t")),
+    ).otherwise(F.log(oov / F.col("n_t")))
+    lnp_c = F.when(
+        F.col("cnt_c").isNotNull(),
+        F.log(F.col("cnt_c").cast("double") / F.col("n_c")),
+    ).otherwise(F.log(oov / F.col("n_c")))
+    scored = (
+        ctoks.join(F.broadcast(tv), "token", "left")
+        .join(F.broadcast(cv), "token", "left")
+        .crossJoin(F.broadcast(tn))
+        .crossJoin(F.broadcast(cn))
+        .select(
+            F.col(id_col),
+            F.round(lnp_t - lnp_c, 9).cast("decimal(20,9)").alias("lr9"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("lr9").cast("double").alias("__logw"))
+    )
+    u = (
+        md5_bucket(
+            F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")),
+            1_000_000,
+        ).cast("double")
+        + 0.5
+    ) / 1_000_000.0
+    keyed = scored.withColumn("__g", -F.log(-F.log(u))).withColumn(
+        "__key", F.col("__logw") + F.col("__g")
+    )
+    picked = keyed.orderBy(F.desc("__key"), F.asc(id_col)).limit(int(k))
+    return (
+        corpus.join(
+            F.broadcast(
+                picked.select(
+                    id_col, F.round("__logw", 6).alias("logw")
+                )
+            ),
+            id_col,
+        )
+    )
+
+
 def cap_per_key(
     df: DataFrame,
     key_col: str,

@@ -168,6 +168,64 @@ class TestUnigramSurprise:
         assert a == b
 
 
+class TestDsirSample:
+    @pytest.fixture(scope="class")
+    def split(self, spark):
+        # target talks about cats; half the corpus does too, the
+        # other half is about engines.
+        target = spark.createDataFrame(
+            [(100 + i, "cat cat feline purr") for i in range(3)],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [(i, "cat feline purr soft") for i in range(5)]
+            + [(10 + i, "engine piston torque oil") for i in range(5)],
+            "doc_id long, text string",
+        )
+        return corpus, target
+
+    def test_prefers_target_like_docs(self, split):
+        corpus, target = split
+        out = quality.dsir_sample(corpus, target, k=5, vocab_size=50)
+        picked = sorted(r["doc_id"] for r in out.collect())
+        # importance gap is huge (every engine token is target-OOV),
+        # so even with Gumbel noise all 5 cat docs win.
+        assert picked == [0, 1, 2, 3, 4]
+        logw = {r["doc_id"]: r["logw"] for r in out.collect()}
+        assert all(v > 0 for v in logw.values())
+
+    def test_deterministic_across_partitionings(self, split):
+        corpus, target = split
+        a = sorted(
+            r["doc_id"]
+            for r in quality.dsir_sample(corpus, target, k=7).collect()
+        )
+        b = sorted(
+            r["doc_id"]
+            for r in quality.dsir_sample(
+                corpus.repartition(5), target.repartition(3), k=7
+            ).collect()
+        )
+        assert a == b
+
+    def test_seed_varies_tail_selection(self, spark):
+        # identical docs -> logw ties; the Gumbel noise (seeded)
+        # decides, and different seeds pick different subsets.
+        corpus = spark.createDataFrame(
+            [(i, "same words here") for i in range(40)],
+            "doc_id long, text string",
+        )
+        target = spark.createDataFrame(
+            [(99, "same words here")], "doc_id long, text string"
+        )
+        a = sorted(r["doc_id"] for r in
+                   quality.dsir_sample(corpus, target, k=10, seed="s1").collect())
+        b = sorted(r["doc_id"] for r in
+                   quality.dsir_sample(corpus, target, k=10, seed="s2").collect())
+        assert len(a) == len(b) == 10
+        assert a != b
+
+
 class TestCapPerKey:
     def test_known_answer(self, spark):
         df = spark.createDataFrame(
