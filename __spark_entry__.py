@@ -2142,6 +2142,19 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "logw")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document sequence packing: deterministic epoch order,
+    token streams concatenated and cut into 256-token training
+    sequences; one row per (sequence, doc-span)."""
+    docs = _read(spark, sf_dir, "documents")
+    with_tc = docs.select(
+        "doc_id", text.token_count("text").cast("long").alias("n_toks_doc")
+    )
+    return quality.pack_sequences(
+        with_tc, "n_toks_doc", seq_len=256, seed="pack0"
+    )
+
+
 def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed round-3 curation flagship — the selection pipeline a
     pretraining-data job runs, end-to-end as ONE oracle-checked query:
@@ -2218,6 +2231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "curated_corpus": q_curated_corpus,
         "dsir_sample": q_dsir_sample,
+        "pack_sequences": q_pack_sequences,
         # -- never driver-checked in r1/r2: scale surface first -----
         "events_daily": q_events_daily,
         "events_sessions": q_events_sessions,
@@ -2536,6 +2550,40 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY md5(concat('epoch0', ':', CAST(doc_id AS VARCHAR))), doc_id
                    ) - 1 AS BIGINT) AS pos
             FROM documents
+        """,
+        "pack_sequences": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+                                     THEN CAST([] AS VARCHAR[])
+                                     ELSE regexp_split_to_array(
+                                         regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+                                END) AS BIGINT) AS ntc
+                FROM documents
+            ),
+            nz AS (SELECT * FROM t WHERE ntc > 0),
+            ordered AS (
+                SELECT doc_id, ntc,
+                       CAST(row_number() OVER w - 1 AS BIGINT) AS pos,
+                       CAST(COALESCE(SUM(ntc) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+                FROM nz
+                WINDOW w AS (ORDER BY md5(concat('pack0', ':', CAST(doc_id AS VARCHAR))), doc_id)
+            ),
+            spans AS (
+                SELECT doc_id, pos, tok_start, tok_start + ntc AS tok_end,
+                       tok_start // 256 AS seq_first,
+                       (tok_start + ntc - 1) // 256 AS seq_last
+                FROM ordered
+            ),
+            exploded AS (
+                SELECT doc_id, pos, tok_start, tok_end, CAST(s AS BIGINT) AS seq_id
+                FROM spans, LATERAL (SELECT unnest(range(seq_first, seq_last + 1)) AS s)
+            )
+            SELECT seq_id, doc_id, pos, tok_start,
+                   CAST(greatest(tok_start - seq_id * 256, 0) AS BIGINT) AS start_in_seq,
+                   CAST(least(tok_end - seq_id * 256, 256)
+                        - greatest(tok_start - seq_id * 256, 0) AS BIGINT) AS n_toks
+            FROM exploded
         """,
         "dsir_sample": r"""
             WITH split_toks AS (

@@ -484,6 +484,87 @@ def training_order(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    token_count_col: str,
+    seq_len: int,
+    key_col: str = "doc_id",
+    seed: str = "pack0",
+    shard_hex_chars: int = 2,
+) -> DataFrame:
+    """Cross-document sequence packing (GPT-style concat-and-split):
+    order the corpus deterministically, concatenate the token
+    streams, and cut fixed ``seq_len`` windows — every token lands in
+    exactly one slot of one training sequence, reproducibly.
+
+    The global token cumsum reuses the ``training_order`` shard
+    trick: per-shard window prefix-sums plus a broadcast cumulative
+    shard-offset join — no single-task global window. A doc spanning
+    k sequences explodes into k rows (``sequence()`` on its first/
+    last sequence id — map-only). Docs with zero tokens are dropped
+    (they occupy no slots).
+
+    Returns one row per (sequence, document-span):
+    ``(seq_id, key, pos, tok_start, start_in_seq, n_toks)`` where
+    ``start_in_seq + n_toks <= seq_len`` and per-sequence slot spans
+    tile [0, seq_len) exactly (the final sequence may be partial).
+    New ``seed`` = new epoch packing.
+    """
+    tc = F.col(token_count_col)
+    ordered = training_order(
+        docs.where(tc > 0), key_col, seed=seed, shard_hex_chars=shard_hex_chars
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = F.coalesce(F.sum(tc).over(w), F.lit(0)).cast("long")
+    shard_toks = ordered.groupBy("shard").agg(
+        F.sum(tc).cast("long").alias("__st")
+    )
+    offs = shard_toks.withColumn(
+        "__toff",
+        F.coalesce(
+            F.sum("__st").over(
+                Window.orderBy("shard").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).cast("long"),
+    ).select("shard", "__toff")
+    spans = (
+        ordered.withColumn("__within", within)
+        .join(F.broadcast(offs), "shard")
+        .withColumn("tok_start", F.col("__toff") + F.col("__within"))
+        .withColumn("__tok_end", F.col("tok_start") + tc.cast("long"))
+        .withColumn("__seq_first", F.expr(f"tok_start DIV {int(seq_len)}"))
+        .withColumn(
+            "__seq_last", F.expr(f"(__tok_end - 1) DIV {int(seq_len)}")
+        )
+    )
+    exploded = spans.withColumn(
+        "seq_id", F.explode(F.sequence("__seq_first", "__seq_last"))
+    )
+    seq_base = F.col("seq_id") * int(seq_len)
+    return exploded.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.col(key_col),
+        F.col("pos"),
+        F.col("tok_start"),
+        F.greatest(F.col("tok_start") - seq_base, F.lit(0))
+        .cast("long")
+        .alias("start_in_seq"),
+        (
+            F.least(F.col("__tok_end") - seq_base, F.lit(int(seq_len)))
+            - F.greatest(F.col("tok_start") - seq_base, F.lit(0))
+        )
+        .cast("long")
+        .alias("n_toks"),
+    )
+
+
 def semantic_dedup(
     vectors: DataFrame,
     id_col: str = "vec_id",

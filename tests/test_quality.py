@@ -318,6 +318,51 @@ class TestTrainingOrder:
         assert a != b and sorted(a) == sorted(b)
 
 
+class TestPackSequences:
+    def test_tiles_exactly(self, spark):
+        df = spark.createDataFrame(
+            [(i, 10 + i % 7) for i in range(50)], "doc_id long, ntc long"
+        )
+        out = quality.pack_sequences(df, "ntc", seq_len=64).collect()
+        total = sum(r["ntc"] for r in df.collect())
+        # every doc's spans sum to its token count
+        per_doc = {}
+        for r in out:
+            per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["n_toks"]
+        assert per_doc == {r["doc_id"]: r["ntc"] for r in df.collect()}
+        # sequences tile [0,64) exactly; the last may be partial
+        per_seq = {}
+        for r in out:
+            per_seq.setdefault(r["seq_id"], []).append(
+                (r["start_in_seq"], r["n_toks"])
+            )
+        last = max(per_seq)
+        for sid, sl in per_seq.items():
+            sl.sort()
+            cursor = 0
+            for start, n in sl:
+                assert start == cursor and n > 0
+                cursor += n
+            assert cursor == 64 or (sid == last and cursor == total % 64)
+
+    def test_zero_token_docs_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(1, 5), (2, 0), (3, 3)], "doc_id long, ntc long"
+        )
+        out = quality.pack_sequences(df, "ntc", seq_len=4)
+        assert 2 not in {r["doc_id"] for r in out.collect()}
+
+    def test_partitioning_invariant(self, spark):
+        df = spark.createDataFrame(
+            [(i, 1 + i % 13) for i in range(80)], "doc_id long, ntc long"
+        )
+        key = lambda r: (r["seq_id"], r["doc_id"], r["start_in_seq"], r["n_toks"])
+        a = sorted(map(key, quality.pack_sequences(df, "ntc", 32).collect()))
+        b = sorted(map(key, quality.pack_sequences(
+            df.repartition(11), "ntc", 32).collect()))
+        assert a == b
+
+
 class TestSemanticDedup:
     @pytest.fixture(scope="class")
     def vectors(self, spark):
