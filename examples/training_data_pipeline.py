@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from flycatcher_spark import sources
 from flycatcher_spark.functions import chunk_documents, fingerprint
-from flycatcher_spark.operators import decontam, dedup, stats, text
+from flycatcher_spark.operators import decontam, dedup, quality, stats, text
 from flycatcher_spark.session import get_spark
 
 DATA = "/root/testdata/sf0.01"
@@ -86,6 +86,11 @@ def main() -> None:
         F.col("doc_id") % 50 == 7
     )
     final = decontam.decontaminate(final, benchmark, frac_threshold=0.5)
+    # Checkpoint the accepted corpus ONCE: everything below fans out
+    # multiple actions, and without this each would re-run the whole
+    # LSH + verification + decontamination lineage. On a cluster this
+    # is the persisted corpus table between pipeline stages.
+    final = final.localCheckpoint()
     print("after decontamination:", final.count())
 
     # 4c. Incremental ingest: a late-arriving batch dedups AGAINST the
@@ -141,6 +146,43 @@ def main() -> None:
         default_fraction=0.25,
     )
     mixed.groupBy("lang").count().orderBy("lang").show()
+
+    # 8. Round-3 curation: Gopher rule gate + linear classifier floor
+    #    (both map-only), then sqrt-temperature mixing when the
+    #    per-source rates should FOLLOW the data instead of being
+    #    hand-picked like step 7's
+    gated = final.join(docs.select("doc_id", "lang"), "doc_id").where(
+        quality.gopher_pass(
+            "text", min_words=5, min_stopword_hits=0, min_alpha_word_ratio=0.5
+        )
+        & (quality.classifier_score("text") >= 0.4)
+    )
+    print("after rule gate + classifier floor:", gated.count())
+    balanced = quality.mixture_sample(
+        gated, strata_col="lang", key_col="doc_id", target_rows=1_000
+    )
+    balanced.groupBy("lang").count().orderBy("lang").show()
+
+    # 9. Target-domain selection (DSIR): pick the docs that look most
+    #    like a held-out target set, deterministically
+    target = spark.read.parquet(f"{DATA}/documents.parquet").limit(200)
+    matched = quality.dsir_sample(balanced, target, k=500, vocab_size=500)
+    print("DSIR-selected:", matched.count())
+
+    # 10. Epoch order + fixed-length sequence packing: every token of
+    #     the final corpus lands in exactly one slot of one 512-token
+    #     training sequence, reproducibly; a new seed reshuffles
+    packed = quality.pack_sequences(
+        matched.select(
+            "doc_id", text.token_count("text").cast("long").alias("ntc")
+        ),
+        "ntc",
+        seq_len=512,
+        seed="epoch0",
+    )
+    n_seq = packed.agg(F.countDistinct("seq_id")).collect()[0][0]
+    print("training sequences:", n_seq)
+    packed.orderBy("seq_id", "start_in_seq").show(8)
 
     spark.stop()
 
