@@ -1756,6 +1756,19 @@ def q_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_verbatim_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-contamination spans: longest verbatim token run each
+    corpus doc shares with the benchmark slice (5-gram islands);
+    catches the long-quote-in-long-doc leak that fraction overlap
+    dilutes away."""
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 7)
+    corpus = docs.where(F.col("doc_id") % 50 != 7)
+    return decontam.verbatim_overlap_report(
+        corpus, bench, n=5, min_span_tokens=12
+    )
+
+
 def q_incremental_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact dedup: a 'new batch' (doc_id % 10 == 3, plus
     re-keyed copies of doc_id % 7 == 0 planted as known duplicates)
@@ -2232,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curated_corpus": q_curated_corpus,
         "dsir_sample": q_dsir_sample,
         "pack_sequences": q_pack_sequences,
+        "verbatim_overlap": q_verbatim_overlap,
         # -- never driver-checked in r1/r2: scale surface first -----
         "events_daily": q_events_daily,
         "events_sessions": q_events_sessions,
@@ -2550,6 +2564,51 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY md5(concat('epoch0', ':', CAST(doc_id AS VARCHAR))), doc_id
                    ) - 1 AS BIGINT) AS pos
             FROM documents
+        """,
+        "verbatim_overlap": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN length(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g'),
+                                ' ')
+                       END AS toks
+                FROM documents
+            ),
+            pg AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                       array_to_string(toks[i+1:i+5], ' ') AS gram
+                FROM t, LATERAL (SELECT unnest(range(0, greatest(len(toks) - 4, 0))) AS i)
+            ),
+            bench AS (SELECT DISTINCT gram FROM pg WHERE doc_id % 50 = 7),
+            corp AS (SELECT doc_id, pos, gram FROM pg WHERE doc_id % 50 <> 7),
+            matched AS (SELECT c.doc_id, c.pos FROM corp c JOIN bench USING (gram)),
+            isl AS (
+                SELECT doc_id, pos,
+                       pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM matched
+            ),
+            spans AS (
+                SELECT doc_id, grp, COUNT(*) + 4 AS span_toks
+                FROM isl GROUP BY doc_id, grp
+            ),
+            per_doc AS (
+                SELECT doc_id,
+                       CAST(MAX(span_toks) AS BIGINT) AS max_span_tokens,
+                       CAST(SUM(CASE WHEN span_toks >= 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_spans
+                FROM spans GROUP BY doc_id
+            ),
+            totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM corp GROUP BY doc_id),
+            ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 7)
+            SELECT i.doc_id,
+                   CAST(COALESCE(tt.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(p.max_span_tokens, 0) AS BIGINT) AS max_span_tokens,
+                   CAST(COALESCE(p.n_flagged_spans, 0) AS BIGINT) AS n_flagged_spans,
+                   COALESCE(p.n_flagged_spans, 0) > 0 AS is_contaminated
+            FROM ids i
+            LEFT JOIN totals tt USING (doc_id)
+            LEFT JOIN per_doc p USING (doc_id)
         """,
         "pack_sequences": r"""
             WITH t AS (

@@ -26,9 +26,10 @@ reference's nearest feature is row-level membership validation
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import word_shingles
+from .text import normalize_text, tokens
 
 
 def benchmark_ngram_hashes(
@@ -99,6 +100,103 @@ def contamination_report(
         "n_matched",
         F.round(frac, 6).alias("contamination_frac"),
         (F.round(frac, 6) >= F.lit(frac_threshold)).alias("is_contaminated"),
+    )
+
+
+def positional_gram_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Word n-grams of normalized text WITH their token positions:
+    ``(id, __pos, gram_hash)``. Map-only (sequence -> transform ->
+    posexplode); docs shorter than ``n`` tokens emit nothing.
+    """
+    toks = tokens(normalize_text(text_col))
+    n_grams = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.when(
+        n_grams > 0, F.sequence(F.lit(0), n_grams - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    gram = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))  # noqa: E731
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(idx, lambda i: F.xxhash64(gram(i)))
+        ).alias("__pos", "gram_hash"),
+    )
+
+
+def verbatim_overlap_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_span_tokens: int = 16,
+) -> DataFrame:
+    """Exact-contamination detector: the LONGEST verbatim token span
+    each corpus document shares with the benchmark, via runs of
+    consecutive matching n-grams.
+
+    Fraction-based overlap (:func:`contamination_report`) misses a
+    long verbatim quote inside a long document (small fraction, real
+    leak); this catches it: a run of ``k`` consecutive position-
+    matched n-grams implies a shared span of ``k + n - 1`` tokens.
+    Span detection is gaps-and-islands — matched positions minus
+    their per-doc rank collapse each run to one group key.
+
+    Scale shape: benchmark grams hash + broadcast (never a gram-keyed
+    shuffle); corpus side is a map-only positional explode, a
+    broadcast semi-join, then windows/aggregates all partitioned by
+    ``id`` — the shuffle carries only matched (id, pos) pairs, which
+    contamination makes rare by nature.
+
+    Returns one row per corpus doc: ``(id, n_grams, max_span_tokens,
+    n_flagged_spans, is_contaminated)`` — zero-filled for clean or
+    too-short docs, flagged when any span reaches
+    ``min_span_tokens``.
+    """
+    bench = F.broadcast(
+        benchmark_ngram_hashes(benchmark, text_col=text_col, n=n)
+    )
+    grams = positional_gram_hashes(
+        corpus, text_col=text_col, id_col=id_col, n=n
+    )
+    matched = grams.join(bench, "gram_hash", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    islands = matched.withColumn(
+        "__grp", F.col("__pos") - F.row_number().over(w)
+    )
+    spans = islands.groupBy(id_col, "__grp").agg(
+        (F.count(F.lit(1)) + (n - 1)).cast("bigint").alias("__span_toks")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.max("__span_toks").alias("max_span_tokens"),
+        F.sum(
+            F.when(F.col("__span_toks") >= min_span_tokens, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_flagged_spans"),
+    )
+    totals = grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    base = corpus.select(id_col).join(totals, id_col, "left").join(
+        per_doc, id_col, "left"
+    )
+    return base.select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce("max_span_tokens", F.lit(0))
+        .cast("bigint")
+        .alias("max_span_tokens"),
+        F.coalesce("n_flagged_spans", F.lit(0))
+        .cast("bigint")
+        .alias("n_flagged_spans"),
+        (F.coalesce("n_flagged_spans", F.lit(0)) > 0).alias(
+            "is_contaminated"
+        ),
     )
 
 

@@ -178,3 +178,79 @@ class TestBloomPruning:
         with plans.runtime_bloom_pruning(spark):
             pruned = {(r["l_returnflag"], r["n"]) for r in joined.collect()}
         assert plain == pruned
+
+
+class TestVerbatimOverlap:
+    FILLER_A = " ".join(f"fa{i}" for i in range(20))
+    FILLER_B = " ".join(f"fb{i}" for i in range(20))
+    QUOTE = "alpha beta gamma delta epsilon zeta"
+
+    @pytest.fixture(scope="class")
+    def data(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                # long doc with a verbatim 6-token benchmark quote:
+                # tiny gram FRACTION, real leak
+                (1, f"{self.FILLER_A} {self.QUOTE} {self.FILLER_B}"),
+                (2, "totally unrelated clean content about engines"),
+                (3, "hi"),  # too short to gram
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, self.QUOTE)], "doc_id long, text string"
+        )
+        return corpus, bench
+
+    def test_span_detected_where_fraction_misses(self, data):
+        corpus, bench = data
+        rows = {
+            r["doc_id"]: r
+            for r in decontam.verbatim_overlap_report(
+                corpus, bench, n=3, min_span_tokens=5
+            ).collect()
+        }
+        # 6-token quote -> 4 consecutive matched trigrams -> span 6
+        assert rows[1]["max_span_tokens"] == 6
+        assert rows[1]["n_flagged_spans"] == 1
+        assert rows[1]["is_contaminated"] is True
+        # the gram FRACTION is tiny: fraction-based overlap would
+        # not flag this doc at any reasonable threshold
+        frac = {
+            r["doc_id"]: r["contamination_frac"]
+            for r in decontam.contamination_report(
+                corpus, bench, n=3, frac_threshold=0.5
+            ).collect()
+        }
+        assert frac[1] < 0.12
+        # clean + too-short docs report zeros, never dropped
+        assert rows[2]["max_span_tokens"] == 0
+        assert rows[2]["is_contaminated"] is False
+        assert rows[3]["n_grams"] == 0
+        assert rows[3]["is_contaminated"] is False
+
+    def test_two_separate_spans_counted(self, spark):
+        bench = spark.createDataFrame(
+            [(100, "one two three four"), (101, "five six seven eight")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [(1, f"one two three four {self.FILLER_A} five six seven eight")],
+            "doc_id long, text string",
+        )
+        row = decontam.verbatim_overlap_report(
+            corpus, bench, n=3, min_span_tokens=4
+        ).first()
+        assert row["n_flagged_spans"] == 2
+        assert row["max_span_tokens"] == 4
+
+    def test_min_span_threshold_gates_flag(self, data):
+        corpus, bench = data
+        rows = {
+            r["doc_id"]: r
+            for r in decontam.verbatim_overlap_report(
+                corpus, bench, n=3, min_span_tokens=7
+            ).collect()
+        }
+        assert rows[1]["max_span_tokens"] == 6
+        assert rows[1]["is_contaminated"] is False
