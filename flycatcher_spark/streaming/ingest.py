@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.dedup import incremental_exact_dedup
@@ -42,9 +42,20 @@ def incremental_dedup_stream(
     id_col: str = "doc_id",
     available_now: bool = True,
     on_batch: Callable[[DataFrame, int], None] | None = None,
+    gate: Column | None = None,
+    rejected_dir: str | None = None,
 ) -> StreamingQuery:
     """Run streaming incremental dedup; survivors accumulate in
     ``accepted_dir`` (parquet). Returns the started query.
+
+    ``gate`` (optional) is any boolean Column applied to each
+    micro-batch BEFORE dedup — the streaming quality gate (e.g.
+    ``quality.gopher_pass(...) & (quality.classifier_score(...) >=
+    0.6)``); rows failing it are quarantined to ``rejected_dir`` when
+    given (the dead-letter pattern: nothing silently disappears),
+    otherwise dropped. Because the gate is row-local, gating per
+    micro-batch is exactly equivalent to gating the whole stream in
+    one batch job — pinned by the replay-equivalence test.
 
     ``on_batch(kept, epoch_id)`` runs after each batch's survivors
     are computed (metrics, side outputs); ``available_now=True``
@@ -57,6 +68,14 @@ def incremental_dedup_stream(
     def _process(batch: DataFrame, epoch_id: int) -> None:
         from pyspark.errors import AnalysisException
 
+        if gate is not None:
+            if rejected_dir is not None:
+                # two sinks read the batch: cache it once
+                batch = batch.persist()
+                batch.where(~F.coalesce(gate, F.lit(False))).write.mode(
+                    "append"
+                ).parquet(rejected_dir)
+            batch = batch.where(F.coalesce(gate, F.lit(False)))
         try:
             accepted = spark.read.parquet(accepted_dir).select(*cols)
             target = seed.unionByName(accepted)

@@ -103,3 +103,69 @@ def test_stream_equals_batch_incremental(spark, tmp_path):
     assert streamed == batch_equiv
     # and the expected survivors, spelled out:
     assert streamed == {10, 20, 22, 31}
+
+
+def test_gated_stream_equals_gated_batch(spark, tmp_path):
+    """Quality-gated streaming ingest: rejects quarantine to the
+    dead-letter dir, survivors match the batch pipeline (gate then
+    incremental dedup) exactly."""
+    from flycatcher_spark.operators import quality
+
+    corpus = spark.createDataFrame(
+        [(1, "the seed text is about rivers and stones")], SCHEMA
+    )
+    batches = [
+        [
+            (10, "the fresh doc talks of rivers and the hills beyond"),
+            (11, "x"),  # fails the word-count gate -> quarantine
+        ],
+        [
+            (20, "the FRESH doc talks OF rivers and the hills beyond"),  # dup of 10
+            (21, "to be or not to be that is the question here friend"),
+        ],
+    ]
+    src = tmp_path / "incoming"
+    src.mkdir()
+    base = time.time() - 1000
+    for i, rows in enumerate(batches):
+        staging = str(tmp_path / f"gstage{i}")
+        _write_file(spark, staging, rows, base + i * 10)
+        for name in os.listdir(staging):
+            if name.endswith(".parquet"):
+                dst = str(src / f"batch{i}.parquet")
+                os.rename(os.path.join(staging, name), dst)
+                os.utime(dst, (base + i * 10, base + i * 10))
+
+    gate = quality.gopher_pass(
+        "text", min_words=5, min_stopword_hits=1, min_alpha_word_ratio=0.5
+    )
+    sdf = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    accepted_dir = str(tmp_path / "gaccepted")
+    rejected_dir = str(tmp_path / "grejected")
+    q = incremental_dedup_stream(
+        sdf,
+        corpus,
+        accepted_dir,
+        checkpoint_dir=str(tmp_path / "gckpt"),
+        gate=gate,
+        rejected_dir=rejected_dir,
+    )
+    q.awaitTermination(120)
+
+    streamed = {r["doc_id"] for r in spark.read.parquet(accepted_dir).collect()}
+    rejected = {r["doc_id"] for r in spark.read.parquet(rejected_dir).collect()}
+    all_new = spark.createDataFrame([r for b in batches for r in b], SCHEMA)
+    batch_equiv = {
+        r["doc_id"]
+        for r in incremental_exact_dedup(all_new.where(gate), corpus).collect()
+    }
+    assert streamed == batch_equiv == {10, 21}
+    assert rejected == {11}
+    # nothing lost: every input doc is accepted, rejected, or a dup
+    dropped_as_dup = {20}
+    assert streamed | rejected | dropped_as_dup == {10, 11, 20, 21}
