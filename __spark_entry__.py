@@ -2204,6 +2204,26 @@ def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered.select("pos", "doc_id", "source", "clf_score")
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card: doc/token counts, mean quality, gate
+    pass rate, exact-duplicate rate — the governance summary of a
+    training-data release, as one oracle-checked aggregate."""
+    docs = _read(spark, sf_dir, "documents")
+    return quality.corpus_report(
+        docs,
+        strata_col="source",
+        gate=quality.gopher_pass(
+            "text",
+            min_words=20,
+            max_words=5000,
+            min_mean_word_len=3.0,
+            max_mean_word_len=8.0,
+            min_alpha_word_ratio=0.9,
+            min_stopword_hits=1,
+        ),
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup survivors: within-label cosine
     pairs at 0.35, transitive closure, min-id representative kept
@@ -2246,6 +2266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "pack_sequences": q_pack_sequences,
         "verbatim_overlap": q_verbatim_overlap,
+        "corpus_report": q_corpus_report,
         # -- never driver-checked in r1/r2: scale surface first -----
         "events_daily": q_events_daily,
         "events_sessions": q_events_sessions,
@@ -2778,6 +2799,81 @@ def oracle_sql() -> dict[str, str]:
                    ) - 1 AS BIGINT) AS pos,
                    doc_id, source, clf_score
             FROM sampled
+        """,
+        "corpus_report": r"""
+            WITH t AS (
+                SELECT doc_id, source, text,
+                       regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g') AS norm,
+                       CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+                       END AS toks,
+                       str_split(text, chr(10)) AS ls
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id, source, norm,
+                       len(toks) AS n_words_i,
+                       CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE round(CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE) / len(toks), 6)
+                       END AS mean_word_len,
+                       CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks), 6)
+                       END AS alpha_word_ratio,
+                       CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE round(CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE) / len(toks), 6)
+                       END AS symbol_ratio,
+                       round(CAST(len(list_filter(ls, x -> regexp_matches(x, '^\s*[-*•]'))) AS DOUBLE) / len(ls), 6) AS bullet_line_ratio,
+                       round(CAST(len(list_filter(ls, x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS DOUBLE) / len(ls), 6) AS ellipsis_line_ratio,
+                       len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))),
+                            ['the','be','to','of','and','that','have','with'])) AS stopword_hits,
+                       CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE) / len(toks)
+                       END AS mtl_raw,
+                       CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE CAST(len(list_filter(toks, x -> lower(x) IN
+                                ('the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by')))
+                                AS DOUBLE) / len(toks)
+                       END AS stop_ratio_raw,
+                       CASE WHEN length(text) = 0 THEN 0.0
+                            ELSE CAST(length(text) - length(regexp_replace(text, '[^0-9A-Za-z_\s]', '', 'g')) AS DOUBLE) / length(text)
+                       END AS punct_ratio_raw,
+                       CASE WHEN length(text) = 0 THEN 0.0
+                            ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text)
+                       END AS digit_ratio_raw
+                FROM t
+            ),
+            per_doc AS (
+                SELECT doc_id, source, md5(norm) AS fp,
+                       CAST(n_words_i AS BIGINT) AS nt,
+                       round((
+                           (CASE WHEN n_words_i >= 10 AND n_words_i <= 5000 THEN 1.0 ELSE 0.5 END)
+                           + (CASE WHEN mtl_raw >= 3.0 AND mtl_raw <= 8.0 THEN 1.0 ELSE 0.5 END)
+                           + least(stop_ratio_raw * 4.0, 1.0)
+                           + greatest(0.0, 1.0 - (punct_ratio_raw + digit_ratio_raw) * 2.0)
+                       ) / 4.0, 6) AS quality,
+                       (n_words_i >= 20 AND n_words_i <= 5000
+                        AND mean_word_len >= 3.0 AND mean_word_len <= 8.0
+                        AND symbol_ratio <= 0.1 AND bullet_line_ratio <= 0.9
+                        AND ellipsis_line_ratio <= 0.3 AND alpha_word_ratio >= 0.9
+                        AND stopword_hits >= 1) AS gate_ok
+                FROM m
+            ),
+            firsts AS (SELECT fp, MIN(doc_id) AS fid FROM per_doc GROUP BY fp),
+            marked AS (
+                SELECT p.*, (p.doc_id <> f.fid) AS is_dup
+                FROM per_doc p JOIN firsts f USING (fp)
+            )
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(nt) AS BIGINT) AS total_tokens,
+                   round(CAST(SUM(CAST(quality AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 6) AS mean_quality,
+                   round(CAST(SUM(CASE WHEN gate_ok THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*), 6) AS gate_pass_rate,
+                   CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+                   round(CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*), 6) AS dup_rate
+            FROM marked
+            GROUP BY source
         """,
         "semantic_dedup": """
             WITH RECURSIVE e0 AS (

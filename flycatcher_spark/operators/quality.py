@@ -565,6 +565,64 @@ def pack_sequences(
     )
 
 
+def corpus_report(
+    docs: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gate: Column | None = None,
+) -> DataFrame:
+    """Per-source corpus "data card": the governance summary a
+    training-data release ships — document/token counts, mean quality
+    score, quality-gate pass rate, and exact-duplicate rate, one row
+    per stratum.
+
+    Two aggregates total: a corpus-wide duplicate marking (groupBy on
+    the md5 fingerprint of normalized text — the shuffle carries
+    (fingerprint, id), never the text) and the per-stratum rollup
+    (map-side partial agg, one row per source). Mean quality uses the
+    rounded-DECIMAL-sum rule so the report is partitioning/engine
+    exact. ``gate`` defaults to :func:`gopher_pass` with its
+    published bounds.
+    """
+    from .text import normalize_text, quality_score
+
+    g = gopher_pass(text_col) if gate is None else gate
+    base = docs.select(
+        F.col(strata_col),
+        F.col(id_col),
+        F.md5(normalize_text(text_col)).alias("__fp"),
+        tokens(text_col).alias("__toks"),
+        F.round(quality_score(text_col), 6).alias("__q"),
+        g.alias("__gate"),
+    )
+    firsts = base.groupBy("__fp").agg(F.min(id_col).alias("__first_id"))
+    marked = base.join(firsts, "__fp").withColumn(
+        "__is_dup", F.col(id_col) != F.col("__first_id")
+    )
+    n = F.count(F.lit(1))
+    return (
+        marked.groupBy(strata_col)
+        .agg(
+            n.alias("n_docs"),
+            F.sum(F.size("__toks")).cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum(F.col("__q").cast("decimal(16,6)")).cast("double") / n,
+                6,
+            ).alias("mean_quality"),
+            F.round(
+                F.sum(F.when(F.col("__gate"), 1).otherwise(0)) / n, 6
+            ).alias("gate_pass_rate"),
+            F.sum(F.when(F.col("__is_dup"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("dup_docs"),
+            F.round(
+                F.sum(F.when(F.col("__is_dup"), 1).otherwise(0)) / n, 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
 def semantic_dedup(
     vectors: DataFrame,
     id_col: str = "vec_id",

@@ -318,6 +318,55 @@ class TestTrainingOrder:
         assert a != b and sorted(a) == sorted(b)
 
 
+class TestCorpusReport:
+    def test_known_answer(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("s1", 1, "the cat sat on the mat"),
+                ("s1", 2, "THE  cat sat on the MAT"),  # normalized dup of 1
+                ("s1", 3, "dogs bark loudly at night"),
+                ("s2", 4, "one single doc here"),
+            ],
+            "source string, doc_id long, text string",
+        )
+        gate = quality.gopher_pass(
+            "text",
+            min_words=4,
+            min_mean_word_len=2.0,
+            min_stopword_hits=0,
+            min_alpha_word_ratio=0.5,
+        )
+        rows = {
+            r["source"]: r
+            for r in quality.corpus_report(df, gate=gate).collect()
+        }
+        s1 = rows["s1"]
+        assert s1["n_docs"] == 3 and s1["total_tokens"] == 6 + 6 + 5
+        assert s1["dup_docs"] == 1 and s1["dup_rate"] == round(1 / 3, 6)
+        assert s1["gate_pass_rate"] == 1.0
+        assert rows["s2"]["n_docs"] == 1 and rows["s2"]["dup_docs"] == 0
+        # mean quality equals the per-doc mean, decimal-summed
+        from flycatcher_spark.operators.text import quality_score
+        import pyspark.sql.functions as F
+
+        qs = [
+            r["q"]
+            for r in df.where(F.col("source") == "s1")
+            .select(F.round(quality_score("text"), 6).alias("q"))
+            .collect()
+        ]
+        assert s1["mean_quality"] == round(sum(qs) / 3, 6)
+
+    def test_partitioning_invariant(self, spark):
+        df = spark.createDataFrame(
+            [("s%d" % (i % 3), i, f"doc number {i} with the words") for i in range(60)],
+            "source string, doc_id long, text string",
+        )
+        a = sorted(map(tuple, quality.corpus_report(df).collect()))
+        b = sorted(map(tuple, quality.corpus_report(df.repartition(13)).collect()))
+        assert a == b
+
+
 class TestPackSequences:
     def test_tiles_exactly(self, spark):
         df = spark.createDataFrame(
