@@ -2194,7 +2194,17 @@ def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = gated.withColumn("clf_score", quality.classifier_score("text"))
-    kept = scored.where(F.col("clf_score") >= 0.6)
+    # The survivor set is referenced four times downstream (mixture
+    # stats + join side, ordering window + shard counts); without a
+    # persist each reference re-evaluates the whole rule/classifier
+    # expression tree — measured 4x the stage cost at sf0.1. At
+    # cluster scale this is the checkpoint between pipeline stages
+    # (the training example writes it as the accepted-corpus table).
+    kept = (
+        scored.where(F.col("clf_score") >= 0.6)
+        .select("doc_id", "source", "n_chars", "clf_score")
+        .persist()
+    )
     mixed = quality.mixture_sample(
         kept, "source", "doc_id", target_rows=150, weight_expr=F.sum("n_chars")
     )

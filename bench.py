@@ -32,6 +32,10 @@ HEADLINE = [
     "multimodal_meta",
     "doc_chunks",
     "nearest_centroid",
+    # round-3 curation surface
+    "gopher_quality",
+    "curated_corpus",
+    "verbatim_overlap",
 ]
 
 
@@ -56,10 +60,17 @@ def main() -> None:
     import __spark_entry__ as E
 
     qs = E.queries()
-    # Warm the JVM/scan path AND the Python/Arrow worker pool once so
-    # the first timed query doesn't absorb session startup (codegen
-    # compilation, file listing, pandas_udf worker fork + Arrow init
-    # — measured ~5s of one-time cost otherwise).
+    # Warm-up, in two layers, so the timed numbers are steady-state
+    # throughput rather than one-time session costs:
+    # 1) generic: JVM scan path + the Python/Arrow worker pool
+    #    (worker fork + Arrow init — measured ~5s once);
+    # 2) per-query: run every headline query once at the SMALLEST
+    #    scale factor (sf0.001) first. Whole-stage codegen is
+    #    Janino-compiled per plan shape and cached; the first
+    #    execution of a query pays ~4s of compilation that no repeat
+    #    run (and no long-running cluster) ever pays again. The warm
+    #    runs use different data (sf0.001), so nothing about the
+    #    timed sf's data is pre-cached — only code paths.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     from pyspark.sql import functions as F
     from pyspark.sql.pandas.functions import pandas_udf
@@ -69,6 +80,13 @@ def main() -> None:
         return s
 
     spark.range(1000).repartition(int(cpus)).select(_warm(F.col("id"))).count()
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf) and warm_sf != sf_dir:
+        for name in HEADLINE:
+            try:
+                qs[name](spark, warm_sf).count()
+            except Exception as e:  # warm-up must never fail the bench
+                print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
