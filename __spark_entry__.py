@@ -2214,6 +2214,50 @@ def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered.select("pos", "doc_id", "source", "clf_score")
 
 
+def q_validate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed schema validation (§7 nested-type extension):
+    list[float] field with item-count and element-range constraints
+    (compiled to size/array_min/array_max — no higher-order lambdas).
+    Violations are planted deterministically (vec_id % 97 == 1 →
+    truncated to 10 items; % 101 == 2 → elements scaled x100) so the
+    gate filters non-trivially; survivors project to scalars."""
+
+    class EmbeddingSchema(Schema):
+        vec_id: int = Field(ge=0)
+        embedding: list[float] = Field(
+            min_items=64, max_items=64, item_ge=-10.0, item_le=10.0
+        )
+        label: int
+
+    em = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    planted = em.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 97 == 1, F.slice("embedding", 1, 10)
+        )
+        .when(
+            F.col("vec_id") % 101 == 2,
+            F.transform("embedding", lambda x: x * 100.0),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+        "label",
+    )
+    v = EmbeddingSchema.to_spark_validator()
+    good = v.validate_lazy(planted)
+    return good.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("n_items"),
+        F.round(F.array_min("embedding"), 6).alias("emb_min"),
+        F.round(F.array_max("embedding"), 6).alias("emb_max"),
+    )
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source data card: doc/token counts, mean quality, gate
     pass rate, exact-duplicate rate — the governance summary of a
@@ -2277,6 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "verbatim_overlap": q_verbatim_overlap,
         "corpus_report": q_corpus_report,
+        "validate_embeddings": q_validate_embeddings,
         # -- never driver-checked in r1/r2: scale surface first -----
         "events_daily": q_events_daily,
         "events_sessions": q_events_sessions,
@@ -2809,6 +2854,28 @@ def oracle_sql() -> dict[str, str]:
                    ) - 1 AS BIGINT) AS pos,
                    doc_id, source, clf_score
             FROM sampled
+        """,
+        "validate_embeddings": """
+            WITH planted AS (
+                SELECT vec_id,
+                       CASE WHEN vec_id % 97 = 1
+                            THEN (CAST(embedding AS DOUBLE[]))[1:10]
+                            WHEN vec_id % 101 = 2
+                            THEN list_transform(CAST(embedding AS DOUBLE[]), x -> x * 100.0)
+                            ELSE CAST(embedding AS DOUBLE[])
+                       END AS embedding,
+                       label
+                FROM embeddings
+            )
+            SELECT vec_id, label,
+                   CAST(len(embedding) AS BIGINT) AS n_items,
+                   round(list_aggregate(embedding, 'min'), 6) AS emb_min,
+                   round(list_aggregate(embedding, 'max'), 6) AS emb_max
+            FROM planted
+            WHERE vec_id >= 0
+              AND len(embedding) >= 64 AND len(embedding) <= 64
+              AND list_aggregate(embedding, 'min') >= -10.0
+              AND list_aggregate(embedding, 'max') <= 10.0
         """,
         "corpus_report": r"""
             WITH t AS (

@@ -82,7 +82,8 @@ class SchemaMeta(type):
             if field_class is None:
                 raise TypeError(
                     f"Field '{field_name}': Unsupported type '{actual_type}'. "
-                    f"Supported types: int, str, float, bool, datetime, date"
+                    f"Supported types: int, str, float, bool, datetime, date, "
+                    f"list[int], list[float], list[str], list[bool]"
                 )
 
             if isinstance(class_value, FieldInfo):

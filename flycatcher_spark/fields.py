@@ -20,6 +20,7 @@ from typing import Any, Callable
 
 from pyspark.sql import types as T
 
+from .validators.array import ArrLen, ArrMax, ArrMin
 from .validators.core import FieldRef
 from .validators.ops import Expr, Lit
 
@@ -56,6 +57,12 @@ class FieldInfo:
         min_length: int | None = None,
         max_length: int | None = None,
         pattern: str | None = None,
+        min_items: int | None = None,
+        max_items: int | None = None,
+        item_gt: int | float | None = None,
+        item_ge: int | float | None = None,
+        item_lt: int | float | None = None,
+        item_le: int | float | None = None,
     ):
         self.primary_key = primary_key
         self.nullable = nullable
@@ -72,6 +79,12 @@ class FieldInfo:
         self.min_length = min_length
         self.max_length = max_length
         self.pattern = pattern
+        self.min_items = min_items
+        self.max_items = max_items
+        self.item_gt = item_gt
+        self.item_ge = item_ge
+        self.item_lt = item_lt
+        self.item_le = item_le
 
     def to_field_kwargs(self) -> dict[str, Any]:
         """Flatten set options into constructor kwargs for a field class."""
@@ -88,7 +101,9 @@ class FieldInfo:
         if self.autoincrement is not None:
             kwargs["autoincrement"] = self.autoincrement
         for name in ("gt", "ge", "lt", "le", "multiple_of",
-                     "min_length", "max_length", "pattern"):
+                     "min_length", "max_length", "pattern",
+                     "min_items", "max_items",
+                     "item_gt", "item_ge", "item_lt", "item_le"):
             value = getattr(self, name)
             if value is not None:
                 kwargs[name] = value
@@ -112,6 +127,12 @@ def Field(  # noqa: N802 - capitalized to match the Pydantic-style API
     min_length: int | None = None,
     max_length: int | None = None,
     pattern: str | None = None,
+    min_items: int | None = None,
+    max_items: int | None = None,
+    item_gt: int | float | None = None,
+    item_ge: int | float | None = None,
+    item_lt: int | float | None = None,
+    item_le: int | float | None = None,
 ) -> Any:
     """Declare field metadata and constraints, Pydantic-style.
 
@@ -139,6 +160,12 @@ def Field(  # noqa: N802 - capitalized to match the Pydantic-style API
         min_length=min_length,
         max_length=max_length,
         pattern=pattern,
+        min_items=min_items,
+        max_items=max_items,
+        item_gt=item_gt,
+        item_ge=item_ge,
+        item_lt=item_lt,
+        item_le=item_le,
     )
 
 
@@ -461,6 +488,130 @@ class Date(FieldBase):
         return T.DateType()
 
 
+class Array(FieldBase):
+    """``list[T]`` field → Spark ``ArrayType`` (§7 extension; the
+    reference DSL is scalar-only).
+
+    Constraints: ``min_items``/``max_items`` bound the element count
+    (``.arr.len()``); ``item_gt/ge/lt/le`` bound every element via
+    the array extrema (``arr.min() >= b`` == "all elements >= b") —
+    single codegen'd expressions, no higher-order lambdas, and
+    mirrorable in plain Python for the Pydantic bridge. Null-array
+    rows pass constraints (null handling owns them), matching every
+    scalar field.
+    """
+
+    element_type: type = float  # overridden by concrete subclasses
+    element_dtype: T.DataType = T.DoubleType()
+
+    def __init__(
+        self,
+        *,
+        min_items: int | None = None,
+        max_items: int | None = None,
+        item_gt: int | float | None = None,
+        item_ge: int | float | None = None,
+        item_lt: int | float | None = None,
+        item_le: int | float | None = None,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.min_items = min_items
+        self.max_items = max_items
+        self.item_gt = item_gt
+        self.item_ge = item_ge
+        self.item_lt = item_lt
+        self.item_le = item_le
+
+    def get_python_type(self):
+        return list[self.element_type]  # type: ignore[name-defined]
+
+    def get_pydantic_type(self):
+        """list[Annotated[T, Field(...)]] when item bounds exist."""
+        bounds = {
+            k: v
+            for k, v in (
+                ("gt", self.item_gt),
+                ("ge", self.item_ge),
+                ("lt", self.item_lt),
+                ("le", self.item_le),
+            )
+            if v is not None
+        }
+        if not bounds:
+            return self.get_python_type()
+        from typing import Annotated
+
+        from pydantic import Field as PydanticField
+
+        return list[Annotated[self.element_type, PydanticField(**bounds)]]  # type: ignore[name-defined]
+
+    def get_pydantic_field_kwargs(self) -> dict:
+        out = {}
+        if self.min_items is not None:
+            out["min_length"] = self.min_items
+        if self.max_items is not None:
+            out["max_length"] = self.max_items
+        return out
+
+    def get_spark_dtype(self):
+        return T.ArrayType(self.element_dtype, containsNull=True)
+
+    def get_spark_constraints(self):
+        constraints = list(super().get_spark_constraints())
+        assert self.name is not None
+        c = FieldRef(self.name)
+        if self.min_items is not None:
+            constraints.append(
+                (
+                    ArrLen(c) >= Lit(self.min_items),
+                    f"{self.name} must have at least {self.min_items} items",
+                )
+            )
+        if self.max_items is not None:
+            constraints.append(
+                (
+                    ArrLen(c) <= Lit(self.max_items),
+                    f"{self.name} must have at most {self.max_items} items",
+                )
+            )
+        for attr, node, op, sym in (
+            ("item_gt", ArrMin, "__gt__", ">"),
+            ("item_ge", ArrMin, "__ge__", ">="),
+            ("item_lt", ArrMax, "__lt__", "<"),
+            ("item_le", ArrMax, "__le__", "<="),
+        ):
+            bound = getattr(self, attr)
+            if bound is not None:
+                constraints.append(
+                    (
+                        getattr(node(c), op)(Lit(bound)),
+                        f"{self.name} items must be {sym} {bound}",
+                    )
+                )
+        return constraints
+
+
+class IntArray(Array):
+    element_type = int
+    element_dtype = T.LongType()
+
+
+class FloatArray(Array):
+    element_type = float
+    element_dtype = T.DoubleType()
+
+
+class StrArray(Array):
+    element_type = str
+    element_dtype = T.StringType()
+
+
+class BoolArray(Array):
+    element_type = bool
+    element_dtype = T.BooleanType()
+
+
 _TYPE_MAP.update(
     {
         int: Integer,
@@ -469,6 +620,10 @@ _TYPE_MAP.update(
         bool: Boolean,
         datetime: Datetime,
         date: Date,
+        list[int]: IntArray,
+        list[float]: FloatArray,
+        list[str]: StrArray,
+        list[bool]: BoolArray,
     }
 )
 

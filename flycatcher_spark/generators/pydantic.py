@@ -36,7 +36,10 @@ def create_pydantic_model(schema_cls: "type[Schema]") -> type[BaseModel]:
     pydantic_fields: dict[str, Any] = {}
 
     for field_name, field in fields.items():
-        python_type: Any = field.get_python_type()
+        get_type = getattr(field, "get_pydantic_type", None)
+        python_type: Any = (
+            get_type() if get_type is not None else field.get_python_type()
+        )
         if field.nullable:
             python_type = Union[python_type, None]
 

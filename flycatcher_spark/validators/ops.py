@@ -173,6 +173,13 @@ class Expr(_ExpressionMixin):
 
     # -- accessors ----------------------------------------------------
     @property
+    def arr(self) -> "ArrayAccessor":
+        """Array helpers (``.arr.len() / .arr.min() / .arr.max()``)."""
+        from .array import ArrayAccessor
+
+        return ArrayAccessor(self)
+
+    @property
     def str(self) -> "StringAccessor":
         """Access string operations on this expression."""
         from .string import StringAccessor
