@@ -2258,6 +2258,23 @@ def q_validate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_payload_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal composition: payload bytes → mapInPandas embedding
+    extraction (model stand-in: byte-bucket sums) → exact cosine
+    top-3 via operators.similarity — the media-embedding-then-ANN
+    pipeline end-to-end, oracle-checked."""
+    docs = _read(spark, sf_dir, "documents")
+    with_payload = multimodal.attach_payload(docs, text_col="text")
+    emb = multimodal.embed_payload(with_payload, id_col="doc_id", dim=8)
+    queries_side = emb.where(F.col("doc_id") < 5)
+    res = similarity.brute_force_topk(
+        emb, queries_side, k=3, id_col="doc_id", vec_col="embedding", impl="sql"
+    )
+    return res.select(
+        "query_id", "doc_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source data card: doc/token counts, mean quality, gate
     pass rate, exact-duplicate rate — the governance summary of a
@@ -2322,6 +2339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verbatim_overlap": q_verbatim_overlap,
         "corpus_report": q_corpus_report,
         "validate_embeddings": q_validate_embeddings,
+        "payload_embed_knn": q_payload_embed_knn,
         # -- never driver-checked in r1/r2: scale surface first -----
         "events_daily": q_events_daily,
         "events_sessions": q_events_sessions,
@@ -2854,6 +2872,37 @@ def oracle_sql() -> dict[str, str]:
                    ) - 1 AS BIGINT) AS pos,
                    doc_id, source, clf_score
             FROM sampled
+        """,
+        "payload_embed_knn": """
+            WITH emb AS (
+                SELECT doc_id,
+                       list_transform(range(0, 8), i ->
+                           CAST(COALESCE(list_sum(list_transform(
+                               range(1, length(text) + 1),
+                               j -> CASE WHEN (j - 1) % 8 = i
+                                         THEN unicode(substr(text, j, 1))
+                                         ELSE 0 END)), 0) AS DOUBLE)
+                       ) AS v
+                FROM documents
+            ),
+            q AS (SELECT doc_id AS query_id, v AS qv FROM emb WHERE doc_id < 5),
+            sc AS (
+                SELECT q.query_id, emb.doc_id,
+                       round(CASE WHEN sqrt(list_dot_product(emb.v, emb.v))
+                                       * sqrt(list_dot_product(q.qv, q.qv)) > 0
+                                  THEN list_dot_product(emb.v, q.qv)
+                                       / (sqrt(list_dot_product(emb.v, emb.v))
+                                          * sqrt(list_dot_product(q.qv, q.qv)))
+                             END, 6) AS sim
+                FROM emb CROSS JOIN q
+                WHERE emb.doc_id <> q.query_id
+            )
+            SELECT query_id, doc_id, sim, rank FROM (
+                SELECT query_id, doc_id, sim,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                                               ORDER BY sim DESC, doc_id) AS BIGINT) AS rank
+                FROM sc
+            ) WHERE rank <= 3
         """,
         "validate_embeddings": """
             WITH planted AS (

@@ -96,6 +96,63 @@ def decode_meta(
     return df.select(id_col, payload_col).mapInPandas(process, schema=out_schema)
 
 
+def embed_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    dim: int = 8,
+    embed_fn: Callable[[Any, int], list] | None = None,
+) -> DataFrame:
+    """Media-embedding extraction plumbing: payload bytes → a
+    ``dim``-wide ``array<double>`` embedding via Arrow-batched
+    ``mapInPandas`` — the CLIP/wav2vec stage of a multimodal pipeline
+    with the model swapped for a deterministic stand-in (no model
+    runtimes in this container).
+
+    The fake embedder is byte-bucket sums (``e[i] = sum of bytes at
+    positions ≡ i (mod dim)``): integer-exact, so the DuckDB oracle
+    reproduces it and downstream cosine/ANN results hash-match. Pass
+    ``embed_fn(payload, dim) -> list[float]`` to swap in a real
+    model; everything else (batching, declared schema, partition
+    preservation, null payload → null embedding) stays.
+
+    Map-only: at 100 TB this runs at scan speed beside the decode
+    stage, and the output feeds ``operators.similarity`` unchanged.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def default_embed(payload: Any, d: int) -> list | None:
+        if payload is None:
+            return None
+        b = np.frombuffer(bytes(payload), dtype=np.uint8)
+        v = np.zeros(d, dtype=np.int64)
+        np.add.at(v, np.arange(len(b)) % d, b)
+        return [float(x) for x in v]
+
+    embed = embed_fn or default_embed
+
+    def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "embedding": [
+                        embed(p, dim) for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(process, schema=out_schema)
+
+
 def frame_sample_plan(
     df: DataFrame,
     id_col: str = "doc_id",

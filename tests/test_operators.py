@@ -560,6 +560,31 @@ class TestMultimodal:
             (0, 0), (1, 64), (2, 128),
         ]
 
+    def test_embed_payload_known_answer(self, spark):
+        # "abcd" bytes 97,98,99,100 with dim=2: buckets [97+99, 98+100]
+        df = spark.createDataFrame([(1, "abcd")], ["doc_id", "text"])
+        with_payload = multimodal.attach_payload(df)
+        [row] = multimodal.embed_payload(with_payload, dim=2).collect()
+        assert row["embedding"] == [196.0, 198.0]
+
+    def test_embed_payload_null_and_custom_fn(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(b"xy")), (2, None)],
+            "doc_id long, payload binary",
+        )
+        rows = {
+            r["doc_id"]: r["embedding"]
+            for r in multimodal.embed_payload(df, dim=2).collect()
+        }
+        assert rows[1] == [120.0, 121.0] and rows[2] is None
+        rows = {
+            r["doc_id"]: r["embedding"]
+            for r in multimodal.embed_payload(
+                df, dim=3, embed_fn=lambda p, d: None if p is None else [1.0] * d
+            ).collect()
+        }
+        assert rows[1] == [1.0, 1.0, 1.0] and rows[2] is None
+
 
 class TestConnectedComponents:
     def test_chain_resolves_transitively(self, spark):
