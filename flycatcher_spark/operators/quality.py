@@ -4,9 +4,10 @@ Extensions beyond the reference surface (BASELINE.json north star),
 covering the selection stages a 100 TB training-data build runs after
 dedup: rule-based quality gates (Gopher-style), a linear
 quality-classifier scorer (FastText/FineWeb-Edu-shaped, fixed
-weights), unigram language-model surprise scoring, per-domain caps,
-temperature-based mixture sampling, deterministic global training
-order, and semantic dedup over embeddings.
+weights), unigram language-model surprise scoring, DSIR importance
+resampling, per-domain caps, temperature-based mixture sampling,
+deterministic global training order, cross-document sequence packing,
+semantic dedup over embeddings, and the per-source corpus data card.
 
 Scale posture (see SCALE.md): every per-document metric is a pure
 Column expression (map-only, whole-stage codegen, cost = the scan);
