@@ -2275,6 +2275,39 @@ def q_payload_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_validate_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed schema validation (§7 nested-type extension):
+    dict[str, int] field over parsed JSON props, with entry-count,
+    required-key, and value-range constraints. Violations planted
+    deterministically (% 37 == 3 → empty object, % 41 == 5 → wrong
+    key, % 43 == 7 → negative value)."""
+
+    class EventPropsSchema(Schema):
+        event_id: int = Field(ge=0)
+        props: dict[str, int] = Field(
+            min_items=1, required_keys=["k"], item_ge=0
+        )
+
+    ev = _read(spark, sf_dir, "events")
+    planted = ev.select(
+        "event_id",
+        F.from_json(
+            F.when(F.col("event_id") % 37 == 3, F.lit("{}"))
+            .when(F.col("event_id") % 41 == 5, F.lit('{"j": 1}'))
+            .when(F.col("event_id") % 43 == 7, F.lit('{"k": -5}'))
+            .otherwise(F.col("props")),
+            "map<string,bigint>",
+        ).alias("props"),
+    )
+    v = EventPropsSchema.to_spark_validator()
+    good = v.validate_lazy(planted)
+    return good.select(
+        "event_id",
+        F.size("props").cast("long").alias("n_props"),
+        F.element_at("props", "k").alias("k_val"),
+    )
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source data card: doc/token counts, mean quality, gate
     pass rate, exact-duplicate rate — the governance summary of a
@@ -2340,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "validate_embeddings": q_validate_embeddings,
         "payload_embed_knn": q_payload_embed_knn,
+        "validate_event_props": q_validate_event_props,
         # -- never driver-checked in r1/r2: scale surface first -----
         "events_daily": q_events_daily,
         "events_sessions": q_events_sessions,
@@ -2872,6 +2906,25 @@ def oracle_sql() -> dict[str, str]:
                    ) - 1 AS BIGINT) AS pos,
                    doc_id, source, clf_score
             FROM sampled
+        """,
+        "validate_event_props": """
+            WITH planted AS (
+                SELECT event_id,
+                       CASE WHEN event_id % 37 = 3 THEN '{}'
+                            WHEN event_id % 41 = 5 THEN '{"j": 1}'
+                            WHEN event_id % 43 = 7 THEN '{"k": -5}'
+                            ELSE props END AS props
+                FROM events
+            )
+            SELECT event_id,
+                   CAST(len(json_keys(props)) AS BIGINT) AS n_props,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+            FROM planted
+            WHERE event_id >= 0
+              AND len(json_keys(props)) >= 1
+              AND list_contains(json_keys(props), 'k')
+              AND COALESCE(list_min(list_transform(json_keys(props),
+                      ky -> CAST(json_extract_string(props, '$.' || ky) AS BIGINT))) >= 0, TRUE)
         """,
         "payload_embed_knn": """
             WITH emb AS (

@@ -83,7 +83,7 @@ class SchemaMeta(type):
                 raise TypeError(
                     f"Field '{field_name}': Unsupported type '{actual_type}'. "
                     f"Supported types: int, str, float, bool, datetime, date, "
-                    f"list[int], list[float], list[str], list[bool]"
+                    f"list[int], list[float], list[str], list[bool], dict[str, ...]"
                 )
 
             if isinstance(class_value, FieldInfo):

@@ -20,7 +20,7 @@ from typing import Any, Callable
 
 from pyspark.sql import types as T
 
-from .validators.array import ArrLen, ArrMax, ArrMin
+from .validators.array import ArrLen, ArrMax, ArrMin, MapHasKey, MapMax, MapMin
 from .validators.core import FieldRef
 from .validators.ops import Expr, Lit
 
@@ -63,6 +63,7 @@ class FieldInfo:
         item_ge: int | float | None = None,
         item_lt: int | float | None = None,
         item_le: int | float | None = None,
+        required_keys: list[str] | None = None,
     ):
         self.primary_key = primary_key
         self.nullable = nullable
@@ -85,6 +86,7 @@ class FieldInfo:
         self.item_ge = item_ge
         self.item_lt = item_lt
         self.item_le = item_le
+        self.required_keys = required_keys
 
     def to_field_kwargs(self) -> dict[str, Any]:
         """Flatten set options into constructor kwargs for a field class."""
@@ -103,7 +105,8 @@ class FieldInfo:
         for name in ("gt", "ge", "lt", "le", "multiple_of",
                      "min_length", "max_length", "pattern",
                      "min_items", "max_items",
-                     "item_gt", "item_ge", "item_lt", "item_le"):
+                     "item_gt", "item_ge", "item_lt", "item_le",
+                     "required_keys"):
             value = getattr(self, name)
             if value is not None:
                 kwargs[name] = value
@@ -133,6 +136,7 @@ def Field(  # noqa: N802 - capitalized to match the Pydantic-style API
     item_ge: int | float | None = None,
     item_lt: int | float | None = None,
     item_le: int | float | None = None,
+    required_keys: list[str] | None = None,
 ) -> Any:
     """Declare field metadata and constraints, Pydantic-style.
 
@@ -166,6 +170,7 @@ def Field(  # noqa: N802 - capitalized to match the Pydantic-style API
         item_ge=item_ge,
         item_lt=item_lt,
         item_le=item_le,
+        required_keys=required_keys,
     )
 
 
@@ -592,6 +597,154 @@ class Array(FieldBase):
         return constraints
 
 
+class Map(FieldBase):
+    """``dict[str, T]`` field → Spark ``MapType(string, T)`` (§7
+    nested-type extension; JSON-object-shaped metadata columns).
+
+    Constraints: ``min_items``/``max_items`` bound the entry count,
+    ``required_keys`` demands specific keys, ``item_gt/ge/lt/le``
+    bound every VALUE via map_values extrema. Same null semantics as
+    every field: a null map passes constraints (null handling owns
+    it).
+    """
+
+    value_type: type = str
+    value_dtype: T.DataType = T.StringType()
+
+    def __init__(
+        self,
+        *,
+        min_items: int | None = None,
+        max_items: int | None = None,
+        required_keys: list[str] | None = None,
+        item_gt: int | float | None = None,
+        item_ge: int | float | None = None,
+        item_lt: int | float | None = None,
+        item_le: int | float | None = None,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.min_items = min_items
+        self.max_items = max_items
+        self.required_keys = list(required_keys) if required_keys else None
+        self.item_gt = item_gt
+        self.item_ge = item_ge
+        self.item_lt = item_lt
+        self.item_le = item_le
+
+    def get_python_type(self):
+        return dict[str, self.value_type]  # type: ignore[name-defined]
+
+    def get_pydantic_type(self):
+        from typing import Annotated
+
+        from pydantic import AfterValidator
+        from pydantic import Field as PydanticField
+
+        bounds = {
+            k: v
+            for k, v in (
+                ("gt", self.item_gt),
+                ("ge", self.item_ge),
+                ("lt", self.item_lt),
+                ("le", self.item_le),
+            )
+            if v is not None
+        }
+        vt: Any = (
+            Annotated[self.value_type, PydanticField(**bounds)]
+            if bounds
+            else self.value_type
+        )
+        py_type: Any = dict[str, vt]
+        if self.required_keys:
+            required = list(self.required_keys)
+            fname = self.name
+
+            def _check(v: dict) -> dict:
+                missing = [k for k in required if k not in v]
+                if missing:
+                    raise ValueError(
+                        f"{fname or 'map'} missing required keys: {missing}"
+                    )
+                return v
+
+            py_type = Annotated[py_type, AfterValidator(_check)]
+        return py_type
+
+    def get_pydantic_field_kwargs(self) -> dict:
+        out = {}
+        if self.min_items is not None:
+            out["min_length"] = self.min_items
+        if self.max_items is not None:
+            out["max_length"] = self.max_items
+        return out
+
+    def get_spark_dtype(self):
+        return T.MapType(T.StringType(), self.value_dtype, valueContainsNull=True)
+
+    def get_spark_constraints(self):
+        constraints = list(super().get_spark_constraints())
+        assert self.name is not None
+        c = FieldRef(self.name)
+        if self.min_items is not None:
+            constraints.append(
+                (
+                    ArrLen(c) >= Lit(self.min_items),
+                    f"{self.name} must have at least {self.min_items} entries",
+                )
+            )
+        if self.max_items is not None:
+            constraints.append(
+                (
+                    ArrLen(c) <= Lit(self.max_items),
+                    f"{self.name} must have at most {self.max_items} entries",
+                )
+            )
+        for key in self.required_keys or []:
+            constraints.append(
+                (
+                    MapHasKey(c, key),
+                    f"{self.name} must contain key '{key}'",
+                )
+            )
+        for attr, node, op, sym in (
+            ("item_gt", MapMin, "__gt__", ">"),
+            ("item_ge", MapMin, "__ge__", ">="),
+            ("item_lt", MapMax, "__lt__", "<"),
+            ("item_le", MapMax, "__le__", "<="),
+        ):
+            bound = getattr(self, attr)
+            if bound is not None:
+                constraints.append(
+                    (
+                        getattr(node(c), op)(Lit(bound)),
+                        f"{self.name} values must be {sym} {bound}",
+                    )
+                )
+        return constraints
+
+
+class StrMap(Map):
+    value_type = str
+    value_dtype = T.StringType()
+
+
+class IntMap(Map):
+    value_type = int
+    value_dtype = T.LongType()
+
+
+class FloatMap(Map):
+    value_type = float
+    value_dtype = T.DoubleType()
+
+
+class BoolMap(Map):
+    value_type = bool
+    value_dtype = T.BooleanType()
+
+
 class IntArray(Array):
     element_type = int
     element_dtype = T.LongType()
@@ -624,6 +777,10 @@ _TYPE_MAP.update(
         list[float]: FloatArray,
         list[str]: StrArray,
         list[bool]: BoolArray,
+        dict[str, str]: StrMap,
+        dict[str, int]: IntMap,
+        dict[str, float]: FloatMap,
+        dict[str, bool]: BoolMap,
     }
 )
 

@@ -84,6 +84,67 @@ class ArrMax(Expr):
         return f"{self.operand!r}.arr.max()"
 
 
+class MapHasKey(Expr):
+    """True when a map column contains ``key`` (null map -> null)."""
+
+    def __init__(self, operand: Any, key: str):
+        self.operand = operand
+        self.key = key
+
+    def to_spark(self) -> Column:
+        c = self._to_spark(self.operand)
+        return F.when(
+            c.isNull(), F.lit(None).cast("boolean")
+        ).otherwise(F.map_contains_key(c, self.key))
+
+    def to_python(self, values: Any) -> Any:
+        v = self._to_python(self.operand, values)
+        return None if v is None else self.key in v
+
+    def __repr__(self) -> str:
+        return f"{self.operand!r}.map.has_key({self.key!r})"
+
+
+class MapMin(Expr):
+    """Smallest map VALUE (null/empty map -> null; null values skipped)."""
+
+    def __init__(self, operand: Any):
+        self.operand = operand
+
+    def to_spark(self) -> Column:
+        return F.array_min(F.map_values(self._to_spark(self.operand)))
+
+    def to_python(self, values: Any) -> Any:
+        v = self._to_python(self.operand, values)
+        if v is None:
+            return None
+        items = [x for x in v.values() if x is not None]
+        return min(items) if items else None
+
+    def __repr__(self) -> str:
+        return f"{self.operand!r}.map.min()"
+
+
+class MapMax(Expr):
+    """Largest map VALUE (null/empty map -> null; null values skipped)."""
+
+    def __init__(self, operand: Any):
+        self.operand = operand
+
+    def to_spark(self) -> Column:
+        return F.array_max(F.map_values(self._to_spark(self.operand)))
+
+    def to_python(self, values: Any) -> Any:
+        v = self._to_python(self.operand, values)
+        if v is None:
+            return None
+        items = [x for x in v.values() if x is not None]
+        return max(items) if items else None
+
+    def __repr__(self) -> str:
+        return f"{self.operand!r}.map.max()"
+
+
 class ArrayAccessor:
     """``col("xs").arr`` — array helpers on any expression node."""
 
@@ -98,3 +159,26 @@ class ArrayAccessor:
 
     def max(self) -> ArrMax:
         return ArrMax(self._expr)
+
+
+class MapAccessor:
+    """``col("props").map`` — map helpers on any expression node.
+
+    ``len()`` counts entries (``ArrLen`` — F.size works for maps and
+    Python ``len`` for dicts); ``min()/max()`` range over VALUES.
+    """
+
+    def __init__(self, expr: Any):
+        self._expr = expr
+
+    def len(self) -> ArrLen:
+        return ArrLen(self._expr)
+
+    def has_key(self, key: str) -> MapHasKey:
+        return MapHasKey(self._expr, key)
+
+    def min(self) -> MapMin:
+        return MapMin(self._expr)
+
+    def max(self) -> MapMax:
+        return MapMax(self._expr)

@@ -180,6 +180,14 @@ class Expr(_ExpressionMixin):
         return ArrayAccessor(self)
 
     @property
+    def map(self) -> "MapAccessor":
+        """Map helpers (``.map.len() / .map.has_key(k) / .map.min() /
+        .map.max()`` — min/max over VALUES)."""
+        from .array import MapAccessor
+
+        return MapAccessor(self)
+
+    @property
     def str(self) -> "StringAccessor":
         """Access string operations on this expression."""
         from .string import StringAccessor

@@ -103,3 +103,79 @@ class TestArrayFields:
 
             class Bad(Schema):
                 xs: list[bytes]
+
+
+class PropsSchema(Schema):
+    id: int = Field(ge=0)
+    props: dict[str, int] = Field(min_items=1, required_keys=["k"], item_ge=0)
+    labels: dict[str, str] | None = None
+
+
+class TestMapFields:
+    def test_field_classes_and_types(self):
+        from flycatcher_spark.fields import IntMap, StrMap
+
+        fields = PropsSchema.fields()
+        assert isinstance(fields["props"], IntMap)
+        assert isinstance(fields["labels"], StrMap) and fields["labels"].nullable
+        assert (
+            PropsSchema.to_spark_schema()["props"].dataType.simpleString()
+            == "map<string,bigint>"
+        )
+        assert "props MAP<STRING,BIGINT> NOT NULL" in PropsSchema.to_ddl()
+
+    def test_validation_filters_violations(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, {"k": 5}, None),
+                (2, {}, None),          # empty (also missing k)
+                (3, {"j": 1}, None),    # wrong key
+                (4, {"k": -2}, None),   # negative value
+                (5, {"k": 0, "x": 9}, {"a": "b"}),
+            ],
+            "id long, props map<string,bigint>, labels map<string,string>",
+        )
+        v = PropsSchema.to_spark_validator()
+        good = v.validate(df, strict=False)
+        assert sorted(r["id"] for r in good.collect()) == [1, 5]
+        counts = {x["constraint"]: x["count"] for x in v.last_violations}
+        assert counts["props must have at least 1 entries"] == 1
+        assert counts["props must contain key 'k'"] == 2  # empty + wrong-key
+        assert counts["props values must be >= 0"] == 1
+
+    def test_map_accessor_parity(self, spark):
+        from flycatcher_spark import col
+
+        exprs = {
+            "n": col("m").map.len(),
+            "has": col("m").map.has_key("k"),
+            "mn": col("m").map.min(),
+            "mx": col("m").map.max(),
+        }
+        rows = [
+            {"m": {"k": 3, "j": 7}},
+            {"m": {}},
+            {"m": None},
+        ]
+        df = spark.createDataFrame(
+            [(r["m"],) for r in rows], "m map<string,bigint>"
+        )
+        got = df.select(
+            *[e.to_spark().alias(k) for k, e in exprs.items()]
+        ).collect()
+        for row, srow in zip(rows, got):
+            for k, e in exprs.items():
+                assert e.to_python(row) == srow[k], (row, k)
+
+    def test_pydantic_bridge(self):
+        import pydantic
+
+        P = PropsSchema.to_pydantic()
+        assert P(id=1, props={"k": 5}, labels=None).props == {"k": 5}
+        for bad in (
+            dict(id=1, props={}, labels=None),
+            dict(id=1, props={"j": 1}, labels=None),
+            dict(id=1, props={"k": -1}, labels=None),
+        ):
+            with pytest.raises(pydantic.ValidationError):
+                P(**bad)
