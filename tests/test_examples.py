@@ -16,7 +16,12 @@ EXAMPLES = Path(__file__).resolve().parent.parent / "examples"
 
 @pytest.mark.parametrize(
     "name",
-    ["basic_usage.py", "validation_modes.py", "cross_field_validators.py"],
+    [
+        "basic_usage.py",
+        "validation_modes.py",
+        "cross_field_validators.py",
+        "nested_fields.py",
+    ],
 )
 def test_example_runs_clean(name):
     proc = subprocess.run(
