@@ -112,3 +112,72 @@ def test_spark_matches_python(spark_global, rows):
 @pytest.fixture(scope="module")
 def spark_global(spark):
     return spark
+
+
+# -- container nodes (.arr / .map): same differential property --------
+CONTAINER_EXPRS = [
+    ("arr_len", col("xs").arr.len()),
+    ("arr_min", col("xs").arr.min()),
+    ("arr_max", col("xs").arr.max()),
+    ("arr_len_cmp", col("xs").arr.len() >= 2),
+    ("map_len", col("m").map.len()),
+    ("map_has", col("m").map.has_key("k")),
+    ("map_min", col("m").map.min()),
+    ("map_max", col("m").map.max()),
+]
+
+container_row = st.tuples(
+    st.one_of(
+        st.none(),
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.floats(
+                    min_value=-50,
+                    max_value=50,
+                    allow_nan=False,
+                    allow_infinity=False,
+                ),
+            ),
+            max_size=6,
+        ),
+    ),
+    st.one_of(
+        st.none(),
+        st.dictionaries(
+            st.sampled_from(["k", "j", "x", "longer_key"]),
+            st.one_of(st.none(), st.integers(min_value=-99, max_value=99)),
+            max_size=4,
+        ),
+    ),
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(st.lists(container_row, min_size=1, max_size=20))
+def test_container_nodes_spark_matches_python(spark_global, rows):
+    spark = spark_global
+    df = spark.createDataFrame(
+        rows, "xs array<double>, m map<string,bigint>"
+    )
+    cols = [e.to_spark().alias(name) for name, e in CONTAINER_EXPRS]
+    got = df.select(*cols).collect()
+    for row_in, row_out in zip(rows, got):
+        values = dict(zip(["xs", "m"], row_in))
+        for name, e in CONTAINER_EXPRS:
+            try:
+                expected = e.to_python(values)
+            except TypeError:
+                # python backend raises on None operands where Spark
+                # null-propagates (same policy as the scalar battery)
+                if any(v is None for v in values.values()):
+                    continue
+                raise
+            actual = row_out[name]
+            assert _eq(actual, expected), (
+                f"{name}: spark={actual!r} python={expected!r} on {values!r}"
+            )
