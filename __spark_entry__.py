@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from flycatcher_spark import Field, Schema, col, model_validator
 from flycatcher_spark import plans
 from flycatcher_spark.operators import (
+    bpe,
     decontam,
     dedup,
     multimodal,
@@ -2308,6 +2309,35 @@ def q_validate_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training, first iteration: adjacent-character-pair counts
+    over the capped word-frequency table (operators/bpe) — the
+    corpus-scale stage of tokenizer training, top 40 pairs."""
+    docs = _read(spark, sf_dir, "documents")
+    wc = bpe.word_counts(docs, max_vocab_words=1000)
+    pc = bpe.pair_counts_sql(wc)
+    return (
+        pc.orderBy(F.desc("n"), F.asc("pair"))
+        .limit(40)
+        .select("pair", F.col("n").cast("long").alias("n"))
+    )
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-BPE token counts per doc: 30 merges trained on the
+    corpus's own word table, applied by the Arrow kernel. The driver
+    training loop is not SQL-expressible (rows-only check); the
+    algorithm is pinned by known-answer tests on the classic
+    Sennrich fixture."""
+    docs = _read(spark, sf_dir, "documents")
+    merges = bpe.learn_merges(
+        bpe.word_counts(docs, max_vocab_words=1000), n_merges=30
+    )
+    return docs.select(
+        "doc_id", bpe.bpe_token_count("text", merges).alias("n_bpe")
+    )
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source data card: doc/token counts, mean quality, gate
     pass rate, exact-duplicate rate — the governance summary of a
@@ -2374,6 +2404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_embeddings": q_validate_embeddings,
         "payload_embed_knn": q_payload_embed_knn,
         "validate_event_props": q_validate_event_props,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_token_stats": q_bpe_token_stats,
         # -- never driver-checked in r1/r2: scale surface first -----
         "events_daily": q_events_daily,
         "events_sessions": q_events_sessions,
@@ -2906,6 +2938,34 @@ def oracle_sql() -> dict[str, str]:
                    ) - 1 AS BIGINT) AS pos,
                    doc_id, source, clf_score
             FROM sampled
+        """,
+        "bpe_pair_counts": r"""
+            WITH t AS (
+                SELECT CASE WHEN length(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g'),
+                                ' ')
+                       END AS toks
+                FROM documents
+            ),
+            wc AS (
+                SELECT word, COUNT(*) AS cnt
+                FROM (SELECT unnest(toks) AS word FROM t)
+                GROUP BY word
+                ORDER BY cnt DESC, word
+                LIMIT 1000
+            ),
+            pairs AS (
+                SELECT substr(word, CAST(i AS INT), 2) AS pair, cnt
+                FROM wc, LATERAL (SELECT unnest(range(1, greatest(length(word), 1))) AS i)
+                WHERE length(substr(word, CAST(i AS INT), 2)) = 2
+            )
+            SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n
+            FROM pairs
+            GROUP BY pair
+            ORDER BY n DESC, pair
+            LIMIT 40
         """,
         "validate_event_props": """
             WITH planted AS (

@@ -14,6 +14,9 @@ reference surface — see SURVEY.md §7.1 step 7).
 - :mod:`.skew` — salted joins/aggregations for hot-key workloads.
 - :mod:`.decontam` — benchmark n-gram decontamination for training
   corpora.
+- :mod:`.bpe` — BPE tokenizer: distributed word-count training
+  stage, driver-side merge learning on the bounded frequency table,
+  Arrow-kernel apply.
 - :mod:`.quality` — corpus curation: Gopher-style rule gates, linear
   classifier scoring, unigram-LM surprise, per-domain caps,
   temperature mixture sampling, deterministic training order,
@@ -22,6 +25,7 @@ reference surface — see SURVEY.md §7.1 step 7).
 
 from . import (
     asof,
+    bpe,
     decontam,
     dedup,
     multimodal,
@@ -35,6 +39,7 @@ from . import (
 
 __all__ = [
     "asof",
+    "bpe",
     "decontam",
     "dedup",
     "multimodal",

@@ -1,0 +1,193 @@
+"""Byte-pair-encoding tokenizer: distributed training + Arrow apply.
+
+Upgrades the corpus token accounting from the BPE-ish regex estimate
+(``text.bpe_ish_token_count``) to a real learned BPE, structured the
+way production tokenizer training actually scales:
+
+- **Word counting is the corpus-scale stage** (one shuffle with
+  map-side partial aggregation, top-V cap) — at 100 TB this is the
+  only part that touches the data.
+- **Merge learning runs on the bounded word-frequency table** (like
+  every real BPE trainer: the corpus collapses to ``distinct word ->
+  count`` and iterations never rescan the corpus). The table is
+  capped at ``max_vocab_words`` so driver memory is bounded and the
+  learned merges are deterministic (ties break lexicographically).
+- **Application is map-only**: the merge ranks broadcast in the UDF
+  closure; each Arrow batch tokenizes with the classic greedy
+  lowest-rank merge loop (GPT-2's algorithm over characters).
+
+The first training iteration (adjacent-pair counts over the word
+table) is plain SQL — the oracle checks it cell-for-cell; the
+iterative loop and the application are pinned by known-answer tests.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+from .text import normalize_text, tokens
+
+
+def word_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_vocab_words: int = 100_000,
+) -> DataFrame:
+    """Distinct normalized words with corpus counts, capped at the
+    ``max_vocab_words`` most frequent (count desc, word asc — the
+    deterministic training vocabulary)."""
+    toks = docs.select(
+        F.explode(tokens(normalize_text(text_col))).alias("word")
+    )
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.orderBy(F.desc("cnt"), F.asc("word")).limit(
+        int(max_vocab_words)
+    )
+
+
+def pair_counts_sql(word_counts_df: DataFrame) -> DataFrame:
+    """Adjacent-character-pair counts over the word table — the FIRST
+    BPE training iteration, as a pure Catalyst expression (this is
+    what the oracle checks). Pair weight = word count; a word
+    contributes every adjacent position."""
+    pairs = word_counts_df.select(
+        "cnt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("word") - 1, F.lit(0))),
+                lambda i: F.substring(F.col("word"), i, 2),
+            )
+        ).alias("pair"),
+    ).where(F.length("pair") == 2)
+    return pairs.groupBy("pair").agg(F.sum("cnt").alias("n"))
+
+
+def learn_merges(
+    word_counts_df: DataFrame,
+    n_merges: int = 100,
+) -> list[tuple[str, str]]:
+    """Learn BPE merges from the (bounded, collected) word-frequency
+    table. Classic algorithm: repeatedly merge the most frequent
+    adjacent symbol pair; ties break on the lexicographically
+    smallest pair so results are reproducible everywhere."""
+    freq: dict[tuple[str, ...], int] = {
+        tuple(r["word"]): r["cnt"] for r in word_counts_df.collect()
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        pair_n: dict[tuple[str, str], int] = {}
+        for syms, c in freq.items():
+            for a, b in zip(syms, syms[1:]):
+                pair_n[(a, b)] = pair_n.get((a, b), 0) + c
+        if not pair_n:
+            break
+        max_n = max(pair_n.values())
+        a, b = min(p for p, n in pair_n.items() if n == max_n)
+        merges.append((a, b))
+        merged = a + b
+        new_freq: dict[tuple[str, ...], int] = {}
+        for syms, c in freq.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_freq[key] = new_freq.get(key, 0) + c
+        freq = new_freq
+    return merges
+
+
+def _make_encoder(ranks: dict[tuple[str, str], int]):
+    """Greedy lowest-rank merge loop (GPT-2 style), built as a local
+    closure so cloudpickle ships it BY VALUE — executors never need
+    this package importable."""
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word)
+        while len(syms) > 1:
+            best_rank = None
+            best_i = -1
+            for i, (a, b) in enumerate(zip(syms, syms[1:])):
+                r = ranks.get((a, b))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank = r
+                    best_i = i
+            if best_rank is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return syms
+
+    return encode_word
+
+
+def bpe_token_count(
+    text: Column | str,
+    merges: list[tuple[str, str]],
+) -> Column:
+    """Per-row BPE token count under the learned merges — an
+    Arrow-batched kernel (the merge loop is inherently sequential per
+    word; the ranks dict broadcasts in the closure). Map-only."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    encode_word = _make_encoder(ranks)
+    c = F.col(text) if isinstance(text, str) else text
+
+    @pandas_udf("long")
+    def _count(texts: pd.Series) -> pd.Series:
+        out = []
+        cache: dict[str, int] = {}
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            total = 0
+            for w in t.split():
+                w = w.lower()
+                hit = cache.get(w)
+                if hit is None:
+                    hit = len(encode_word(w))
+                    cache[w] = hit
+                total += hit
+            out.append(total)
+        return pd.Series(out, dtype="object")
+
+    return _count(F.lower(normalize_text(c)))
+
+
+def bpe_encode(
+    text: Column | str,
+    merges: list[tuple[str, str]],
+) -> Column:
+    """Per-row BPE pieces (``array<string>``) under the learned
+    merges — same kernel shape as :func:`bpe_token_count`."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    encode_word = _make_encoder(ranks)
+    c = F.col(text) if isinstance(text, str) else text
+
+    @pandas_udf("array<string>")
+    def _enc(texts: pd.Series) -> pd.Series:
+        out = []
+        cache: dict[str, list[str]] = {}
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            pieces: list[str] = []
+            for w in t.split():
+                w = w.lower()
+                hit = cache.get(w)
+                if hit is None:
+                    hit = encode_word(w)
+                    cache[w] = hit
+                pieces.extend(hit)
+            out.append(pieces)
+        return pd.Series(out)
+
+    return _enc(F.lower(normalize_text(c)))

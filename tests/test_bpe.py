@@ -1,0 +1,99 @@
+"""BPE tokenizer: training known answers (the classic Sennrich
+low/lower/newest/widest fixture), application correctness, and
+determinism across partitionings."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flycatcher_spark.operators import bpe
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # word frequencies: low x5, lower x2, newest x6, widest x3
+    rows = (
+        [("low",)] * 5 + [("lower",)] * 2 + [("newest",)] * 6 + [("widest",)] * 3
+    )
+    return spark.createDataFrame(rows, "text string")
+
+
+class TestTraining:
+    def test_word_counts(self, corpus):
+        wc = {
+            r["word"]: r["cnt"] for r in bpe.word_counts(corpus).collect()
+        }
+        assert wc == {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+    def test_pair_counts_first_iteration(self, corpus):
+        pc = {
+            r["pair"]: r["n"]
+            for r in bpe.pair_counts_sql(bpe.word_counts(corpus)).collect()
+        }
+        # es: newest(6) + widest(3); st: same; we: newest(6) + lower(2)
+        assert pc["es"] == 9 and pc["st"] == 9
+        assert pc["we"] == 8
+        assert pc["lo"] == 7  # low(5) + lower(2)
+
+    def test_learned_merges_sennrich(self, corpus):
+        merges = bpe.learn_merges(bpe.word_counts(corpus), n_merges=4)
+        # 'es' and 'st' tie at 9 -> lexicographic 'e','s' first; the
+        # merged 'es' then pairs with 't' at 9; then 'est' attaches.
+        assert merges[0] == ("e", "s")
+        assert merges[1] == ("es", "t")
+        assert merges[2] in {("l", "o"), ("w", "est"), ("e", "w")}
+
+    def test_training_partition_invariant(self, corpus):
+        a = bpe.learn_merges(bpe.word_counts(corpus), n_merges=6)
+        b = bpe.learn_merges(
+            bpe.word_counts(corpus.repartition(7)), n_merges=6
+        )
+        assert a == b
+
+
+class TestApplication:
+    def test_token_count_known_answer(self, corpus, spark):
+        merges = bpe.learn_merges(bpe.word_counts(corpus), n_merges=10)
+        df = spark.createDataFrame(
+            [(1, "newest newest"), (2, "low"), (3, None)],
+            "id long, text string",
+        )
+        got = {
+            r["id"]: r["n"]
+            for r in df.select(
+                "id", bpe.bpe_token_count("text", merges).alias("n")
+            ).collect()
+        }
+        # with 10 merges on this tiny corpus every training word
+        # collapses to one token
+        assert got[1] == 2 and got[2] == 1
+        assert got[3] is None
+
+    def test_count_equals_encode_size(self, corpus, spark):
+        merges = bpe.learn_merges(bpe.word_counts(corpus), n_merges=5)
+        df = spark.createDataFrame(
+            [(1, "lowest widest unknown"), (2, "newest low lower")],
+            "id long, text string",
+        )
+        rows = df.select(
+            bpe.bpe_token_count("text", merges).alias("n"),
+            F.size(bpe.bpe_encode("text", merges)).alias("sz"),
+        ).collect()
+        for r in rows:
+            assert r["n"] == r["sz"]
+
+    def test_unknown_chars_fall_back_to_singletons(self, corpus, spark):
+        merges = bpe.learn_merges(bpe.word_counts(corpus), n_merges=10)
+        df = spark.createDataFrame([(1, "zzq")], "id long, text string")
+        [row] = df.select(bpe.bpe_encode("text", merges).alias("p")).collect()
+        assert row["p"] == ["z", "z", "q"]
+
+    def test_fewer_tokens_than_chars(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        merges = bpe.learn_merges(bpe.word_counts(docs), n_merges=50)
+        stats = docs.select(
+            bpe.bpe_token_count("text", merges).alias("n_bpe"),
+            F.length("text").alias("n_chars"),
+        ).agg(F.sum("n_bpe"), F.sum("n_chars")).collect()[0]
+        assert stats[0] < stats[1] / 2  # real compression happened
