@@ -2309,6 +2309,32 @@ def q_validate_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Frozen BPE tokenizer artifact: 30 merges learned once from the
+# sf0.01 documents word table (operators/bpe.learn_merges — see
+# test_bpe for the learning algorithm's own known-answer checks).
+# Production applies frozen tokenizers; freezing also lets the DuckDB
+# oracle inline the identical replace chain.
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
+    ("custo", "mer"),
+]
+
+
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-tokenizer application, oracle-checked: per-doc BPE
+    token counts under _BPE_MERGES via the engine-portable
+    spaced-symbol replace chain (bpe.bpe_word_symbol_counts). The
+    Arrow kernel is pinned equal to this path in tests; this query
+    proves the applied segmentation cell-for-cell."""
+    docs = _read(spark, sf_dir, "documents")
+    return bpe.bpe_word_symbol_counts(docs, _BPE_MERGES)
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE training, first iteration: adjacent-character-pair counts
     over the capped word-frequency table (operators/bpe) — the
@@ -2406,6 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_event_props": q_validate_event_props,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_token_stats": q_bpe_token_stats,
+        "bpe_apply": q_bpe_apply,
         # -- never driver-checked in r1/r2: scale surface first -----
         "events_daily": q_events_daily,
         "events_sessions": q_events_sessions,
@@ -2600,6 +2627,15 @@ FROM (SELECT * FROM lineitem WHERE {keep}) v
 WHERE l_shipdate <= TIMESTAMP '1999-06-30'
 GROUP BY l_returnflag, l_linestatus
 """.format(keep=_LINEITEM_KEEP_SQL)
+
+
+def _bpe_replace_chain_sql() -> str:
+    """DuckDB expression applying _BPE_MERGES as the same
+    spaced-symbol replace chain the Spark side runs."""
+    expr = "' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '"
+    for a, b in _BPE_MERGES:
+        expr = f"replace({expr}, ' {a} {b} ', ' {a}{b} ')"
+    return expr
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2938,6 +2974,27 @@ def oracle_sql() -> dict[str, str]:
                    ) - 1 AS BIGINT) AS pos,
                    doc_id, source, clf_score
             FROM sampled
+        """,
+        "bpe_apply": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN length(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g'),
+                                ' ')
+                       END AS toks
+                FROM documents
+            ),
+            words AS (SELECT doc_id, unnest(toks) AS w FROM t),
+            sym AS (
+                SELECT doc_id, trim(""" + _bpe_replace_chain_sql() + r""") AS s
+                FROM words
+            )
+            SELECT doc_id,
+                   CAST(SUM(length(s) - length(replace(s, ' ', '')) + 1) AS BIGINT) AS n_bpe
+            FROM sym
+            GROUP BY doc_id
         """,
         "bpe_pair_counts": r"""
             WITH t AS (

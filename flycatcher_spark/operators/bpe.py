@@ -128,6 +128,55 @@ def _make_encoder(ranks: dict[tuple[str, str], int]):
     return encode_word
 
 
+def bpe_word_symbol_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc BPE token counts via the engine-portable spaced-symbol
+    replace chain — the oracle-parity twin of :func:`bpe_token_count`.
+
+    Each word becomes its characters joined by spaces; every merge
+    (in rank order) is one exact string replace of ``" a b "`` with
+    ``" ab "`` over the padded form — replace-all is left-to-right
+    non-overlapping, which is exactly BPE's merge-all pass, and a
+    merge list of length k inlines as k codegen'd ``replace`` calls.
+    Token count per word = spaces + 1 on the trimmed result. Any SQL
+    dialect can express the same chain, so the driver's oracle checks
+    the application cell-for-cell; pytest pins this path equal to the
+    greedy-rank Arrow kernel on real corpora.
+
+    Sequential-by-rank application and greedy lowest-rank are the two
+    standard BPE application orders (Sennrich vs GPT-2); for merge
+    lists learned by :func:`learn_merges` they agree (tested), since
+    each learning iteration exhaustively merged its pair.
+    """
+    words = docs.select(
+        F.col(id_col),
+        F.explode(tokens(normalize_text(text_col))).alias("__w"),
+    )
+    # "low" -> " l o w " (pad so every symbol has space on both sides)
+    spaced = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.col("__w"), "(.)", "$1 ")),
+        F.lit(" "),
+    )
+    for a, b in merges:
+        spaced = F.replace(spaced, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    trimmed = F.trim(spaced)
+    n_sym = (
+        F.length(trimmed)
+        - F.length(F.replace(trimmed, F.lit(" "), F.lit("")))
+        + 1
+    )
+    return (
+        words.select(id_col, n_sym.alias("__n"))
+        .groupBy(id_col)
+        .agg(F.sum("__n").cast("long").alias("n_bpe"))
+    )
+
+
 def bpe_token_count(
     text: Column | str,
     merges: list[tuple[str, str]],

@@ -97,3 +97,34 @@ class TestApplication:
             F.length("text").alias("n_chars"),
         ).agg(F.sum("n_bpe"), F.sum("n_chars")).collect()[0]
         assert stats[0] < stats[1] / 2  # real compression happened
+
+
+class TestSqlImplEquivalence:
+    def test_replace_chain_equals_greedy_kernel(self, spark):
+        """Sequential-by-rank replace chain (oracle path) == greedy
+        lowest-rank kernel for learned merge lists, on real data."""
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        merges = bpe.learn_merges(bpe.word_counts(docs), n_merges=30)
+        sql_counts = {
+            r["doc_id"]: r["n_bpe"]
+            for r in bpe.bpe_word_symbol_counts(docs, merges).collect()
+        }
+        kernel_counts = {
+            r["doc_id"]: r["n"]
+            for r in docs.select(
+                "doc_id", bpe.bpe_token_count("text", merges).alias("n")
+            ).collect()
+        }
+        assert sql_counts == kernel_counts
+
+    def test_replace_chain_known_answer(self, corpus, spark):
+        merges = bpe.learn_merges(bpe.word_counts(corpus), n_merges=10)
+        df = spark.createDataFrame(
+            [(1, "newest newest"), (2, "low zzq")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["n_bpe"]
+            for r in bpe.bpe_word_symbol_counts(df, merges).collect()
+        }
+        assert got[1] == 2          # both words collapse to one token
+        assert got[2] == 1 + 3      # 'low' merged, 'zzq' stays chars
