@@ -2335,6 +2335,29 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_word_symbol_counts(docs, _BPE_MERGES)
 
 
+def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus semantic dedup: new vectors (vec_id % 10 == 3)
+    survive unless a same-cluster corpus vector is cosine-similar at
+    0.35 (impl="sql" oracle mode; never a corpus self-join)."""
+    em = _emb_double(spark, sf_dir)
+    new_batch = em.where(F.col("vec_id") % 10 == 3)
+    corpus = em.where(F.col("vec_id") % 10 != 3)
+    out = quality.incremental_semantic_dedup(
+        new_batch, corpus, threshold=0.35, impl="sql"
+    )
+    return out.select("vec_id", "label")
+
+
+def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM drift between the even- and odd-doc_id halves of
+    the corpus: KL both ways + Jensen-Shannon, DECIMAL-summed
+    (quality.corpus_divergence)."""
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    return quality.corpus_divergence(a, b, vocab_size=200)
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE training, first iteration: adjacent-character-pair counts
     over the capped word-frequency table (operators/bpe) — the
@@ -2433,6 +2456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_token_stats": q_bpe_token_stats,
         "bpe_apply": q_bpe_apply,
+        "corpus_divergence": q_corpus_divergence,
+        "incremental_semantic_dedup": q_incremental_semantic_dedup,
         # -- never driver-checked in r1/r2: scale surface first -----
         "events_daily": q_events_daily,
         "events_sessions": q_events_sessions,
@@ -2974,6 +2999,66 @@ def oracle_sql() -> dict[str, str]:
                    ) - 1 AS BIGINT) AS pos,
                    doc_id, source, clf_score
             FROM sampled
+        """,
+        "incremental_semantic_dedup": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+            newb AS (SELECT * FROM e WHERE vec_id % 10 = 3),
+            corp AS (SELECT * FROM e WHERE vec_id % 10 <> 3),
+            losers AS (
+                SELECT DISTINCT n.vec_id
+                FROM newb n JOIN corp c ON n.label = c.label
+                WHERE round(CASE WHEN sqrt(list_dot_product(n.v, n.v))
+                                      * sqrt(list_dot_product(c.v, c.v)) > 0
+                                 THEN list_dot_product(n.v, c.v)
+                                      / (sqrt(list_dot_product(n.v, n.v))
+                                         * sqrt(list_dot_product(c.v, c.v)))
+                            END, 6) >= 0.35
+            )
+            SELECT vec_id, label FROM newb
+            WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+        """,
+        "corpus_divergence": r"""
+            WITH toks AS (
+                SELECT doc_id % 2 AS side, lower(token) AS token
+                FROM (
+                    SELECT doc_id,
+                           unnest(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+                                       THEN CAST([] AS VARCHAR[])
+                                       ELSE regexp_split_to_array(
+                                           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+                                  END) AS token
+                    FROM documents
+                )
+            ),
+            ca AS (SELECT token, COUNT(*) AS cnt_a FROM toks WHERE side = 0 GROUP BY token),
+            cb AS (SELECT token, COUNT(*) AS cnt_b FROM toks WHERE side = 1 GROUP BY token),
+            ta AS (SELECT token FROM ca ORDER BY cnt_a DESC, token LIMIT 200),
+            tb AS (SELECT token FROM cb ORDER BY cnt_b DESC, token LIMIT 200),
+            vocab AS (SELECT token FROM ta UNION SELECT token FROM tb),
+            vs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v, CAST(COUNT(*) AS BIGINT) AS vi FROM vocab),
+            na AS (SELECT CAST(SUM(cnt_a) AS DOUBLE) AS n_a FROM ca),
+            nb AS (SELECT CAST(SUM(cnt_b) AS DOUBLE) AS n_b FROM cb),
+            terms AS (
+                SELECT
+                    CAST(round(p * ln(p / q), 9) AS DECIMAL(20,9)) AS kl_ab_t,
+                    CAST(round(q * ln(q / p), 9) AS DECIMAL(20,9)) AS kl_ba_t,
+                    CAST(round(0.5 * p * ln(p / ((p + q) / 2.0))
+                               + 0.5 * q * ln(q / ((p + q) / 2.0)), 9) AS DECIMAL(20,9)) AS js_t
+                FROM (
+                    SELECT
+                        (CAST(COALESCE(ca.cnt_a, 0) AS DOUBLE) + 0.5) / (na.n_a + 0.5 * vs.v) AS p,
+                        (CAST(COALESCE(cb.cnt_b, 0) AS DOUBLE) + 0.5) / (nb.n_b + 0.5 * vs.v) AS q
+                    FROM vocab
+                    LEFT JOIN ca USING (token)
+                    LEFT JOIN cb USING (token)
+                    CROSS JOIN na CROSS JOIN nb CROSS JOIN vs
+                )
+            )
+            SELECT (SELECT vi FROM vs) AS n_vocab,
+                   round(CAST(SUM(kl_ab_t) AS DOUBLE), 6) AS kl_ab,
+                   round(CAST(SUM(kl_ba_t) AS DOUBLE), 6) AS kl_ba,
+                   round(CAST(SUM(js_t) AS DOUBLE), 6) AS js
+            FROM terms
         """,
         "bpe_apply": r"""
             WITH t AS (

@@ -340,6 +340,75 @@ def dsir_sample(
     )
 
 
+def corpus_divergence(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 1000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Distribution drift between two corpora: KL and Jensen-Shannon
+    divergence of their unigram LMs — the monitoring signal a
+    training-data pipeline watches when a new crawl/source lands.
+
+    Vocabulary = union of each corpus's top-``vocab_size`` tokens;
+    probabilities use add-``alpha`` smoothing over that vocabulary so
+    both distributions are positive everywhere (KL finite). Per-token
+    contributions round to 9 decimals and DECIMAL-sum, so the scalar
+    result is partitioning- and engine-exact. Both count aggregates
+    are the corpus-scale stages; the union vocabulary (small) joins
+    and reduces to ONE row: ``(n_vocab, kl_ab, kl_ba, js)`` nats,
+    rounded to 6.
+    """
+
+    def counts(df: DataFrame, tag: str):
+        toks = df.select(
+            F.explode(F.transform(tokens(text_col), F.lower)).alias("token")
+        )
+        c = toks.groupBy("token").agg(F.count("*").alias(f"cnt_{tag}"))
+        top = c.orderBy(F.desc(f"cnt_{tag}"), F.asc("token")).limit(
+            int(vocab_size)
+        )
+        total = c.agg(
+            F.sum(f"cnt_{tag}").cast("double").alias(f"n_{tag}")
+        )
+        return c, top, total
+
+    ca, ta, na = counts(corpus_a, "a")
+    cb, tb, nb = counts(corpus_b, "b")
+    vocab = (
+        ta.select("token").unionByName(tb.select("token")).distinct()
+    )
+    joined = (
+        vocab.join(ca, "token", "left")
+        .join(cb, "token", "left")
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+    )
+    v_size = vocab.count()  # driver scalar: |V| is needed as a literal
+    al = float(alpha)
+    p = (F.coalesce(F.col("cnt_a"), F.lit(0)).cast("double") + al) / (
+        F.col("n_a") + al * v_size
+    )
+    q = (F.coalesce(F.col("cnt_b"), F.lit(0)).cast("double") + al) / (
+        F.col("n_b") + al * v_size
+    )
+    m = (p + q) / 2.0
+    terms = joined.select(
+        F.round(p * F.log(p / q), 9).cast("decimal(20,9)").alias("kl_ab_t"),
+        F.round(q * F.log(q / p), 9).cast("decimal(20,9)").alias("kl_ba_t"),
+        F.round(
+            0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m), 9
+        ).cast("decimal(20,9)").alias("js_t"),
+    )
+    return terms.agg(
+        F.lit(int(v_size)).cast("long").alias("n_vocab"),
+        F.round(F.sum("kl_ab_t").cast("double"), 6).alias("kl_ab"),
+        F.round(F.sum("kl_ba_t").cast("double"), 6).alias("kl_ba"),
+        F.round(F.sum("js_t").cast("double"), 6).alias("js"),
+    )
+
+
 def cap_per_key(
     df: DataFrame,
     key_col: str,
@@ -564,6 +633,85 @@ def pack_sequences(
         .cast("long")
         .alias("n_toks"),
     )
+
+
+def incremental_semantic_dedup(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    threshold: float = 0.97,
+    impl: str = "numpy",
+) -> DataFrame:
+    """Batch-vs-corpus semantic dedup: drop new vectors whose cosine
+    to any ACCEPTED corpus vector in the same cluster reaches
+    ``threshold`` — the production ingest shape for embeddings,
+    mirroring :func:`dedup.incremental_minhash_dedup`'s contract
+    (ids unique across both tables; within-batch dedup is
+    :func:`semantic_dedup` on the survivors).
+
+    Never computes corpus x corpus pairs: ``impl="numpy"`` runs one
+    BLAS matmul per cluster block of ``new-rows x all-rows``
+    (per-ingest cost scales with the batch; the corpus contributes a
+    scan); ``impl="sql"`` is the engine-portable fold join for oracle
+    comparison. Returns the surviving ``new_batch`` rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import cosine
+
+    if impl == "numpy":
+        tagged = new_batch.select(
+            F.col(id_col), F.col(vec_col), F.col(cluster_col),
+            F.lit(True).alias("__is_new"),
+        ).unionByName(
+            corpus.select(
+                F.col(id_col), F.col(vec_col), F.col(cluster_col),
+                F.lit(False).alias("__is_new"),
+            )
+        )
+        thr = float(threshold)
+
+        def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+            new_mask = pdf["__is_new"].to_numpy()
+            if not new_mask.any() or new_mask.all():
+                return pd.DataFrame({"loser": pdf[id_col].to_numpy()[:0]})
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(V, axis=1)
+            Vn = V[new_mask]
+            nn = norms[new_mask]
+            Vc = V[~new_mask]
+            nc = norms[~new_mask]
+            denom = np.outer(nn, nc)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = np.where(denom > 0, (Vn @ Vc.T) / denom, np.nan)
+            hit = (np.round(S, 6) >= thr).any(axis=1)
+            return pd.DataFrame(
+                {"loser": pdf[id_col].to_numpy()[new_mask][hit]}
+            )
+
+        id_type = new_batch.schema[id_col].dataType.simpleString()
+        losers = tagged.groupBy(cluster_col).applyInPandas(
+            per_block, f"loser {id_type}"
+        ).withColumnRenamed("loser", id_col)
+        return new_batch.join(F.broadcast(losers), id_col, "left_anti")
+
+    n = new_batch.alias("n")
+    c = corpus.alias("c")
+    pairs = n.join(
+        c,
+        (F.col(f"n.{cluster_col}") == F.col(f"c.{cluster_col}"))
+        & (
+            F.round(
+                cosine(F.col(f"n.{vec_col}"), F.col(f"c.{vec_col}")), 6
+            )
+            >= threshold
+        ),
+    )
+    losers = pairs.select(F.col(f"n.{id_col}").alias(id_col)).distinct()
+    return new_batch.join(F.broadcast(losers), id_col, "left_anti")
 
 
 def corpus_report(

@@ -412,6 +412,87 @@ class TestPackSequences:
         assert a == b
 
 
+class TestCorpusDivergence:
+    def test_identical_corpora_zero(self, spark):
+        df = spark.createDataFrame(
+            [(i, "the same words again") for i in range(20)],
+            "doc_id long, text string",
+        )
+        row = quality.corpus_divergence(df, df, vocab_size=50).first()
+        assert row["kl_ab"] == 0.0 and row["kl_ba"] == 0.0 and row["js"] == 0.0
+
+    def test_disjoint_corpora_positive_and_symmetric_js(self, spark):
+        a = spark.createDataFrame(
+            [(1, "cats cats felines")], "doc_id long, text string"
+        )
+        b = spark.createDataFrame(
+            [(2, "engines pistons torque")], "doc_id long, text string"
+        )
+        ab = quality.corpus_divergence(a, b, vocab_size=50).first()
+        ba = quality.corpus_divergence(b, a, vocab_size=50).first()
+        assert ab["js"] > 0.1
+        assert ab["js"] == ba["js"]  # JS is symmetric
+        assert ab["kl_ab"] == ba["kl_ba"]
+
+    def test_partitioning_invariant(self, spark):
+        rows = [(i, f"tok{i % 11} shared words here") for i in range(80)]
+        a = spark.createDataFrame(rows[:40], "doc_id long, text string")
+        b = spark.createDataFrame(rows[40:], "doc_id long, text string")
+        x = quality.corpus_divergence(a, b).first()
+        y = quality.corpus_divergence(
+            a.repartition(7), b.repartition(5)
+        ).first()
+        assert tuple(x) == tuple(y)
+
+
+class TestIncrementalSemanticDedup:
+    @pytest.fixture(scope="class")
+    def split(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0, 0.0], 0),
+                (2, [0.0, 1.0, 0.0], 0),
+                (3, [1.0, 0.0, 0.0], 1),
+            ],
+            "vec_id long, embedding array<double>, label int",
+        )
+        new = spark.createDataFrame(
+            [
+                (10, [1.0, 0.01, 0.0], 0),   # dup of corpus 1
+                (11, [0.0, 0.0, 1.0], 0),    # orthogonal: survives
+                (12, [0.0, 1.0, 0.0], 1),    # same dir as corpus 2 but
+                                             # DIFFERENT cluster: survives
+                (13, [0.5, 0.5, 0.0], 2),    # cluster with no corpus rows
+            ],
+            "vec_id long, embedding array<double>, label int",
+        )
+        return new, corpus
+
+    @pytest.mark.parametrize("impl", ["sql", "numpy"])
+    def test_corpus_dups_dropped_cluster_scoped(self, split, impl):
+        new, corpus = split
+        out = quality.incremental_semantic_dedup(
+            new, corpus, threshold=0.95, impl=impl
+        )
+        assert sorted(r["vec_id"] for r in out.collect()) == [11, 12, 13]
+
+    def test_impls_agree_on_real_data(self, spark):
+        em = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            "label",
+        )
+        new = em.where(F.col("vec_id") % 10 == 3)
+        corpus = em.where(F.col("vec_id") % 10 != 3)
+        a = sorted(r["vec_id"] for r in quality.incremental_semantic_dedup(
+            new, corpus, threshold=0.35, impl="sql").collect())
+        b = sorted(r["vec_id"] for r in quality.incremental_semantic_dedup(
+            new, corpus, threshold=0.35, impl="numpy").collect())
+        assert a == b and len(a) > 0
+
+
 class TestSemanticDedup:
     @pytest.fixture(scope="class")
     def vectors(self, spark):
