@@ -2656,10 +2656,13 @@ GROUP BY l_returnflag, l_linestatus
 
 def _bpe_replace_chain_sql() -> str:
     """DuckDB expression applying _BPE_MERGES as the same
-    spaced-symbol replace chain the Spark side runs."""
-    expr = "' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '"
+    double-spaced-symbol replace chain the Spark side runs (two
+    spaces between symbols so consecutive occurrences of a pair
+    never share a delimiter — a true merge-all pass per merge; see
+    bpe.bpe_word_symbol_counts)."""
+    expr = "' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '"
     for a, b in _BPE_MERGES:
-        expr = f"replace({expr}, ' {a} {b} ', ' {a}{b} ')"
+        expr = f"replace({expr}, ' {a}  {b} ', ' {a}{b} ')"
     return expr
 
 
@@ -3073,11 +3076,12 @@ def oracle_sql() -> dict[str, str]:
             ),
             words AS (SELECT doc_id, unnest(toks) AS w FROM t),
             sym AS (
-                SELECT doc_id, trim(""" + _bpe_replace_chain_sql() + r""") AS s
+                SELECT doc_id, """ + _bpe_replace_chain_sql() + r""" AS s
                 FROM words
             )
+            -- double-space invariant: k symbols -> exactly 2k spaces
             SELECT doc_id,
-                   CAST(SUM(length(s) - length(replace(s, ' ', '')) + 1) AS BIGINT) AS n_bpe
+                   CAST(SUM((length(s) - length(replace(s, ' ', ''))) / 2) AS BIGINT) AS n_bpe
             FROM sym
             GROUP BY doc_id
         """,
@@ -3129,16 +3133,27 @@ def oracle_sql() -> dict[str, str]:
                       ky -> CAST(json_extract_string(props, '$.' || ky) AS BIGINT))) >= 0, TRUE)
         """,
         "payload_embed_knn": """
-            WITH emb AS (
+            -- Embed over UTF-8 BYTES at byte positions (hex-decode the
+            -- encoded blob), matching multimodal.embed_payload's
+            -- byte-bucket kernel exactly — including non-ASCII text,
+            -- where codepoint-at-char-position would diverge.
+            WITH hx AS (
+                SELECT doc_id,
+                       hex(encode(text)) AS h,
+                       octet_length(encode(text)) AS nb
+                FROM documents
+            ),
+            emb AS (
                 SELECT doc_id,
                        list_transform(range(0, 8), i ->
                            CAST(COALESCE(list_sum(list_transform(
-                               range(1, length(text) + 1),
-                               j -> CASE WHEN (j - 1) % 8 = i
-                                         THEN unicode(substr(text, j, 1))
+                               range(0, nb),
+                               j -> CASE WHEN j % 8 = i
+                                         THEN (strpos('0123456789ABCDEF', substr(h, 2*j + 1, 1)) - 1) * 16
+                                              + (strpos('0123456789ABCDEF', substr(h, 2*j + 2, 1)) - 1)
                                          ELSE 0 END)), 0) AS DOUBLE)
                        ) AS v
-                FROM documents
+                FROM hx
             ),
             q AS (SELECT doc_id AS query_id, v AS qv FROM emb WHERE doc_id < 5),
             sc AS (

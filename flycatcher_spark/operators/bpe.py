@@ -137,15 +137,25 @@ def bpe_word_symbol_counts(
     """Per-doc BPE token counts via the engine-portable spaced-symbol
     replace chain — the oracle-parity twin of :func:`bpe_token_count`.
 
-    Each word becomes its characters joined by spaces; every merge
-    (in rank order) is one exact string replace of ``" a b "`` with
-    ``" ab "`` over the padded form — replace-all is left-to-right
-    non-overlapping, which is exactly BPE's merge-all pass, and a
-    merge list of length k inlines as k codegen'd ``replace`` calls.
-    Token count per word = spaces + 1 on the trimmed result. Any SQL
-    dialect can express the same chain, so the driver's oracle checks
-    the application cell-for-cell; pytest pins this path equal to the
-    greedy-rank Arrow kernel on real corpora.
+    Each word becomes its characters joined by **two** spaces, padded
+    with one space at each end (``"low"`` → ``" l  o  w "``). Every
+    merge (in rank order) is one exact string replace of ``" a  b "``
+    with ``" ab "``. The double-space delimiter makes this a true
+    merge-all pass: with single spaces, consecutive occurrences share
+    the delimiter (``banana`` + merge ``(a,n)`` → the second ``a n``
+    is skipped by non-overlapping replace); with double spaces each
+    occurrence consumes only one of the two separating spaces, so
+    adjacent matches never overlap, and the replacement ``" ab "``
+    restores exactly the invariant (the un-consumed neighbor space +
+    the replacement's own space = two). A merge list of length k
+    inlines as k codegen'd ``replace`` calls. The invariant keeps
+    symbols separated by exactly two spaces with one at each end, so
+    token count per word = (number of spaces) / 2. Any SQL dialect
+    can express the same chain, so the driver's oracle checks the
+    application cell-for-cell; pytest pins this path equal to the
+    greedy-rank Arrow kernel on real corpora AND on the
+    repeat-adjacent ``banana`` fixture that breaks the single-space
+    scheme.
 
     Sequential-by-rank application and greedy lowest-rank are the two
     standard BPE application orders (Sennrich vs GPT-2); for merge
@@ -156,22 +166,21 @@ def bpe_word_symbol_counts(
         F.col(id_col),
         F.explode(tokens(normalize_text(text_col))).alias("__w"),
     )
-    # "low" -> " l o w " (pad so every symbol has space on both sides)
+    # "low" -> " l  o  w " (two spaces BETWEEN symbols, one at ends)
     spaced = F.concat(
         F.lit(" "),
-        F.trim(F.regexp_replace(F.col("__w"), "(.)", "$1 ")),
+        F.rtrim(F.regexp_replace(F.col("__w"), "(.)", "$1  ")),
         F.lit(" "),
     )
     for a, b in merges:
-        spaced = F.replace(spaced, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
-    trimmed = F.trim(spaced)
+        spaced = F.replace(spaced, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    # invariant: k symbols -> exactly 2k spaces (2(k-1) between + 2 pad)
     n_sym = (
-        F.length(trimmed)
-        - F.length(F.replace(trimmed, F.lit(" "), F.lit("")))
-        + 1
-    )
+        F.length(spaced)
+        - F.length(F.replace(spaced, F.lit(" "), F.lit("")))
+    ) / 2
     return (
-        words.select(id_col, n_sym.alias("__n"))
+        words.select(id_col, n_sym.cast("long").alias("__n"))
         .groupBy(id_col)
         .agg(F.sum("__n").cast("long").alias("n_bpe"))
     )

@@ -68,25 +68,33 @@ def incremental_dedup_stream(
     def _process(batch: DataFrame, epoch_id: int) -> None:
         from pyspark.errors import AnalysisException
 
-        if gate is not None:
-            if rejected_dir is not None:
-                # two sinks read the batch: cache it once
-                batch = batch.persist()
-                batch.where(~F.coalesce(gate, F.lit(False))).write.mode(
-                    "append"
-                ).parquet(rejected_dir)
-            batch = batch.where(F.coalesce(gate, F.lit(False)))
+        cached = None
+        if gate is not None and rejected_dir is not None:
+            # two sinks read the batch: cache it once, release it when
+            # both writes are done (else cached blocks accumulate in
+            # executor storage for the lifetime of the stream)
+            cached = batch = batch.persist()
         try:
-            accepted = spark.read.parquet(accepted_dir).select(*cols)
-            target = seed.unionByName(accepted)
-        except AnalysisException:  # first epoch: no accepted table yet
-            target = seed
-        kept = incremental_exact_dedup(
-            batch, target, text_col=text_col, id_col=id_col
-        )
-        kept.write.mode("append").parquet(accepted_dir)
-        if on_batch is not None:
-            on_batch(kept, epoch_id)
+            if gate is not None:
+                if rejected_dir is not None:
+                    batch.where(~F.coalesce(gate, F.lit(False))).write.mode(
+                        "append"
+                    ).parquet(rejected_dir)
+                batch = batch.where(F.coalesce(gate, F.lit(False)))
+            try:
+                accepted = spark.read.parquet(accepted_dir).select(*cols)
+                target = seed.unionByName(accepted)
+            except AnalysisException:  # first epoch: no accepted table yet
+                target = seed
+            kept = incremental_exact_dedup(
+                batch, target, text_col=text_col, id_col=id_col
+            )
+            kept.write.mode("append").parquet(accepted_dir)
+            if on_batch is not None:
+                on_batch(kept, epoch_id)
+        finally:
+            if cached is not None:
+                cached.unpersist()
 
     writer = (
         sdf.writeStream.foreachBatch(_process)

@@ -117,6 +117,51 @@ class TestSqlImplEquivalence:
         }
         assert sql_counts == kernel_counts
 
+    def test_replace_chain_repeat_adjacent_pairs(self, spark):
+        """Regression (ADVICE r3): consecutive occurrences of a merge
+        pair share the delimiter under single-space joining, so one
+        replace pass under-merges ('banana' + (a,n) -> 5 not 4). The
+        double-space scheme must match the greedy kernel exactly."""
+        merges = [("a", "n")]
+        df = spark.createDataFrame(
+            [(1, "banana"), (2, "anananan"), (3, "nanana banana an")],
+            "doc_id long, text string",
+        )
+        chain = {
+            r["doc_id"]: r["n_bpe"]
+            for r in bpe.bpe_word_symbol_counts(df, merges).collect()
+        }
+        kernel = {
+            r["doc_id"]: r["n"]
+            for r in df.select(
+                "doc_id", bpe.bpe_token_count("text", merges).alias("n")
+            ).collect()
+        }
+        assert chain == kernel
+        # b,an,an,a / an,an,an,an / (n,an,an,a)+(b,an,an,a)+(an)
+        assert chain == {1: 4, 2: 4, 3: 9}
+
+    def test_replace_chain_chained_merges_on_repeats(self, spark):
+        """Merge products must feed later merges correctly even with
+        adjacent repeats: (a,b) then (ab,ab) on 'ababab'."""
+        merges = [("a", "b"), ("ab", "ab")]
+        df = spark.createDataFrame(
+            [(1, "ababab"), (2, "abababab")], "doc_id long, text string"
+        )
+        chain = {
+            r["doc_id"]: r["n_bpe"]
+            for r in bpe.bpe_word_symbol_counts(df, merges).collect()
+        }
+        kernel = {
+            r["doc_id"]: r["n"]
+            for r in df.select(
+                "doc_id", bpe.bpe_token_count("text", merges).alias("n")
+            ).collect()
+        }
+        assert chain == kernel
+        # ababab -> ab,ab,ab -> abab,ab (2); abababab -> abab,abab (2)
+        assert chain == {1: 2, 2: 2}
+
     def test_replace_chain_known_answer(self, corpus, spark):
         merges = bpe.learn_merges(bpe.word_counts(corpus), n_merges=10)
         df = spark.createDataFrame(

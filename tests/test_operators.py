@@ -567,6 +567,44 @@ class TestMultimodal:
         [row] = multimodal.embed_payload(with_payload, dim=2).collect()
         assert row["embedding"] == [196.0, 198.0]
 
+    def test_embed_payload_non_ascii_matches_byte_oracle(self, spark):
+        """Regression (ADVICE r3): the kernel buckets UTF-8 BYTES at
+        byte positions; a codepoint-at-char-position oracle agrees
+        only on pure ASCII. Pin the kernel against a DuckDB oracle
+        computed over the encoded blob's bytes, on non-ASCII text."""
+        import duckdb
+
+        texts = ["héllo wörld", "naïve café", "数据 処理", "emoji 🙂 ok"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        with_payload = multimodal.attach_payload(df)
+        got = {
+            r["doc_id"]: r["embedding"]
+            for r in multimodal.embed_payload(with_payload, dim=8).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+        con.executemany(
+            "INSERT INTO d VALUES (?, ?)", [(i, t) for i, t in enumerate(texts)]
+        )
+        oracle = {
+            doc_id: v
+            for doc_id, v in con.sql("""
+                SELECT doc_id,
+                       list_transform(range(0, 8), i ->
+                           CAST(COALESCE(list_sum(list_transform(
+                               range(0, nb),
+                               j -> CASE WHEN j % 8 = i
+                                         THEN (strpos('0123456789ABCDEF', substr(h, 2*j + 1, 1)) - 1) * 16
+                                              + (strpos('0123456789ABCDEF', substr(h, 2*j + 2, 1)) - 1)
+                                         ELSE 0 END)), 0) AS DOUBLE)) AS v
+                FROM (SELECT doc_id, hex(encode(text)) AS h,
+                             octet_length(encode(text)) AS nb FROM d)
+            """).fetchall()
+        }
+        assert got == oracle
+
     def test_embed_payload_null_and_custom_fn(self, spark):
         df = spark.createDataFrame(
             [(1, bytearray(b"xy")), (2, None)],

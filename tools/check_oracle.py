@@ -52,14 +52,14 @@ def compare(name, spark_pdf, duck_pdf):
         problems.append(f"columns differ: spark={sc} duck={dc}")
     else:
         # The driver's value hash is dtype-strict (int64 3 != float64
-        # 3.0). Replicate that: numeric column kinds must match.
+        # 3.0, and int32 != int64). Replicate that: numeric columns
+        # must match on EXACT dtype, not just kind.
         for c in sc:
-            sk = spark_pdf[c].dtype.kind
-            dk = duck_pdf[c].dtype.kind
-            if sk != dk and {sk, dk} <= {"i", "u", "f", "b"}:
+            sd = spark_pdf[c].dtype
+            dd = duck_pdf[c].dtype
+            if sd != dd and (sd.kind in "iufb" or dd.kind in "iufb"):
                 problems.append(
-                    f"dtype differs on {c}: spark={spark_pdf[c].dtype} "
-                    f"duck={duck_pdf[c].dtype}"
+                    f"dtype differs on {c}: spark={sd} duck={dd}"
                 )
     if len(sr) != len(dr):
         problems.append(f"row count: spark={len(sr)} duck={len(dr)}")
