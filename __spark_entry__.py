@@ -2437,67 +2437,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     replica (tools/check_oracle.py) regardless of position.
     """
     return {
-        # -- new this round (r3): corpus-curation operators ---------
-        "gopher_quality": q_gopher_quality,
-        "classifier_quality": q_classifier_quality,
-        "unigram_surprise": q_unigram_surprise,
-        "domain_cap": q_domain_cap,
-        "mixture_sample": q_mixture_sample,
-        "training_order": q_training_order,
-        "semantic_dedup": q_semantic_dedup,
-        "curated_corpus": q_curated_corpus,
-        "dsir_sample": q_dsir_sample,
-        "pack_sequences": q_pack_sequences,
-        "verbatim_overlap": q_verbatim_overlap,
-        "corpus_report": q_corpus_report,
-        "validate_embeddings": q_validate_embeddings,
-        "payload_embed_knn": q_payload_embed_knn,
-        "validate_event_props": q_validate_event_props,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "bpe_token_stats": q_bpe_token_stats,
-        "bpe_apply": q_bpe_apply,
-        "corpus_divergence": q_corpus_divergence,
-        "incremental_semantic_dedup": q_incremental_semantic_dedup,
-        # -- never driver-checked in r1/r2: scale surface first -----
-        "events_daily": q_events_daily,
-        "events_sessions": q_events_sessions,
-        "events_user_top3": q_events_user_top3,
-        "events_asof_join": q_events_asof_join,
-        "events_json_props": q_events_json_props,
-        "events_session_window": q_events_session_window,
-        "text_profile": q_text_profile,
-        "lang_histogram": q_lang_histogram,
-        "dedup_exact": q_dedup_exact,
-        "dedup_exact_normalized": q_dedup_exact_normalized,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "jaccard_pairs": q_jaccard_pairs,
-        "knn_topk": q_knn_topk,
-        "embedding_neardup": q_embedding_neardup,
-        "skew_salted_counts": q_skew_salted_counts,
-        "table_profile": q_table_profile,
-        "multimodal_meta": q_multimodal_meta,
-        "frame_sample": q_frame_sample,
-        "events_gapfill": q_events_gapfill,
-        "doc_chunks": q_doc_chunks,
-        "events_daily_delta": q_events_daily_delta,
-        "nearest_centroid": q_nearest_centroid,
-        "neardup_components": q_neardup_components,
-        "chunk_packing": q_chunk_packing,
-        "events_moving_avg": q_events_moving_avg,
-        "part_unpivot": q_part_unpivot,
-        "vocab_topk": q_vocab_topk,
-        "doc_tfidf_top3": q_doc_tfidf_top3,
-        # -- fixed this round (events ts schema / oracle BIGINT casts)
-        "dsl_datetime_events": q_dsl_datetime_events,
+        # == positions 1-20: the 20 oracle-bearing queries with NO
+        # == driver-green row in any round (r4 priority per VERDICT).
+        # -- 5 regressions fixed in r3, verified locally at sf0.01,
+        # -- parked just past r3's window (positions 51-55) ----------
         "events_range_join": q_events_range_join,
         "q12_priority_shipping": q12_priority_shipping,
         "pivot_order_status": q_pivot_order_status,
         "deterministic_split": q_deterministic_split,
         "array_ops": q_array_ops,
-        # -- new-this-round queries, cheapest first (if the window is
-        # -- time-bounded rather than count-bounded, cheap ones still
-        # -- get verdicts) ------------------------------------------
+        # -- 15 oracle-bearing queries never placed in any window ----
         "pii_redaction": q_pii_redaction,
         "stratified_sample": q_stratified_sample,
         "events_hourly_rollup": q_events_hourly_rollup,
@@ -2508,23 +2457,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "simhash_verified_pairs": q_simhash_verified_pairs,
         "minhash_dedup_verified": q_minhash_dedup_verified,
-        # -- new in round 3 (decontamination / incremental dedup /
-        # -- runtime bloom pruning), all oracle-bearing ---------------
         "decontam_report": q_decontam_report,
         "incremental_dedup_exact": q_incremental_dedup_exact,
         "incremental_minhash_dedup": q_incremental_minhash_dedup,
         "bloom_pruned_join": q_bloom_pruned_join,
         "span_dedup": q_span_dedup,
-        # -- past the 50-entry window from here on. Evicted to make
-        # -- room this round: rows-only ann_recall / lsh_topk /
-        # -- ivf_topk (their value-level evidence comes from the
-        # -- oracle-checked knn_topk + ivf_full_probe, which stay)
-        # -- and double-green validate_lineitem (r1+r2). -------------
-        "ann_recall": q_ann_recall,
-        "lsh_topk": q_lsh_topk,
-        "ivf_topk": q_ivf_topk,
-        "pq_topk": q_pq_topk,
-        "minhash_dedup_ids": q_minhash_dedup_ids,
+        # == positions 21-25: impl/oracle changed in r4 (BPE merge-all
+        # == replace chain; UTF-8-byte embed oracle; chunked matmul in
+        # == the embedding-dedup family) — re-verify after the change
+        "bpe_apply": q_bpe_apply,
+        "payload_embed_knn": q_payload_embed_knn,
+        "semantic_dedup": q_semantic_dedup,
+        "incremental_semantic_dedup": q_incremental_semantic_dedup,
+        "embedding_neardup": q_embedding_neardup,
+        # == positions 26-50: rotation of the queries whose last green
+        # == is oldest (driver r1/r2, never re-checked since) ========
         "validate_lineitem": q_validate_lineitem,
         "violation_counts": q_violation_counts,
         "q1_pricing_summary": q1_pricing_summary,
@@ -2537,7 +2484,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "stats_moments": q_stats_moments,
         "label_centroids": q_label_centroids,
-        # -- previously green (driver r1/r2), past the window -------
         "validate_strict_agg": q_validate_strict_agg,
         "dsl_string_ops": q_dsl_string_ops,
         "dsl_math_ops": q_dsl_math_ops,
@@ -2551,6 +2497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "q10_returned_customers": q10_returned_customers,
         "q13_order_count_distribution": q13_order_count_distribution,
+        # == past the 50-entry window from here on ===================
+        # -- r1/r2-green remainder of the TPC-H family ---------------
         "q14_promo_revenue_ratio": q14_promo_revenue_ratio,
         "q18_large_orders": q18_large_orders,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
@@ -2567,9 +2515,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_revenue": q_cube_revenue,
         "percentile_suite": q_percentile_suite,
         "distinct_stats": q_distinct_stats,
-        "approx_distinct": q_approx_distinct,
         "name_editdist_pairs": q_name_editdist_pairs,
         "orders_no_lineitems": q_orders_no_lineitems,
+        # -- r3-green (fresh driver verdicts last round) -------------
+        "gopher_quality": q_gopher_quality,
+        "classifier_quality": q_classifier_quality,
+        "unigram_surprise": q_unigram_surprise,
+        "domain_cap": q_domain_cap,
+        "mixture_sample": q_mixture_sample,
+        "training_order": q_training_order,
+        "curated_corpus": q_curated_corpus,
+        "dsir_sample": q_dsir_sample,
+        "pack_sequences": q_pack_sequences,
+        "verbatim_overlap": q_verbatim_overlap,
+        "corpus_report": q_corpus_report,
+        "validate_embeddings": q_validate_embeddings,
+        "validate_event_props": q_validate_event_props,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "corpus_divergence": q_corpus_divergence,
+        "events_daily": q_events_daily,
+        "events_sessions": q_events_sessions,
+        "events_user_top3": q_events_user_top3,
+        "events_asof_join": q_events_asof_join,
+        "events_json_props": q_events_json_props,
+        "events_session_window": q_events_session_window,
+        "text_profile": q_text_profile,
+        "lang_histogram": q_lang_histogram,
+        "dedup_exact": q_dedup_exact,
+        "dedup_exact_normalized": q_dedup_exact_normalized,
+        "jaccard_pairs": q_jaccard_pairs,
+        "knn_topk": q_knn_topk,
+        "skew_salted_counts": q_skew_salted_counts,
+        "table_profile": q_table_profile,
+        "multimodal_meta": q_multimodal_meta,
+        "frame_sample": q_frame_sample,
+        "events_gapfill": q_events_gapfill,
+        "doc_chunks": q_doc_chunks,
+        "events_daily_delta": q_events_daily_delta,
+        "nearest_centroid": q_nearest_centroid,
+        "neardup_components": q_neardup_components,
+        "chunk_packing": q_chunk_packing,
+        "events_moving_avg": q_events_moving_avg,
+        "part_unpivot": q_part_unpivot,
+        "vocab_topk": q_vocab_topk,
+        "doc_tfidf_top3": q_doc_tfidf_top3,
+        "dsl_datetime_events": q_dsl_datetime_events,
+        # -- rows-only by design (seed/HLL-dependent): permanently
+        # -- past the window — the driver can only ever report
+        # -- err:no_oracle for these; their value-level evidence comes
+        # -- from oracle-checked companions (minhash_verified_pairs,
+        # -- simhash_verified_pairs, bpe_pair_counts/bpe_apply,
+        # -- knn_topk, ivf_full_probe) and pinned-kernel pytest ------
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "bpe_token_stats": q_bpe_token_stats,
+        "approx_distinct": q_approx_distinct,
+        "ann_recall": q_ann_recall,
+        "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "pq_topk": q_pq_topk,
+        "minhash_dedup_ids": q_minhash_dedup_ids,
     }
 
 
@@ -3186,7 +3191,10 @@ def oracle_sql() -> dict[str, str]:
                        label
                 FROM embeddings
             )
-            SELECT vec_id, label,
+            -- label cast to BIGINT: the Spark validator's int fields
+            -- compile to LongType, so the validated frame carries
+            -- int64 where the parquet stores int32
+            SELECT vec_id, CAST(label AS BIGINT) AS label,
                    CAST(len(embedding) AS BIGINT) AS n_items,
                    round(list_aggregate(embedding, 'min'), 6) AS emb_min,
                    round(list_aggregate(embedding, 'max'), 6) AS emb_max

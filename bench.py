@@ -36,6 +36,14 @@ HEADLINE = [
     "gopher_quality",
     "curated_corpus",
     "verbatim_overlap",
+    # round-4 additions: the rest of the curation path, so BENCH
+    # diffs (not just plan audits) catch regressions there
+    "bpe_pair_counts",   # BPE training stage (word table + pair counts)
+    "bpe_apply",         # BPE application (replace-chain path)
+    "span_dedup",
+    "decontam_report",
+    "dsir_sample",
+    "pack_sequences",
 ]
 
 

@@ -143,6 +143,21 @@ class SparkValidator:
         ------
         ValueError
             If validation fails and strict=True.
+
+        Examples
+        --------
+            >>> from flycatcher_spark import Field, Schema
+            >>> class Users(Schema):
+            ...     id: int = Field(ge=1)
+            ...     name: str = Field(min_length=1)
+            >>> df = spark.createDataFrame(
+            ...     [(1, "Alice"), (-5, "Bob"), (3, "")], ["id", "name"])
+            >>> v = Users.to_spark_validator()
+            >>> good = v.validate(df, strict=False)  # filter, don't raise
+            >>> sorted(r.id for r in good.collect())
+            [1]
+            >>> sorted((x["constraint"], x["count"]) for x in v.last_violations)
+            [('id must be >= 1', 1), ('name must have at least 1 characters', 1)]
         """
         df = self._coerce(df, fill_nulls=fill_nulls)
         null_checks = self._null_check_fields(fill_nulls)

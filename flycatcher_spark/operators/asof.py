@@ -46,6 +46,17 @@ def asof_join(
         right timestamp is exposed as ``{right_ts_col}{suffix}``.
     how : 'left' keeps unmatched left rows (right columns null);
         'inner' drops them.
+
+    Examples
+    --------
+        >>> trades = spark.createDataFrame(
+        ...     [("A", 3), ("A", 7)], ["sym", "ts"])
+        >>> quotes = spark.createDataFrame(
+        ...     [("A", 1, 10.0), ("A", 5, 11.0), ("A", 9, 12.0)],
+        ...     ["sym", "ts", "px"])
+        >>> out = asof_join(trades, quotes, on="sym", ts_col="ts")
+        >>> sorted((r.ts, r.px_right) for r in out.collect())
+        [(3, 10.0), (7, 11.0)]
     """
     keys = [on] if isinstance(on, str) else list(on)
     right_ts_col = right_ts_col or ts_col

@@ -72,7 +72,14 @@ def learn_merges(
     """Learn BPE merges from the (bounded, collected) word-frequency
     table. Classic algorithm: repeatedly merge the most frequent
     adjacent symbol pair; ties break on the lexicographically
-    smallest pair so results are reproducible everywhere."""
+    smallest pair so results are reproducible everywhere.
+
+    Examples
+    --------
+        >>> corpus = spark.createDataFrame([("low low lower",)], ["text"])
+        >>> learn_merges(word_counts(corpus), n_merges=2)
+        [('l', 'o'), ('lo', 'w')]
+    """
     freq: dict[tuple[str, ...], int] = {
         tuple(r["word"]): r["cnt"] for r in word_counts_df.collect()
     }
@@ -192,7 +199,15 @@ def bpe_token_count(
 ) -> Column:
     """Per-row BPE token count under the learned merges — an
     Arrow-batched kernel (the merge loop is inherently sequential per
-    word; the ranks dict broadcasts in the closure). Map-only."""
+    word; the ranks dict broadcasts in the closure). Map-only.
+
+    Examples
+    --------
+        >>> df = spark.createDataFrame([(1, "low lower")], ["doc_id", "text"])
+        >>> merges = [("l", "o"), ("lo", "w")]  # "low" -> one token
+        >>> df.select(bpe_token_count("text", merges).alias("n")).collect()
+        [Row(n=4)]
+    """
     ranks = {pair: i for i, pair in enumerate(merges)}
     encode_word = _make_encoder(ranks)
     c = F.col(text) if isinstance(text, str) else text

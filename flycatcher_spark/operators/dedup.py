@@ -49,6 +49,13 @@ def exact_dedup(
     Deterministic — unlike ``dropDuplicates``, which keeps an
     arbitrary row per key and so can't be oracle-checked. Returns the
     surviving ids joined back to full rows.
+
+    Examples
+    --------
+        >>> df = spark.createDataFrame(
+        ...     [(1, "aa"), (2, "aa"), (3, "bb")], ["doc_id", "text"])
+        >>> sorted(r.doc_id for r in exact_dedup(df).collect())
+        [1, 3]
     """
     subset = subset or [c for c in df.columns if c != id_col]
     keys = [
@@ -469,6 +476,17 @@ def minhash_dedup(
     verification precision decides what you delete. The verified
     output is also engine-checkable: with full-recall banding it
     equals ground-truth all-pairs Jaccard dedup.
+
+    Examples
+    --------
+        >>> docs = spark.createDataFrame(
+        ...     [(1, "the quick brown fox jumps over the lazy dog"),
+        ...      (2, "the quick brown fox jumps over the lazy cat"),
+        ...      (3, "a completely different sentence about spark")],
+        ...     ["doc_id", "text"])
+        >>> kept = minhash_dedup(docs, verify_threshold=0.5, shingle_n=2)
+        >>> sorted(r.doc_id for r in kept.collect())
+        [1, 3]
     """
     if verify_threshold is not None:
         kwargs = dict(kwargs, threshold=0.0)
@@ -673,16 +691,21 @@ def embedding_neardup_pairs(
     block_col: str | None = "label",
     threshold: float = 0.95,
     impl: str = "numpy",
+    chunk_rows: int = 2048,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking key.
 
     - ``impl="numpy"`` (default): one ``applyInPandas`` per block
-      computing the full cosine matrix with a BLAS matmul — the scale
-      path (measured ~20× on 1000-vector blocks). Values can differ
-      from the sql fold in the last float ulp (pairwise vs sequential
-      summation). Each block must fit one task: n×dim for the vectors
-      plus n² for the similarity matrix — cap blocks at a few
-      thousand vectors via the blocking key.
+      computing the cosine matrix with BLAS matmuls — the scale path
+      (measured ~20× on 1000-vector blocks). The matmul is CHUNKED
+      over row-blocks of ``chunk_rows``: peak memory per task is
+      O(chunk_rows × n) for the similarity slab plus O(n × dim) for
+      the block's own vectors — a hot cluster no longer materializes
+      the n² matrix, so one oversized block degrades to more compute,
+      not an executor OOM. (Compute is still O(n²·dim) within a
+      block — all-pairs is the semantics; choose the blocking key so
+      clusters stay in the thousands.) Values can differ from the sql
+      fold in the last float ulp (pairwise vs sequential summation).
     - ``impl="sql"``: pairwise self-join with a sequential-fold dot
       product — exact, engine-portable values. Use this explicit
       oracle mode when hash-comparing against another engine; the
@@ -697,27 +720,40 @@ def embedding_neardup_pairs(
         if block_col is None:
             raise ValueError("impl='numpy' requires a blocking column")
         thr = threshold
+        step = max(1, int(chunk_rows))
 
         def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(id_col)
             ids = pdf[id_col].to_numpy()
-            if len(ids) < 2:
+            n = len(ids)
+            if n < 2:
                 return pd.DataFrame(
                     {"id_a": ids[:0], "id_b": ids[:0], "cosine": []}
                 )
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             norms = np.linalg.norm(V, axis=1)
-            denom = np.outer(norms, norms)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                S = np.where(denom > 0, (V @ V.T) / denom, np.nan)
-            ia, ib = np.triu_indices(len(ids), k=1)
-            sims = np.round(S[ia, ib], 6)
-            keep = sims >= thr  # NaN (zero vector) compares False
+            out_a, out_b, out_s = [], [], []
+            jj = np.arange(n)[None, :]
+            for c0 in range(0, n - 1, step):
+                c1 = min(c0 + step, n)
+                denom = np.outer(norms[c0:c1], norms)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = np.where(
+                        denom > 0, (V[c0:c1] @ V.T) / denom, np.nan
+                    )
+                    Sr = np.round(S, 6)
+                    hit = Sr >= thr  # NaN (zero vector) compares False
+                # strict upper triangle in GLOBAL indices: col > row
+                hit &= jj > (c0 + np.arange(c1 - c0))[:, None]
+                r, c = np.nonzero(hit)
+                out_a.append(ids[c0 + r])
+                out_b.append(ids[c])
+                out_s.append(Sr[r, c])
             return pd.DataFrame(
                 {
-                    "id_a": ids[ia[keep]],
-                    "id_b": ids[ib[keep]],
-                    "cosine": sims[keep],
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                    "cosine": np.concatenate(out_s),
                 }
             )
 
@@ -773,6 +809,14 @@ def connected_components(
       fault tolerance.
     - convergence is detected with a count of changed labels — one
       extra cheap action per round on the (small) label table.
+
+    Examples
+    --------
+        >>> edges = spark.createDataFrame(
+        ...     [(1, 2), (2, 3), (7, 9)], ["doc_id_a", "doc_id_b"])
+        >>> sorted((r.node, r.component)
+        ...        for r in connected_components(edges).collect())
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)]
     """
     edges = pairs.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -884,6 +928,17 @@ def incremental_exact_dedup(
     the scan); the within-batch pass is one ``groupBy(fingerprint)``
     shuffle over the (small) batch. Neither side ever shuffles the
     corpus text.
+
+    Examples
+    --------
+        >>> corpus = spark.createDataFrame(
+        ...     [(1, "seen before")], ["doc_id", "text"])
+        >>> batch = spark.createDataFrame(
+        ...     [(10, "Seen  Before"), (11, "brand new"), (12, "brand new")],
+        ...     ["doc_id", "text"])
+        >>> sorted(r.doc_id
+        ...        for r in incremental_exact_dedup(batch, corpus).collect())
+        [11]
     """
     fp = F.md5(normalize_text(text_col))
     corpus_fp = corpus.select(fp.alias("__fp")).distinct()

@@ -124,6 +124,15 @@ def gopher_pass(
     Defaults follow the published Gopher ranges; callers tune them to
     the corpus (the registered query uses bounds fitted to the
     synthetic documents table so the gate splits it non-trivially).
+
+    Examples
+    --------
+        >>> df = spark.createDataFrame(
+        ...     [("the cat sat on the warm mat today",), ("zzz !!!",)],
+        ...     ["text"])
+        >>> gate = gopher_pass("text", min_words=5, min_stopword_hits=1)
+        >>> [r.ok for r in df.select(gate.alias("ok")).collect()]
+        [True, False]
     """
     m = gopher_metrics(text)
     return (
@@ -579,6 +588,15 @@ def pack_sequences(
     ``start_in_seq + n_toks <= seq_len`` and per-sequence slot spans
     tile [0, seq_len) exactly (the final sequence may be partial).
     New ``seed`` = new epoch packing.
+
+    Examples
+    --------
+        >>> docs = spark.createDataFrame([(1, 3), (2, 5)], ["doc_id", "n_tok"])
+        >>> out = pack_sequences(docs, "n_tok", seq_len=4)
+        >>> out.agg(F.sum("n_toks")).collect()[0][0]  # every token placed once
+        8
+        >>> out.agg(F.max(F.col("start_in_seq") + F.col("n_toks"))).collect()[0][0] <= 4
+        True
     """
     tc = F.col(token_count_col)
     ordered = training_order(
@@ -643,6 +661,7 @@ def incremental_semantic_dedup(
     cluster_col: str = "label",
     threshold: float = 0.97,
     impl: str = "numpy",
+    chunk_rows: int = 2048,
 ) -> DataFrame:
     """Batch-vs-corpus semantic dedup: drop new vectors whose cosine
     to any ACCEPTED corpus vector in the same cluster reaches
@@ -651,10 +670,14 @@ def incremental_semantic_dedup(
     (ids unique across both tables; within-batch dedup is
     :func:`semantic_dedup` on the survivors).
 
-    Never computes corpus x corpus pairs: ``impl="numpy"`` runs one
-    BLAS matmul per cluster block of ``new-rows x all-rows``
-    (per-ingest cost scales with the batch; the corpus contributes a
-    scan); ``impl="sql"`` is the engine-portable fold join for oracle
+    Never computes corpus x corpus pairs: ``impl="numpy"`` runs BLAS
+    matmuls per cluster block of ``new-rows x corpus-rows``,
+    CHUNKED over the new side in row-blocks of ``chunk_rows`` so the
+    similarity slab is O(chunk_rows × n_corpus) — a hot cluster costs
+    more passes, not an executor OOM (the cluster's own vectors,
+    O(n × dim), are the groupBy payload and the remaining term).
+    Per-ingest cost scales with the batch; the corpus contributes a
+    scan. ``impl="sql"`` is the engine-portable fold join for oracle
     comparison. Returns the surviving ``new_batch`` rows.
     """
     import numpy as np
@@ -673,6 +696,7 @@ def incremental_semantic_dedup(
             )
         )
         thr = float(threshold)
+        step = max(1, int(chunk_rows))
 
         def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
             new_mask = pdf["__is_new"].to_numpy()
@@ -684,10 +708,15 @@ def incremental_semantic_dedup(
             nn = norms[new_mask]
             Vc = V[~new_mask]
             nc = norms[~new_mask]
-            denom = np.outer(nn, nc)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                S = np.where(denom > 0, (Vn @ Vc.T) / denom, np.nan)
-            hit = (np.round(S, 6) >= thr).any(axis=1)
+            hit = np.zeros(Vn.shape[0], dtype=bool)
+            for c0 in range(0, Vn.shape[0], step):
+                c1 = min(c0 + step, Vn.shape[0])
+                denom = np.outer(nn[c0:c1], nc)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = np.where(
+                        denom > 0, (Vn[c0:c1] @ Vc.T) / denom, np.nan
+                    )
+                    hit[c0:c1] = (np.round(S, 6) >= thr).any(axis=1)
             return pd.DataFrame(
                 {"loser": pdf[id_col].to_numpy()[new_mask][hit]}
             )
@@ -795,6 +824,15 @@ def semantic_dedup(
     A~B~C collapse to one survivor even when A~C is under threshold.
 
     Returns the surviving rows of ``vectors`` (all original columns).
+
+    Examples
+    --------
+        >>> vecs = spark.createDataFrame(
+        ...     [(1, [1.0, 0.0], 0), (2, [1.0, 0.001], 0), (3, [0.0, 1.0], 0)],
+        ...     "vec_id long, embedding array<double>, label int")
+        >>> kept = semantic_dedup(vecs, threshold=0.99)
+        >>> sorted(r.vec_id for r in kept.collect())
+        [1, 3]
     """
     from .dedup import connected_components, embedding_neardup_pairs
 

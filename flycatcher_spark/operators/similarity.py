@@ -44,7 +44,18 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; null-safe on zero vectors (returns null)."""
+    """Cosine similarity; null-safe on zero vectors (returns null).
+
+    Examples
+    --------
+        >>> df = spark.createDataFrame(
+        ...     [([3.0, 4.0], [3.0, 4.0]), ([1.0, 0.0], [0.0, 1.0])],
+        ...     ["a", "b"])
+        >>> [r.c for r in df.select(
+        ...     F.round(cosine(F.col("a"), F.col("b")), 4).alias("c")
+        ... ).collect()]
+        [1.0, 0.0]
+    """
     denom = norm(a) * norm(b)
     return F.when(denom > 0, dot(a, b) / denom)
 
@@ -107,6 +118,16 @@ def brute_force_topk(
     scores with :func:`cosine_kernel` (Arrow batches; the fold is
     interpreted at ~3×dim evals per pair, the kernel is one BLAS
     pass) — same ranking, values may differ in the last ulp.
+
+    Examples
+    --------
+        >>> corpus = spark.createDataFrame(
+        ...     [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        ...     "vec_id long, embedding array<double>")
+        >>> res = brute_force_topk(corpus, corpus.where("vec_id = 1"), k=2)
+        >>> [(r.query_id, r.vec_id, r.rank)
+        ...  for r in res.orderBy("rank").collect()]
+        [(1, 2, 1), (1, 3, 2)]
     """
     query_id_col = query_id_col or id_col
     q = queries.select(

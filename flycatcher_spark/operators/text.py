@@ -111,6 +111,12 @@ def quality_score(text: Column | str) -> Column:
     formula is arbitrary but deterministic — its value is that it is
     cheap (one codegen stage) and monotone in the usual LLM-data
     heuristics (C4/Gopher-style length + symbol filters).
+
+    Examples
+    --------
+        >>> df = spark.createDataFrame([("the cat sat on the mat",)], ["text"])
+        >>> df.select(quality_score("text").alias("q")).collect()
+        [Row(q=0.75)]
     """
     n_tok = token_count(text).cast("double")
     length_ok = F.when((n_tok >= 10) & (n_tok <= 5000), F.lit(1.0)).otherwise(
@@ -136,7 +142,16 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
 
 def lang_id(text: Column | str) -> Column:
     """Argmax language over marker-hit counts; ties break by language
-    code order; no hits at all -> 'und' (undetermined)."""
+    code order; no hits at all -> 'und' (undetermined).
+
+    Examples
+    --------
+        >>> df = spark.createDataFrame(
+        ...     [("the cat is on the mat",), ("el gato es una mascota",)],
+        ...     ["text"])
+        >>> [r.lang for r in df.select(lang_id("text").alias("lang")).collect()]
+        ['en', 'es']
+    """
     scores = lang_scores(text)
     # build: pick lang with max count, deterministic order
     best_lang = F.lit("und")
@@ -323,7 +338,7 @@ def repetition_profile(
         kernel = _make_gram_stats_kernel()
         out = df.select(
             F.col(id_col),
-            F.length(normalize_text(text_col)).alias("n_chars_norm"),
+            F.length(normalize_text(text_col)).cast("long").alias("n_chars_norm"),
             *[_gram_list(text_col, n).alias(f"__g{n}") for n in ns],
         )
         for n in ns:
@@ -343,7 +358,7 @@ def repetition_profile(
         return out.select(*cols)
     base = df.select(
         F.col(id_col),
-        F.length(normalize_text(text_col)).alias("n_chars_norm"),
+        F.length(normalize_text(text_col)).cast("long").alias("n_chars_norm"),
     )
     out = base
     for n in ns:
@@ -375,7 +390,15 @@ def redact_pii(text: Column | str, repl: str = "[PII]") -> Column:
     """Replace emails, URLs, and international-format phone numbers
     with ``repl``. Order matters: emails before URLs so ``mailto:``-
     like forms can't leave partial addresses behind; all three are
-    plain ``regexp_replace`` chains — JVM-side, codegen, map-only."""
+    plain ``regexp_replace`` chains — JVM-side, codegen, map-only.
+
+    Examples
+    --------
+        >>> df = spark.createDataFrame(
+        ...     [("mail me at bob@example.com now",)], ["text"])
+        >>> df.select(redact_pii("text").alias("t")).collect()[0].t
+        'mail me at [PII] now'
+    """
     c = F.col(text) if isinstance(text, str) else text
     out = F.regexp_replace(c, EMAIL_RE, repl)
     out = F.regexp_replace(out, URL_RE, repl)

@@ -492,6 +492,28 @@ class TestIncrementalSemanticDedup:
             new, corpus, threshold=0.35, impl="numpy").collect())
         assert a == b and len(a) > 0
 
+    def test_chunked_matmul_single_huge_cluster(self, spark):
+        """Memory-bounding regression (VERDICT r3): a hot cluster must
+        not build the full new×corpus similarity matrix in one task.
+        Force all vectors into ONE cluster with chunk_rows far below
+        the new-batch size (many row-slab passes + ragged final chunk)
+        and pin against the exact sql fold."""
+        em = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            F.lit(0).alias("label"),  # one giant cluster
+        )
+        new = em.where(F.col("vec_id") % 3 == 0)
+        corpus = em.where(F.col("vec_id") % 3 != 0)
+        a = sorted(r["vec_id"] for r in quality.incremental_semantic_dedup(
+            new, corpus, threshold=0.35, impl="sql").collect())
+        b = sorted(r["vec_id"] for r in quality.incremental_semantic_dedup(
+            new, corpus, threshold=0.35, impl="numpy", chunk_rows=29
+        ).collect())
+        assert a == b and 0 < len(a) < new.count()
+
 
 class TestSemanticDedup:
     @pytest.fixture(scope="class")

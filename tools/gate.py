@@ -3,11 +3,14 @@ environment and fails if any runnable gate is red.
 
 Gates (mirroring the reference CI, /root/reference/.github/workflows/
 ci.yml): ruff check, ruff format --check, mypy, pytest (unit tests +
-library doctests via pyproject addopts). ruff/mypy are skipped with a
-notice when not installed (the build container has neither); pytest is
-mandatory.
+library doctests via pyproject addopts), and a bench smoke (bench.py
+at sf0.01 must exit 0 — a round must never close with a broken bench;
+r2 shipped BENCH rc=1 after a schema migration landed without one).
+ruff/mypy are skipped with a notice when not installed (the build
+container has neither); pytest and the bench smoke are mandatory.
 
 Usage: python tools/gate.py [extra pytest args]
+       python tools/gate.py --no-bench [...]   # skip the bench smoke
 """
 
 from __future__ import annotations
@@ -43,9 +46,23 @@ def main() -> int:
             failures.append("mypy")
     else:
         print("=== mypy: not installed, skipped")
-    extra = sys.argv[1:] or ["-q"]
+    args = sys.argv[1:]
+    run_bench = "--no-bench" not in args
+    extra = [a for a in args if a != "--no-bench"] or ["-q"]
     if not _run("pytest", [sys.executable, "-m", "pytest", *extra]):
         failures.append("pytest")
+    if run_bench:
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_SF_DIR=os.environ.get(
+                "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+            ),
+        )
+        print("=== bench-smoke: bench.py at", env["SPARK_GRAFT_SF_DIR"], flush=True)
+        rc = subprocess.call([sys.executable, "bench.py"], cwd=REPO, env=env)
+        print(f"=== bench-smoke: {'OK' if rc == 0 else f'FAILED rc={rc}'}", flush=True)
+        if rc != 0:
+            failures.append("bench-smoke")
     if failures:
         print(f"GATE RED: {failures}")
         return 1
