@@ -1616,7 +1616,11 @@ def q_events_user_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries — text analysis (SURVEY.md §7.1 step 7)
 # ---------------------------------------------------------------------------
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    # interpreted-HOF metric expressions are CPU-bound: widen an
+    # under-partitioned scan first (no-op on wide inputs)
+    docs = plans.ensure_min_parallelism(
+        _read(spark, sf_dir, "documents"), key="doc_id"
+    )
     c = F.col("text")
     return docs.select(
         "doc_id",
@@ -2067,8 +2071,11 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule gate (operators/quality): per-doc rule
     metrics plus the boolean gate, bounds fitted to the synthetic
-    corpus so the gate splits it non-trivially."""
-    docs = _read(spark, sf_dir, "documents")
+    corpus so the gate splits it non-trivially. The metrics are
+    interpreted HOFs (CPU-bound): widen an under-partitioned scan."""
+    docs = plans.ensure_min_parallelism(
+        _read(spark, sf_dir, "documents"), key="doc_id"
+    )
     m = quality.gopher_metrics("text")
     return docs.select(
         "doc_id",
@@ -2182,7 +2189,11 @@ def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every stage is a pure function of the data, so the final ordered
     sample is cell-for-cell checkable. Evidence the quality operators
     compose, like corpus_select is for the dedup family."""
-    docs = _read(spark, sf_dir, "documents")
+    # the gate + classifier map stage is interpreted-HOF CPU-bound:
+    # widen an under-partitioned scan before it
+    docs = plans.ensure_min_parallelism(
+        _read(spark, sf_dir, "documents"), key="doc_id"
+    )
     gated = docs.where(
         quality.gopher_pass(
             "text",
@@ -2335,6 +2346,46 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_word_symbol_counts(docs, _BPE_MERGES)
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: head/middle/tail thirds by
+    unigram-LM surprise with exact interpolated-percentile thresholds
+    (one one-row aggregate, broadcast back)."""
+    docs = _read(spark, sf_dir, "documents")
+    return quality.ccnet_buckets(docs, vocab_size=100)
+
+
+def q_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-constrained mixing: every source contributes at
+    most its token budget (src0 capped tighter, src1 looser, default
+    for the rest), deterministic md5 order, sharded per-stratum
+    cumsum (no single-task window)."""
+    docs = _read(spark, sf_dir, "documents")
+    out = quality.budget_mix(
+        docs,
+        strata_col="source",
+        key_col="doc_id",
+        token_count=text.token_count("text"),
+        default_budget=1000,
+        budgets={"src0": 500, "src1": 2000},
+    )
+    return out.select("doc_id", "source", "cum_tokens")
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split: near-duplicate clusters (LSH
+    candidates verified at exact trigram Jaccard >= 0.5, transitively
+    closed) are assigned to one side as a unit, so no val doc has a
+    train-side near-duplicate. Full-recall banding (see
+    q_minhash_verified_pairs) makes the pair set equal ground-truth
+    all-pairs Jaccard, which DuckDB replays with a recursive CTE."""
+    docs = _read(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_pairs(
+        docs, num_perm=64, bands=16, shingle_n=3, threshold=0.0
+    )
+    pairs = dedup.verify_pairs_jaccard(cand, docs, shingle_n=3, threshold=0.5)
+    return quality.leakage_safe_split(docs, pairs, train_pct=90)
+
+
 def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-vs-corpus semantic dedup: new vectors (vec_id % 10 == 3)
     survive unless a same-cluster corpus vector is cosine-similar at
@@ -2470,7 +2521,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "incremental_semantic_dedup": q_incremental_semantic_dedup,
         "embedding_neardup": q_embedding_neardup,
-        # == positions 26-50: rotation of the queries whose last green
+        # == positions 26-28: NEW in r4 (CCNet perplexity buckets,
+        # == token-budget mixing, leakage-safe splitting) ============
+        "ccnet_buckets": q_ccnet_buckets,
+        "budget_mix": q_budget_mix,
+        "leakage_safe_split": q_leakage_safe_split,
+        # == positions 29-50: rotation of the queries whose last green
         # == is oldest (driver r1/r2, never re-checked since) ========
         "validate_lineitem": q_validate_lineitem,
         "violation_counts": q_violation_counts,
@@ -2494,11 +2550,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_defaults": q_validate_defaults,
         "q4_order_priority": q4_order_priority,
         "q5_region_revenue": q5_region_revenue,
+        # == past the 50-entry window from here on ===================
+        # -- r1/r2-green remainder of the TPC-H family ---------------
         "q6_forecast_revenue": q6_forecast_revenue,
         "q10_returned_customers": q10_returned_customers,
         "q13_order_count_distribution": q13_order_count_distribution,
-        # == past the 50-entry window from here on ===================
-        # -- r1/r2-green remainder of the TPC-H family ---------------
         "q14_promo_revenue_ratio": q14_promo_revenue_ratio,
         "q18_large_orders": q18_large_orders,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
@@ -2759,6 +2815,116 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
                    round(CAST(SUM(cost9) AS DOUBLE) / COUNT(*), 6) AS surprise
             FROM costs GROUP BY doc_id
+        """,
+        "ccnet_buckets": r"""
+            WITH toks AS (
+                SELECT doc_id, lower(token) AS token
+                FROM (
+                    SELECT doc_id,
+                           unnest(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+                                       THEN CAST([] AS VARCHAR[])
+                                       ELSE regexp_split_to_array(
+                                           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+                                  END) AS token
+                    FROM documents
+                )
+            ),
+            counts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+            total AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM counts),
+            vocab AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token ASC LIMIT 100),
+            costs AS (
+                SELECT t.doc_id,
+                       CAST(round(CASE WHEN v.cnt IS NOT NULL
+                                       THEN -ln(CAST(v.cnt AS DOUBLE) / tt.n)
+                                       ELSE -ln(0.5 / tt.n)
+                                  END, 9) AS DECIMAL(20,9)) AS cost9
+                FROM toks t LEFT JOIN vocab v USING (token) CROSS JOIN total tt
+            ),
+            scored AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                       round(CAST(SUM(cost9) AS DOUBLE) / COUNT(*), 6) AS surprise
+                FROM costs GROUP BY doc_id
+            ),
+            th AS (
+                SELECT round(quantile_cont(surprise, 1.0/3.0), 6) AS t1,
+                       round(quantile_cont(surprise, 2.0/3.0), 6) AS t2
+                FROM scored
+            )
+            SELECT doc_id, n_tokens, surprise,
+                   CASE WHEN surprise <= t1 THEN 'head'
+                        WHEN surprise <= t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored CROSS JOIN th
+        """,
+        "budget_mix": r"""
+            WITH t AS (
+                SELECT doc_id, source,
+                       CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(
+                                regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+                       END AS tc,
+                       md5(concat('budget0', ':', CAST(doc_id AS VARCHAR))) AS h
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, source,
+                       CAST(SUM(tc) OVER (
+                           PARTITION BY source ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS cum_tokens
+                FROM t
+            )
+            SELECT doc_id, source, cum_tokens
+            FROM c
+            WHERE cum_tokens <= CASE source WHEN 'src0' THEN 500
+                                            WHEN 'src1' THEN 2000
+                                            ELSE 1000 END
+        """,
+        "leakage_safe_split": r"""
+            WITH RECURSIVE t AS (
+                SELECT doc_id,
+                       CASE WHEN length(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g'),
+                                ' ')
+                       END AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                            ELSE list_distinct(list_transform(
+                                range(1, len(toks) - 1),
+                                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       END AS sh
+                FROM t
+            ),
+            pairs AS (
+                SELECT l.doc_id AS a, r.doc_id AS b
+                FROM s l JOIN s r ON l.doc_id < r.doc_id
+                WHERE len(l.sh) > 0 AND len(r.sh) > 0
+                  AND round(CASE WHEN len(list_distinct(list_concat(l.sh, r.sh))) = 0 THEN 0.0
+                                 ELSE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                                      / len(list_distinct(list_concat(l.sh, r.sh)))
+                            END, 6) >= 0.5
+            ),
+            edges AS (
+                SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+            ),
+            reach AS (
+                SELECT a AS node, a AS r FROM edges
+                UNION
+                SELECT e.a AS node, reach.r
+                FROM edges e JOIN reach ON reach.node = e.b
+            ),
+            comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+            SELECT d.doc_id,
+                   CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component,
+                   CASE WHEN CAST(concat('0x', substr(md5(concat('split0', ':',
+                            CAST(COALESCE(c.component, d.doc_id) AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 90
+                        THEN 'train' ELSE 'val' END AS split
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
         """,
         "domain_cap": _TEXT_BASE_CTE + """
             SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, quality

@@ -3,8 +3,15 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is forced with a cheap action (count on the final plan) so
-the measured time is plan+execute, not result transfer to the driver.
+Each query is forced with a **noop-sink write** (r4 change): the query
+fully executes — every output column materialized — without result
+transfer to the driver. The previous ``df.count()`` action understated
+several queries because Catalyst legitimately prunes work a count
+doesn't need: map-only projections lose all their columns, and left
+joins whose right side is an aggregate (provably unique key) are
+eliminated outright, so e.g. ``verbatim_overlap`` "ran" in 0.4s
+without ever computing its n-grams. Timings from r4 on are therefore
+honest but NOT comparable to r1-r3 for map-heavy queries.
 """
 
 from __future__ import annotations
@@ -88,11 +95,16 @@ def main() -> None:
         return s
 
     spark.range(1000).repartition(int(cpus)).select(_warm(F.col("id"))).count()
+    def run_full(df) -> None:
+        # noop sink: full execution of every output column, no driver
+        # transfer, no count-only plan pruning
+        df.write.format("noop").mode("overwrite").save()
+
     warm_sf = "/root/testdata/sf0.001"
     if os.path.isdir(warm_sf) and warm_sf != sf_dir:
         for name in HEADLINE:
             try:
-                qs[name](spark, warm_sf).count()
+                run_full(qs[name](spark, warm_sf))
             except Exception as e:  # warm-up must never fail the bench
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
@@ -100,11 +112,10 @@ def main() -> None:
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        run_full(fn(spark, sf_dir))
         dt = time.time() - t0
         timings[name] = round(dt, 3)
-        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+        print(f"# {name}: full execution in {dt:.2f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -73,10 +73,15 @@ def contamination_report(
     Documents too short to produce an n-gram are reported with zero
     counts (explode_outer keeps them), never silently dropped.
     """
+    from ..plans import ensure_min_parallelism
+
     bench = F.broadcast(
         benchmark_ngram_hashes(benchmark, text_col=text_col, n=n)
         .withColumn("__hit", F.lit(1))
     )
+    # shingling is CPU-bound: widen an under-partitioned scan before
+    # it (a small corpus in one 128 MB split would shingle serially)
+    corpus = ensure_min_parallelism(corpus, key=id_col)
     grams = corpus.select(
         F.col(id_col), word_shingles(text_col, n).alias("__grams")
     ).select(
@@ -157,9 +162,14 @@ def verbatim_overlap_report(
     too-short docs, flagged when any span reaches
     ``min_span_tokens``.
     """
+    from ..plans import ensure_min_parallelism
+
     bench = F.broadcast(
         benchmark_ngram_hashes(benchmark, text_col=text_col, n=n)
     )
+    # positional shingling is CPU-bound: widen an under-partitioned
+    # scan before it (see contamination_report)
+    corpus = ensure_min_parallelism(corpus, key=id_col)
     grams = positional_gram_hashes(
         corpus, text_col=text_col, id_col=id_col, n=n
     )

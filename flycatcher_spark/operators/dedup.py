@@ -1077,6 +1077,11 @@ def span_dedup(
     no windows, no skew pivot on a hot span beyond one (hash, count)
     cell, and AQE is free to broadcast the loser list.
     """
+    from ..plans import ensure_min_parallelism
+
+    # both map passes (span hashing, text rebuild) are CPU-bound:
+    # widen an under-partitioned scan first (no-op on wide inputs)
+    df = ensure_min_parallelism(df, key=id_col)
     toks = tokens(normalize_text(text_col))
     n_wins = F.floor(F.size(toks) / span).cast("int")
     # Guarded: sequence(0, -1) would generate a DESCENDING [0, -1]

@@ -252,6 +252,167 @@ def unigram_surprise(
     )
 
 
+def ccnet_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+    oov_scale: float = 0.5,
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: split the corpus into
+    ``head`` / ``middle`` / ``tail`` thirds by language-model
+    surprise (CCNet buckets documents by Wikipedia-LM perplexity and
+    trains preferentially on the head; here the LM is the corpus's
+    own top-V unigram model via :func:`unigram_surprise`).
+
+    Thresholds are EXACT interpolated percentiles of the per-doc
+    surprise (``F.percentile``, the linearly-interpolated definition
+    both Spark and DuckDB's ``quantile_cont`` implement), computed in
+    one one-row aggregate and broadcast back — no global sort, no
+    second corpus pass. Surprise values are DECIMAL-summed and
+    rounded (engine/partitioning exact), so the rounded thresholds
+    and therefore the bucket labels are reproducible cell-for-cell.
+    Docs with zero tokens carry no LM evidence and are excluded
+    (matching :func:`unigram_surprise`).
+
+    Returns ``(id_col, n_tokens, surprise, bucket)``.
+    """
+    scored = unigram_surprise(
+        docs, text_col=text_col, id_col=id_col,
+        vocab_size=vocab_size, oov_scale=oov_scale,
+    )
+    th = scored.agg(
+        F.round(F.percentile("surprise", F.lit(float(cuts[0]))), 6).alias("__t1"),
+        F.round(F.percentile("surprise", F.lit(float(cuts[1]))), 6).alias("__t2"),
+    )
+    return scored.crossJoin(F.broadcast(th)).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("surprise"),
+        F.when(F.col("surprise") <= F.col("__t1"), F.lit("head"))
+        .when(F.col("surprise") <= F.col("__t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def budget_mix(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    token_count: Column,
+    default_budget: int,
+    budgets: dict[str, int] | None = None,
+    seed: str = "budget0",
+    shard_hex_chars: int = 2,
+    cum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Token-budget-constrained mixing: the "data recipe" stage where
+    each source contributes AT MOST a fixed token budget to the
+    training set. Within each stratum, docs are ordered by
+    ``md5(seed:key)`` (deterministic shuffle) and the prefix whose
+    cumulative token count fits the stratum's budget is kept — no
+    document is split, no budget is exceeded.
+
+    ``budgets`` overrides ``default_budget`` per stratum. Scale shape
+    is :func:`training_order`'s shard trick applied per stratum: the
+    within-stratum cumulative sum runs as per-(stratum, shard)
+    window partitions (the md5 prefix is a PREFIX of the sort key,
+    so shard order == stratum order) plus a tiny per-stratum
+    shard-offset aggregate broadcast back — a hot stratum never
+    serializes into one window task. New ``seed`` = a different
+    deterministic prefix.
+
+    Returns the kept rows plus ``cum_col`` (the stratum-cumulative
+    token count through this doc, auditable against the budget).
+    """
+    budgets = budgets or {}
+    tc = token_count.cast("long")
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string")))
+    base = df.withColumn("__tc", tc).withColumn("__h", h).withColumn(
+        "__shard", F.substring(F.col("__h"), 1, int(shard_hex_chars))
+    )
+    w = (
+        Window.partitionBy(strata_col, "__shard")
+        .orderBy(F.col("__h"), F.col(key_col))
+    )
+    within = F.sum("__tc").over(w)  # inclusive within-shard cumsum
+    shard_totals = base.groupBy(strata_col, "__shard").agg(
+        F.sum("__tc").alias("__st")
+    )
+    offs = shard_totals.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__st").over(
+                Window.partitionBy(strata_col)
+                .orderBy("__shard")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long"),
+    ).select(strata_col, "__shard", "__off")
+    budget = F.lit(int(default_budget))
+    for s, b in sorted(budgets.items()):
+        budget = F.when(F.col(strata_col) == s, F.lit(int(b))).otherwise(budget)
+    keep = (
+        base.withColumn("__within", within)
+        .join(F.broadcast(offs), [strata_col, "__shard"])
+        .withColumn(cum_col, (F.col("__off") + F.col("__within")).cast("long"))
+        .where(F.col(cum_col) <= budget)
+    )
+    return keep.drop("__tc", "__h", "__shard", "__within", "__off")
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc_id_a",
+    dst_col: str = "doc_id_b",
+    train_pct: int = 90,
+    seed: str = "split0",
+) -> DataFrame:
+    """Train/validation split where near-duplicates can never
+    straddle the boundary — the leakage guard every eval pipeline
+    needs: splitting by document id leaks whenever train doc A is a
+    near-dup of val doc B, silently inflating eval scores.
+
+    The unit of assignment is the near-duplicate CLUSTER, not the
+    document: ``pairs`` (from any pair generator — minhash-verified,
+    simhash, embedding-cosine) resolve to transitive components via
+    :func:`dedup.connected_components`; unpaired docs are their own
+    singleton component. Each component lands in train/val by the
+    engine-portable md5-bucket rule on ``seed:component`` — a pure
+    function of the key, so re-runs, other engines, and any
+    partitioning produce the identical split, and a new ``seed``
+    produces a fresh (still leakage-safe) split.
+
+    Scale: the component table is pairs-sized (tiny next to the
+    corpus) and broadcast into one map-side join; the corpus is
+    touched once.
+
+    Returns ``(id_col, component, split)``.
+    """
+    from .dedup import connected_components
+
+    comp = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    out = docs.select(F.col(id_col)).join(
+        F.broadcast(comp.withColumnRenamed("node", id_col)), id_col, "left"
+    )
+    comp_id = F.coalesce(F.col("component"), F.col(id_col))
+    bucket = md5_bucket(
+        F.concat_ws(":", F.lit(seed), comp_id.cast("string")), 100
+    )
+    return out.select(
+        F.col(id_col),
+        comp_id.cast("long").alias("component"),
+        F.when(bucket < int(train_pct), F.lit("train"))
+        .otherwise(F.lit("val"))
+        .alias("split"),
+    )
+
+
 def dsir_sample(
     corpus: DataFrame,
     target: DataFrame,

@@ -183,7 +183,15 @@ def fingerprint(text: Column | str) -> Column:
 
 
 def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the full text-analysis profile as columns (map-only)."""
+    """Attach the full text-analysis profile as columns (map-only).
+
+    The metric expressions are interpreted array HOFs (CodegenFallback)
+    — CPU-bound per row — so an under-partitioned scan is widened
+    first (no-op on wide inputs; see plans.ensure_min_parallelism).
+    """
+    from ..plans import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     c = F.col(text_col)
     return df.withColumns(
         {
@@ -334,6 +342,11 @@ def repetition_profile(
     gram occurrence twice. ``impl="sql"`` keeps the explode +
     two-shuffle aggregation as the pure-Catalyst parity path (pytest
     pins output equality)."""
+    from ..plans import ensure_min_parallelism
+
+    # gram building + the Arrow kernel are CPU-bound: widen an
+    # under-partitioned scan first (no-op on wide inputs)
+    df = ensure_min_parallelism(df, key=id_col)
     if impl == "pandas":
         kernel = _make_gram_stats_kernel()
         out = df.select(

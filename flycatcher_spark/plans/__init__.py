@@ -14,7 +14,7 @@ from .inspect import (
     assert_pushed_filters,
     plan_report,
 )
-from .tuning import runtime_bloom_pruning, session_confs
+from .tuning import ensure_min_parallelism, runtime_bloom_pruning, session_confs
 
 __all__ = [
     "PlanReport",
@@ -22,6 +22,7 @@ __all__ = [
     "assert_no_shuffle",
     "assert_pushed_filters",
     "assert_jvm_only",
+    "ensure_min_parallelism",
     "runtime_bloom_pruning",
     "session_confs",
 ]

@@ -12,7 +12,7 @@ from __future__ import annotations
 from contextlib import contextmanager
 from typing import Iterator
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 _UNSET = object()
 
@@ -79,3 +79,33 @@ def runtime_bloom_pruning(
         confs["spark.sql.autoBroadcastJoinThreshold"] = "-1"
     with session_confs(spark, confs):
         yield
+
+
+def ensure_min_parallelism(
+    df: "DataFrame",
+    min_partitions: int | None = None,
+    key: str | None = None,
+) -> "DataFrame":
+    """Guard CPU-heavy map stages against under-partitioned input.
+
+    Spark sizes scan partitions by BYTES (``files.maxPartitionBytes``),
+    which is right for IO-bound plans but wrong before expensive
+    per-row compute: a corpus that fits one 128 MB split runs n-gram
+    shingling / Arrow kernels in ONE task while every other core
+    idles (observed 7.5x on the decontamination report at bench
+    scale). At production scale (thousands of input files) the scan
+    is already wide and this is a no-op.
+
+    If the frame's current partition count is below ``min_partitions``
+    (default: the session's ``defaultParallelism``), repartition up —
+    hash-partitioned on ``key`` when given (deterministic layout),
+    round-robin otherwise. The check is driver-side plan metadata; no
+    job runs.
+    """
+    spark = df.sparkSession
+    target = int(min_partitions or spark.sparkContext.defaultParallelism)
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.repartition(target, F.col(key)) if key else df.repartition(target)

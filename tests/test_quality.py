@@ -545,3 +545,105 @@ class TestSemanticDedup:
     def test_threshold_keeps_everything(self, vectors):
         out = quality.semantic_dedup(vectors, threshold=1.1, impl="sql")
         assert out.count() == 5
+
+
+class TestCcnetBuckets:
+    def test_thirds_and_monotonic(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = quality.ccnet_buckets(docs, vocab_size=100).collect()
+        n = len(out)
+        counts = {"head": 0, "middle": 0, "tail": 0}
+        by_bucket = {"head": [], "middle": [], "tail": []}
+        for r in out:
+            counts[r["bucket"]] += 1
+            by_bucket[r["bucket"]].append(r["surprise"])
+        # thirds within interpolation slack
+        for b in counts:
+            assert abs(counts[b] - n / 3) < n * 0.05, counts
+        # buckets are ordered by surprise: head <= middle <= tail
+        assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+        assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+
+    def test_deterministic_under_repartition(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = {(r["doc_id"], r["bucket"])
+             for r in quality.ccnet_buckets(docs, vocab_size=100).collect()}
+        b = {(r["doc_id"], r["bucket"])
+             for r in quality.ccnet_buckets(
+                 docs.repartition(7), vocab_size=100).collect()}
+        assert a == b
+
+
+class TestBudgetMix:
+    def test_budget_respected_no_overflow(self, spark):
+        rows = [(i, "s%d" % (i % 2), "w " * 10) for i in range(40)]
+        docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+        from flycatcher_spark.operators.text import token_count
+
+        out = quality.budget_mix(
+            docs, "source", "doc_id", token_count("text"),
+            default_budget=55, budgets={"s1": 100},
+        ).collect()
+        per = {}
+        for r in out:
+            per.setdefault(r["source"], []).append(r["cum_tokens"])
+        # each doc is 10 tokens: s0 fits 5 docs in 55, s1 fits 10 in 100
+        assert max(per["s0"]) <= 55 and len(per["s0"]) == 5
+        assert max(per["s1"]) <= 100 and len(per["s1"]) == 10
+        # cumulative sums are a clean prefix 10,20,...
+        assert sorted(per["s0"]) == [10, 20, 30, 40, 50]
+
+    def test_deterministic_and_partition_invariant(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        from flycatcher_spark.operators.text import token_count
+
+        kw = dict(strata_col="source", key_col="doc_id",
+                  token_count=token_count("text"), default_budget=800)
+        a = {(r["doc_id"], r["cum_tokens"]) for r in
+             quality.budget_mix(docs, **kw).collect()}
+        b = {(r["doc_id"], r["cum_tokens"]) for r in
+             quality.budget_mix(docs.repartition(13), **kw).collect()}
+        assert a == b and len(a) > 0
+
+    def test_new_seed_changes_selection(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        from flycatcher_spark.operators.text import token_count
+
+        kw = dict(strata_col="source", key_col="doc_id",
+                  token_count=token_count("text"), default_budget=800)
+        a = {r["doc_id"] for r in quality.budget_mix(docs, **kw).collect()}
+        b = {r["doc_id"] for r in
+             quality.budget_mix(docs, seed="budget1", **kw).collect()}
+        assert a != b
+
+
+class TestLeakageSafeSplit:
+    def test_cluster_never_straddles(self, spark):
+        docs = spark.createDataFrame(
+            [(i,) for i in range(20)], ["doc_id"]
+        )
+        # chain 1-2-3 plus pair 7-9: whole chain must share a side
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 9)], ["doc_id_a", "doc_id_b"]
+        )
+        out = {r["doc_id"]: (r["component"], r["split"])
+               for r in quality.leakage_safe_split(docs, pairs).collect()}
+        assert len(out) == 20
+        assert out[1] == out[2] == out[3]          # same component+side
+        assert out[7] == out[9]
+        assert out[1][0] == 1 and out[7][0] == 7   # min-id component
+        # singletons are their own component
+        assert out[5][0] == 5
+
+    def test_split_rate_and_seed(self, spark):
+        docs = spark.createDataFrame([(i,) for i in range(500)], ["doc_id"])
+        pairs = spark.createDataFrame([], "doc_id_a long, doc_id_b long")
+        out = quality.leakage_safe_split(docs, pairs, train_pct=90)
+        frac = out.where("split = 'train'").count() / 500
+        assert 0.85 < frac < 0.95
+        out2 = quality.leakage_safe_split(docs, pairs, train_pct=90,
+                                          seed="split1")
+        diff = out.alias("a").join(
+            out2.alias("b"), "doc_id"
+        ).where("a.split <> b.split").count()
+        assert diff > 0  # new seed reshuffles the assignment
