@@ -136,6 +136,16 @@ def main() -> None:
     split.groupBy("split").count().orderBy("split").show()
     split.select("doc_id", "chunk_idx", "fp", "split").show(5)
 
+    # 6b. LEAKAGE-SAFE split (r4): step 6 splits by doc hash, which
+    #     leaks whenever a train doc is a near-duplicate of a val doc.
+    #     Assign near-dup CLUSTERS to one side as a unit instead:
+    #     banding proposes pairs, exact Jaccard verifies them, and the
+    #     transitive closure becomes the unit of assignment.
+    cand = dedup.minhash_lsh_pairs(final, threshold=0.0)
+    pairs = dedup.verify_pairs_jaccard(cand, final, threshold=0.7)
+    safe = quality.leakage_safe_split(final, pairs, train_pct=90)
+    safe.groupBy("split").count().orderBy("split").show()
+
     # 7. Domain mixing: deterministic per-language sampling weights —
     #    the same rows survive on every rerun and every engine
     mixed = text.hash_stratified_sample(
@@ -162,6 +172,30 @@ def main() -> None:
         gated, strata_col="lang", key_col="doc_id", target_rows=1_000
     )
     balanced.groupBy("lang").count().orderBy("lang").show()
+
+    # 8b. Token-budget recipe (r4): when the data recipe is stated in
+    #     TOKENS per source ("50B code, 20B web"), budget_mix keeps a
+    #     deterministic prefix of each source that fits its budget
+    budgeted = quality.budget_mix(
+        balanced,
+        strata_col="lang",
+        key_col="doc_id",
+        token_count=text.token_count("text"),
+        default_budget=3_000,
+        budgets={"en": 6_000},
+    )
+    budgeted.groupBy("lang").agg(
+        F.count("*").alias("docs"), F.max("cum_tokens").alias("tokens_used")
+    ).orderBy("lang").show()
+
+    # 8c. CCNet perplexity buckets (r4): train preferentially on the
+    #     low-surprise head + middle, as CCNet does
+    buckets = quality.ccnet_buckets(budgeted, vocab_size=500)
+    buckets.groupBy("bucket").count().orderBy("bucket").show()
+    curated = budgeted.join(
+        buckets.where(F.col("bucket") != "tail").select("doc_id"), "doc_id"
+    )
+    print("after head+middle selection:", curated.count())
 
     # 9. Target-domain selection (DSIR): pick the docs that look most
     #    like a held-out target set, deterministically

@@ -277,6 +277,16 @@ def ccnet_buckets(
     (matching :func:`unigram_surprise`).
 
     Returns ``(id_col, n_tokens, surprise, bucket)``.
+
+    Examples
+    --------
+        >>> docs = spark.createDataFrame(
+        ...     [(i, "the " * 10 + "x%d " % i * i) for i in range(1, 7)],
+        ...     ["doc_id", "text"])   # more OOV words -> higher surprise
+        >>> out = {r.doc_id: r.bucket for r in
+        ...        ccnet_buckets(docs, vocab_size=1).collect()}
+        >>> [out[i] for i in range(1, 7)]
+        ['head', 'head', 'middle', 'middle', 'tail', 'tail']
     """
     scored = unigram_surprise(
         docs, text_col=text_col, id_col=id_col,
@@ -326,6 +336,16 @@ def budget_mix(
 
     Returns the kept rows plus ``cum_col`` (the stratum-cumulative
     token count through this doc, auditable against the budget).
+
+    Examples
+    --------
+        >>> df = spark.createDataFrame(
+        ...     [(i, "s", 10) for i in range(6)],
+        ...     ["doc_id", "src", "n_tok"])
+        >>> out = budget_mix(df, "src", "doc_id", F.col("n_tok"),
+        ...                  default_budget=30)
+        >>> sorted(r.cum_tokens for r in out.collect())
+        [10, 20, 30]
     """
     budgets = budgets or {}
     tc = token_count.cast("long")
@@ -393,6 +413,17 @@ def leakage_safe_split(
     touched once.
 
     Returns ``(id_col, component, split)``.
+
+    Examples
+    --------
+        >>> docs = spark.createDataFrame([(i,) for i in range(5)], ["doc_id"])
+        >>> pairs = spark.createDataFrame([(1, 3)], ["doc_id_a", "doc_id_b"])
+        >>> out = {r.doc_id: (r.component, r.split) for r in
+        ...        leakage_safe_split(docs, pairs).collect()}
+        >>> out[1] == out[3] and out[1][0] == 1  # 1 and 3 share a side
+        True
+        >>> sorted(out[i][0] for i in range(5))  # singletons stay solo
+        [0, 1, 1, 2, 4]
     """
     from .dedup import connected_components
 
