@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import word_shingles
-from .text import normalize_text, tokens
+from .text import bind_once, normalize_text, tokens
 
 
 def benchmark_ngram_hashes(
@@ -116,19 +116,24 @@ def positional_gram_hashes(
 ) -> DataFrame:
     """Word n-grams of normalized text WITH their token positions:
     ``(id, __pos, gram_hash)``. Map-only (sequence -> transform ->
-    posexplode); docs shorter than ``n`` tokens emit nothing.
+    posexplode); docs shorter than ``n`` tokens emit nothing. The
+    token array binds once per row (``text.bind_once``) so the
+    per-position lambda never re-runs the tokenize chain.
     """
-    toks = tokens(normalize_text(text_col))
-    n_grams = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    idx = F.when(
-        n_grams > 0, F.sequence(F.lit(0), n_grams - 1)
-    ).otherwise(F.array().cast("array<int>"))
-    gram = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))  # noqa: E731
+
+    def build(tk):
+        n_grams = F.greatest(F.size(tk) - (n - 1), F.lit(0))
+        idx = F.when(
+            n_grams > 0, F.sequence(F.lit(0), n_grams - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tk, i + 1, n)))
+        )
+
+    hashed = bind_once(tokens(normalize_text(text_col)), build)
     return df.select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(idx, lambda i: F.xxhash64(gram(i)))
-        ).alias("__pos", "gram_hash"),
+        F.posexplode(hashed).alias("__pos", "gram_hash"),
     )
 
 

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 
 from .similarity import cosine
-from .text import normalize_text, tokens
+from .text import bind_once, normalize_text, tokens
 
 # A large prime below 2^31 for permutation hashing  (x -> (a*x+b) % P)
 _MERSENNE = (1 << 31) - 1
@@ -76,19 +76,28 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     Documents with fewer than ``n`` tokens yield an empty array —
     guarded explicitly because ``sequence(0, size-n)`` would count
     *downward* for short docs and make ``slice`` throw on index 0.
+
+    The token array is bound ONCE per row (``text.bind_once``) before
+    the per-position lambda references it — interpreted HOFs would
+    otherwise re-run the tokenize/normalize chain per n-gram
+    (measured 16× on shingle-heavy operators).
     """
     toks = tokens(normalize_text(text))
     if n == 1:
         return F.array_distinct(toks)
-    shingled = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+
+    def build(tk: Column) -> Column:
+        shingled = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - n),
+                lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
+            )
         )
-    )
-    return F.when(F.size(toks) >= n, shingled).otherwise(
-        F.array().cast("array<string>")
-    )
+        return F.when(F.size(tk) >= n, shingled).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return bind_once(toks, build)
 
 
 def _permutation_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
@@ -1083,19 +1092,30 @@ def span_dedup(
     # widen an under-partitioned scan first (no-op on wide inputs)
     df = ensure_min_parallelism(df, key=id_col)
     toks = tokens(normalize_text(text_col))
-    n_wins = F.floor(F.size(toks) / span).cast("int")
+
     # Guarded: sequence(0, -1) would generate a DESCENDING [0, -1]
-    # for sub-span docs, not an empty array.
-    win_idx = F.when(
-        n_wins > 0, F.sequence(F.lit(0), n_wins - 1)
-    ).otherwise(F.array().cast("array<int>"))
-    win_text = lambda i: F.concat_ws(  # noqa: E731
-        " ", F.slice(toks, i * span + 1, span)
-    )
+    # for sub-span docs, not an empty array. The token array binds
+    # once per row (text.bind_once) in BOTH map passes — per-window
+    # lambdas referencing the raw tokenize tree would re-run it per
+    # window (the 16× interpreted-HOF trap).
+    def _win_idx(tk: Column) -> Column:
+        n_w = F.floor(F.size(tk) / span).cast("int")
+        return F.when(
+            n_w > 0, F.sequence(F.lit(0), n_w - 1)
+        ).otherwise(F.array().cast("array<int>"))
+
+    def _win_text(tk: Column, i: Column) -> Column:
+        return F.concat_ws(" ", F.slice(tk, i * span + 1, span))
+
     spans = df.select(
         F.col(id_col),
         F.posexplode(
-            F.transform(win_idx, lambda i: F.xxhash64(win_text(i)))
+            bind_once(
+                toks,
+                lambda tk: F.transform(
+                    _win_idx(tk), lambda i: F.xxhash64(_win_text(tk, i))
+                ),
+            )
         ).alias("__widx", "__h"),
     )
 
@@ -1113,26 +1133,37 @@ def span_dedup(
         .agg(F.collect_set("__widx").alias("__drop"))
     )
 
-    rebuilt = df.join(losers, on=id_col, how="left").select(
-        F.col(id_col),
-        n_wins.cast("bigint").alias("n_spans"),
-        (
-            n_wins - F.coalesce(F.size("__drop"), F.lit(0))
-        ).cast("bigint").alias("n_kept"),
-        F.trim(  # either part may be empty; trim the stray separator
-            F.concat_ws(
-                " ",
+    def _rebuild(tk: Column) -> Column:
+        n_w = F.floor(F.size(tk) / span).cast("int")
+        kept_wins = F.filter(
+            F.transform(_win_idx(tk), lambda i: _win_text(tk, i)),
+            lambda w, i: ~F.coalesce(
+                F.array_contains(F.col("__drop"), i), F.lit(False)
+            ),
+        )
+        return F.struct(
+            n_w.alias("nw"),
+            F.trim(  # either part may be empty; trim the stray separator
                 F.concat_ws(
                     " ",
-                    F.filter(
-                        F.transform(win_idx, win_text),
-                        lambda w, i: ~F.coalesce(
-                            F.array_contains(F.col("__drop"), i), F.lit(False)
-                        ),
-                    ),
-                ),
-                F.concat_ws(" ", F.slice(toks, n_wins * span + 1, span)),
-            )
-        ).alias("text_dedup"),
+                    F.concat_ws(" ", kept_wins),
+                    F.concat_ws(" ", F.slice(tk, n_w * span + 1, span)),
+                )
+            ).alias("txt"),
+        )
+
+    # stage the struct through a column: three field references on
+    # the raw expression would evaluate the rebuild three times
+    rebuilt = (
+        df.join(losers, on=id_col, how="left")
+        .withColumn("__rb", bind_once(toks, _rebuild))
+        .select(
+            F.col(id_col),
+            F.col("__rb.nw").cast("bigint").alias("n_spans"),
+            (
+                F.col("__rb.nw") - F.coalesce(F.size("__drop"), F.lit(0))
+            ).cast("bigint").alias("n_kept"),
+            F.col("__rb.txt").alias("text_dedup"),
+        )
     )
     return rebuilt

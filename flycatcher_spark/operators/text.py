@@ -164,6 +164,23 @@ def lang_id(text: Column | str) -> Column:
     return best_lang
 
 
+def bind_once(value: Column, build) -> Column:
+    """Evaluate ``value`` once per row and hand it to ``build`` as a
+    bound lambda variable.
+
+    Array higher-order functions run interpreted (CodegenFallback),
+    and an outer expression referenced inside a lambda is RE-EVALUATED
+    per element — ``transform(sequence(...), i -> slice(toks, ...))``
+    recomputes the whole tokenize/normalize chain for every n-gram,
+    turning shingling O(text_len × n_grams) per row (measured 16× on
+    the sf0.1 corpus). A lambda VARIABLE, by contrast, is a
+    materialized value, so wrapping the expression as the single
+    element of an outer ``transform`` binds it once:
+    ``transform(array(value), v -> build(v))[0]``.
+    """
+    return F.transform(F.array(value), build)[0]
+
+
 def normalize_text(text: Column | str) -> Column:
     """Canonical form for fingerprinting: lowercase, trim, collapse
     internal whitespace to single spaces."""
@@ -232,15 +249,18 @@ def _gram_metrics(
     (id, gram)/(id), both combiner-friendly. Documents shorter than
     ``n`` tokens contribute null metrics.
     """
-    toks = tokens(normalize_text(text_col))
+    # stage the token array through a real column — the per-position
+    # lambda would re-run the tokenize tree per n-gram otherwise
+    staged = df.withColumn("__toks", tokens(normalize_text(text_col)))
+    tk = F.col("__toks")
     grams = F.when(
-        F.size(toks) >= n,
+        F.size(tk) >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            F.sequence(F.lit(0), F.size(tk) - n),
+            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = df.select(
+    exploded = staged.select(
         F.col(id_col),
         F.length(normalize_text(text_col)).alias("__nc"),
         F.explode(grams).alias("__gram"),
@@ -269,20 +289,26 @@ def _gram_metrics(
     )
 
 
-def _gram_list(text_col: str, n: int):
-    """Full (non-distinct) word n-gram list of normalized text; null
-    for docs shorter than one shingle. JVM-side, so the Python kernel
-    never tokenizes — normalization/tokenization semantics stay
-    identical between impls."""
-    toks = tokens(normalize_text(text_col))
+def _gram_list_from_tokens(tk: Column, n: int) -> Column:
+    """Full (non-distinct) word n-gram list from a MATERIALIZED token
+    array column; null for docs shorter than one shingle.
+
+    ``tk`` must be an attribute (a real column), not a raw tokenize
+    expression: the per-position lambda references it, and interpreted
+    HOFs re-evaluate expression references per element (16× measured).
+    A nested ``bind_once`` wrapper is NOT usable here because this
+    feeds a pandas UDF, and Catalyst cannot evaluate a Python UDF
+    whose input contains nested lambda functions — so callers stage
+    the token array through ``withColumn`` instead.
+    """
     if n == 1:
-        grams = toks
+        grams = tk
     else:
         grams = F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            F.sequence(F.lit(0), F.size(tk) - n),
+            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
         )
-    return F.when(F.size(toks) >= n, grams).otherwise(
+    return F.when(F.size(tk) >= n, grams).otherwise(
         F.lit(None).cast("array<string>")
     )
 
@@ -349,10 +375,16 @@ def repetition_profile(
     df = ensure_min_parallelism(df, key=id_col)
     if impl == "pandas":
         kernel = _make_gram_stats_kernel()
-        out = df.select(
+        # stage the token array through a REAL column: gram lambdas
+        # referencing the raw tokenize tree re-run it per n-gram
+        staged = df.withColumn("__toks", tokens(normalize_text(text_col)))
+        out = staged.select(
             F.col(id_col),
             F.length(normalize_text(text_col)).cast("long").alias("n_chars_norm"),
-            *[_gram_list(text_col, n).alias(f"__g{n}") for n in ns],
+            *[
+                _gram_list_from_tokens(F.col("__toks"), n).alias(f"__g{n}")
+                for n in ns
+            ],
         )
         for n in ns:
             out = out.withColumn(f"__m{n}", kernel(F.col(f"__g{n}")))
