@@ -1622,18 +1622,24 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         _read(spark, sf_dir, "documents"), key="doc_id"
     )
     c = F.col("text")
-    return docs.select(
-        "doc_id",
-        text.char_count(c).cast("long").alias("n_chars_c"),
-        text.token_count(c).cast("long").alias("n_tokens"),
-        text.bpe_ish_token_count(c).cast("long").alias("n_bpe"),
-        F.round(text.mean_token_length(c), 6).alias("mean_tok_len"),
-        F.round(text.stopword_ratio(c), 6).alias("stop_ratio"),
-        F.round(text.punct_ratio(c), 6).alias("punct_ratio"),
-        F.round(text.digit_ratio(c), 6).alias("digit_ratio"),
-        text.quality_score(c).alias("quality"),
-        text.lang_id(c).alias("lang_pred"),
-        text.fingerprint(c).alias("fingerprint"),
+    # all token-derived metrics from ONE tokenize pass (r4): the
+    # struct is staged through a column so it evaluates once per row
+    p = F.col("__prof")
+    return (
+        docs.withColumn("__prof", text.profile_struct(c))
+        .select(
+            "doc_id",
+            text.char_count(c).cast("long").alias("n_chars_c"),
+            p["n_tokens"].cast("long").alias("n_tokens"),
+            text.bpe_ish_token_count(c).cast("long").alias("n_bpe"),
+            F.round(p["mean_token_len"], 6).alias("mean_tok_len"),
+            F.round(p["stopword_ratio"], 6).alias("stop_ratio"),
+            F.round(text.punct_ratio(c), 6).alias("punct_ratio"),
+            F.round(text.digit_ratio(c), 6).alias("digit_ratio"),
+            p["quality"].alias("quality"),
+            p["lang_pred"].alias("lang_pred"),
+            text.fingerprint(c).alias("fingerprint"),
+        )
     )
 
 

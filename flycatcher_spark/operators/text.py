@@ -118,17 +118,26 @@ def quality_score(text: Column | str) -> Column:
         >>> df.select(quality_score("text").alias("q")).collect()
         [Row(q=0.75)]
     """
-    n_tok = token_count(text).cast("double")
-    length_ok = F.when((n_tok >= 10) & (n_tok <= 5000), F.lit(1.0)).otherwise(
-        F.lit(0.5)
-    )
-    mtl = mean_token_length(text)
-    mtl_ok = F.when((mtl >= 3.0) & (mtl <= 8.0), F.lit(1.0)).otherwise(F.lit(0.5))
-    sw = stopword_ratio(text)
-    sw_ok = F.least(sw * 4.0, F.lit(1.0))
-    noise = punct_ratio(text) + digit_ratio(text)
-    noise_ok = F.greatest(F.lit(0.0), F.lit(1.0) - noise * 2.0)
-    return F.round((length_ok + mtl_ok + sw_ok + noise_ok) / 4.0, 6)
+    c = F.col(text) if isinstance(text, str) else text
+
+    def build(tk: Column) -> Column:
+        n_tok = F.size(tk).cast("double")
+        length_ok = F.when(
+            (n_tok >= 10) & (n_tok <= 5000), F.lit(1.0)
+        ).otherwise(F.lit(0.5))
+        mtl = _mean_token_length_tk(tk)
+        mtl_ok = F.when((mtl >= 3.0) & (mtl <= 8.0), F.lit(1.0)).otherwise(
+            F.lit(0.5)
+        )
+        sw = _stopword_ratio_tk(tk)
+        sw_ok = F.least(sw * 4.0, F.lit(1.0))
+        noise = punct_ratio(c) + digit_ratio(c)
+        noise_ok = F.greatest(F.lit(0.0), F.lit(1.0) - noise * 2.0)
+        return F.round((length_ok + mtl_ok + sw_ok + noise_ok) / 4.0, 6)
+
+    # one tokenize pass instead of three (token_count +
+    # mean_token_length + stopword_ratio each re-tokenizing)
+    return bind_once(tokens(c), build)
 
 
 def lang_scores(text: Column | str) -> dict[str, Column]:
@@ -152,16 +161,86 @@ def lang_id(text: Column | str) -> Column:
         >>> [r.lang for r in df.select(lang_id("text").alias("lang")).collect()]
         ['en', 'es']
     """
-    scores = lang_scores(text)
-    # build: pick lang with max count, deterministic order
+    c = F.col(text) if isinstance(text, str) else text
+    # one tokenize pass instead of one per language's marker filter
+    return bind_once(tokens(c), _lang_id_tk)
+
+
+def _mean_token_length_tk(tk: Column) -> Column:
+    """mean_token_length over a bound token array (same expression)."""
+    total = F.aggregate(
+        tk, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(F.size(tk) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(tk)
+    )
+
+
+def _stopword_ratio_tk(tk: Column) -> Column:
+    """stopword_ratio over a bound token array (same expression)."""
+    hits = F.size(F.filter(tk, lambda t: F.lower(t).isin(STOPWORDS)))
+    return F.when(F.size(tk) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(tk)
+    )
+
+
+def _lang_id_tk(tk: Column) -> Column:
+    """lang_id over a bound token array (same expression/tie-break)."""
+    lowered = F.transform(tk, F.lower)
+    scores = {
+        lang: F.size(F.filter(lowered, lambda t: t.isin(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
     best_lang = F.lit("und")
     best_score = F.lit(0)
-    for lang in sorted(scores):  # later iterations win only on strict >
+    for lang in sorted(scores):
         s = scores[lang]
         is_better = s > best_score
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(is_better, s).otherwise(best_score)
     return best_lang
+
+
+def profile_struct(text: Column | str) -> Column:
+    """Every token-derived profile metric from ONE tokenize pass.
+
+    The standalone metric functions (``token_count``,
+    ``mean_token_length``, ``stopword_ratio``, ``quality_score``,
+    ``lang_id``) each tokenize independently — fine for one metric,
+    ~6 redundant tokenize passes per row when a profile computes them
+    all. This binds the token array once (``bind_once``) and emits a
+    struct ``(n_tokens, mean_token_len, stopword_ratio, quality,
+    lang_pred)`` with expressions IDENTICAL to the standalone
+    functions (pinned by pytest), so oracle-compared queries can swap
+    it in without value drift. Character-level ratios (punct/digit)
+    evaluate once inside the same struct.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+
+    def build(tk: Column) -> Column:
+        n_tok = F.size(tk)
+        mtl = _mean_token_length_tk(tk)
+        sw = _stopword_ratio_tk(tk)
+        length_ok = F.when(
+            (n_tok.cast("double") >= 10) & (n_tok.cast("double") <= 5000),
+            F.lit(1.0),
+        ).otherwise(F.lit(0.5))
+        mtl_ok = F.when((mtl >= 3.0) & (mtl <= 8.0), F.lit(1.0)).otherwise(
+            F.lit(0.5)
+        )
+        sw_ok = F.least(sw * 4.0, F.lit(1.0))
+        noise = punct_ratio(c) + digit_ratio(c)
+        noise_ok = F.greatest(F.lit(0.0), F.lit(1.0) - noise * 2.0)
+        quality = F.round((length_ok + mtl_ok + sw_ok + noise_ok) / 4.0, 6)
+        return F.struct(
+            n_tok.alias("n_tokens"),
+            mtl.alias("mean_token_len"),
+            sw.alias("stopword_ratio"),
+            quality.alias("quality"),
+            _lang_id_tk(tk).alias("lang_pred"),
+        )
+
+    return bind_once(tokens(c), build)
 
 
 def bind_once(value: Column, build) -> Column:
@@ -204,25 +283,33 @@ def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     The metric expressions are interpreted array HOFs (CodegenFallback)
     — CPU-bound per row — so an under-partitioned scan is widened
-    first (no-op on wide inputs; see plans.ensure_min_parallelism).
+    first (no-op on wide inputs; see plans.ensure_min_parallelism) and
+    all token-derived metrics come from ONE tokenize pass
+    (:func:`profile_struct`; staged through a real column so the
+    struct evaluates once, not once per field reference).
     """
     from ..plans import ensure_min_parallelism
 
     df = ensure_min_parallelism(df)
     c = F.col(text_col)
-    return df.withColumns(
-        {
-            "n_chars_computed": char_count(c),
-            "n_tokens": token_count(c),
-            "n_bpe_ish_tokens": bpe_ish_token_count(c),
-            "mean_token_len": F.round(mean_token_length(c), 6),
-            "stopword_ratio": F.round(stopword_ratio(c), 6),
-            "punct_ratio": F.round(punct_ratio(c), 6),
-            "digit_ratio": F.round(digit_ratio(c), 6),
-            "quality": quality_score(c),
-            "lang_pred": lang_id(c),
-            "fingerprint": fingerprint(c),
-        }
+    p = F.col("__prof")
+    return (
+        df.withColumn("__prof", profile_struct(c))
+        .withColumns(
+            {
+                "n_chars_computed": char_count(c),
+                "n_tokens": p["n_tokens"],
+                "n_bpe_ish_tokens": bpe_ish_token_count(c),
+                "mean_token_len": F.round(p["mean_token_len"], 6),
+                "stopword_ratio": F.round(p["stopword_ratio"], 6),
+                "punct_ratio": F.round(punct_ratio(c), 6),
+                "digit_ratio": F.round(digit_ratio(c), 6),
+                "quality": p["quality"],
+                "lang_pred": p["lang_pred"],
+                "fingerprint": fingerprint(c),
+            }
+        )
+        .drop("__prof")
     )
 
 

@@ -103,6 +103,37 @@ class TestText:
         assert prof.count() == docs.count()
 
 
+class TestProfileStruct:
+    def test_struct_matches_standalone_metrics(self, spark):
+        """profile_struct (one tokenize pass) must equal the standalone
+        metric functions cell-for-cell on real data — the parity pin
+        that lets oracle-compared queries swap it in."""
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        c = F.col("text")
+        p = F.col("__p")
+        merged = docs.withColumn("__p", text.profile_struct(c)).select(
+            "doc_id",
+            p["n_tokens"].alias("s_ntok"),
+            text.token_count(c).alias("f_ntok"),
+            p["mean_token_len"].alias("s_mtl"),
+            text.mean_token_length(c).alias("f_mtl"),
+            p["stopword_ratio"].alias("s_sw"),
+            text.stopword_ratio(c).alias("f_sw"),
+            p["quality"].alias("s_q"),
+            text.quality_score(c).alias("f_q"),
+            p["lang_pred"].alias("s_lang"),
+            text.lang_id(c).alias("f_lang"),
+        )
+        bad = merged.where(
+            (F.col("s_ntok") != F.col("f_ntok"))
+            | (F.col("s_mtl") != F.col("f_mtl"))
+            | (F.col("s_sw") != F.col("f_sw"))
+            | (F.col("s_q") != F.col("f_q"))
+            | (F.col("s_lang") != F.col("f_lang"))
+        )
+        assert bad.count() == 0
+
+
 class TestRepetition:
     def test_kernel_matches_sql_on_corpus(self, spark):
         """The row-local Arrow kernel and the explode-aggregate SQL
