@@ -2082,7 +2082,13 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = plans.ensure_min_parallelism(
         _read(spark, sf_dir, "documents"), key="doc_id"
     )
-    m = quality.gopher_metrics("text")
+    # stage the metrics struct through a column: one tokenize/line
+    # pass for all seven metrics (r4)
+    docs = docs.withColumn("__g", quality.gopher_struct("text"))
+    m = {k: F.col("__g")[k] for k in [
+        "n_words", "mean_word_len", "alpha_word_ratio", "symbol_ratio",
+        "bullet_line_ratio", "ellipsis_line_ratio", "stopword_hits",
+    ]}
     return docs.select(
         "doc_id",
         m["n_words"].cast("long").alias("n_words"),

@@ -50,59 +50,100 @@ def lines(text: Column | str) -> Column:
     return F.split(_col(text), r"\n")
 
 
+def gopher_struct(text: Column | str) -> Column:
+    """All Gopher rule metrics as ONE struct from one tokenize pass
+    and one line-split pass (``text.bind_once``; see the interpreted-
+    HOF re-evaluation note in SCALE.md). Field expressions are
+    identical to :func:`gopher_metrics` (pinned by pytest).
+
+    Fields: ``n_words``, ``mean_word_len``, ``alpha_word_ratio``,
+    ``symbol_ratio``, ``bullet_line_ratio``, ``ellipsis_line_ratio``,
+    ``stopword_hits``. Ratios are 0.0 on empty documents.
+    """
+    from .text import bind_once
+
+    c = _col(text)
+
+    def build(tk: Column) -> Column:
+        n_words = F.size(tk)
+        nw_d = n_words.cast("double")
+        total_len = F.aggregate(
+            tk, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        )
+        mean_word_len = F.when(n_words == 0, F.lit(0.0)).otherwise(
+            F.round(total_len.cast("double") / nw_d, 6)
+        )
+        alpha_hits = F.size(F.filter(tk, lambda t: t.rlike("[A-Za-z]")))
+        alpha_word_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+            F.round(alpha_hits.cast("double") / nw_d, 6)
+        )
+        symbol_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+            F.round(
+                F.regexp_count(c, F.lit(_SYMBOL_RE)).cast("double") / nw_d, 6
+            )
+        )
+        lowered = F.array_distinct(F.transform(tk, F.lower))
+        stopword_hits = F.size(
+            F.array_intersect(
+                lowered, F.array(*[F.lit(w) for w in REQUIRED_STOPWORDS])
+            )
+        )
+
+        def build_lines(ls: Column) -> Column:
+            n_lines = F.size(ls).cast("double")
+            return F.struct(
+                F.round(
+                    F.size(F.filter(ls, lambda l: l.rlike(_BULLET_RE))).cast(
+                        "double"
+                    )
+                    / n_lines,
+                    6,
+                ).alias("b"),
+                F.round(
+                    F.size(
+                        F.filter(ls, lambda l: l.rlike(_ELLIPSIS_END_RE))
+                    ).cast("double")
+                    / n_lines,
+                    6,
+                ).alias("e"),
+            )
+
+        lp = bind_once(lines(c), build_lines)
+        return F.struct(
+            n_words.alias("n_words"),
+            mean_word_len.alias("mean_word_len"),
+            alpha_word_ratio.alias("alpha_word_ratio"),
+            symbol_ratio.alias("symbol_ratio"),
+            lp["b"].alias("bullet_line_ratio"),
+            lp["e"].alias("ellipsis_line_ratio"),
+            stopword_hits.alias("stopword_hits"),
+        )
+
+    return bind_once(tokens(c), build)
+
+
 def gopher_metrics(text: Column | str) -> dict[str, Column]:
     """The per-document metrics behind the Gopher quality rules, as
     named Column expressions (map-only, no UDFs).
 
-    Keys: ``n_words``, ``mean_word_len``, ``alpha_word_ratio``,
-    ``symbol_ratio``, ``bullet_line_ratio``, ``ellipsis_line_ratio``,
-    ``stopword_hits``. Ratios are 0.0 on empty documents.
+    Keys match :func:`gopher_struct`'s fields. Each dict entry is an
+    independent Column (its own tokenize pass when evaluated alone);
+    when selecting SEVERAL metrics at once, stage
+    ``gopher_struct(text)`` through a column instead — one pass for
+    all of them.
     """
-    c = _col(text)
-    toks = tokens(c)
-    n_words = F.size(toks)
-    nw_d = n_words.cast("double")
-    total_len = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-    )
-    mean_word_len = F.when(n_words == 0, F.lit(0.0)).otherwise(
-        F.round(total_len.cast("double") / nw_d, 6)
-    )
-    alpha_hits = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
-    alpha_word_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
-        F.round(alpha_hits.cast("double") / nw_d, 6)
-    )
-    symbol_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
-        F.round(F.regexp_count(c, F.lit(_SYMBOL_RE)).cast("double") / nw_d, 6)
-    )
-    ls = lines(c)
-    n_lines = F.size(ls).cast("double")
-    bullet_line_ratio = F.round(
-        F.size(F.filter(ls, lambda l: l.rlike(_BULLET_RE))).cast("double")
-        / n_lines,
-        6,
-    )
-    ellipsis_line_ratio = F.round(
-        F.size(F.filter(ls, lambda l: l.rlike(_ELLIPSIS_END_RE))).cast(
-            "double"
-        )
-        / n_lines,
-        6,
-    )
-    lowered = F.array_distinct(F.transform(toks, F.lower))
-    stopword_hits = F.size(
-        F.array_intersect(
-            lowered, F.array(*[F.lit(w) for w in REQUIRED_STOPWORDS])
-        )
-    )
+    gs = gopher_struct(text)
     return {
-        "n_words": n_words,
-        "mean_word_len": mean_word_len,
-        "alpha_word_ratio": alpha_word_ratio,
-        "symbol_ratio": symbol_ratio,
-        "bullet_line_ratio": bullet_line_ratio,
-        "ellipsis_line_ratio": ellipsis_line_ratio,
-        "stopword_hits": stopword_hits,
+        k: gs[k]
+        for k in [
+            "n_words",
+            "mean_word_len",
+            "alpha_word_ratio",
+            "symbol_ratio",
+            "bullet_line_ratio",
+            "ellipsis_line_ratio",
+            "stopword_hits",
+        ]
     }
 
 
@@ -134,17 +175,23 @@ def gopher_pass(
         >>> [r.ok for r in df.select(gate.alias("ok")).collect()]
         [True, False]
     """
-    m = gopher_metrics(text)
-    return (
-        (m["n_words"] >= min_words)
-        & (m["n_words"] <= max_words)
-        & (m["mean_word_len"] >= min_mean_word_len)
-        & (m["mean_word_len"] <= max_mean_word_len)
-        & (m["symbol_ratio"] <= max_symbol_ratio)
-        & (m["bullet_line_ratio"] <= max_bullet_line_ratio)
-        & (m["ellipsis_line_ratio"] <= max_ellipsis_line_ratio)
-        & (m["alpha_word_ratio"] >= min_alpha_word_ratio)
-        & (m["stopword_hits"] >= min_stopword_hits)
+    from .text import bind_once
+
+    # bind the metrics struct once so the nine rule terms reference a
+    # materialized value, not nine copies of the metric subtree
+    return bind_once(
+        gopher_struct(text),
+        lambda m: (
+            (m["n_words"] >= min_words)
+            & (m["n_words"] <= max_words)
+            & (m["mean_word_len"] >= min_mean_word_len)
+            & (m["mean_word_len"] <= max_mean_word_len)
+            & (m["symbol_ratio"] <= max_symbol_ratio)
+            & (m["bullet_line_ratio"] <= max_bullet_line_ratio)
+            & (m["ellipsis_line_ratio"] <= max_ellipsis_line_ratio)
+            & (m["alpha_word_ratio"] >= min_alpha_word_ratio)
+            & (m["stopword_hits"] >= min_stopword_hits)
+        ),
     )
 
 
@@ -177,24 +224,32 @@ def classifier_score(
     distill big quality models into linear scorers.
     """
     from . import text as T
+    from .text import bind_once
 
     w = DEFAULT_CLASSIFIER_WEIGHTS if weights is None else weights
     b = DEFAULT_CLASSIFIER_BIAS if bias is None else bias
     c = _col(text)
-    n_words = T.token_count(c).cast("double")
-    feats: dict[str, Column] = {
-        "stopword_ratio": T.stopword_ratio(c),
-        "mean_word_len_centered": F.abs(T.mean_token_length(c) - F.lit(5.0)),
-        "punct_ratio": T.punct_ratio(c),
-        "digit_ratio": T.digit_ratio(c),
-        "log_n_words": F.log(n_words + F.lit(1.0)),
-    }
-    z = F.lit(float(b))
-    for name, weight in sorted(w.items()):
-        if name not in feats:
-            raise KeyError(f"unknown classifier feature: {name}")
-        z = z + F.lit(float(weight)) * feats[name]
-    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+
+    def build(tk: Column) -> Column:
+        # one tokenize pass for all token-derived features
+        n_words = F.size(tk).cast("double")
+        feats: dict[str, Column] = {
+            "stopword_ratio": T._stopword_ratio_tk(tk),
+            "mean_word_len_centered": F.abs(
+                T._mean_token_length_tk(tk) - F.lit(5.0)
+            ),
+            "punct_ratio": T.punct_ratio(c),
+            "digit_ratio": T.digit_ratio(c),
+            "log_n_words": F.log(n_words + F.lit(1.0)),
+        }
+        z = F.lit(float(b))
+        for name, weight in sorted(w.items()):
+            if name not in feats:
+                raise KeyError(f"unknown classifier feature: {name}")
+            z = z + F.lit(float(weight)) * feats[name]
+        return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+
+    return bind_once(T.tokens(c), build)
 
 
 def unigram_surprise(
