@@ -51,6 +51,10 @@ HEADLINE = [
     "decontam_report",
     "dsir_sample",
     "pack_sequences",
+    # round-4 operators
+    "ccnet_buckets",
+    "budget_mix",
+    "leakage_safe_split",
 ]
 
 
