@@ -8,7 +8,7 @@ wiring, watermarked windowed quality metrics, and gap sessionization.
 """
 
 from .stateful import running_counts, running_dedup
-from .ingest import incremental_dedup_stream
+from .ingest import incremental_dedup_stream, incremental_semantic_dedup_stream
 from .pipeline import (
     flag_violations_stream,
     read_stream,
@@ -21,6 +21,7 @@ from .tws import timeout_sessions, timeout_sessions_tws
 __all__ = [
     "flag_violations_stream",
     "incremental_dedup_stream",
+    "incremental_semantic_dedup_stream",
     "running_counts",
     "running_dedup",
     "read_stream",

@@ -104,3 +104,91 @@ def incremental_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_semantic_dedup_stream(
+    sdf: DataFrame,
+    corpus: DataFrame,
+    accepted_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    threshold: float = 0.97,
+    available_now: bool = True,
+    on_batch: Callable[[DataFrame, int], None] | None = None,
+) -> StreamingQuery:
+    """Streaming EMBEDDING ingest dedup: the semantic counterpart of
+    :func:`incremental_dedup_stream` — each micro-batch of vectors is
+    deduplicated against everything already accepted (the static seed
+    corpus AND every earlier batch's survivors), then within itself.
+
+    Per batch, in order:
+
+    1. :func:`~flycatcher_spark.operators.quality.incremental_semantic_dedup`
+       drops batch vectors cosine-similar (>= ``threshold``) to any
+       same-cluster accepted vector — per-cluster new x corpus BLAS
+       blocks, never a corpus self-join, so batch cost scales with
+       the batch;
+    2. :func:`~flycatcher_spark.operators.quality.semantic_dedup`
+       collapses near-duplicates WITHIN the surviving batch (min-id
+       representative per transitive component);
+    3. survivors append to ``accepted_dir`` — the accepted table IS
+       the operator state (restart-safe, inspectable), exactly the
+       exact-dedup stream's contract.
+
+    Semantics note (inherent to greedy ingest, documented rather than
+    hidden): acceptance is arrival-order greedy. A later vector is
+    compared against accepted SURVIVORS only — if it is a near-dup of
+    an earlier batch's *dropped* vector but not of any survivor, it
+    survives; a single all-at-once batch run could instead chain them
+    into one component. This matches how production semantic-dedup
+    ingest behaves (SemDeDup applied incrementally); the equivalence
+    test pins stream == the same batches applied sequentially in
+    batch mode, and single-batch streams == one batch call exactly.
+
+    Same exactly-once caveat as :func:`incremental_dedup_stream`:
+    plain parquet append re-appends on epoch retry; use per-epoch
+    partitions or an ACID format in production.
+    """
+    from ..operators.quality import incremental_semantic_dedup, semantic_dedup
+
+    spark = sdf.sparkSession
+    cols = [id_col, vec_col, cluster_col]
+    seed = corpus.select(*cols)
+
+    def _process(batch: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        try:
+            accepted = spark.read.parquet(accepted_dir).select(*cols)
+            target = seed.unionByName(accepted)
+        except AnalysisException:  # first epoch: no accepted table yet
+            target = seed
+        fresh = incremental_semantic_dedup(
+            batch.select(*cols),
+            target,
+            id_col=id_col,
+            vec_col=vec_col,
+            cluster_col=cluster_col,
+            threshold=threshold,
+        )
+        kept = semantic_dedup(
+            fresh,
+            id_col=id_col,
+            vec_col=vec_col,
+            cluster_col=cluster_col,
+            threshold=threshold,
+        )
+        kept.write.mode("append").parquet(accepted_dir)
+        if on_batch is not None:
+            on_batch(kept, epoch_id)
+
+    writer = (
+        sdf.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -169,3 +169,88 @@ def test_gated_stream_equals_gated_batch(spark, tmp_path):
     # nothing lost: every input doc is accepted, rejected, or a dup
     dropped_as_dup = {20}
     assert streamed | rejected | dropped_as_dup == {10, 11, 20, 21}
+
+
+VEC_SCHEMA = "vec_id long, embedding array<double>, label int"
+
+
+def _write_vec_file(spark, path, rows, mtime):
+    df = spark.createDataFrame(rows, VEC_SCHEMA).coalesce(1)
+    df.write.mode("overwrite").parquet(path)
+    for name in os.listdir(path):
+        os.utime(os.path.join(path, name), (mtime, mtime))
+    os.utime(path, (mtime, mtime))
+
+
+def test_semantic_stream_equals_sequential_batches(spark, tmp_path):
+    """Streamed embedding ingest == the same micro-batches applied
+    sequentially in batch mode (incremental vs accepted, then
+    within-batch semantic dedup, survivors accumulate)."""
+    from flycatcher_spark.operators.quality import (
+        incremental_semantic_dedup,
+        semantic_dedup,
+    )
+    from flycatcher_spark.streaming import incremental_semantic_dedup_stream
+
+    corpus_rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.0, 1.0, 0.0], 0),
+        (3, [1.0, 0.0, 0.0], 1),   # same direction, other cluster
+    ]
+    corpus = spark.createDataFrame(corpus_rows, VEC_SCHEMA)
+
+    batches = [
+        [
+            (10, [1.0, 0.001, 0.0], 0),   # near-dup of seed 1: dropped
+            (11, [0.0, 0.0, 1.0], 0),     # orthogonal: survives
+            (12, [0.0, 0.001, 1.0], 0),   # within-batch dup of 11: dropped
+        ],
+        [
+            (20, [0.0, 0.002, 1.0], 0),   # near-dup of batch-1 SURVIVOR 11
+            (21, [0.0, 1.0, 0.0], 1),     # new direction in cluster 1
+            (22, [0.7, 0.7, 0.0], 0),     # genuinely new: survives
+        ],
+        [
+            (30, [0.7, 0.701, 0.0], 0),   # near-dup of batch-2 survivor 22
+            (31, [0.0, 0.999, 0.001], 1), # near-dup of batch-2 survivor 21
+            (32, [0.5, 0.0, 0.5], 1),     # survives
+        ],
+    ]
+
+    src = str(tmp_path / "vec_src")
+    os.makedirs(src, exist_ok=True)
+    base = time.time() - 1000
+    for i, rows in enumerate(batches):
+        _write_vec_file(spark, f"{src}/b{i}", rows, base + i * 60)
+
+    accepted_dir = str(tmp_path / "vec_accepted")
+    q = incremental_semantic_dedup_stream(
+        spark.readStream.schema(VEC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*"),
+        corpus,
+        accepted_dir,
+        str(tmp_path / "vec_ckpt"),
+        threshold=0.97,
+    )
+    q.awaitTermination(120)
+
+    streamed = sorted(
+        r["vec_id"] for r in spark.read.parquet(accepted_dir).collect()
+    )
+
+    # batch-mode replay of the same micro-batches, in order
+    target = corpus
+    expected = []
+    for rows in batches:
+        b = spark.createDataFrame(rows, VEC_SCHEMA)
+        fresh = incremental_semantic_dedup(b, target, threshold=0.97)
+        kept = semantic_dedup(fresh, threshold=0.97)
+        expected.extend(r["vec_id"] for r in kept.collect())
+        target = target.unionByName(kept)
+
+    assert streamed == sorted(expected)
+    # sanity on the planted fixture itself
+    assert 10 not in streamed and 12 not in streamed   # dup of seed / in-batch
+    assert 20 not in streamed and 30 not in streamed   # dup of earlier survivor
+    assert {11, 21, 22, 32} <= set(streamed)
