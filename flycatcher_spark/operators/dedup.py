@@ -701,6 +701,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     impl: str = "numpy",
     chunk_rows: int = 2048,
+    salt: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking key.
 
@@ -715,6 +716,14 @@ def embedding_neardup_pairs(
       block — all-pairs is the semantics; choose the blocking key so
       clusters stay in the thousands.) Values can differ from the sql
       fold in the last float ulp (pairwise vs sequential summation).
+    - ``salt=s`` (numpy path): additionally SPLITS every block into
+      ``s`` hash sub-groups and runs each of the s(s+1)/2 sub-group
+      pairs as its own task — the straggler fix for ONE pathologically
+      hot cluster, whose all-pairs compute would otherwise serialize
+      into a single task even with bounded memory. Each vector ships
+      ``s`` copies through the shuffle (the standard replicated-salt
+      trade); results are identical to unsalted (pinned by pytest:
+      every intra-cluster pair lands in exactly one sub-group task).
     - ``impl="sql"``: pairwise self-join with a sequential-fold dot
       product — exact, engine-portable values. Use this explicit
       oracle mode when hash-comparing against another engine; the
@@ -731,17 +740,12 @@ def embedding_neardup_pairs(
         thr = threshold
         step = max(1, int(chunk_rows))
 
-        def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values(id_col)
-            ids = pdf[id_col].to_numpy()
+        def _self_pairs(ids, V):
+            """Upper-triangle near-dup pairs within one vector set
+            (ids pre-sorted), chunked over row slabs."""
             n = len(ids)
-            if n < 2:
-                return pd.DataFrame(
-                    {"id_a": ids[:0], "id_b": ids[:0], "cosine": []}
-                )
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            norms = np.linalg.norm(V, axis=1)
             out_a, out_b, out_s = [], [], []
+            norms = np.linalg.norm(V, axis=1)
             jj = np.arange(n)[None, :]
             for c0 in range(0, n - 1, step):
                 c1 = min(c0 + step, n)
@@ -758,6 +762,41 @@ def embedding_neardup_pairs(
                 out_a.append(ids[c0 + r])
                 out_b.append(ids[c])
                 out_s.append(Sr[r, c])
+            return out_a, out_b, out_s
+
+        def _cross_pairs(ids_a, Va, ids_b, Vb):
+            """Near-dup pairs across two DISJOINT vector sets, chunked;
+            output ids ordered (min, max) to match the self case."""
+            out_a, out_b, out_s = [], [], []
+            na = np.linalg.norm(Va, axis=1)
+            nb = np.linalg.norm(Vb, axis=1)
+            for c0 in range(0, Va.shape[0], step):
+                c1 = min(c0 + step, Va.shape[0])
+                denom = np.outer(na[c0:c1], nb)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = np.where(
+                        denom > 0, (Va[c0:c1] @ Vb.T) / denom, np.nan
+                    )
+                    Sr = np.round(S, 6)
+                    hit = Sr >= thr
+                r, c = np.nonzero(hit)
+                ia = ids_a[c0 + r]
+                ib = ids_b[c]
+                out_a.append(np.minimum(ia, ib))
+                out_b.append(np.maximum(ia, ib))
+                out_s.append(Sr[r, c])
+            return out_a, out_b, out_s
+
+        def _empty(ids):
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0], "cosine": []})
+
+        def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(id_col)
+            ids = pdf[id_col].to_numpy()
+            if len(ids) < 2:
+                return _empty(ids)
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            out_a, out_b, out_s = _self_pairs(ids, V)
             return pd.DataFrame(
                 {
                     "id_a": np.concatenate(out_a),
@@ -767,9 +806,50 @@ def embedding_neardup_pairs(
             )
 
         id_type = df.schema[id_col].dataType.simpleString()
-        return base.groupBy(block_col).applyInPandas(
-            per_block, f"id_a {id_type}, id_b {id_type}, cosine double"
-        )
+        out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+
+        if salt is not None and int(salt) > 1:
+            s = int(salt)
+            g = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(s))
+            # explode over all s partner groups: x == g is the one
+            # diagonal copy, each x != g meets that group's task once —
+            # (id, __pa, __pb) is already unique, no dedup needed
+            rep = (
+                base.withColumn("__g", g)
+                .withColumn(
+                    "__x", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+                )
+                .withColumn("__pa", F.least("__g", "__x"))
+                .withColumn("__pb", F.greatest("__g", "__x"))
+            )
+
+            def per_salted(pdf: pd.DataFrame) -> pd.DataFrame:
+                pa = int(pdf["__pa"].iat[0])
+                pb = int(pdf["__pb"].iat[0])
+                if pa == pb:
+                    return per_block(pdf[[id_col, vec_col]])
+                a = pdf[pdf["__g"] == pa].sort_values(id_col)
+                b = pdf[pdf["__g"] == pb].sort_values(id_col)
+                ids_a = a[id_col].to_numpy()
+                ids_b = b[id_col].to_numpy()
+                if len(ids_a) == 0 or len(ids_b) == 0:
+                    return _empty(ids_a)
+                Va = np.stack(a[vec_col].to_numpy()).astype(np.float64)
+                Vb = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+                out_a, out_b, out_s = _cross_pairs(ids_a, Va, ids_b, Vb)
+                return pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "cosine": np.concatenate(out_s),
+                    }
+                )
+
+            return rep.groupBy(block_col, "__pa", "__pb").applyInPandas(
+                per_salted, out_schema
+            )
+
+        return base.groupBy(block_col).applyInPandas(per_block, out_schema)
 
     left = base.alias("l")
     right = base.alias("r")

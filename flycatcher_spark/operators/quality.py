@@ -1055,11 +1055,15 @@ def semantic_dedup(
     cluster_col: str = "label",
     threshold: float = 0.97,
     impl: str = "numpy",
+    salt: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: within each cluster, drop every
     vector whose cosine to another cluster member exceeds
     ``threshold``, keeping one deterministic representative (min id)
-    per near-duplicate component.
+    per near-duplicate component. ``salt=s`` splits each cluster's
+    pair generation into s(s+1)/2 sub-group tasks (identical results;
+    the straggler fix for one pathologically hot cluster — see
+    :func:`dedup.embedding_neardup_pairs`).
 
     The cluster column is the blocking key — any assignment works
     (a label, an IVF/KMeans cell from ``similarity.ivf_topk``'s
@@ -1090,6 +1094,7 @@ def semantic_dedup(
         block_col=cluster_col,
         threshold=threshold,
         impl=impl,
+        salt=salt,
     )
     comp = connected_components(pairs, src_col="id_a", dst_col="id_b")
     losers = comp.where(F.col("node") != F.col("component")).select(
