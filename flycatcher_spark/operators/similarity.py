@@ -238,6 +238,59 @@ def signature_bits_kernel(
     return _sig(vec)
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    max_train_rows: int = 100_000,
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer (MLlib KMeans over a bounded
+    sample) and return the centroids as plain lists — the reusable
+    index artifact. Build once per corpus release (see
+    :func:`save_ivf_centroids`), then pass to :func:`ivf_topk` via
+    ``centroids=`` so search jobs never retrain.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    first = corpus.where(F.col(vec_col).isNotNull()).select(
+        F.size(F.col(vec_col)).alias("d")
+    ).first()
+    if first is None:
+        raise ValueError("train_ivf_centroids: corpus has no non-null vectors")
+    vdim = int(first["d"])
+    valid = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == vdim)
+    train = corpus.where(valid).select(
+        array_to_vector(F.col(vec_col)).alias("features")
+    )
+    n = train.count()
+    if n > max_train_rows:
+        train = train.sample(fraction=max_train_rows / n, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def save_ivf_centroids(
+    spark, centroids: list[list[float]], path: str
+) -> None:
+    """Persist IVF centroids as a tiny parquet side table
+    ``(cell int, center array<double>)`` — the production index
+    artifact: train once per corpus release, broadcast-read by every
+    search job."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(rows, "cell int, center array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_ivf_centroids(spark, path: str) -> list[list[float]]:
+    """Load centroids saved by :func:`save_ivf_centroids` (cell order
+    restored)."""
+    rows = spark.read.parquet(path).orderBy("cell").collect()
+    return [[float(x) for x in r["center"]] for r in rows]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -250,6 +303,7 @@ def ivf_topk(
     seed: int = 42,
     max_train_rows: int = 100_000,
     impl: str = "numpy",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate nearest neighbors.
 
@@ -273,10 +327,10 @@ def ivf_topk(
 
     Returns ``(query_id, vec_id, sim, rank)`` like
     :func:`brute_force_topk` (which remains the exact baseline).
+    Passing pretrained ``centroids`` (from :func:`train_ivf_centroids`
+    / :func:`load_ivf_centroids`) skips the training stage entirely —
+    the production search-job shape.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     query_id_col = query_id_col or id_col
 
     # Null / ragged embeddings crash KMeans training and can't be
@@ -292,14 +346,14 @@ def ivf_topk(
     corpus = corpus.where(valid)
     queries = queries.where(valid)
 
-    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
-    n = train.count()
-    if n > max_train_rows:
-        train = train.sample(fraction=max_train_rows / n, seed=seed)
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
-    centroids = [
-        [float(x) for x in c] for c in model.clusterCenters()
-    ]
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus,
+            vec_col=vec_col,
+            n_cells=n_cells,
+            seed=seed,
+            max_train_rows=max_train_rows,
+        )
 
     def _cell_scores(vec: Column) -> list[Column]:
         # negative squared L2 to each centroid (driver-side literals)
@@ -588,6 +642,35 @@ def train_pq_codebooks(
     for j in range(m):
         cb = _np_kmeans(X[:, j * sub : (j + 1) * sub], n_codes, seed + j)
         books[j, : cb.shape[0]] = cb  # k-means may clamp k to sample size
+    return books
+
+
+def save_pq_codebooks(spark, codebooks: np.ndarray, path: str) -> None:
+    """Persist PQ codebooks as a small parquet side table
+    ``(m int, code int, sub array<double>)`` — train once per corpus
+    release, reuse for every encode/search job (training is the only
+    bounded-sample job; application stays map-only everywhere)."""
+    m, n_codes, _ = codebooks.shape
+    rows = [
+        (int(j), int(c), [float(x) for x in codebooks[j, c]])
+        for j in range(m)
+        for c in range(n_codes)
+    ]
+    spark.createDataFrame(
+        rows, "m int, code int, sub array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_pq_codebooks(spark, path: str) -> np.ndarray:
+    """Load codebooks saved by :func:`save_pq_codebooks` (shape and
+    ordering restored; round-trip is bit-exact for float64)."""
+    rows = spark.read.parquet(path).orderBy("m", "code").collect()
+    m = max(r["m"] for r in rows) + 1
+    n_codes = max(r["code"] for r in rows) + 1
+    sub = len(rows[0]["sub"])
+    books = np.zeros((m, n_codes, sub), dtype=np.float64)
+    for r in rows:
+        books[r["m"], r["code"]] = np.asarray(r["sub"], dtype=np.float64)
     return books
 
 

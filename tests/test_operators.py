@@ -973,3 +973,44 @@ class TestCosineKernel:
         import math
         assert rows[2] is None or math.isnan(rows[2])
         assert rows[3] is None or math.isnan(rows[3])
+
+
+class TestAnnIndexPersistence:
+    def test_pq_codebooks_roundtrip_bit_exact(self, spark, tmp_path):
+        em = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).selectExpr("vec_id", "CAST(embedding AS array<double>) AS embedding")
+        books = similarity.train_pq_codebooks(em, m=8, n_codes=16)
+        path = str(tmp_path / "pq_books")
+        similarity.save_pq_codebooks(spark, books, path)
+        loaded = similarity.load_pq_codebooks(spark, path)
+        import numpy as np
+
+        assert loaded.shape == books.shape
+        assert np.array_equal(loaded, books)   # float64 round-trip exact
+
+    def test_ivf_pretrained_equals_inline(self, spark, tmp_path):
+        """Search with saved+loaded centroids == inline training with
+        the same seed (the production train-once/search-many shape)."""
+        em = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).selectExpr("vec_id", "CAST(embedding AS array<double>) AS embedding")
+        queries = em.where("vec_id < 3")
+        cents = similarity.train_ivf_centroids(em, n_cells=4, seed=7)
+        path = str(tmp_path / "ivf_cents")
+        similarity.save_ivf_centroids(spark, cents, path)
+        loaded = similarity.load_ivf_centroids(spark, path)
+        assert loaded == cents
+        a = {
+            (r.query_id, r.vec_id, r.rank)
+            for r in similarity.ivf_topk(
+                em, queries, k=3, n_cells=4, n_probe=2, seed=7
+            ).collect()
+        }
+        b = {
+            (r.query_id, r.vec_id, r.rank)
+            for r in similarity.ivf_topk(
+                em, queries, k=3, n_cells=4, n_probe=2, centroids=loaded
+            ).collect()
+        }
+        assert a == b and len(a) > 0
