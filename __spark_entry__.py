@@ -2011,15 +2011,29 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = similarity.ivf_topk(em, q, k=5, n_cells=8, n_probe=2, seed=7).select(
         "query_id", F.col("vec_id").alias("nn")
     )
+    ivf6 = similarity.ivf_topk(em, q, k=5, n_cells=8, n_probe=6, seed=7).select(
+        "query_id", F.col("vec_id").alias("nn")
+    )
     pq = similarity.pq_topk(em, q, k=5, m=32, n_codes=16, seed=42).select(
         "query_id", F.col("vec_id").alias("nn")
     )
+    pq_rr = similarity.pq_topk(
+        em, q, k=5, m=32, n_codes=16, seed=42, rerank=4
+    ).select("query_id", F.col("vec_id").alias("nn"))
+    ivfpq = similarity.ivf_pq_topk(
+        em, q, k=5, n_cells=8, n_probe=6, m=32, n_codes=16, seed=7, rerank=8
+    ).select("query_id", F.col("vec_id").alias("nn"))
     n_truth = F.lit(100.0)  # 20 queries x k=5
     configs = (
         ("lsh_4bit_16tables", lsh(4, 16)),  # high recall, more compute
         ("lsh_6bit_8tables", lsh(6, 8)),    # cheaper, lower recall
         ("ivf_probe2of8", ivf),
         ("pq_m32_codes16", pq),  # 8x-compressed codes, ADC scoring
+        # -- r5 production search paths (exact re-rank stage): recall
+        # -- >= 0.95 on this fixture, the shipped-ANN bar ------------
+        ("ivf_probe6of8", ivf6),
+        ("pq_m32_rerank4", pq_rr),
+        ("ivfpq_probe6of8_rerank8", ivfpq),
     )
     for name, approx in configs:
         hit = exact.join(approx, ["query_id", "nn"], "left_semi")
@@ -2046,6 +2060,25 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = _emb_double(spark, sf_dir)
     q = em.filter(F.col("vec_id") < 10)
     res = similarity.pq_topk(em, q, k=5, m=32, n_codes=16, seed=42)
+    return res.select(
+        "query_id", "vec_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_ivf_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ+exact-rerank ANN (similarity.ivf_pq_topk — the
+    production search composite) in its oracle-checkable
+    configuration: every cell probed and a rerank shortlist wide
+    enough that the re-ranked output provably equals exact
+    brute-force top-k, which DuckDB computes directly. Proves the
+    whole pipeline — cell assign → PQ encode → ADC shortlist → exact
+    re-rank over raw vectors — end-to-end; pruned-probe recall
+    (>= 0.95 at probe 6/8) is quantified by ann_recall."""
+    em = _emb_double(spark, sf_dir)
+    q = em.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 30))
+    res = similarity.ivf_pq_topk(
+        em, q, k=5, n_cells=8, n_probe=8, m=32, n_codes=16, seed=7, rerank=8
+    )
     return res.select(
         "query_id", "vec_id", "sim", F.col("rank").cast("long").alias("rank")
     )
@@ -2500,6 +2533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     replica (tools/check_oracle.py) regardless of position.
     """
     return {
+        "ivf_rerank_topk": q_ivf_rerank_topk,
         # == positions 1-20: the 20 oracle-bearing queries with NO
         # == driver-green row in any round (r4 priority per VERDICT).
         # -- 5 regressions fixed in r3, verified locally at sf0.01,
@@ -4616,6 +4650,24 @@ def oracle_sql() -> dict[str, str]:
                        CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
                 FROM sc
             ) WHERE rank <= 4
+        """,
+        "ivf_rerank_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id >= 20 AND vec_id < 30),
+            sc AS (
+                SELECT q.query_id, e.vec_id,
+                       round(CASE WHEN sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)) > 0
+                                  THEN list_dot_product(e.v, q.qv)
+                                       / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+                             END, 6) AS sim
+                FROM e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, vec_id, sim, rank FROM (
+                SELECT query_id, vec_id, sim,
+                       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+                FROM sc
+            ) WHERE rank <= 5
         """,
         "knn_topk": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -551,6 +551,73 @@ class TestSimilarity:
             em, q, k=3, n_cells=4, n_probe=2, seed=7, impl="sql").collect()))
         assert a == b
 
+    def test_rerank_recovers_exact_topk(self, spark):
+        """When the shortlist contains the true neighbors, rerank_exact
+        must reproduce exact brute-force top-k — ranking AND sims."""
+        em = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        q = em.filter(F.col("vec_id") < 5)
+        exact10 = similarity.brute_force_topk(em, q, k=10)
+        rr = similarity.rerank_exact(exact10, em, q, k=5)
+        exact5 = similarity.brute_force_topk(em, q, k=5)
+        key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["sim"])
+        assert sorted(map(key, rr.collect())) == sorted(map(key, exact5.collect()))
+
+    def test_pq_rerank_sims_are_exact_cosine(self, spark):
+        """pq_topk(rerank=c): output sims must equal the exact cosine
+        of the raw vectors (the ADC approximation only chooses the
+        shortlist, never the reported score)."""
+        em = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        q = em.filter(F.col("vec_id") < 3)
+        got = similarity.pq_topk(
+            em, q, k=5, m=32, n_codes=16, seed=42, rerank=3
+        )
+        raw = {(r["query_id"], r["vec_id"]): r["sim"] for r in got.collect()}
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in raw], "query_id long, vec_id long"
+        )
+        truth = {
+            (r["query_id"], r["vec_id"]): r["sim"]
+            for r in similarity.rerank_exact(pairs, em, q, k=5).collect()
+        }
+        for key_, sim in truth.items():
+            assert raw[key_] == sim
+
+    def test_ivf_pq_full_probe_rerank_equals_exact(self, spark):
+        """The production composite (IVF cells + PQ ADC + exact
+        re-rank) with every cell probed and a wide shortlist must
+        equal brute force exactly — the oracle-configuration pin."""
+        em = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        q = em.filter(F.col("vec_id") < 5)
+        exact = similarity.brute_force_topk(em, q, k=5)
+        got = similarity.ivf_pq_topk(
+            em, q, k=5, n_cells=4, n_probe=4, m=32, n_codes=16, seed=7, rerank=10
+        )
+        key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["sim"])
+        assert sorted(map(key, got.collect())) == sorted(map(key, exact.collect()))
+
+    def test_ivf_pq_pretrained_equals_inline(self, spark):
+        """Passing pre-trained centroids+codebooks (the train-free
+        production search job) must equal inline training."""
+        em = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        q = em.filter(F.col("vec_id") < 3)
+        cents = similarity.train_ivf_centroids(em, n_cells=4, seed=7)
+        books = similarity.train_pq_codebooks(em, m=32, n_codes=16, seed=7)
+        kwargs = dict(k=5, n_cells=4, n_probe=2, m=32, n_codes=16, seed=7, rerank=4)
+        inline = similarity.ivf_pq_topk(em, q, **kwargs)
+        pre = similarity.ivf_pq_topk(
+            em, q, centroids=cents, codebooks=books, **kwargs
+        )
+        key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["sim"])
+        assert sorted(map(key, pre.collect())) == sorted(map(key, inline.collect()))
+
 
 # ---------------------------------------------------------------------------
 # multimodal
