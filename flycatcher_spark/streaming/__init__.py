@@ -8,7 +8,13 @@ wiring, watermarked windowed quality metrics, and gap sessionization.
 """
 
 from .stateful import running_counts, running_dedup
-from .ingest import incremental_dedup_stream, incremental_semantic_dedup_stream
+from .ingest import (
+    incremental_dedup_stream,
+    incremental_semantic_dedup_stream,
+    make_ingest_processor,
+    make_semantic_ingest_processor,
+    write_epoch_partition,
+)
 from .pipeline import (
     flag_violations_stream,
     read_stream,
@@ -22,6 +28,9 @@ __all__ = [
     "flag_violations_stream",
     "incremental_dedup_stream",
     "incremental_semantic_dedup_stream",
+    "make_ingest_processor",
+    "make_semantic_ingest_processor",
+    "write_epoch_partition",
     "running_counts",
     "running_dedup",
     "read_stream",

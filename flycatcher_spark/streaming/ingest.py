@@ -11,16 +11,24 @@ into ``foreachBatch``:
   the seed corpus — the corpus side contributes only its distinct
   fingerprint column to the anti-join, so batch cost scales with the
   batch (see SCALE.md);
-- survivors append to the accepted table, becoming the dedup target
-  for the next batch: a within-stream duplicate is dropped even
-  across micro-batches, without any in-memory operator state (the
-  accepted table IS the state — restart-safe and inspectable).
+- survivors are written to a **per-epoch partition**
+  (``accepted_dir/epoch=<id>``) with dynamic partition overwrite,
+  becoming the dedup target for the next batch: a within-stream
+  duplicate is dropped even across micro-batches, without any
+  in-memory operator state (the accepted table IS the state —
+  restart-safe and inspectable).
 
-Exactly-once caveat: a plain parquet append re-appends the epoch's
-survivors if the batch is retried after the write. For production,
-write per-epoch partitions (``accepted_dir/epoch=<id>``, overwrite
-mode) or an ACID table format; the epoch id is passed through for
-exactly that.
+Exactly-once: epoch-partitioned writes make batch replay idempotent.
+If an epoch is retried after its write (executor loss, driver
+restart), the retry (a) excludes its own epoch's partition from the
+dedup target, so it recomputes the identical survivor set from the
+identical inputs (Structured Streaming replays the same offsets per
+epoch), and (b) overwrites only its own partition — the accepted
+table after N attempts of an epoch equals the table after one.
+Pinned by ``tests/test_streaming_ingest.py`` replay tests, which
+invoke the batch processor twice with the same epoch id. The same
+pattern quarantines gate rejects (``rejected_dir/epoch=<id>``), so
+the dead-letter table cannot double-count a retried epoch either.
 """
 
 from __future__ import annotations
@@ -31,6 +39,101 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.dedup import incremental_exact_dedup
+
+#: Partition column for per-epoch idempotent writes.
+EPOCH_COL = "epoch"
+
+
+def write_epoch_partition(df: DataFrame, path: str, epoch_id: int) -> None:
+    """Write ``df`` to ``path/epoch=<id>`` with dynamic partition
+    overwrite — the exactly-once sink primitive: replaying the same
+    epoch replaces its own partition and touches no other.
+
+    Examples
+    --------
+        >>> df = spark.range(3).withColumnRenamed("id", "doc_id")
+        >>> d = str(getfixture("tmp_path") / "acc")
+        >>> write_epoch_partition(df, d, 7)
+        >>> write_epoch_partition(df, d, 7)  # replay: no duplication
+        >>> spark.read.parquet(d).count()
+        3
+    """
+    (
+        df.withColumn(EPOCH_COL, F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(EPOCH_COL)
+        .parquet(path)
+    )
+
+
+def read_accepted(
+    spark, accepted_dir: str, cols: list[str], exclude_epoch: int | None = None
+) -> DataFrame | None:
+    """Read the accepted table back as dedup state, or ``None`` if no
+    epoch has written yet. ``exclude_epoch`` drops that epoch's own
+    partition — a retrying epoch must not dedup against its previous
+    attempt's output (partition pruning: the excluded partition is
+    never scanned)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        acc = spark.read.parquet(accepted_dir)
+    except AnalysisException:  # first epoch: no accepted table yet
+        return None
+    if exclude_epoch is not None:
+        acc = acc.where(F.col(EPOCH_COL) != int(exclude_epoch))
+    return acc.select(*cols)
+
+
+def make_ingest_processor(
+    corpus: DataFrame,
+    accepted_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    on_batch: Callable[[DataFrame, int], None] | None = None,
+    gate: Column | None = None,
+    rejected_dir: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Build the exact-dedup ``foreachBatch`` processor. Exposed
+    separately from the stream wrapper so the exactly-once guarantee
+    is directly testable: call it twice with the same ``epoch_id`` and
+    the accepted (and rejected) tables must be unchanged."""
+    spark = corpus.sparkSession
+    cols = [id_col, text_col]
+    seed = corpus.select(*cols)
+
+    def _process(batch: DataFrame, epoch_id: int) -> None:
+        cached = None
+        if gate is not None and rejected_dir is not None:
+            # two sinks read the batch: cache it once, release it when
+            # both writes are done (else cached blocks accumulate in
+            # executor storage for the lifetime of the stream)
+            cached = batch = batch.persist()
+        try:
+            if gate is not None:
+                if rejected_dir is not None:
+                    write_epoch_partition(
+                        batch.where(~F.coalesce(gate, F.lit(False))),
+                        rejected_dir,
+                        epoch_id,
+                    )
+                batch = batch.where(F.coalesce(gate, F.lit(False)))
+            accepted = read_accepted(
+                spark, accepted_dir, cols, exclude_epoch=epoch_id
+            )
+            target = seed if accepted is None else seed.unionByName(accepted)
+            kept = incremental_exact_dedup(
+                batch, target, text_col=text_col, id_col=id_col
+            )
+            write_epoch_partition(kept, accepted_dir, epoch_id)
+            if on_batch is not None:
+                on_batch(kept, epoch_id)
+        finally:
+            if cached is not None:
+                cached.unpersist()
+
+    return _process
 
 
 def incremental_dedup_stream(
@@ -46,7 +149,8 @@ def incremental_dedup_stream(
     rejected_dir: str | None = None,
 ) -> StreamingQuery:
     """Run streaming incremental dedup; survivors accumulate in
-    ``accepted_dir`` (parquet). Returns the started query.
+    ``accepted_dir`` (parquet, one partition per epoch). Returns the
+    started query.
 
     ``gate`` (optional) is any boolean Column applied to each
     micro-batch BEFORE dedup — the streaming quality gate (e.g.
@@ -61,41 +165,15 @@ def incremental_dedup_stream(
     are computed (metrics, side outputs); ``available_now=True``
     drains the source and stops — the backfill/test mode.
     """
-    spark = sdf.sparkSession
-    cols = [id_col, text_col]
-    seed = corpus.select(*cols)
-
-    def _process(batch: DataFrame, epoch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
-        cached = None
-        if gate is not None and rejected_dir is not None:
-            # two sinks read the batch: cache it once, release it when
-            # both writes are done (else cached blocks accumulate in
-            # executor storage for the lifetime of the stream)
-            cached = batch = batch.persist()
-        try:
-            if gate is not None:
-                if rejected_dir is not None:
-                    batch.where(~F.coalesce(gate, F.lit(False))).write.mode(
-                        "append"
-                    ).parquet(rejected_dir)
-                batch = batch.where(F.coalesce(gate, F.lit(False)))
-            try:
-                accepted = spark.read.parquet(accepted_dir).select(*cols)
-                target = seed.unionByName(accepted)
-            except AnalysisException:  # first epoch: no accepted table yet
-                target = seed
-            kept = incremental_exact_dedup(
-                batch, target, text_col=text_col, id_col=id_col
-            )
-            kept.write.mode("append").parquet(accepted_dir)
-            if on_batch is not None:
-                on_batch(kept, epoch_id)
-        finally:
-            if cached is not None:
-                cached.unpersist()
-
+    _process = make_ingest_processor(
+        corpus,
+        accepted_dir,
+        text_col=text_col,
+        id_col=id_col,
+        on_batch=on_batch,
+        gate=gate,
+        rejected_dir=rejected_dir,
+    )
     writer = (
         sdf.writeStream.foreachBatch(_process)
         .option("checkpointLocation", checkpoint_dir)
@@ -104,6 +182,52 @@ def incremental_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def make_semantic_ingest_processor(
+    corpus: DataFrame,
+    accepted_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    threshold: float = 0.97,
+    on_batch: Callable[[DataFrame, int], None] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Build the semantic-dedup ``foreachBatch`` processor (see
+    :func:`make_ingest_processor` for why it is exposed): incremental
+    semantic dedup vs accepted state, within-batch semantic dedup,
+    then an idempotent per-epoch partition write."""
+    from ..operators.quality import incremental_semantic_dedup, semantic_dedup
+
+    spark = corpus.sparkSession
+    cols = [id_col, vec_col, cluster_col]
+    seed = corpus.select(*cols)
+
+    def _process(batch: DataFrame, epoch_id: int) -> None:
+        accepted = read_accepted(
+            spark, accepted_dir, cols, exclude_epoch=epoch_id
+        )
+        target = seed if accepted is None else seed.unionByName(accepted)
+        fresh = incremental_semantic_dedup(
+            batch.select(*cols),
+            target,
+            id_col=id_col,
+            vec_col=vec_col,
+            cluster_col=cluster_col,
+            threshold=threshold,
+        )
+        kept = semantic_dedup(
+            fresh,
+            id_col=id_col,
+            vec_col=vec_col,
+            cluster_col=cluster_col,
+            threshold=threshold,
+        )
+        write_epoch_partition(kept, accepted_dir, epoch_id)
+        if on_batch is not None:
+            on_batch(kept, epoch_id)
+
+    return _process
 
 
 def incremental_semantic_dedup_stream(
@@ -133,9 +257,10 @@ def incremental_semantic_dedup_stream(
     2. :func:`~flycatcher_spark.operators.quality.semantic_dedup`
        collapses near-duplicates WITHIN the surviving batch (min-id
        representative per transitive component);
-    3. survivors append to ``accepted_dir`` — the accepted table IS
-       the operator state (restart-safe, inspectable), exactly the
-       exact-dedup stream's contract.
+    3. survivors land in ``accepted_dir/epoch=<id>`` — the accepted
+       table IS the operator state (restart-safe, inspectable), and
+       the per-epoch dynamic partition overwrite makes epoch replay
+       idempotent (the exact-dedup stream's contract).
 
     Semantics note (inherent to greedy ingest, documented rather than
     hidden): acceptance is arrival-order greedy. A later vector is
@@ -146,44 +271,16 @@ def incremental_semantic_dedup_stream(
     ingest behaves (SemDeDup applied incrementally); the equivalence
     test pins stream == the same batches applied sequentially in
     batch mode, and single-batch streams == one batch call exactly.
-
-    Same exactly-once caveat as :func:`incremental_dedup_stream`:
-    plain parquet append re-appends on epoch retry; use per-epoch
-    partitions or an ACID format in production.
     """
-    from ..operators.quality import incremental_semantic_dedup, semantic_dedup
-
-    spark = sdf.sparkSession
-    cols = [id_col, vec_col, cluster_col]
-    seed = corpus.select(*cols)
-
-    def _process(batch: DataFrame, epoch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
-        try:
-            accepted = spark.read.parquet(accepted_dir).select(*cols)
-            target = seed.unionByName(accepted)
-        except AnalysisException:  # first epoch: no accepted table yet
-            target = seed
-        fresh = incremental_semantic_dedup(
-            batch.select(*cols),
-            target,
-            id_col=id_col,
-            vec_col=vec_col,
-            cluster_col=cluster_col,
-            threshold=threshold,
-        )
-        kept = semantic_dedup(
-            fresh,
-            id_col=id_col,
-            vec_col=vec_col,
-            cluster_col=cluster_col,
-            threshold=threshold,
-        )
-        kept.write.mode("append").parquet(accepted_dir)
-        if on_batch is not None:
-            on_batch(kept, epoch_id)
-
+    _process = make_semantic_ingest_processor(
+        corpus,
+        accepted_dir,
+        id_col=id_col,
+        vec_col=vec_col,
+        cluster_col=cluster_col,
+        threshold=threshold,
+        on_batch=on_batch,
+    )
     writer = (
         sdf.writeStream.foreachBatch(_process)
         .option("checkpointLocation", checkpoint_dir)

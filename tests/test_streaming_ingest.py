@@ -254,3 +254,103 @@ def test_semantic_stream_equals_sequential_batches(spark, tmp_path):
     assert 10 not in streamed and 12 not in streamed   # dup of seed / in-batch
     assert 20 not in streamed and 30 not in streamed   # dup of earlier survivor
     assert {11, 21, 22, 32} <= set(streamed)
+
+
+# ---------------------------------------------------------------------------
+# exactly-once: replaying an epoch must be a no-op
+# ---------------------------------------------------------------------------
+def _table_fingerprint(spark, path):
+    """(sorted ids, file count) — catches both logical duplication and
+    physical re-appends."""
+    df = spark.read.parquet(path)
+    id_col = "doc_id" if "doc_id" in df.columns else "vec_id"
+    ids = sorted(r[id_col] for r in df.collect())
+    return ids
+
+
+def test_exact_ingest_epoch_replay_idempotent(spark, tmp_path):
+    """Retrying a foreachBatch epoch after its write (executor loss /
+    driver restart) must leave the accepted AND rejected tables
+    unchanged — the exactly-once guarantee of the per-epoch dynamic
+    partition overwrite."""
+    from flycatcher_spark.operators import quality
+    from flycatcher_spark.streaming import make_ingest_processor
+
+    corpus = spark.createDataFrame(
+        [(1, "the seed text is about rivers and stones")], SCHEMA
+    )
+    accepted_dir = str(tmp_path / "eo_accepted")
+    rejected_dir = str(tmp_path / "eo_rejected")
+    gate = quality.gopher_pass(
+        "text", min_words=5, min_stopword_hits=1, min_alpha_word_ratio=0.5
+    )
+    process = make_ingest_processor(
+        corpus, accepted_dir, gate=gate, rejected_dir=rejected_dir
+    )
+
+    b0 = spark.createDataFrame(
+        [
+            (10, "the fresh doc talks of rivers and the hills beyond"),
+            (11, "x"),  # gate reject -> dead-letter
+        ],
+        SCHEMA,
+    )
+    b1 = spark.createDataFrame(
+        [
+            (20, "the FRESH doc talks OF rivers and the hills beyond"),  # dup of 10
+            (21, "to be or not to be that is the question here friend"),
+        ],
+        SCHEMA,
+    )
+    process(b0, 0)
+    process(b1, 1)
+    acc_before = _table_fingerprint(spark, accepted_dir)
+    rej_before = _table_fingerprint(spark, rejected_dir)
+    assert acc_before == [10, 21] and rej_before == [11]
+
+    # replay BOTH epochs (same epoch id, same batch — what Structured
+    # Streaming redelivers after a failure between write and commit)
+    process(b0, 0)
+    process(b1, 1)
+    assert _table_fingerprint(spark, accepted_dir) == acc_before
+    assert _table_fingerprint(spark, rejected_dir) == rej_before
+
+    # and a third replay of just the latest epoch
+    process(b1, 1)
+    assert _table_fingerprint(spark, accepted_dir) == acc_before
+
+
+def test_semantic_ingest_epoch_replay_idempotent(spark, tmp_path):
+    """Same exactly-once pin for the embedding ingest stream."""
+    from flycatcher_spark.streaming import make_semantic_ingest_processor
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0], 0), (2, [0.0, 1.0, 0.0], 0)], VEC_SCHEMA
+    )
+    accepted_dir = str(tmp_path / "eo_vec_accepted")
+    process = make_semantic_ingest_processor(
+        corpus, accepted_dir, threshold=0.97
+    )
+    b0 = spark.createDataFrame(
+        [
+            (10, [1.0, 0.001, 0.0], 0),  # near-dup of seed 1: dropped
+            (11, [0.0, 0.0, 1.0], 0),    # survives
+        ],
+        VEC_SCHEMA,
+    )
+    b1 = spark.createDataFrame(
+        [
+            (20, [0.0, 0.002, 1.0], 0),  # near-dup of epoch-0 survivor 11
+            (21, [0.7, 0.7, 0.0], 0),    # survives
+        ],
+        VEC_SCHEMA,
+    )
+    process(b0, 0)
+    process(b1, 1)
+    before = _table_fingerprint(spark, accepted_dir)
+    assert before == [11, 21]
+
+    process(b0, 0)
+    process(b1, 1)
+    process(b1, 1)
+    assert _table_fingerprint(spark, accepted_dir) == before
