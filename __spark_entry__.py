@@ -2107,6 +2107,51 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample_plan(with_payload, id_col="doc_id", every_n_bytes=64)
 
 
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (r5): every document gets a deterministic
+    binary PPM payload (multimodal.make_pnm_payload — pixel i is
+    (doc_id*7 + i*13) % 256), and decode_image_meta genuinely parses
+    the P6 header + raster back out of the bytes inside the Arrow
+    mapInPandas stage. DuckDB replays the pixel formula in closed
+    form, so header fields AND the raster mean are value-checked —
+    the real-decoder upgrade of multimodal_meta (whose byte-stub mode
+    remains the oracle-portable fake)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    with_payload = multimodal.make_pnm_payload(docs, fmt="ppm")
+    meta = multimodal.decode_image_meta(with_payload, id_col="doc_id")
+    return meta.select(
+        "doc_id",
+        "fmt",
+        "width",
+        "height",
+        "maxval",
+        "n_channels",
+        "n_pixel_bytes",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    )
+
+
+def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (r5): deterministic 16-bit PCM WAV payloads
+    (multimodal.make_wav_payload — interleaved sample i is
+    ((doc_id*31 + i*17) % 4096) - 2048), genuinely parsed back
+    (RIFF walk, fmt/data chunks) by decode_wav_meta. DuckDB replays
+    the sample formula, value-checking rate/channels/frames/duration
+    and the sample RMS."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    with_payload = multimodal.make_wav_payload(docs)
+    meta = multimodal.decode_wav_meta(with_payload, id_col="doc_id")
+    return meta.select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        "bits_per_sample",
+        "n_frames",
+        F.round("duration_sec", 6).alias("duration_sec"),
+        F.round("rms", 6).alias("rms"),
+    )
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule gate (operators/quality): per-doc rule
     metrics plus the boolean gate, bounds fitted to the synthetic
@@ -2534,6 +2579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         "ivf_rerank_topk": q_ivf_rerank_topk,
+        "image_decode": q_image_decode,
+        "wav_decode": q_wav_decode,
         # == positions 1-20: the 20 oracle-bearing queries with NO
         # == driver-green row in any round (r4 priority per VERDICT).
         # -- 5 regressions fixed in r3, verified locally at sf0.01,
@@ -4741,6 +4788,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST((octet_length(encode(text)) * 7) % 768 AS BIGINT) AS height,
                    'fake' AS fmt
             FROM documents
+        """,
+        "image_decode": """
+            WITH d AS (
+                SELECT doc_id,
+                       4 + doc_id % 13 AS w,
+                       3 + doc_id % 7 AS h
+                FROM documents
+            ),
+            px AS (
+                SELECT d.doc_id, d.w, d.h,
+                       (d.doc_id * 7 + i * 13) % 256 AS p
+                FROM d, LATERAL (SELECT unnest(range(0, d.w * d.h * 3)) AS i)
+            )
+            SELECT doc_id,
+                   'ppm' AS fmt,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(255 AS BIGINT) AS maxval,
+                   CAST(3 AS BIGINT) AS n_channels,
+                   CAST(w * h * 3 AS BIGINT) AS n_pixel_bytes,
+                   round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS mean_pixel
+            FROM px
+            GROUP BY doc_id, w, h
+        """,
+        "wav_decode": """
+            WITH d AS (
+                SELECT doc_id,
+                       1 + doc_id % 2 AS nch,
+                       50 + doc_id % 100 AS nfr
+                FROM documents
+            ),
+            s AS (
+                SELECT d.doc_id, d.nch, d.nfr,
+                       ((d.doc_id * 31 + i * 17) % 4096) - 2048 AS smp
+                FROM d, LATERAL (SELECT unnest(range(0, d.nfr * d.nch)) AS i)
+            )
+            SELECT doc_id,
+                   CAST(8000 AS BIGINT) AS sample_rate,
+                   CAST(nch AS BIGINT) AS n_channels,
+                   CAST(16 AS BIGINT) AS bits_per_sample,
+                   CAST(nfr AS BIGINT) AS n_frames,
+                   round(CAST(nfr AS DOUBLE) / 8000, 6) AS duration_sec,
+                   round(sqrt(CAST(sum(smp * smp) AS DOUBLE) / count(*)), 6) AS rms
+            FROM s
+            GROUP BY doc_id, nch, nfr
         """,
         "frame_sample": """
             SELECT doc_id,

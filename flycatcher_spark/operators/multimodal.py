@@ -23,9 +23,12 @@ from __future__ import annotations
 from collections.abc import Callable, Iterator
 from typing import Any
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 #: Metadata schema produced by the decode stage, appended to the
 #: pass-through key column.
@@ -151,6 +154,340 @@ def embed_payload(
             )
 
     return df.select(id_col, payload_col).mapInPandas(process, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Real decoders (r5): PPM/PGM image and WAV (PCM) audio
+#
+# The container has no media libraries, but these two formats need
+# none — their headers and payloads are parseable with stdlib + numpy.
+# They make the decode stage REAL (true width/height/duration/channel
+# stats, true pixel/sample-derived embeddings) while the byte-stub
+# above stays as the oracle-portable fake. At 100 TB both run as the
+# same Arrow mapInPandas map-only stage: payloads never leave the
+# executors, output schema is declared up front.
+# ---------------------------------------------------------------------------
+
+#: image metadata emitted by :func:`decode_image_meta`
+IMAGE_META_FIELDS = [
+    T.StructField("fmt", T.StringType()),        # 'ppm' | 'pgm'
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("maxval", T.LongType()),
+    T.StructField("n_channels", T.LongType()),   # 3 for P6, 1 for P5
+    T.StructField("n_pixel_bytes", T.LongType()),
+    T.StructField("mean_pixel", T.DoubleType()),
+]
+
+#: audio metadata emitted by :func:`decode_wav_meta`
+WAV_META_FIELDS = [
+    T.StructField("sample_rate", T.LongType()),
+    T.StructField("n_channels", T.LongType()),
+    T.StructField("bits_per_sample", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("duration_sec", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+]
+
+
+def parse_pnm(payload: bytes) -> dict | None:
+    """Parse a binary PPM (``P6``) or PGM (``P5``) payload: magic,
+    whitespace/comment-tolerant header, then raw pixel bytes. Returns
+    ``None`` for anything that is not a well-formed 8-bit PNM — a
+    real decoder must reject corrupt payloads, not crash the stage.
+    """
+    import numpy as np
+
+    if payload is None or len(payload) < 2:
+        return None
+    magic = bytes(payload[:2])
+    if magic not in (b"P5", b"P6"):
+        return None
+    buf = bytes(payload)
+    # header tokens: magic, width, height, maxval; '#' starts a
+    # comment running to end-of-line (the PNM spec)
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < len(buf):
+        c = buf[pos:pos + 1]
+        if c == b"#":
+            nl = buf.find(b"\n", pos)
+            if nl < 0:
+                return None
+            pos = nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(buf) and not buf[end:end + 1].isspace():
+                end += 1
+            tokens.append(buf[pos:end])
+            pos = end
+    if len(tokens) < 3 or pos >= len(buf):
+        return None
+    try:
+        width, height, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if width <= 0 or height <= 0 or not (0 < maxval < 256):
+        return None
+    pos += 1  # single whitespace byte after maxval, per spec
+    n_ch = 3 if magic == b"P6" else 1
+    n_px = width * height * n_ch
+    pixels = np.frombuffer(buf, dtype=np.uint8, count=-1, offset=pos)
+    if pixels.size < n_px:
+        return None  # truncated raster
+    pixels = pixels[:n_px]
+    return {
+        "fmt": "ppm" if magic == b"P6" else "pgm",
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "n_channels": n_ch,
+        "pixels": pixels,
+    }
+
+
+def parse_wav(payload: bytes) -> dict | None:
+    """Parse a PCM WAV payload: RIFF/WAVE container walk, ``fmt ``
+    chunk (must be PCM, 8/16-bit), ``data`` chunk → int samples.
+    Returns ``None`` for non-WAV / non-PCM / truncated payloads."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 44:
+        return None
+    buf = bytes(payload)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8:pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_fmt, n_channels, sample_rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16) or n_channels < 1:
+        return None
+    if bits == 16:
+        samples = np.frombuffer(
+            data[: len(data) - (len(data) % 2)], dtype="<i2"
+        ).astype(np.int64)
+    else:
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+    n_frames = samples.size // n_channels
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "bits_per_sample": bits,
+        "n_frames": n_frames,
+        "samples": samples[: n_frames * n_channels],
+    }
+
+
+def decode_image_meta(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL image decode over a binary column: parse PPM/PGM headers
+    and raster, emit true dimensions + pixel statistics. Same Arrow
+    ``mapInPandas`` plumbing as :func:`decode_meta` (map-only,
+    payloads stay on executors); malformed payloads yield null
+    metadata rather than failing the stage."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), *IMAGE_META_FIELDS]
+    )
+
+    def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for p in pdf[payload_col]:
+                meta = parse_pnm(p)
+                if meta is None:
+                    rows.append((None,) * 7)
+                else:
+                    px = meta["pixels"]
+                    rows.append(
+                        (
+                            meta["fmt"],
+                            meta["width"],
+                            meta["height"],
+                            meta["maxval"],
+                            meta["n_channels"],
+                            int(px.size),
+                            # full precision (exact: integer sums stay
+                            # below 2^53); consumers round engine-side
+                            float(px.mean()) if px.size else None,
+                        )
+                    )
+            out = pd.DataFrame(
+                rows,
+                columns=[f.name for f in IMAGE_META_FIELDS],
+            )
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(process, schema=out_schema)
+
+
+def decode_wav_meta(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio decode over a binary column: parse the RIFF/WAVE
+    container, emit true rate/channels/duration and sample RMS."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), *WAV_META_FIELDS]
+    )
+
+    def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for p in pdf[payload_col]:
+                meta = parse_wav(p)
+                if meta is None:
+                    rows.append((None,) * 6)
+                else:
+                    s = meta["samples"]
+                    rows.append(
+                        (
+                            meta["sample_rate"],
+                            meta["n_channels"],
+                            meta["bits_per_sample"],
+                            meta["n_frames"],
+                            meta["n_frames"] / meta["sample_rate"],
+                            # exact integer sum of squares / n, then one
+                            # sqrt — reproducible bit-for-bit in SQL
+                            float(np.sqrt(np.mean(np.square(s))))
+                            if s.size
+                            else None,
+                        )
+                    )
+            out = pd.DataFrame(
+                rows, columns=[f.name for f in WAV_META_FIELDS]
+            )
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(process, schema=out_schema)
+
+
+def image_pixel_embedding(payload: bytes, dim: int) -> list | None:
+    """Pixel-derived image embedding for :func:`embed_payload`:
+    a ``dim``-bin normalized histogram of the decoded raster — a real
+    (if simple) visual feature, unlike the byte-bucket stub. Returns
+    ``None`` for undecodable payloads."""
+    import numpy as np
+
+    meta = parse_pnm(payload)
+    if meta is None:
+        return None
+    px = meta["pixels"]
+    if px.size == 0:
+        return None
+    hist = np.bincount((px.astype(np.int64) * dim) // 256, minlength=dim)
+    return [float(h) / px.size for h in hist[:dim]]
+
+
+def audio_sample_embedding(payload: bytes, dim: int) -> list | None:
+    """Sample-derived audio embedding for :func:`embed_payload`:
+    per-segment RMS energy over ``dim`` equal time segments (a crude
+    but real spectral-envelope stand-in)."""
+    import numpy as np
+
+    meta = parse_wav(payload)
+    if meta is None:
+        return None
+    s = meta["samples"].astype(np.float64)
+    if s.size == 0:
+        return None
+    segs = np.array_split(s, dim)
+    return [
+        float(np.sqrt(np.mean(np.square(seg)))) if seg.size else 0.0
+        for seg in segs
+    ]
+
+
+def make_pnm_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fmt: str = "ppm",
+) -> DataFrame:
+    """Build a deterministic PNM payload per row — the test/oracle
+    fixture generator. Dimensions derive from the id and pixel ``i``
+    is ``(id*7 + i*13) % (maxval+1)``, so a SQL oracle can reproduce
+    every decoded statistic in closed form while the Spark path
+    builds REAL bytes and really parses them back."""
+    magic, n_ch = (b"P6", 3) if fmt == "ppm" else (b"P5", 1)
+
+    @pandas_udf("binary")
+    def _build(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if i is None:
+                out.append(None)
+                continue
+            i = int(i)
+            w, h = 4 + i % 13, 3 + i % 7
+            header = magic + b"\n# synthetic\n%d %d\n255\n" % (w, h)
+            n = w * h * n_ch
+            px = (i * 7 + np.arange(n, dtype=np.int64) * 13) % 256
+            out.append(header + px.astype(np.uint8).tobytes())
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, _build(F.col(id_col)))
+
+
+def make_wav_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Build a deterministic 16-bit PCM WAV payload per row (fixture
+    generator; see :func:`make_pnm_payload`). Channels/frames derive
+    from the id; interleaved sample ``i`` is
+    ``((id*31 + i*17) % 4096) - 2048``."""
+    import struct
+
+    @pandas_udf("binary")
+    def _build(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if i is None:
+                out.append(None)
+                continue
+            i = int(i)
+            n_channels = 1 + i % 2
+            n_frames = 50 + i % 100
+            n_samples = n_frames * n_channels
+            samples = (
+                (i * 31 + np.arange(n_samples, dtype=np.int64) * 17) % 4096
+            ) - 2048
+            data = samples.astype("<i2").tobytes()
+            byte_rate = sample_rate * n_channels * 2
+            fmt_chunk = struct.pack(
+                "<HHIIHH", 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16
+            )
+            body = (
+                b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+            out.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, _build(F.col(id_col)))
 
 
 def frame_sample_plan(

@@ -721,6 +721,105 @@ class TestMultimodal:
         }
         assert rows[1] == [1.0, 1.0, 1.0] and rows[2] is None
 
+    def test_pnm_build_decode_roundtrip(self, spark):
+        """make_pnm_payload emits REAL P6 bytes; decode_image_meta
+        must parse dims/maxval/raster back out exactly (known-answer
+        against the generator formula)."""
+        df = spark.createDataFrame([(0,), (42,), (100,)], "doc_id long")
+        meta = {
+            r["doc_id"]: r.asDict()
+            for r in multimodal.decode_image_meta(
+                multimodal.make_pnm_payload(df)
+            ).collect()
+        }
+        import numpy as np
+
+        for i in (0, 42, 100):
+            w, h = 4 + i % 13, 3 + i % 7
+            px = (i * 7 + np.arange(w * h * 3) * 13) % 256
+            m = meta[i]
+            assert (m["fmt"], m["width"], m["height"]) == ("ppm", w, h)
+            assert (m["maxval"], m["n_channels"]) == (255, 3)
+            assert m["n_pixel_bytes"] == w * h * 3
+            assert m["mean_pixel"] == pytest.approx(px.mean(), abs=0)
+
+    def test_pgm_grayscale_decodes(self, spark):
+        df = spark.createDataFrame([(7,)], "doc_id long")
+        [m] = multimodal.decode_image_meta(
+            multimodal.make_pnm_payload(df, fmt="pgm")
+        ).collect()
+        assert m["fmt"] == "pgm" and m["n_channels"] == 1
+        assert m["n_pixel_bytes"] == m["width"] * m["height"]
+
+    def test_image_decode_rejects_corrupt(self, spark):
+        """Corrupt / truncated / non-PNM payloads must yield null
+        metadata, not crash the Arrow stage."""
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(b"JUNKJUNKJUNK")),
+                (2, bytearray(b"P6\n4 4\n255\nxx")),  # truncated raster
+                (3, None),
+                (4, bytearray(b"P6\n-3 2\n255\n")),   # bad dims
+            ],
+            "doc_id long, payload binary",
+        )
+        rows = {r["doc_id"]: r for r in multimodal.decode_image_meta(df).collect()}
+        for i in (1, 2, 3, 4):
+            assert rows[i]["width"] is None and rows[i]["fmt"] is None
+
+    def test_wav_build_decode_roundtrip(self, spark):
+        import numpy as np
+
+        df = spark.createDataFrame([(3,), (8,)], "doc_id long")
+        meta = {
+            r["doc_id"]: r.asDict()
+            for r in multimodal.decode_wav_meta(
+                multimodal.make_wav_payload(df)
+            ).collect()
+        }
+        for i in (3, 8):
+            nch, nfr = 1 + i % 2, 50 + i % 100
+            s = ((i * 31 + np.arange(nfr * nch) * 17) % 4096) - 2048
+            m = meta[i]
+            assert (m["sample_rate"], m["n_channels"]) == (8000, nch)
+            assert (m["bits_per_sample"], m["n_frames"]) == (16, nfr)
+            assert m["duration_sec"] == pytest.approx(nfr / 8000, abs=0)
+            assert m["rms"] == pytest.approx(
+                float(np.sqrt(np.mean(s.astype(float) ** 2))), abs=0
+            )
+
+    def test_wav_decode_rejects_corrupt(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(b"RIFF\x00\x00\x00\x00AVI ")), (2, None)],
+            "doc_id long, payload binary",
+        )
+        rows = {r["doc_id"]: r for r in multimodal.decode_wav_meta(df).collect()}
+        assert all(rows[i]["sample_rate"] is None for i in (1, 2))
+
+    def test_real_media_embeddings_via_embed_payload(self, spark):
+        """The real pixel/sample embedders plug into the existing
+        embed_payload plumbing (same schema/batching) and produce
+        decode-derived features."""
+        import numpy as np
+
+        df = spark.createDataFrame([(5,)], "doc_id long")
+        img = multimodal.make_pnm_payload(df)
+        [r] = multimodal.embed_payload(
+            img, dim=8, embed_fn=multimodal.image_pixel_embedding
+        ).collect()
+        assert len(r["embedding"]) == 8
+        assert sum(r["embedding"]) == pytest.approx(1.0)  # normalized hist
+
+        wav = multimodal.make_wav_payload(df)
+        [r] = multimodal.embed_payload(
+            wav, dim=4, embed_fn=multimodal.audio_sample_embedding
+        ).collect()
+        i, nch, nfr = 5, 1 + 5 % 2, 50 + 5 % 100
+        s = (((i * 31 + np.arange(nfr * nch) * 17) % 4096) - 2048).astype(float)
+        segs = np.array_split(s, 4)
+        expected = [float(np.sqrt(np.mean(seg**2))) for seg in segs]
+        assert r["embedding"] == pytest.approx(expected)
+
 
 class TestConnectedComponents:
     def test_chain_resolves_transitively(self, spark):
