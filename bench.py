@@ -12,12 +12,18 @@ joins whose right side is an aggregate (provably unique key) are
 eliminated outright, so e.g. ``verbatim_overlap`` "ran" in 0.4s
 without ever computing its n-grams. Timings from r4 on are therefore
 honest but NOT comparable to r1-r3 for map-heavy queries.
+
+r5 change: each query runs ``$SPARK_GRAFT_BENCH_RUNS`` times (default
+3) and reports the **median** — single runs showed ±0.3s noise on
+sub-second queries, which made per-query regression gating (see
+``tools/gate.py`` vs ``bench_baseline.json``) too flaky to enforce.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -54,13 +60,19 @@ HEADLINE = [
     # round-4 operators
     "ccnet_buckets",
     "budget_mix",
-    "leakage_safe_split",
+    "leakage_safe_split",       # oracle-equality config (full recall)
+    # round-5 additions
+    "leakage_safe_split_prod",  # production banding — the real cost
+    "image_decode",             # real PPM decode (build + parse)
+    "wav_decode",               # real WAV decode
+    "ivf_rerank_topk",          # ANN composite incl. index training
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
     from pyspark.sql import SparkSession
 
@@ -99,6 +111,7 @@ def main() -> None:
         return s
 
     spark.range(1000).repartition(int(cpus)).select(_warm(F.col("id"))).count()
+
     def run_full(df) -> None:
         # noop sink: full execution of every output column, no driver
         # transfer, no count-only plan pruning
@@ -115,11 +128,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        run_full(fn(spark, sf_dir))
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        print(f"# {name}: full execution in {dt:.2f}s", file=sys.stderr)
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            run_full(fn(spark, sf_dir))
+            runs.append(time.time() - t0)
+        med = statistics.median(runs)
+        timings[name] = round(med, 3)
+        runs_s = "/".join(f"{r:.2f}" for r in runs)
+        print(
+            f"# {name}: median {med:.2f}s over {n_runs} runs ({runs_s})",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

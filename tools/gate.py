@@ -30,6 +30,47 @@ def _run(name: str, cmd: list[str]) -> bool:
     return rc == 0
 
 
+def check_bench_regressions(bench_stdout: str) -> list[str]:
+    """Per-query bench regression gate (r5): compare the bench's
+    median timings against the checked-in ``bench_baseline.json``
+    (recorded medians at the same sf). A query regresses when its
+    median exceeds 1.5x its baseline AND the delta is > 0.75s — the
+    ratio catches real slowdowns, the absolute floor keeps sub-second
+    queries (still ±0.1s even at median-of-3) from flapping the gate.
+    Queries new since the baseline are skipped (refresh the baseline
+    when the headline list grows). Returns offending query names.
+    """
+    import json
+
+    base_path = os.path.join(REPO, "bench_baseline.json")
+    if not os.path.exists(base_path):
+        print("=== bench-regression: no bench_baseline.json, skipped")
+        return []
+    with open(base_path) as f:
+        base = json.load(f)
+    line = next(
+        (ln for ln in bench_stdout.strip().splitlines() if ln.startswith("{")),
+        None,
+    )
+    if line is None:
+        return ["<no-bench-json>"]
+    got = json.loads(line)
+    if got.get("sf") != base.get("sf"):
+        print(
+            f"=== bench-regression: sf mismatch (base {base.get('sf')}, "
+            f"run {got.get('sf')}), skipped"
+        )
+        return []
+    bad = []
+    for name, t in got["queries"].items():
+        b = base["queries"].get(name)
+        if b is None:
+            continue
+        if t > 1.5 * b and t - b > 0.75:
+            bad.append(f"{name}: {t:.2f}s vs baseline {b:.2f}s")
+    return bad
+
+
 def main() -> int:
     failures = []
     if importlib.util.find_spec("ruff"):
@@ -59,10 +100,26 @@ def main() -> int:
             ),
         )
         print("=== bench-smoke: bench.py at", env["SPARK_GRAFT_SF_DIR"], flush=True)
-        rc = subprocess.call([sys.executable, "bench.py"], cwd=REPO, env=env)
+        proc = subprocess.run(
+            [sys.executable, "bench.py"],
+            cwd=REPO,
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        sys.stdout.write(proc.stdout)
+        sys.stderr.write(proc.stderr)
+        rc = proc.returncode
         print(f"=== bench-smoke: {'OK' if rc == 0 else f'FAILED rc={rc}'}", flush=True)
         if rc != 0:
             failures.append("bench-smoke")
+        else:
+            regs = check_bench_regressions(proc.stdout)
+            if regs:
+                print(f"=== bench-regression: FAILED {regs}", flush=True)
+                failures.append("bench-regression")
+            else:
+                print("=== bench-regression: OK (vs bench_baseline.json)", flush=True)
     if failures:
         print(f"GATE RED: {failures}")
         return 1
