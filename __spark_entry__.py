@@ -2620,73 +2620,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     replica (tools/check_oracle.py) regardless of position.
     """
     return {
+        # == r5 WINDOW (first 50 = the driver's correctness prefix) ==
+        # -- positions 1-3: NEW in r5 (ANN re-rank composite + real
+        # -- media decoders) -----------------------------------------
         "ivf_rerank_topk": q_ivf_rerank_topk,
         "image_decode": q_image_decode,
         "wav_decode": q_wav_decode,
-        # == positions 1-20: the 20 oracle-bearing queries with NO
-        # == driver-green row in any round (r4 priority per VERDICT).
-        # -- 5 regressions fixed in r3, verified locally at sf0.01,
-        # -- parked just past r3's window (positions 51-55) ----------
-        "events_range_join": q_events_range_join,
-        "q12_priority_shipping": q12_priority_shipping,
-        "pivot_order_status": q_pivot_order_status,
-        "deterministic_split": q_deterministic_split,
-        "array_ops": q_array_ops,
-        # -- 15 oracle-bearing queries never placed in any window ----
-        "pii_redaction": q_pii_redaction,
-        "stratified_sample": q_stratified_sample,
-        "events_hourly_rollup": q_events_hourly_rollup,
-        "doc_repetition": q_doc_repetition,
-        "skew_salted_join": q_skew_salted_join,
-        "ivf_full_probe": q_ivf_full_probe,
-        "corpus_select": q_corpus_select,
-        "minhash_verified_pairs": q_minhash_verified_pairs,
-        "simhash_verified_pairs": q_simhash_verified_pairs,
-        "minhash_dedup_verified": q_minhash_dedup_verified,
-        "decontam_report": q_decontam_report,
-        "incremental_dedup_exact": q_incremental_dedup_exact,
-        "incremental_minhash_dedup": q_incremental_minhash_dedup,
-        "bloom_pruned_join": q_bloom_pruned_join,
-        "span_dedup": q_span_dedup,
-        # == positions 21-25: impl/oracle changed in r4 (BPE merge-all
-        # == replace chain; UTF-8-byte embed oracle; chunked matmul in
-        # == the embedding-dedup family) — re-verify after the change
-        "bpe_apply": q_bpe_apply,
-        "payload_embed_knn": q_payload_embed_knn,
-        "semantic_dedup": q_semantic_dedup,
-        "incremental_semantic_dedup": q_incremental_semantic_dedup,
-        "embedding_neardup": q_embedding_neardup,
-        # == positions 26-28: NEW in r4 (CCNet perplexity buckets,
-        # == token-budget mixing, leakage-safe splitting) ============
-        "ccnet_buckets": q_ccnet_buckets,
-        "budget_mix": q_budget_mix,
-        "leakage_safe_split": q_leakage_safe_split,
-        # == positions 29-50: rotation of the queries whose last green
-        # == is oldest (driver r1/r2, never re-checked since) ========
-        "validate_lineitem": q_validate_lineitem,
-        "violation_counts": q_violation_counts,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_top_revenue_orders": q3_top_revenue_orders,
-        "q9_brand_revenue": q9_brand_revenue,
-        "window_suite": q_window_suite,
-        "rollup_revenue": q_rollup_revenue,
-        "set_ops_customers": q_set_ops_customers,
-        "median_stats": q_median_stats,
-        "token_counts": q_token_counts,
-        "stats_moments": q_stats_moments,
-        "label_centroids": q_label_centroids,
-        "validate_strict_agg": q_validate_strict_agg,
-        "dsl_string_ops": q_dsl_string_ops,
-        "dsl_math_ops": q_dsl_math_ops,
-        "dsl_datetime_ops": q_dsl_datetime_ops,
-        "dsl_membership": q_dsl_membership,
-        "validate_fill_nulls": q_validate_fill_nulls,
-        "dsl_between_closures": q_dsl_between_closures,
-        "validate_defaults": q_validate_defaults,
-        "q4_order_priority": q4_order_priority,
-        "q5_region_revenue": q5_region_revenue,
-        # == past the 50-entry window from here on ===================
-        # -- r1/r2-green remainder of the TPC-H family ---------------
+        # -- positions 4-24: oldest-green rotation — the TPC-H family
+        # -- last driver-checked in r1/r2 (VERDICT r5 directive #3) --
         "q6_forecast_revenue": q6_forecast_revenue,
         "q10_returned_customers": q10_returned_customers,
         "q13_order_count_distribution": q13_order_count_distribution,
@@ -2708,7 +2649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_stats": q_distinct_stats,
         "name_editdist_pairs": q_name_editdist_pairs,
         "orders_no_lineitems": q_orders_no_lineitems,
-        # -- r3-green (fresh driver verdicts last round) -------------
+        # -- positions 25-50: oldest r3-green queries, re-verified ---
         "gopher_quality": q_gopher_quality,
         "classifier_quality": q_classifier_quality,
         "unigram_surprise": q_unigram_surprise,
@@ -2735,6 +2676,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_exact_normalized": q_dedup_exact_normalized,
         "jaccard_pairs": q_jaccard_pairs,
+        # == past the 50-entry window from here on ===================
+        # -- r4-green window (fresh driver verdicts last round) plus
+        # -- the newer r3-green remainder ----------------------------
+        "events_range_join": q_events_range_join,
+        "q12_priority_shipping": q12_priority_shipping,
+        "pivot_order_status": q_pivot_order_status,
+        "deterministic_split": q_deterministic_split,
+        "array_ops": q_array_ops,
+        "pii_redaction": q_pii_redaction,
+        "stratified_sample": q_stratified_sample,
+        "events_hourly_rollup": q_events_hourly_rollup,
+        "doc_repetition": q_doc_repetition,
+        "skew_salted_join": q_skew_salted_join,
+        "ivf_full_probe": q_ivf_full_probe,
+        "corpus_select": q_corpus_select,
+        "minhash_verified_pairs": q_minhash_verified_pairs,
+        "simhash_verified_pairs": q_simhash_verified_pairs,
+        "minhash_dedup_verified": q_minhash_dedup_verified,
+        "decontam_report": q_decontam_report,
+        "incremental_dedup_exact": q_incremental_dedup_exact,
+        "incremental_minhash_dedup": q_incremental_minhash_dedup,
+        "bloom_pruned_join": q_bloom_pruned_join,
+        "span_dedup": q_span_dedup,
+        "bpe_apply": q_bpe_apply,
+        "payload_embed_knn": q_payload_embed_knn,
+        "semantic_dedup": q_semantic_dedup,
+        "incremental_semantic_dedup": q_incremental_semantic_dedup,
+        "embedding_neardup": q_embedding_neardup,
+        "ccnet_buckets": q_ccnet_buckets,
+        "budget_mix": q_budget_mix,
+        "leakage_safe_split": q_leakage_safe_split,
+        "validate_lineitem": q_validate_lineitem,
+        "violation_counts": q_violation_counts,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_revenue_orders": q3_top_revenue_orders,
+        "q9_brand_revenue": q9_brand_revenue,
+        "window_suite": q_window_suite,
+        "rollup_revenue": q_rollup_revenue,
+        "set_ops_customers": q_set_ops_customers,
+        "median_stats": q_median_stats,
+        "token_counts": q_token_counts,
+        "stats_moments": q_stats_moments,
+        "label_centroids": q_label_centroids,
+        "validate_strict_agg": q_validate_strict_agg,
+        "dsl_string_ops": q_dsl_string_ops,
+        "dsl_math_ops": q_dsl_math_ops,
+        "dsl_datetime_ops": q_dsl_datetime_ops,
+        "dsl_membership": q_dsl_membership,
+        "validate_fill_nulls": q_validate_fill_nulls,
+        "dsl_between_closures": q_dsl_between_closures,
+        "validate_defaults": q_validate_defaults,
+        "q4_order_priority": q4_order_priority,
+        "q5_region_revenue": q5_region_revenue,
         "knn_topk": q_knn_topk,
         "skew_salted_counts": q_skew_salted_counts,
         "table_profile": q_table_profile,
@@ -2751,14 +2745,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "doc_tfidf_top3": q_doc_tfidf_top3,
         "dsl_datetime_events": q_dsl_datetime_events,
-        # -- rows-only by design (seed/HLL-dependent): permanently
-        # -- past the window — the driver can only ever report
+        # -- rows-only by design (seed/HLL-dependent or bench twins):
+        # -- permanently past the window — the driver can only report
         # -- err:no_oracle for these; their value-level evidence comes
         # -- from oracle-checked companions (minhash_verified_pairs,
         # -- simhash_verified_pairs, bpe_pair_counts/bpe_apply,
-        # -- knn_topk, ivf_full_probe) and pinned-kernel pytest ------
+        # -- knn_topk, ivf_full_probe, ivf_rerank_topk,
+        # -- leakage_safe_split) and pinned-kernel pytest ------------
         "minhash_pairs": q_minhash_pairs,
-        "leakage_safe_split_prod": q_leakage_safe_split_prod,  # bench twin
+        "leakage_safe_split_prod": q_leakage_safe_split_prod,
         "simhash_pairs": q_simhash_pairs,
         "bpe_token_stats": q_bpe_token_stats,
         "approx_distinct": q_approx_distinct,

@@ -117,6 +117,16 @@ def read(
     For parquet the declared schema prunes unread columns at the
     scan; for CSV/JSON it replaces inference (one less pass over the
     data) and coerces types on read.
+
+    Examples
+    --------
+        >>> from flycatcher_spark import Schema
+        >>> class T(Schema):
+        ...     a: int
+        >>> path = str(getfixture("tmp_path") / "t")
+        >>> spark.createDataFrame([(1, "x")], ["a", "b"]).write.parquet(path)
+        >>> read(spark, T, path).columns  # b pruned, a cast long
+        ['a']
     """
     struct = schema_cls.to_spark_schema()
     reader = spark.read.format(fmt).options(**options)
@@ -146,7 +156,16 @@ def write(
     partition_by: list[str] | None = None,
     **options,
 ) -> None:
-    """Write a validated DataFrame, optionally partitioned."""
+    """Write a validated DataFrame, optionally partitioned.
+
+    Examples
+    --------
+        >>> path = str(getfixture("tmp_path") / "out")
+        >>> df = spark.range(4).withColumn("part", F.col("id") % 2)
+        >>> write(df, path, partition_by=["part"])
+        >>> spark.read.parquet(path).count()
+        4
+    """
     writer = df.write.format(fmt).mode(mode).options(**options)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -275,6 +294,14 @@ def write_range_partitioned(
     The range boundaries come from sampling (one extra job); at
     cluster scale prefer writing date-partitioned directories AND
     range-sorting within each for two pruning levels.
+
+    Examples
+    --------
+        >>> path = str(getfixture("tmp_path") / "ranged")
+        >>> write_range_partitioned(spark.range(100), path, by=["id"],
+        ...                         num_files=4)
+        >>> spark.read.parquet(path).count()
+        100
     """
     writer = (
         df.repartitionByRange(num_files, *by)

@@ -42,7 +42,14 @@ META_FIELDS = [
 
 def attach_payload(df: DataFrame, text_col: str = "text", payload_col: str = "payload") -> DataFrame:
     """Materialize an opaque binary payload column (UTF-8 bytes of a
-    text column — stands in for real media bytes in tests)."""
+    text column — stands in for real media bytes in tests).
+
+    Examples
+    --------
+        >>> df = spark.createDataFrame([(1, "ab")], ["doc_id", "text"])
+        >>> bytes(attach_payload(df).first()["payload"])
+        b'ab'
+    """
     return df.withColumn(payload_col, F.encode(F.col(text_col), "UTF-8"))
 
 
@@ -191,10 +198,18 @@ WAV_META_FIELDS = [
 
 
 def parse_pnm(payload: bytes) -> dict | None:
-    """Parse a binary PPM (``P6``) or PGM (``P5``) payload: magic,
+    r"""Parse a binary PPM (``P6``) or PGM (``P5``) payload: magic,
     whitespace/comment-tolerant header, then raw pixel bytes. Returns
     ``None`` for anything that is not a well-formed 8-bit PNM — a
     real decoder must reject corrupt payloads, not crash the stage.
+
+    Examples
+    --------
+        >>> m = parse_pnm(b"P5\n2 1\n255\n" + bytes([10, 20]))
+        >>> (m["fmt"], m["width"], m["height"], list(m["pixels"]))
+        ('pgm', 2, 1, [10, 20])
+        >>> parse_pnm(b"JUNK") is None
+        True
     """
     import numpy as np
 
@@ -250,7 +265,21 @@ def parse_pnm(payload: bytes) -> dict | None:
 def parse_wav(payload: bytes) -> dict | None:
     """Parse a PCM WAV payload: RIFF/WAVE container walk, ``fmt ``
     chunk (must be PCM, 8/16-bit), ``data`` chunk → int samples.
-    Returns ``None`` for non-WAV / non-PCM / truncated payloads."""
+    Returns ``None`` for non-WAV / non-PCM / truncated payloads.
+
+    Examples
+    --------
+        >>> import struct
+        >>> fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        >>> data = struct.pack("<2h", 100, -100)
+        >>> body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        ...         + b"data" + struct.pack("<I", len(data)) + data)
+        >>> m = parse_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+        >>> (m["sample_rate"], m["n_channels"], m["n_frames"], list(m["samples"]))
+        (8000, 1, 2, [100, -100])
+        >>> parse_wav(b"RIFFxxxxAVI ") is None
+        True
+    """
     import struct
 
     import numpy as np
@@ -427,7 +456,15 @@ def make_pnm_payload(
     fixture generator. Dimensions derive from the id and pixel ``i``
     is ``(id*7 + i*13) % (maxval+1)``, so a SQL oracle can reproduce
     every decoded statistic in closed form while the Spark path
-    builds REAL bytes and really parses them back."""
+    builds REAL bytes and really parses them back.
+
+    Examples
+    --------
+        >>> df = spark.createDataFrame([(0,)], "doc_id long")
+        >>> m = decode_image_meta(make_pnm_payload(df)).first()
+        >>> (m["fmt"], m["width"], m["height"], m["n_channels"])
+        ('ppm', 4, 3, 3)
+    """
     magic, n_ch = (b"P6", 3) if fmt == "ppm" else (b"P5", 1)
 
     @pandas_udf("binary")

@@ -28,7 +28,14 @@ from pyspark.sql.functions import pandas_udf
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Dot product of two array<numeric> columns (JVM-side)."""
+    """Dot product of two array<numeric> columns (JVM-side).
+
+    Examples
+    --------
+        >>> df = spark.createDataFrame([([1.0, 2.0], [3.0, 4.0])], ["a", "b"])
+        >>> df.select(dot(F.col("a"), F.col("b")).alias("d")).first()["d"]
+        11.0
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -37,7 +44,14 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def norm(a: Column) -> Column:
-    """L2 norm of an array<numeric> column."""
+    """L2 norm of an array<numeric> column.
+
+    Examples
+    --------
+        >>> df = spark.createDataFrame([([3.0, 4.0],)], ["a"])
+        >>> df.select(norm(F.col("a")).alias("n")).first()["n"]
+        5.0
+    """
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
     )
@@ -277,7 +291,15 @@ def save_ivf_centroids(
     """Persist IVF centroids as a tiny parquet side table
     ``(cell int, center array<double>)`` — the production index
     artifact: train once per corpus release, broadcast-read by every
-    search job."""
+    search job.
+
+    Examples
+    --------
+        >>> path = str(getfixture("tmp_path") / "ivf_idx")
+        >>> save_ivf_centroids(spark, [[1.0, 2.0], [3.0, 4.0]], path)
+        >>> load_ivf_centroids(spark, path)
+        [[1.0, 2.0], [3.0, 4.0]]
+    """
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
     spark.createDataFrame(rows, "cell int, center array<double>").coalesce(
         1
@@ -649,7 +671,17 @@ def save_pq_codebooks(spark, codebooks: np.ndarray, path: str) -> None:
     """Persist PQ codebooks as a small parquet side table
     ``(m int, code int, sub array<double>)`` — train once per corpus
     release, reuse for every encode/search job (training is the only
-    bounded-sample job; application stays map-only everywhere)."""
+    bounded-sample job; application stays map-only everywhere).
+
+    Examples
+    --------
+        >>> import numpy as np
+        >>> books = np.arange(8.0).reshape(2, 2, 2)  # m=2, codes=2, sub=2
+        >>> path = str(getfixture("tmp_path") / "pq_idx")
+        >>> save_pq_codebooks(spark, books, path)
+        >>> bool((load_pq_codebooks(spark, path) == books).all())
+        True
+    """
     m, n_codes, _ = codebooks.shape
     rows = [
         (int(j), int(c), [float(x) for x in codebooks[j, c]])
@@ -718,7 +750,16 @@ def pq_encode(
 
 
 def pq_decode_np(codebooks: np.ndarray, codes: np.ndarray) -> np.ndarray:
-    """Reconstruct vectors from PQ codes (test/debug helper)."""
+    """Reconstruct vectors from PQ codes (test/debug helper).
+
+    Examples
+    --------
+        >>> import numpy as np
+        >>> books = np.array([[[0.0, 0.0], [1.0, 1.0]],   # subspace 0
+        ...                   [[2.0, 2.0], [3.0, 3.0]]])  # subspace 1
+        >>> pq_decode_np(books, np.array([[1, 0]], dtype=np.uint8))
+        array([[1., 1., 2., 2.]])
+    """
     m, _, sub = codebooks.shape
     n = codes.shape[0]
     out = np.empty((n, m * sub), dtype=np.float64)
@@ -750,6 +791,17 @@ def rerank_exact(
     cosine top-k *within the shortlist*: equal to the true top-k
     whenever the shortlist contains the true neighbors (pinned by
     pytest; measured by ``ann_recall``).
+
+    Examples
+    --------
+        >>> corpus = spark.createDataFrame(
+        ...     [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        ...     "vec_id long, embedding array<double>")
+        >>> cand = spark.createDataFrame(
+        ...     [(1, 2), (1, 3)], "query_id long, vec_id long")
+        >>> res = rerank_exact(cand, corpus, corpus.where("vec_id = 1"), k=1)
+        >>> [(r.query_id, r.vec_id, r.rank) for r in res.collect()]
+        [(1, 2, 1)]
     """
     query_id_col = query_id_col or id_col
     cand = shortlist.select("query_id", F.col(id_col)).dropDuplicates(

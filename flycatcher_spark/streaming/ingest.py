@@ -74,7 +74,14 @@ def read_accepted(
     epoch has written yet. ``exclude_epoch`` drops that epoch's own
     partition — a retrying epoch must not dedup against its previous
     attempt's output (partition pruning: the excluded partition is
-    never scanned)."""
+    never scanned).
+
+    Examples
+    --------
+        >>> d = str(getfixture("tmp_path") / "never_written")
+        >>> read_accepted(spark, d, ["doc_id"]) is None
+        True
+    """
     from pyspark.errors import AnalysisException
 
     try:
