@@ -2174,6 +2174,54 @@ def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal → similarity composition (r5): decode real PPM
+    payloads, derive pixel-histogram embeddings
+    (multimodal.image_pixel_embedding — 8-bin normalized histogram of
+    the decoded raster), then find each image's most-similar peer
+    among images with the SAME decoded dimensions (the classic
+    same-shape blocking that keeps all-pairs off the table: 13x7
+    dimension blocks here). Every stage is the real pipeline — bytes
+    are built, parsed, histogrammed — and every arithmetic step
+    (bin = p // 32, hist/n, sequential-fold cosine) is reproduced by
+    DuckDB in closed form, so the whole decode→embed→match path is
+    value-checked end-to-end."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    payload = multimodal.make_pnm_payload(docs, fmt="ppm")
+    meta = multimodal.decode_image_meta(payload, id_col="doc_id").select(
+        "doc_id", "width", "height"
+    )
+    emb = multimodal.embed_payload(
+        payload, id_col="doc_id", dim=8,
+        embed_fn=multimodal.image_pixel_embedding,
+    )
+    em = meta.join(emb, "doc_id")
+    left = em.alias("l")
+    right = em.alias("r")
+    pairs = left.join(
+        right,
+        (F.col("l.width") == F.col("r.width"))
+        & (F.col("l.height") == F.col("r.height"))
+        & (F.col("l.doc_id") != F.col("r.doc_id")),
+    ).select(
+        F.col("l.doc_id").alias("doc_id"),
+        F.col("l.width").alias("width"),
+        F.col("l.height").alias("height"),
+        F.col("r.doc_id").alias("neighbor_id"),
+        F.round(
+            similarity.cosine(F.col("l.embedding"), F.col("r.embedding")), 6
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "width", "height", "neighbor_id", "sim")
+    )
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule gate (operators/quality): per-doc rule
     metrics plus the boolean gate, bounds fitted to the synthetic
@@ -2621,11 +2669,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # == r5 WINDOW (first 50 = the driver's correctness prefix) ==
-        # -- positions 1-3: NEW in r5 (ANN re-rank composite + real
-        # -- media decoders) -----------------------------------------
+        # -- positions 1-4: NEW in r5 (ANN re-rank composite, real
+        # -- media decoders, decode→embed→match composition) ---------
         "ivf_rerank_topk": q_ivf_rerank_topk,
         "image_decode": q_image_decode,
         "wav_decode": q_wav_decode,
+        "image_neardup": q_image_neardup,
         # -- positions 4-24: oldest-green rotation — the TPC-H family
         # -- last driver-checked in r1/r2 (VERDICT r5 directive #3) --
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -2675,8 +2724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_histogram": q_lang_histogram,
         "dedup_exact": q_dedup_exact,
         "dedup_exact_normalized": q_dedup_exact_normalized,
-        "jaccard_pairs": q_jaccard_pairs,
         # == past the 50-entry window from here on ===================
+        "jaccard_pairs": q_jaccard_pairs,
         # -- r4-green window (fresh driver verdicts last round) plus
         # -- the newer r3-green remainder ----------------------------
         "events_range_join": q_events_range_join,
@@ -4871,6 +4920,46 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(CAST(sum(smp * smp) AS DOUBLE) / count(*)), 6) AS rms
             FROM s
             GROUP BY doc_id, nch, nfr
+        """,
+        "image_neardup": """
+            WITH d AS (
+                SELECT doc_id,
+                       4 + doc_id % 13 AS w,
+                       3 + doc_id % 7 AS h
+                FROM documents
+            ),
+            px AS (
+                SELECT d.doc_id, d.w, d.h,
+                       ((d.doc_id * 7 + i * 13) % 256) // 32 AS b
+                FROM d, LATERAL (SELECT unnest(range(0, d.w * d.h * 3)) AS i)
+            ),
+            vec AS (
+                SELECT doc_id, w, h,
+                       list_transform(range(0, 8), bb ->
+                           CAST(len(list_filter(bs, x -> x = bb)) AS DOUBLE)
+                           / len(bs)) AS v
+                FROM (SELECT doc_id, w, h, list(b) AS bs
+                      FROM px GROUP BY doc_id, w, h)
+            ),
+            pairs AS (
+                SELECT l.doc_id, l.w, l.h, r.doc_id AS neighbor_id,
+                       round(CASE WHEN sqrt(list_dot_product(l.v, l.v))
+                                       * sqrt(list_dot_product(r.v, r.v)) > 0
+                                  THEN list_dot_product(l.v, r.v)
+                                       / (sqrt(list_dot_product(l.v, l.v))
+                                          * sqrt(list_dot_product(r.v, r.v)))
+                             END, 6) AS sim
+                FROM vec l JOIN vec r
+                  ON l.w = r.w AND l.h = r.h AND l.doc_id <> r.doc_id
+            )
+            SELECT doc_id, CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height, neighbor_id, sim
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY sim DESC, neighbor_id
+                ) AS rn
+                FROM pairs
+            ) WHERE rn = 1
         """,
         "frame_sample": """
             SELECT doc_id,

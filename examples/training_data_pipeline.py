@@ -218,6 +218,37 @@ def main() -> None:
     print("training sequences:", n_seq)
     packed.orderBy("seq_id", "start_in_seq").show(8)
 
+    # 11. Similarity search with the production ANN path (r5): train
+    #     the IVF+PQ index ONCE per corpus release (bounded-sample
+    #     jobs), persist it as tiny parquet side tables, then run
+    #     train-free search jobs — a code-size scan (32x smaller than
+    #     raw floats), probing n_probe/n_cells of it, with exact
+    #     cosine re-ranking of the shortlist (recall@5 >= 0.95 on the
+    #     fixture corpus; ann_recall quantifies the dials).
+    from flycatcher_spark.operators import similarity
+
+    em = spark.read.parquet(f"{DATA}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    idx_dir = "/tmp/flycatcher_ann_index"
+    centroids = similarity.train_ivf_centroids(em, n_cells=8, seed=7)
+    books = similarity.train_pq_codebooks(em, m=32, n_codes=16, seed=7)
+    similarity.save_ivf_centroids(spark, centroids, f"{idx_dir}/ivf")
+    similarity.save_pq_codebooks(spark, books, f"{idx_dir}/pq")
+    hits = similarity.ivf_pq_topk(
+        em,
+        em.where(F.col("vec_id") < 5),
+        k=3,
+        n_cells=8,
+        n_probe=6,
+        m=32,
+        n_codes=16,
+        rerank=8,
+        centroids=similarity.load_ivf_centroids(spark, f"{idx_dir}/ivf"),
+        codebooks=similarity.load_pq_codebooks(spark, f"{idx_dir}/pq"),
+    )
+    hits.orderBy("query_id", "rank").show(9)
+
     spark.stop()
 
 
