@@ -104,6 +104,10 @@ def ensure_min_parallelism(
     """
     spark = df.sparkSession
     target = int(min_partitions or spark.sparkContext.defaultParallelism)
+    # Plan-metadata-only .rdd touch (the one in the codebase): reads
+    # the analyzed plan's partitioning without running a job. The
+    # DataFrame-only alternatives are private-API spelunking; the RDD
+    # conversion costs a driver-side plan analysis, nothing more.
     if df.rdd.getNumPartitions() >= target:
         return df
     from pyspark.sql import functions as F
