@@ -133,6 +133,13 @@ def main() -> None:
             t0 = time.time()
             run_full(fn(spark, sf_dir))
             runs.append(time.time() - t0)
+            # Some operators persist intermediates internally (minhash
+            # signatures, LSH candidates). Each run creates its own
+            # DataFrame objects so nothing is shared between runs, but
+            # the cached blocks would otherwise accumulate across
+            # 3 runs x 29 queries — drop them so every run starts from
+            # the same storage state.
+            spark.catalog.clearCache()
         med = statistics.median(runs)
         timings[name] = round(med, 3)
         runs_s = "/".join(f"{r:.2f}" for r in runs)

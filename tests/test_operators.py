@@ -601,6 +601,33 @@ class TestSimilarity:
         key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["sim"])
         assert sorted(map(key, got.collect())) == sorted(map(key, exact.collect()))
 
+    def test_reranked_ann_recall_floor(self, spark):
+        """The shipped-ANN bar (VERDICT r5 #1): the production search
+        paths must hold recall@5 >= 0.9 against exact brute force on
+        the fixture corpus (ann_recall reports the exact numbers;
+        this pins a floor so a regression cannot ship silently)."""
+        em = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        q = em.filter(F.col("vec_id") < 20)
+        exact = {
+            (r["query_id"], r["vec_id"])
+            for r in similarity.brute_force_topk(em, q, k=5).collect()
+        }
+        paths = {
+            "pq_rerank": similarity.pq_topk(
+                em, q, k=5, m=32, n_codes=16, seed=42, rerank=4
+            ),
+            "ivfpq_rerank": similarity.ivf_pq_topk(
+                em, q, k=5, n_cells=8, n_probe=6, m=32, n_codes=16,
+                seed=7, rerank=8,
+            ),
+        }
+        for name, df in paths.items():
+            got = {(r["query_id"], r["vec_id"]) for r in df.collect()}
+            recall = len(got & exact) / len(exact)
+            assert recall >= 0.9, (name, recall)
+
     def test_ivf_pq_pretrained_equals_inline(self, spark):
         """Passing pre-trained centroids+codebooks (the train-free
         production search job) must equal inline training."""
