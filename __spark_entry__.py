@@ -38,6 +38,7 @@ from flycatcher_spark.operators import (
     similarity,
     stats,
     text,
+    versioning,
 )
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -2566,6 +2567,55 @@ def q_leakage_safe_split_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.leakage_safe_split(docs, pairs, train_pct=90)
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus release diff (r5, operators/versioning): the 'old'
+    release is the documents table; the 'new' release removes
+    doc_id % 13 == 3, edits doc_id % 17 == 2 (a suffix appended), and
+    adds re-keyed copies of doc_id % 19 == 1 under +100000 ids.
+    corpus_diff must classify every id — added / removed / changed /
+    unchanged — from the md5 content fingerprints alone (slim-column
+    shuffle; document bodies never move). DuckDB rebuilds both
+    releases and replays the full-outer-join classification."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    old = docs
+    new = (
+        docs.where(F.col("doc_id") % 13 != 3)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 17 == 2, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 19 == 1).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+            )
+        )
+    )
+    return versioning.corpus_diff(
+        old, new, id_col="doc_id", content_cols=("text", "lang")
+    )
+
+
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) decontamination: corpus vectors
+    cosine-similar (>= 0.35) to any same-cluster benchmark vector
+    (vec_id % 10 == 7 plays the held-out benchmark) are dropped —
+    catches paraphrased eval leakage that n-gram decontamination
+    (decontam_report) can't pair up. Composes
+    quality.incremental_semantic_dedup with the benchmark as the
+    'corpus' side: per-cluster new x benchmark blocks, never a corpus
+    self-join, benchmark side tiny and broadcast (impl='sql' is the
+    engine-portable oracle mode)."""
+    em = _emb_double(spark, sf_dir)
+    bench = em.where(F.col("vec_id") % 10 == 7)
+    corpus = em.where(F.col("vec_id") % 10 != 7)
+    out = quality.incremental_semantic_dedup(
+        corpus, bench, threshold=0.35, impl="sql"
+    )
+    return out.select("vec_id", "label")
+
+
 def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-vs-corpus semantic dedup: new vectors (vec_id % 10 == 3)
     survive unless a same-cluster corpus vector is cosine-similar at
@@ -2669,12 +2719,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # == r5 WINDOW (first 50 = the driver's correctness prefix) ==
-        # -- positions 1-4: NEW in r5 (ANN re-rank composite, real
-        # -- media decoders, decode→embed→match composition) ---------
+        # -- positions 1-6: NEW in r5 (ANN re-rank composite, real
+        # -- media decoders, decode→embed→match composition, corpus
+        # -- release diff, semantic decontamination) -----------------
         "ivf_rerank_topk": q_ivf_rerank_topk,
         "image_decode": q_image_decode,
         "wav_decode": q_wav_decode,
         "image_neardup": q_image_neardup,
+        "corpus_diff": q_corpus_diff,
+        "semantic_decontam": q_semantic_decontam,
         # -- positions 4-24: oldest-green rotation — the TPC-H family
         # -- last driver-checked in r1/r2 (VERDICT r5 directive #3) --
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -2722,9 +2775,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_window": q_events_session_window,
         "text_profile": q_text_profile,
         "lang_histogram": q_lang_histogram,
+        # == past the 50-entry window from here on ===================
         "dedup_exact": q_dedup_exact,
         "dedup_exact_normalized": q_dedup_exact_normalized,
-        # == past the 50-entry window from here on ===================
         "jaccard_pairs": q_jaccard_pairs,
         # -- r4-green window (fresh driver verdicts last round) plus
         # -- the newer r3-green remainder ----------------------------
@@ -4920,6 +4973,52 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(CAST(sum(smp * smp) AS DOUBLE) / count(*)), 6) AS rms
             FROM s
             GROUP BY doc_id, nch, nfr
+        """,
+        "corpus_diff": """
+            WITH old AS (
+                SELECT doc_id,
+                       md5(concat_ws(chr(31), coalesce(text, ''),
+                                     coalesce(lang, ''))) AS fp
+                FROM documents
+            ),
+            new AS (
+                SELECT doc_id,
+                       md5(concat_ws(chr(31),
+                           coalesce(CASE WHEN doc_id % 17 = 2
+                                         THEN text || ' v2'
+                                         ELSE text END, ''),
+                           coalesce(lang, ''))) AS fp
+                FROM documents WHERE doc_id % 13 <> 3
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id,
+                       md5(concat_ws(chr(31), coalesce(text, ''),
+                                     coalesce(lang, ''))) AS fp
+                FROM documents WHERE doc_id % 19 = 1
+            )
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.fp IS NULL THEN 'added'
+                        WHEN n.fp IS NULL THEN 'removed'
+                        WHEN o.fp <> n.fp THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   o.fp AS old_fp, n.fp AS new_fp
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        """,
+        "semantic_decontam": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+            bench AS (SELECT * FROM e WHERE vec_id % 10 = 7),
+            corp AS (SELECT * FROM e WHERE vec_id % 10 <> 7),
+            losers AS (
+                SELECT DISTINCT c.vec_id
+                FROM corp c JOIN bench b ON c.label = b.label
+                WHERE round(CASE WHEN sqrt(list_dot_product(c.v, c.v))
+                                      * sqrt(list_dot_product(b.v, b.v)) > 0
+                                 THEN list_dot_product(c.v, b.v)
+                                      / (sqrt(list_dot_product(c.v, c.v))
+                                         * sqrt(list_dot_product(b.v, b.v)))
+                            END, 6) >= 0.35
+            )
+            SELECT vec_id, label FROM corp
+            WHERE vec_id NOT IN (SELECT vec_id FROM losers)
         """,
         "image_neardup": """
             WITH d AS (

@@ -17,6 +17,8 @@ reference surface — see SURVEY.md §7.1 step 7).
 - :mod:`.bpe` — BPE tokenizer: distributed word-count training
   stage, driver-side merge learning on the bounded frequency table,
   Arrow-kernel apply.
+- :mod:`.versioning` — corpus release diffs (added / removed /
+  changed / unchanged by content fingerprint).
 - :mod:`.quality` — corpus curation: Gopher-style rule gates, linear
   classifier scoring, unigram-LM surprise, per-domain caps,
   temperature mixture sampling, deterministic training order,
@@ -35,6 +37,7 @@ from . import (
     skew,
     stats,
     text,
+    versioning,
 )
 
 __all__ = [
@@ -48,4 +51,5 @@ __all__ = [
     "skew",
     "stats",
     "text",
+    "versioning",
 ]
