@@ -1050,12 +1050,43 @@ def ivf_pq_topk(
 
         return _cells
 
-    corpus_cells = pq_encode(
-        corpus, books, vec_col=vec_col, out_col="__pq"
+    # Fused encode+assign: ONE Arrow crossing for the corpus scan.
+    # The embedding column dominates scan bytes at 100 TB; separate
+    # pq_encode and cell-assign UDFs would serialize it into Python
+    # twice. Arithmetic is identical to pq_encode + _cells_udf(1)
+    # (pinned by the full-probe == brute-force oracle/test).
+    @pandas_udf("struct<pq: binary, cell: int>")
+    def _enc_cell(vecs: pd.Series) -> pd.DataFrame:
+        mask = np.fromiter(
+            (v is not None and len(v) == dim for v in vecs), dtype=bool
+        )
+        pq_out = [None] * len(vecs)
+        cell_out = [None] * len(vecs)
+        if mask.any():
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v, ok in zip(vecs, mask) if ok]
+            )
+            codes = np.empty((V.shape[0], m_), dtype=np.uint8)
+            # same subspace argmin as pq_encode (stable, low-code ties)
+            for j in range(m_):
+                S = V[:, j * sub : (j + 1) * sub]
+                D = np.square(S[:, None, :] - books[j][None, :, :]).sum(axis=2)
+                codes[:, j] = D.argmin(axis=1).astype(np.uint8)
+            Dc = np.square(V[:, None, :] - C[None, :, :]).sum(axis=2)
+            cells = np.argsort(Dc, axis=1, kind="stable")[:, 0].astype(np.int32)
+            code_iter = iter(codes)
+            cell_iter = iter(cells)
+            for i in np.flatnonzero(mask):
+                pq_out[i] = bytes(next(code_iter))
+                cell_out[i] = int(next(cell_iter))
+        return pd.DataFrame({"pq": pq_out, "cell": cell_out})
+
+    corpus_cells = corpus.select(
+        F.col(id_col), _enc_cell(F.col(vec_col)).alias("__ec")
     ).select(
         F.col(id_col),
-        F.col("__pq"),
-        _cells_udf(1)(F.col(vec_col))[0].alias("__cell"),
+        F.col("__ec.pq").alias("__pq"),
+        F.col("__ec.cell").alias("__cell"),
     ).where(F.col("__pq").isNotNull())
     query_cells = queries_v.select(
         F.col(query_id_col).alias("query_id"),
