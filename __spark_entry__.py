@@ -31,6 +31,7 @@ from flycatcher_spark import Field, Schema, col, model_validator
 from flycatcher_spark import plans
 from flycatcher_spark.operators import (
     bpe,
+    cluster,
     decontam,
     dedup,
     multimodal,
@@ -2616,6 +2617,36 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label")
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deterministic Lloyd's k-means (operators/cluster): k=8,
+    init = the 8 smallest vec_ids, 2 full assign+update rounds, then
+    the final map-only assignment. Every step is engine-portable
+    (DECIMAL-summed means, rounded distances, documented tie-breaks),
+    so DuckDB replays the whole fit with unrolled CTEs and the
+    assignment hash-matches cell-for-cell — the reproducible
+    blocking-assignment producer for SemDeDup."""
+    em = _emb_double(spark, sf_dir)
+    out = cluster.kmeans(em, k=8, n_iter=2)
+    return out.select("vec_id", F.col("cluster").cast("int").alias("cluster"), "dist")
+
+
+def q_kmeans_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SemDeDup pipeline with NO precomputed labels: cluster
+    the corpus with deterministic k-means (k=8, 2 rounds), then
+    semantic-dedup within the learned clusters (cosine >= 0.35,
+    transitive closure, min-id survivor). Proves the clusterer and
+    the dedup compose — blocking comes from the data, not the
+    fixture."""
+    em = _emb_double(spark, sf_dir)
+    assigned = cluster.kmeans(em, k=8, n_iter=2).select(
+        "vec_id", "embedding", F.col("cluster").cast("int").alias("cluster")
+    )
+    out = quality.semantic_dedup(
+        assigned, threshold=0.35, impl="sql", cluster_col="cluster"
+    )
+    return out.select("vec_id", "cluster")
+
+
 def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-vs-corpus semantic dedup: new vectors (vec_id % 10 == 3)
     survive unless a same-cluster corpus vector is cosine-similar at
@@ -2719,15 +2750,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # == r5 WINDOW (first 50 = the driver's correctness prefix) ==
-        # -- positions 1-6: NEW in r5 (ANN re-rank composite, real
+        # -- positions 1-8: NEW in r5 (ANN re-rank composite, real
         # -- media decoders, decode→embed→match composition, corpus
-        # -- release diff, semantic decontamination) -----------------
+        # -- release diff, semantic decontamination, deterministic
+        # -- k-means + the kmeans→SemDeDup composition) --------------
         "ivf_rerank_topk": q_ivf_rerank_topk,
         "image_decode": q_image_decode,
         "wav_decode": q_wav_decode,
         "image_neardup": q_image_neardup,
         "corpus_diff": q_corpus_diff,
         "semantic_decontam": q_semantic_decontam,
+        "kmeans_clusters": q_kmeans_clusters,
+        "kmeans_semantic_dedup": q_kmeans_semantic_dedup,
         # -- positions 4-24: oldest-green rotation — the TPC-H family
         # -- last driver-checked in r1/r2 (VERDICT r5 directive #3) --
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -2773,9 +2807,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": q_events_asof_join,
         "events_json_props": q_events_json_props,
         "events_session_window": q_events_session_window,
+        # == past the 50-entry window from here on ===================
+        # (text_profile / lang_histogram were displaced from the r5
+        # window by the two k-means queries; they rotate in r6)
         "text_profile": q_text_profile,
         "lang_histogram": q_lang_histogram,
-        # == past the 50-entry window from here on ===================
         "dedup_exact": q_dedup_exact,
         "dedup_exact_normalized": q_dedup_exact_normalized,
         "jaccard_pairs": q_jaccard_pairs,
@@ -2960,8 +2996,104 @@ def _bpe_replace_chain_sql() -> str:
     return expr
 
 
+def _kmeans_cte(k: int = 8, n_iter: int = 2) -> str:
+    """CTE chain replaying operators/cluster.kmeans in DuckDB:
+    ``v`` (double-cast vectors), ``c0`` (init = k smallest vec_ids),
+    then per Lloyd round an assignment CTE (argmin over
+    ``|v|^2 - 2 v.c + |c|^2`` rounded to 6, ties to the lower
+    cluster) and a mean-update CTE (per-dimension round-9 DECIMAL
+    sums -> rounded means; empty clusters keep the previous
+    centroid), ending with the final assignment CTE ``a{n_iter}``.
+    The three-term distance and the rounding points mirror the Spark
+    implementation exactly — see cluster._dist2 / cluster._mean_update."""
+
+    def assign(cname: str, out: str) -> str:
+        return f"""
+            d_{out} AS (
+                SELECT v.vec_id, v.v, {cname}.cluster,
+                       round(greatest(list_dot_product(v.v, v.v)
+                                      - 2 * list_dot_product(v.v, {cname}.c)
+                                      + list_dot_product({cname}.c, {cname}.c), 0), 6) AS d
+                FROM v, {cname}
+            ),
+            {out} AS (
+                SELECT vec_id, v, cluster, d
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY vec_id ORDER BY d, cluster) AS rn
+                      FROM d_{out})
+                WHERE rn = 1
+            )"""
+
+    def update(aname: str, prev: str, out: str) -> str:
+        return f"""
+            m_{out} AS (
+                SELECT cluster, dim,
+                       round(CAST(sum(CAST(round(val, 9) AS DECIMAL(20,9))) AS DOUBLE)
+                             / count(*), 9) AS mu
+                FROM (SELECT cluster, unnest(range(1, len(v)+1)) AS dim,
+                             unnest(v) AS val FROM {aname})
+                GROUP BY cluster, dim
+            ),
+            {out} AS (
+                SELECT {prev}.cluster, coalesce(m.c, {prev}.c) AS c
+                FROM {prev} LEFT JOIN
+                     (SELECT cluster, list(mu ORDER BY dim) AS c
+                      FROM m_{out} GROUP BY cluster) m
+                ON {prev}.cluster = m.cluster
+            )"""
+
+    parts = [
+        f"""
+            v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            c0 AS (
+                SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+                       v AS c
+                FROM (SELECT * FROM v ORDER BY vec_id LIMIT {k})
+            )"""
+    ]
+    for it in range(n_iter):
+        parts.append(assign(f"c{it}", f"a{it}"))
+        parts.append(update(f"a{it}", f"c{it}", f"c{it + 1}"))
+    parts.append(assign(f"c{n_iter}", f"a{n_iter}"))
+    return ",".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "kmeans_clusters": f"""
+            WITH {_kmeans_cte(k=8, n_iter=2)}
+            SELECT vec_id, cluster, d AS dist FROM a2
+        """,
+        "kmeans_semantic_dedup": f"""
+            WITH RECURSIVE {_kmeans_cte(k=8, n_iter=2)},
+            e0 AS (
+                SELECT l.vec_id AS a, r.vec_id AS b
+                FROM a2 l JOIN a2 r
+                  ON l.vec_id < r.vec_id AND l.cluster = r.cluster
+                WHERE round(CASE WHEN sqrt(list_dot_product(l.v, l.v))
+                                      * sqrt(list_dot_product(r.v, r.v)) > 0
+                                 THEN list_dot_product(l.v, r.v)
+                                      / (sqrt(list_dot_product(l.v, l.v))
+                                         * sqrt(list_dot_product(r.v, r.v)))
+                            END, 6) >= 0.35
+            ),
+            edges AS (
+                SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+            ),
+            reach(node, comp) AS (
+                SELECT a AS node, a AS comp FROM edges
+                UNION
+                SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.node
+            ),
+            comp AS (
+                SELECT node, MIN(comp) AS component FROM reach GROUP BY node
+            )
+            SELECT a2.vec_id, a2.cluster
+            FROM a2
+            WHERE a2.vec_id NOT IN (SELECT node FROM comp WHERE node <> component)
+        """,
         "gopher_quality": r"""
             WITH t AS (
                 SELECT doc_id, text,

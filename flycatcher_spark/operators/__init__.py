@@ -19,6 +19,9 @@ reference surface — see SURVEY.md §7.1 step 7).
   Arrow-kernel apply.
 - :mod:`.versioning` — corpus release diffs (added / removed /
   changed / unchanged by content fingerprint).
+- :mod:`.cluster` — exact deterministic Lloyd's k-means (the
+  engine-portable blocking-assignment producer for semantic dedup;
+  sampled index bootstrapping lives in :mod:`.similarity`).
 - :mod:`.quality` — corpus curation: Gopher-style rule gates, linear
   classifier scoring, unigram-LM surprise, per-domain caps,
   temperature mixture sampling, deterministic training order,
@@ -28,6 +31,7 @@ reference surface — see SURVEY.md §7.1 step 7).
 from . import (
     asof,
     bpe,
+    cluster,
     decontam,
     dedup,
     multimodal,
@@ -43,6 +47,7 @@ from . import (
 __all__ = [
     "asof",
     "bpe",
+    "cluster",
     "decontam",
     "dedup",
     "multimodal",
