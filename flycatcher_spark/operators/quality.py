@@ -307,6 +307,101 @@ def unigram_surprise(
     )
 
 
+def bigram_surprise(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+    bigram_vocab_size: int = 4000,
+    lam: float = 0.5,
+    oov_scale: float = 0.5,
+) -> DataFrame:
+    """Per-document mean surprise under a Jelinek-Mercer interpolated
+    bigram LM — one rung up the CCNet ladder from
+    :func:`unigram_surprise` toward the KenLM 5-gram scorer:
+    ``p(w_i | w_{i-1}) = lam * p_bigram + (1 - lam) * p_unigram``,
+    with the first token of each doc scored by the unigram model
+    alone. Bigram probabilities come from the corpus's own
+    top-``bigram_vocab_size`` bigram table (count over context
+    count); unseen bigrams back off entirely to the unigram term.
+
+    Scale shape: the corpus explodes into a ``(cur, prev)`` token
+    stream map-side (the token array binds once per row — no
+    re-tokenize per position); both LM tables are bounded
+    (``vocab_size`` / ``bigram_vocab_size`` rows, ties broken
+    lexicographically) and BROADCAST, so scoring never shuffles the
+    corpus — the per-doc aggregate's shuffle carries one partial row
+    per doc per partition. Per-token costs round to 9 decimals and
+    sum as DECIMAL (partitioning- and engine-exact).
+
+    ``lam`` defaults to 0.5 deliberately: 0.5 is exactly
+    representable in both binary doubles and SQL decimal literals, so
+    the Spark expression and the DuckDB oracle compute bit-identical
+    mixtures. Returns ``(id_col, n_tokens, surprise)``.
+    """
+    from .text import bind_once
+
+    low = F.transform(tokens(text_col), F.lower)
+    stream = docs.select(
+        F.col(id_col),
+        F.explode(
+            bind_once(
+                low,
+                lambda a: F.transform(
+                    a,
+                    lambda x, i: F.struct(
+                        x.alias("cur"),
+                        F.when(i > 0, F.element_at(a, i))
+                        .otherwise(F.lit(None).cast("string"))
+                        .alias("prev"),
+                    ),
+                ),
+            )
+        ).alias("__t"),
+    ).select(id_col, "__t.cur", "__t.prev")
+
+    counts = stream.groupBy("cur").agg(F.count("*").alias("ucnt"))
+    vocab = counts.orderBy(F.desc("ucnt"), F.asc("cur")).limit(vocab_size)
+    total = counts.agg(F.sum("ucnt").cast("double").alias("__n_total"))
+
+    big_stream = stream.where(F.col("prev").isNotNull())
+    bigrams = (
+        big_stream.groupBy("prev", "cur")
+        .agg(F.count("*").alias("bcnt"))
+        .orderBy(F.desc("bcnt"), F.asc("prev"), F.asc("cur"))
+        .limit(bigram_vocab_size)
+    )
+    ctx = big_stream.groupBy("prev").agg(F.count("*").alias("ctx"))
+    bmodel = bigrams.join(ctx, "prev")  # stays <= bigram_vocab_size rows
+
+    p_uni = F.when(
+        F.col("ucnt").isNotNull(),
+        F.col("ucnt").cast("double") / F.col("__n_total"),
+    ).otherwise(F.lit(float(oov_scale)) / F.col("__n_total"))
+    p_big = F.when(
+        F.col("bcnt").isNotNull(),
+        F.col("bcnt").cast("double") / F.col("ctx").cast("double"),
+    ).otherwise(F.lit(0.0))
+    p = F.when(F.col("prev").isNull(), p_uni).otherwise(
+        F.lit(float(lam)) * p_big + F.lit(1.0 - float(lam)) * p_uni
+    )
+    scored = (
+        stream.join(F.broadcast(vocab), "cur", "left")
+        .join(F.broadcast(bmodel), ["prev", "cur"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.round(-F.log(p), 9).cast("decimal(20,9)").alias("cost9"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            F.sum("cost9").cast("double") / F.count("*"), 6
+        ).alias("surprise"),
+    )
+
+
 def ccnet_buckets(
     docs: DataFrame,
     text_col: str = "text",

@@ -168,6 +168,81 @@ class TestUnigramSurprise:
         assert a == b
 
 
+class TestBigramSurprise:
+    def test_known_answer(self, spark):
+        # corpus "a b a b": unigrams a:2 b:2 N=4; bigrams (a,b):2
+        # (b,a):1, contexts a:2 b:1. First token: unigram only.
+        df = spark.createDataFrame(
+            [(1, "a b a b")], "doc_id long, text string"
+        )
+        out = quality.bigram_surprise(
+            df, vocab_size=10, bigram_vocab_size=10, lam=0.5
+        ).first()
+        d9 = lambda x: round(x, 9)
+        p_uni = 2 / 4
+        c_first = d9(-math.log(p_uni))
+        c_ab = d9(-math.log(0.5 * (2 / 2) + 0.5 * p_uni))  # p_big = 1
+        c_ba = d9(-math.log(0.5 * (1 / 1) + 0.5 * p_uni))
+        assert out["n_tokens"] == 4
+        assert out["surprise"] == round(
+            (c_first + 2 * c_ab + c_ba) / 4, 6
+        )
+
+    def test_unseen_bigram_backs_off_to_unigram(self, spark):
+        # tiny bigram table (size 1) keeps only the top bigram; the
+        # rest score 0.5 * 0 + 0.5 * p_uni — strictly more surprise
+        # than the kept bigram's tokens.
+        df = spark.createDataFrame(
+            [(1, "x y x y x z")], "doc_id long, text string"
+        )
+        full = quality.bigram_surprise(
+            df, vocab_size=10, bigram_vocab_size=10
+        ).first()["surprise"]
+        tiny = quality.bigram_surprise(
+            df, vocab_size=10, bigram_vocab_size=1
+        ).first()["surprise"]
+        assert tiny > full
+
+    def test_predictable_text_beats_scrambled(self, spark):
+        # same token multiset => identical unigram surprise, but the
+        # repetitive bigram structure must score lower than the
+        # scrambled order under the bigram model.
+        rep = "the cat sat " * 8
+        scr = "the the cat sat sat cat the sat cat the sat cat " * 2
+        df = spark.createDataFrame(
+            [(1, rep), (2, scr)], "doc_id long, text string"
+        )
+        uni = {
+            r["doc_id"]: r["surprise"]
+            for r in quality.unigram_surprise(df, vocab_size=10).collect()
+        }
+        assert uni[1] == uni[2]
+        big = {
+            r["doc_id"]: r["surprise"]
+            for r in quality.bigram_surprise(
+                df, vocab_size=10, bigram_vocab_size=20
+            ).collect()
+        }
+        assert big[1] < big[2]
+
+    def test_partitioning_invariant(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"tok{i % 7} tok{i % 3} shared end") for i in range(60)],
+            "doc_id long, text string",
+        )
+        a = {
+            (r["doc_id"], r["surprise"])
+            for r in quality.bigram_surprise(df, vocab_size=5).collect()
+        }
+        b = {
+            (r["doc_id"], r["surprise"])
+            for r in quality.bigram_surprise(
+                df.repartition(7), vocab_size=5
+            ).collect()
+        }
+        assert a == b
+
+
 class TestDsirSample:
     @pytest.fixture(scope="class")
     def split(self, spark):
