@@ -40,6 +40,7 @@ from flycatcher_spark.operators import (
     stats,
     text,
     versioning,
+    web,
 )
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -2647,6 +2648,43 @@ def q_kmeans_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "cluster")
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + recrawl dedup (operators/web): four
+    planted URL variants per doc — clean, case/www/default-port/
+    trailing-slash noise, tracking-params + fragment, http with its
+    default port — collapse through canonical_url; url_dedup keeps
+    the highest-n_chars row per canonical URL (ties to min doc_id).
+    The oracle states the expected canonical form per variant
+    outright, so this is a cell-for-cell known-answer check of the
+    whole canonicalizer, and replays the best-row choice."""
+    docs = _read(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 40).cast("string")
+    v = F.col("doc_id") % 4
+    base = F.concat(F.col("lang"), F.lit("/"), k)
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://example.com/"), base))
+        .when(
+            v == 1,
+            F.concat(F.lit("HTTPS://WWW.EXAMPLE.COM:443/"), base, F.lit("/")),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://example.com/"),
+                base,
+                F.lit("?utm_source=feed&b=2&a=1#top"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("http://example.com:80/"), base, F.lit("?a=1&b=2"))
+        )
+    )
+    out = web.url_dedup(
+        docs.withColumn("url", url), quality_col="n_chars"
+    )
+    return out.select("doc_id", "canonical_url", "n_chars")
+
+
 def q_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram-LM surprise per doc (quality
     .bigram_surprise): p = 0.5*p_bigram + 0.5*p_unigram over the
@@ -2762,10 +2800,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # == r5 WINDOW (first 50 = the driver's correctness prefix) ==
-        # -- positions 1-9: NEW in r5 (ANN re-rank composite, real
+        # -- positions 1-10: NEW in r5 (ANN re-rank composite, real
         # -- media decoders, decode→embed→match composition, corpus
         # -- release diff, semantic decontamination, deterministic
-        # -- k-means + the kmeans→SemDeDup composition, bigram LM) ---
+        # -- k-means + the kmeans→SemDeDup composition, bigram LM,
+        # -- URL canonicalization dedup) ------------------------------
         "ivf_rerank_topk": q_ivf_rerank_topk,
         "image_decode": q_image_decode,
         "wav_decode": q_wav_decode,
@@ -2775,6 +2814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "kmeans_semantic_dedup": q_kmeans_semantic_dedup,
         "bigram_surprise": q_bigram_surprise,
+        "url_dedup": q_url_dedup,
         # -- positions 4-24: oldest-green rotation — the TPC-H family
         # -- last driver-checked in r1/r2 (VERDICT r5 directive #3) --
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -2818,11 +2858,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_user_top3": q_events_user_top3,
         "events_asof_join": q_events_asof_join,
-        "events_json_props": q_events_json_props,
         # == past the 50-entry window from here on ===================
-        # (text_profile / lang_histogram / events_session_window were
-        # displaced from the r5 window by the three new r5 queries;
-        # they rotate in r6)
+        # (text_profile / lang_histogram / events_session_window /
+        # events_json_props were displaced from the r5 window by the
+        # four newest r5 queries; they rotate in r6)
+        "events_json_props": q_events_json_props,
         "events_session_window": q_events_session_window,
         "text_profile": q_text_profile,
         "lang_histogram": q_lang_histogram,
@@ -3079,6 +3119,28 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": f"""
             WITH {_kmeans_cte(k=8, n_iter=2)}
             SELECT vec_id, cluster, d AS dist FROM a2
+        """,
+        "url_dedup": """
+            WITH u AS (
+                SELECT doc_id, n_chars,
+                       CASE WHEN doc_id % 4 IN (0, 1)
+                            THEN 'https://example.com/' || lang || '/'
+                                 || CAST(doc_id % 40 AS VARCHAR)
+                            WHEN doc_id % 4 = 2
+                            THEN 'https://example.com/' || lang || '/'
+                                 || CAST(doc_id % 40 AS VARCHAR) || '?a=1&b=2'
+                            ELSE 'http://example.com/' || lang || '/'
+                                 || CAST(doc_id % 40 AS VARCHAR) || '?a=1&b=2'
+                       END AS canonical_url
+                FROM documents
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY canonical_url
+                    ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM u
+            )
+            SELECT doc_id, canonical_url, n_chars FROM r WHERE rn = 1
         """,
         "bigram_surprise": r"""
             WITH tk AS (

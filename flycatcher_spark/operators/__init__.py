@@ -22,6 +22,9 @@ reference surface — see SURVEY.md §7.1 step 7).
 - :mod:`.cluster` — exact deterministic Lloyd's k-means (the
   engine-portable blocking-assignment producer for semantic dedup;
   sampled index bootstrapping lives in :mod:`.similarity`).
+- :mod:`.web` — URL canonicalization and URL-keyed dedup for crawled
+  corpora (map-only Column canonicalizer, slim-shuffle best-row-wins
+  dedup).
 - :mod:`.quality` — corpus curation: Gopher-style rule gates, linear
   classifier scoring, unigram-LM surprise, per-domain caps,
   temperature mixture sampling, deterministic training order,
@@ -42,6 +45,7 @@ from . import (
     stats,
     text,
     versioning,
+    web,
 )
 
 __all__ = [
@@ -57,4 +61,5 @@ __all__ = [
     "stats",
     "text",
     "versioning",
+    "web",
 ]

@@ -1,0 +1,100 @@
+"""operators/web — URL canonicalization + URL-keyed dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flycatcher_spark import plans
+from flycatcher_spark.operators import web
+
+
+def _canon(spark, url: str) -> str:
+    df = spark.createDataFrame([(url,)], ["url"])
+    return df.select(web.canonical_url("url").alias("u")).first()["u"]
+
+
+class TestCanonicalUrl:
+    def test_full_noise_collapse(self, spark):
+        assert (
+            _canon(spark, "HTTPS://WWW.Example.COM:443/a/?utm_source=x&b=2&a=1#f")
+            == "https://example.com/a?a=1&b=2"
+        )
+
+    def test_scheme_and_host_lowercased_path_preserved(self, spark):
+        assert _canon(spark, "HTTP://EXAMPLE.com/CaseSensitive/Path") == (
+            "http://example.com/CaseSensitive/Path"
+        )
+
+    def test_default_port_only_for_matching_scheme(self, spark):
+        assert _canon(spark, "http://example.com:80/x") == "http://example.com/x"
+        assert _canon(spark, "https://example.com:443/x") == "https://example.com/x"
+        # non-default ports survive
+        assert _canon(spark, "http://example.com:443/x") == "http://example.com:443/x"
+        assert _canon(spark, "https://example.com:8443/x") == "https://example.com:8443/x"
+
+    def test_empty_path_becomes_root(self, spark):
+        assert _canon(spark, "https://example.com") == "https://example.com/"
+        assert _canon(spark, "https://example.com/") == "https://example.com/"
+
+    def test_tracking_params_dropped_entirely(self, spark):
+        assert (
+            _canon(spark, "https://example.com/p?utm_source=a&utm_medium=b&gclid=1")
+            == "https://example.com/p"
+        )
+
+    def test_params_sorted_values_kept(self, spark):
+        assert (
+            _canon(spark, "https://example.com/p?z=26&a=1&m=13")
+            == "https://example.com/p?a=1&m=13&z=26"
+        )
+
+    def test_non_url_passes_through(self, spark):
+        assert _canon(spark, "not a url at all") == "not a url at all"
+        assert _canon(spark, "/relative/path") == "/relative/path"
+
+    def test_map_only_plan(self, spark):
+        df = spark.createDataFrame([("https://a.example/x",)], ["url"])
+        out = df.select(web.canonical_url("url"))
+        plans.assert_no_shuffle(out)
+        plans.assert_jvm_only(out)
+
+    def test_host_of(self, spark):
+        df = spark.createDataFrame([("https://blog.example.com/x?q=1",)], ["url"])
+        assert df.select(web.host_of("url").alias("h")).first()["h"] == (
+            "blog.example.com"
+        )
+
+
+class TestUrlDedup:
+    def test_best_quality_wins_ties_to_min_id(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "https://example.com/a", 10),
+                (2, "HTTPS://WWW.EXAMPLE.COM/a", 50),  # same canonical, best
+                (3, "https://example.com/a/", 50),     # tie on quality -> id 2
+                (4, "https://example.com/b", 5),
+            ],
+            ["doc_id", "url", "q"],
+        )
+        out = web.url_dedup(df, quality_col="q")
+        got = {r["doc_id"]: r["canonical_url"] for r in out.collect()}
+        assert got == {
+            2: "https://example.com/a",
+            4: "https://example.com/b",
+        }
+
+    def test_no_quality_col_keeps_min_id(self, spark):
+        df = spark.createDataFrame(
+            [(5, "https://e.com/x"), (3, "https://e.com/x#frag")],
+            ["doc_id", "url"],
+        )
+        out = web.url_dedup(df)
+        assert [r["doc_id"] for r in out.collect()] == [3]
+
+    def test_full_rows_survive(self, spark):
+        df = spark.createDataFrame(
+            [(1, "https://e.com/x", "payload")], ["doc_id", "url", "body"]
+        )
+        row = web.url_dedup(df).first()
+        assert row["body"] == "payload"
+        assert row["canonical_url"] == "https://e.com/x"
