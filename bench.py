@@ -66,6 +66,9 @@ HEADLINE = [
     "image_decode",             # real PPM decode (build + parse)
     "wav_decode",               # real WAV decode
     "ivf_rerank_topk",          # ANN composite incl. index training
+    "kmeans_clusters",          # exact Lloyd's: 2 fit rounds + assign
+    "bigram_surprise",          # interpolated bigram LM scoring
+    "url_dedup",                # URL canonicalize + best-row dedup
 ]
 
 
@@ -73,6 +76,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    headline = (
+        [q for q in HEADLINE if q in set(only.split(","))]
+        if only
+        else HEADLINE
+    )
 
     from pyspark.sql import SparkSession
 
@@ -119,14 +128,14 @@ def main() -> None:
 
     warm_sf = "/root/testdata/sf0.001"
     if os.path.isdir(warm_sf) and warm_sf != sf_dir:
-        for name in HEADLINE:
+        for name in headline:
             try:
                 run_full(qs[name](spark, warm_sf))
             except Exception as e:  # warm-up must never fail the bench
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = qs[name]
         runs = []
         for _ in range(n_runs):
@@ -137,7 +146,7 @@ def main() -> None:
             # signatures, LSH candidates). Each run creates its own
             # DataFrame objects so nothing is shared between runs, but
             # the cached blocks would otherwise accumulate across
-            # 3 runs x 29 queries — drop them so every run starts from
+            # 3 runs x the headline set — drop them so every run starts from
             # the same storage state.
             spark.catalog.clearCache()
         med = statistics.median(runs)

@@ -51,59 +51,69 @@ _MEAN_DECIMALS = 9
 _DIST_DECIMALS = 6
 
 
-def _dist2(vec: Column, center: list[float]) -> Column:
-    """Rounded squared L2 distance ``|v|^2 - 2 v.c + |c|^2`` to a
-    literal centroid.
-
-    The three-term form (not ``sum((x-y)^2)``) is deliberate: it is
-    the same expression shape DuckDB's ``list_dot_product`` replay
-    uses, so both engines agree to well under the 1e-6 reporting
-    granularity. ``greatest(.., 0)`` clamps the tiny negative residue
-    a self-distance can leave (round would otherwise emit -0.0, which
-    hashes differently from 0.0).
-    """
-    dot_vc = F.aggregate(
-        F.zip_with(vec, F.array(*[F.lit(float(x)) for x in center]),
-                   lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    c2 = 0.0
-    for x in center:
-        c2 += float(x) * float(x)
-    return F.round(
-        F.greatest(
-            F.col("__nv") - F.lit(2.0) * dot_vc + F.lit(c2), F.lit(0.0)
-        ),
-        _DIST_DECIMALS,
-    )
-
-
 def _with_assignment(
     vectors: DataFrame, vec_col: str, centroids: Sequence[Sequence[float]]
 ) -> DataFrame:
-    """Add ``__nv`` (|v|^2), ``cluster`` and ``dist`` columns — one
-    map-only pass, argmin as a lexicographic ``least`` over
-    (dist, cluster) structs so ties break toward the lower cluster id
-    (the oracle's ``ORDER BY d, cluster`` tie-break)."""
+    """Add ``cluster`` and ``dist`` columns — one map-only pass.
+
+    Distances use the three-term form ``|v|^2 - 2 v.c + |c|^2`` (not
+    ``sum((x-y)^2)``) deliberately: it is the same expression shape
+    DuckDB's ``list_dot_product`` replay uses, so both engines agree
+    to well under the 1e-6 reporting granularity. ``greatest(.., 0)``
+    clamps the tiny negative residue a self-distance can leave (round
+    would otherwise emit -0.0, which hashes differently from 0.0).
+
+    Argmin is ``array_min`` over (dist, cluster) structs built by ONE
+    ``transform`` over an array-of-centroids literal — lexicographic
+    struct ordering breaks ties toward the lower cluster id (the
+    oracle's ``ORDER BY d, cluster``). The single-transform shape
+    (rather than k expression branches) keeps the plan tree O(1) in
+    k, which is what makes iteration-heavy fits cheap to analyze.
+    ``|c|^2`` terms ship pre-computed (Python sequential sums — the
+    same left-to-right double fold the SQL replay's dot product
+    uses).
+    """
     v = F.col(vec_col)
-    staged = vectors.withColumn(
-        # stage |v|^2 through a column: k struct branches referencing
-        # the raw aggregate would evaluate it k times
-        "__nv",
-        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x),
-    )
-    best = F.least(
-        *[
-            F.struct(
-                _dist2(v, list(c)).alias("d"),
-                F.lit(int(i)).alias("c"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    cents = F.array(*[F.lit([float(x) for x in c]) for c in centroids])
+    ncs = []
+    for c in centroids:
+        c2 = 0.0
+        for x in c:
+            c2 += float(x) * float(x)
+        ncs.append(c2)
+    nc = F.lit(ncs)
+
+    def dist_i(nv: Column, i: Column) -> Column:
+        dot_vc = F.aggregate(
+            F.zip_with(v, F.element_at(cents, i + 1), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        return F.round(
+            F.greatest(
+                nv - F.lit(2.0) * dot_vc + F.element_at(nc, i + 1),
+                F.lit(0.0),
+            ),
+            _DIST_DECIMALS,
+        )
+
+    best = F.array_min(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda i: F.struct(
+                dist_i(F.col("__nv"), i).alias("d"),
+                i.cast("int").alias("c"),
+            ),
+        )
     )
     return (
-        staged.withColumn("__best", best)
+        vectors.withColumn(
+            # stage |v|^2 through a column: per-centroid lambdas
+            # referencing the raw aggregate would evaluate it k times
+            "__nv",
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x),
+        )
+        .withColumn("__best", best)
         .withColumn("cluster", F.col("__best.c"))
         .withColumn("dist", F.col("__best.d"))
         .drop("__nv", "__best")
@@ -116,23 +126,33 @@ def _mean_update(
     centroids: list[list[float]],
 ) -> list[list[float]]:
     """One Lloyd mean update: per-(cluster, dimension) DECIMAL sums →
-    rounded means, collected as k rows. Empty clusters keep their
+    rounded means, collected as k×d rows (posexplode + ONE aggregate
+    expression — d separate agg columns would make Catalyst re-analyze
+    a plan O(d) wide per iteration). The shuffle carries partial
+    (cluster, dim) sums per map partition. Empty clusters keep their
     previous centroid (the oracle's LEFT JOIN / coalesce rule)."""
     d = len(centroids[0])
-    v = F.col(vec_col)
-    aggs = [
-        F.round(
-            F.sum(
-                F.round(v[i], _MEAN_DECIMALS).cast("decimal(20,9)")
-            ).cast("double")
-            / F.count(F.lit(1)),
-            _MEAN_DECIMALS,
-        ).alias(f"__m{i}")
-        for i in range(d)
-    ]
-    rows = assigned.groupBy("cluster").agg(*aggs).collect()
-    means = {int(r["cluster"]): [float(r[f"__m{i}"]) for i in range(d)]
-             for r in rows}
+    rows = (
+        assigned.select(
+            F.col("cluster"), F.posexplode(F.col(vec_col)).alias("dim", "val")
+        )
+        .groupBy("cluster", "dim")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("val"), _MEAN_DECIMALS).cast("decimal(20,9)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                _MEAN_DECIMALS,
+            ).alias("mu")
+        )
+        .collect()
+    )
+    means: dict[int, list[float]] = {}
+    for r in rows:
+        means.setdefault(int(r["cluster"]), [0.0] * d)[int(r["dim"])] = float(
+            r["mu"]
+        )
     return [means.get(i, list(c)) for i, c in enumerate(centroids)]
 
 
