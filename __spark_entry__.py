@@ -2685,6 +2685,71 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "canonical_url", "n_chars")
 
 
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist gate (quality.blocklist_hits/pass):
+    whole-word hits of a curated phrase list — including a multi-word
+    phrase — against normalized text, zero-tolerance pass flag.
+    Map-only; the list rides in the plan."""
+    docs = _read(spark, sf_dir, "documents")
+    phrases = ["slow", "dup", "batch stream"]
+    return docs.select(
+        "doc_id",
+        quality.blocklist_hits("text", phrases).cast("long").alias("n_hits"),
+        quality.blocklist_pass("text", phrases).alias("passed"),
+    )
+
+
+def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (text.normalize_unicode, the one
+    documented Arrow-UDF exception to the pure-Column rule): planted
+    combining-sequence payloads (e+U+0301, i+U+0308) must collapse to
+    their precomposed forms and become byte-identical to the
+    already-NFC variant; ASCII passes through. DuckDB replays with
+    nfc_normalize over chr()-built payloads."""
+    docs = _read(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 3
+    planted = (
+        F.when(v == 0, F.lit("cafe\u0301 nai\u0308ve "))   # decomposed
+        .when(v == 1, F.lit("caf\u00e9 na\u00efve "))       # precomposed
+        .otherwise(F.lit("cafe naive "))                        # ascii
+    )
+    raw = F.concat(planted, F.substring("text", 1, 12))
+    norm = text.normalize_unicode(raw)
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(raw).alias("n_raw"),
+        F.length(norm).alias("n_norm"),
+        (norm != raw).alias("changed"),
+    )
+
+
+def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document cap — the crawl-pipeline composition
+    web.canonical_url -> web.host_of -> quality.cap_per_key: plant
+    per-source URLs, canonicalize, extract the host, keep the top 20
+    docs per host by n_chars (ties to min doc_id)."""
+    docs = _read(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper("source"),
+        F.lit(".Example.COM/"),
+        F.col("doc_id").cast("string"),
+    )
+    with_host = docs.withColumn(
+        "host", web.host_of(web.canonical_url(url))
+    )
+    capped = quality.cap_per_key(
+        with_host,
+        "host",
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        k=20,
+    )
+    return capped.select(
+        "doc_id", "host", "n_chars", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram-LM surprise per doc (quality
     .bigram_surprise): p = 0.5*p_bigram + 0.5*p_unigram over the
@@ -2800,11 +2865,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # == r5 WINDOW (first 50 = the driver's correctness prefix) ==
-        # -- positions 1-10: NEW in r5 (ANN re-rank composite, real
+        # -- positions 1-13: NEW in r5 (ANN re-rank composite, real
         # -- media decoders, decode→embed→match composition, corpus
         # -- release diff, semantic decontamination, deterministic
         # -- k-means + the kmeans→SemDeDup composition, bigram LM,
-        # -- URL canonicalization dedup) ------------------------------
+        # -- URL canonicalization dedup, C4 blocklist gate, Unicode
+        # -- NFC normalization, per-host caps) ------------------------
         "ivf_rerank_topk": q_ivf_rerank_topk,
         "image_decode": q_image_decode,
         "wav_decode": q_wav_decode,
@@ -2815,6 +2881,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_semantic_dedup": q_kmeans_semantic_dedup,
         "bigram_surprise": q_bigram_surprise,
         "url_dedup": q_url_dedup,
+        "blocklist_filter": q_blocklist_filter,
+        "unicode_normalize": q_unicode_normalize,
+        "host_cap": q_host_cap,
         # -- positions 4-24: oldest-green rotation — the TPC-H family
         # -- last driver-checked in r1/r2 (VERDICT r5 directive #3) --
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -2855,13 +2924,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "corpus_divergence": q_corpus_divergence,
         "events_daily": q_events_daily,
+        # == past the 50-entry window from here on ===================
+        # (text_profile / lang_histogram / events_session_window /
+        # events_json_props / events_asof_join / events_user_top3 /
+        # events_sessions were displaced from the r5 window by the
+        # seven newest r5 queries; they rotate in r6)
         "events_sessions": q_events_sessions,
         "events_user_top3": q_events_user_top3,
         "events_asof_join": q_events_asof_join,
-        # == past the 50-entry window from here on ===================
-        # (text_profile / lang_histogram / events_session_window /
-        # events_json_props were displaced from the r5 window by the
-        # four newest r5 queries; they rotate in r6)
         "events_json_props": q_events_json_props,
         "events_session_window": q_events_session_window,
         "text_profile": q_text_profile,
@@ -3119,6 +3189,57 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": f"""
             WITH {_kmeans_cte(k=8, n_iter=2)}
             SELECT vec_id, cluster, d AS dist FROM a2
+        """,
+        "blocklist_filter": r"""
+            WITH n AS (
+                SELECT doc_id,
+                       ' ' || regexp_replace(regexp_replace(lower(text),
+                             '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g') || ' '
+                           AS padded
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST((CASE WHEN contains(padded, ' batch stream ') THEN 1 ELSE 0 END)
+                      + (CASE WHEN contains(padded, ' dup ') THEN 1 ELSE 0 END)
+                      + (CASE WHEN contains(padded, ' slow ') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hits,
+                   ((CASE WHEN contains(padded, ' batch stream ') THEN 1 ELSE 0 END)
+                  + (CASE WHEN contains(padded, ' dup ') THEN 1 ELSE 0 END)
+                  + (CASE WHEN contains(padded, ' slow ') THEN 1 ELSE 0 END)) <= 0
+                       AS passed
+            FROM n
+        """,
+        "unicode_normalize": """
+            WITH u AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 3 = 0
+                             THEN 'cafe' || chr(769) || ' nai' || chr(776) || 've '
+                             WHEN doc_id % 3 = 1
+                             THEN 'caf' || chr(233) || ' na' || chr(239) || 've '
+                             ELSE 'cafe naive '
+                        END) || substr(text, 1, 12) AS raw
+                FROM documents
+            )
+            SELECT doc_id,
+                   nfc_normalize(raw) AS norm_text,
+                   CAST(length(raw) AS INT) AS n_raw,
+                   CAST(length(nfc_normalize(raw)) AS INT) AS n_norm,
+                   nfc_normalize(raw) <> raw AS changed
+            FROM u
+        """,
+        "host_cap": """
+            WITH h AS (
+                SELECT doc_id, source || '.example.com' AS host, n_chars
+                FROM documents
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY host
+                    ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM h
+            )
+            SELECT doc_id, host, n_chars, CAST(rn AS BIGINT) AS rank
+            FROM r WHERE rn <= 20
         """,
         "url_dedup": """
             WITH u AS (

@@ -69,6 +69,7 @@ HEADLINE = [
     "kmeans_clusters",          # exact Lloyd's: 2 fit rounds + assign
     "bigram_surprise",          # interpolated bigram LM scoring
     "url_dedup",                # URL canonicalize + best-row dedup
+    "unicode_normalize",        # Arrow-UDF NFC pass (the one UDF path)
 ]
 
 

@@ -307,6 +307,53 @@ def unigram_surprise(
     )
 
 
+def blocklist_hits(
+    text: Column | str, phrases: list[str]
+) -> Column:
+    """Number of distinct blocklist phrases present in the document —
+    the C4-style bad-word gate. Matching is whole-word on normalized
+    text (lowercase, collapsed whitespace), so multi-word phrases
+    work and ``"class"`` never matches inside ``"classification"``.
+
+    Pure Column expression: k ``contains`` probes against the
+    once-normalized padded text (map-only; codegen CSE shares the
+    normalization across probes). Right for curated lists in the
+    hundreds (C4's list is ~400 entries); a list in the tens of
+    thousands wants an Aho-Corasick Arrow kernel instead — documented
+    rather than hidden.
+
+    Examples
+    --------
+        >>> df = spark.createDataFrame(
+        ...     [(1, "the Quick  brown fox")], ["id", "text"])
+        >>> df.select(blocklist_hits(
+        ...     "text", ["quick brown", "fox", "class"]).alias("n")
+        ... ).first()["n"]
+        2
+    """
+    from .text import normalize_text
+
+    norm_phrases = sorted(
+        {" ".join(str(p).lower().split()) for p in phrases if str(p).strip()}
+    )
+    if not norm_phrases:
+        return F.lit(0)
+    padded = F.concat(F.lit(" "), normalize_text(_col(text)), F.lit(" "))
+    hit = None
+    for p in norm_phrases:
+        term = padded.contains(f" {p} ").cast("int")
+        hit = term if hit is None else hit + term
+    return hit
+
+
+def blocklist_pass(
+    text: Column | str, phrases: list[str], max_hits: int = 0
+) -> Column:
+    """Boolean gate: at most ``max_hits`` distinct blocklist phrases
+    (default: zero tolerance, the C4 rule)."""
+    return blocklist_hits(text, phrases) <= int(max_hits)
+
+
 def bigram_surprise(
     docs: DataFrame,
     text_col: str = "text",

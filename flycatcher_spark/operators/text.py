@@ -269,6 +269,45 @@ def normalize_text(text: Column | str) -> Column:
     )
 
 
+def normalize_unicode(text: Column | str, form: str = "NFC") -> Column:
+    """Unicode-normalize a string column (NFC by default) — the very
+    first step of a real web-text pipeline: combining sequences
+    (``e`` + U+0301) and their precomposed forms (U+00E9) must
+    collapse to one representation BEFORE any hashing, dedup, or
+    tokenization, or visually identical documents fingerprint apart.
+
+    Spark has no built-in Unicode normalizer, so this is an
+    Arrow-batched ``pandas_udf`` over :func:`unicodedata.normalize` —
+    a deliberate, documented exception to the pure-Column rule
+    (UAX #15 is not expressible in Catalyst). Engine-portable: DuckDB
+    replays NFC via ``nfc_normalize`` (the ``unicode_normalize``
+    oracle query pins planted combining-sequence payloads
+    cell-for-cell).
+
+    Examples
+    --------
+        >>> decomposed = spark.createDataFrame(
+        ...     [("cafe\u0301",)], ["t"])  # e + combining acute
+        >>> out = decomposed.select(F.length("t").alias("raw"),
+        ...     F.length(normalize_unicode("t")).alias("nfc"))
+        >>> r = out.first(); (r["raw"], r["nfc"])
+        (5, 4)
+    """
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form}")
+
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _norm(c)
+
+
 def fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of normalized text.
 

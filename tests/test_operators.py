@@ -14,7 +14,8 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from flycatcher_spark.operators import dedup, multimodal, similarity, text
+from flycatcher_spark import plans
+from flycatcher_spark.operators import dedup, multimodal, quality, similarity, text
 
 
 # ---------------------------------------------------------------------------
@@ -101,6 +102,75 @@ class TestText:
         }
         assert expected <= set(prof.columns)
         assert prof.count() == docs.count()
+
+
+class TestNormalizeUnicode:
+    def test_decomposed_collapses_to_precomposed(self, spark):
+        df = spark.createDataFrame(
+            [(1, "cafe\u0301"), (2, "caf\u00e9"), (3, "plain")],
+            ["id", "t"],
+        )
+        out = {
+            r["id"]: (r["n"], r["l"])
+            for r in df.select(
+                "id",
+                text.normalize_unicode("t").alias("n"),
+                F.length(text.normalize_unicode("t")).alias("l"),
+            ).collect()
+        }
+        assert out[1] == out[2] == ("café", 4)
+        assert out[3] == ("plain", 5)
+
+    def test_null_passthrough_and_forms(self, spark):
+        df = spark.createDataFrame([(1, None)], "id long, t string")
+        assert df.select(text.normalize_unicode("t").alias("n")).first()["n"] is None
+        # NFKD decomposes the ligature; NFC keeps it
+        df2 = spark.createDataFrame([(1, "\ufb01le")], ["id", "t"])  # fi ligature
+        nfkc = df2.select(
+            text.normalize_unicode("t", form="NFKC").alias("n")
+        ).first()["n"]
+        assert nfkc == "file"
+        with pytest.raises(ValueError, match="normalization form"):
+            text.normalize_unicode("t", form="NFX")
+
+
+class TestBlocklist:
+    def test_whole_word_and_multiword(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the Quick  brown fox"), (2, "classification story")],
+            ["id", "t"],
+        )
+        got = {
+            r["id"]: r["n"]
+            for r in df.select(
+                "id",
+                quality.blocklist_hits(
+                    "t", ["quick brown", "fox", "class"]
+                ).alias("n"),
+            ).collect()
+        }
+        assert got == {1: 2, 2: 0}  # no substring match inside words
+
+    def test_pass_gate_and_normalized_phrases(self, spark):
+        df = spark.createDataFrame([(1, "a BAD   word here")], ["id", "t"])
+        # phrase list normalizes the same way as the text
+        passed = df.select(
+            quality.blocklist_pass("t", ["  Bad WORD "]).alias("p")
+        ).first()["p"]
+        assert passed is False
+        assert df.select(
+            quality.blocklist_pass("t", ["bad word"], max_hits=1).alias("p")
+        ).first()["p"] is True
+        # empty list -> zero hits, always passes
+        assert df.select(
+            quality.blocklist_hits("t", []).alias("n")
+        ).first()["n"] == 0
+
+    def test_map_only(self, spark):
+        df = spark.createDataFrame([(1, "x")], ["id", "t"])
+        out = df.select(quality.blocklist_hits("t", ["x", "y z"]))
+        plans.assert_no_shuffle(out)
+        plans.assert_jvm_only(out)
 
 
 class TestProfileStruct:
