@@ -51,6 +51,19 @@ def main() -> None:
     keep = profiled.filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 5))
     print("after quality filter:", keep.count(), "/", docs.count())
 
+    # 2a. Unicode NFC normalization (r5) — BEFORE any fingerprinting
+    #     or dedup: combining sequences and precomposed forms must
+    #     collapse to one representation or visually identical docs
+    #     hash apart. The one Arrow-UDF stage in the pipeline (UAX #15
+    #     is not expressible in Catalyst).
+    keep = keep.withColumn("text", text.normalize_unicode("text"))
+
+    # 2a'. Blocklist gate (r5, the C4 bad-word rule): whole-word hits
+    #      of a curated phrase list, zero tolerance — map-only, the
+    #      list rides in the plan.
+    keep = keep.where(quality.blocklist_pass("text", ["lorem ipsum", "xxx"]))
+    print("after NFC + blocklist gate:", keep.count())
+
     # 2b. Repetition ceiling (Gopher-style): drop docs whose duplicated
     #     trigrams cover too much of the text, and redact PII before
     #     anything downstream can memorize it (both map-only)
@@ -248,6 +261,21 @@ def main() -> None:
         codebooks=similarity.load_pq_codebooks(spark, f"{idx_dir}/pq"),
     )
     hits.orderBy("query_id", "rank").show(9)
+
+    # 12. SemDeDup with LEARNED clusters (r5): deterministic full-
+    #     corpus k-means produces the blocking assignment (map-only
+    #     per iteration; reproducible cell-for-cell), then semantic
+    #     dedup drops near-duplicate vectors within each learned
+    #     cluster — no precomputed labels anywhere.
+    from flycatcher_spark.operators import cluster
+
+    assigned = cluster.kmeans(em, k=8, n_iter=2).select(
+        "vec_id", "embedding", "cluster"
+    )
+    sem_kept = quality.semantic_dedup(
+        assigned, threshold=0.35, cluster_col="cluster"
+    )
+    print("semantic dedup on learned clusters:", sem_kept.count(), "/", em.count())
 
     spark.stop()
 
