@@ -38,7 +38,7 @@ def content_fingerprint(cols: Sequence[str]):
 
     Examples
     --------
-        >>> df = spark.createDataFrame([("a", None)], ["x", "y"])
+        >>> df = spark.createDataFrame([("a", None)], "x string, y string")
         >>> r = df.select(content_fingerprint(["x", "y"]).alias("fp")).first()
         >>> len(r["fp"])
         32
