@@ -2565,7 +2565,13 @@ def q_leakage_safe_split_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = dedup.minhash_lsh_pairs(
         docs, num_perm=64, bands=4, shingle_n=3, threshold=0.8
     )
-    pairs = dedup.verify_pairs_jaccard(cand, docs, shingle_n=3, threshold=0.5)
+    # hashed=True: the production verify path (8-byte shingle hashes
+    # through the joins instead of strings; ~1e-15/pair collision odds
+    # documented on verify_pairs_jaccard) — the oracle query keeps
+    # strings for engine parity.
+    pairs = dedup.verify_pairs_jaccard(
+        cand, docs, shingle_n=3, threshold=0.5, hashed=True
+    )
     return quality.leakage_safe_split(docs, pairs, train_pct=90)
 
 
