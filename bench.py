@@ -17,6 +17,10 @@ r5 change: each query runs ``$SPARK_GRAFT_BENCH_RUNS`` times (default
 3) and reports the **median** — single runs showed ±0.3s noise on
 sub-second queries, which made per-query regression gating (see
 ``tools/gate.py`` vs ``bench_baseline.json``) too flaky to enforce.
+Each query additionally gets one untimed warm run at the TARGET SF
+before its timed runs (cache cleared in between): the sf0.001 warmup
+alone leaves some plan shapes cold and their first timed run 3-4x
+steady state.
 """
 
 from __future__ import annotations
@@ -138,6 +142,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in headline:
         fn = qs[name]
+        # One untimed warm run AT THE TARGET SF: the sf0.001 warmup
+        # compiles different AQE/codegen plan shapes for some queries
+        # (ivf_rerank_topk's first sf0.01 run measured 3-4x its
+        # steady state), which made median-of-3 flaky for regression
+        # gating. The cache is cleared after the warm run too, so
+        # timed runs recompute all data — only code paths stay warm,
+        # matching the docstring's steady-state-throughput intent.
+        try:
+            run_full(fn(spark, sf_dir))
+        except Exception as e:
+            print(f"# target-sf warmup {name} failed: {e}", file=sys.stderr)
+        spark.catalog.clearCache()
         runs = []
         for _ in range(n_runs):
             t0 = time.time()
