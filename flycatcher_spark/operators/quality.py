@@ -350,7 +350,15 @@ def blocklist_pass(
     text: Column | str, phrases: list[str], max_hits: int = 0
 ) -> Column:
     """Boolean gate: at most ``max_hits`` distinct blocklist phrases
-    (default: zero tolerance, the C4 rule)."""
+    (default: zero tolerance, the C4 rule).
+
+    Examples
+    --------
+        >>> df = spark.createDataFrame([(1, "a clean doc")], ["id", "text"])
+        >>> df.select(blocklist_pass("text", ["bad word"]).alias("ok")
+        ... ).first()["ok"]
+        True
+    """
     return blocklist_hits(text, phrases) <= int(max_hits)
 
 
@@ -385,6 +393,16 @@ def bigram_surprise(
     representable in both binary doubles and SQL decimal literals, so
     the Spark expression and the DuckDB oracle compute bit-identical
     mixtures. Returns ``(id_col, n_tokens, surprise)``.
+
+    Examples
+    --------
+        >>> docs = spark.createDataFrame(
+        ...     [(1, "a b " * 8), (2, "b a a b b a a a b b a b " + "a b ")],
+        ...     ["doc_id", "text"])   # same unigrams; 1 is predictable
+        >>> out = {r.doc_id: r.surprise for r in bigram_surprise(
+        ...     docs, vocab_size=4, bigram_vocab_size=8).collect()}
+        >>> out[1] < out[2]
+        True
     """
     from .text import bind_once
 
