@@ -2583,8 +2583,13 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_diff must classify every id — added / removed / changed /
     unchanged — from the md5 content fingerprints alone (slim-column
     shuffle; document bodies never move). DuckDB rebuilds both
-    releases and replays the full-outer-join classification."""
+    releases and replays the full-outer-join classification. The
+    re-key offset for 'added' docs is derived from the corpus
+    (max(doc_id)+1, one scalar agg) so it can never collide with a
+    real id at any scale factor — the oracle mirrors it with a
+    scalar subquery."""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    off = docs.agg(F.max("doc_id")).first()[0] + 1
     old = docs
     new = (
         docs.where(F.col("doc_id") % 13 != 3)
@@ -2596,7 +2601,7 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             docs.where(F.col("doc_id") % 19 == 1).select(
-                (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+                (F.col("doc_id") + F.lit(off)).alias("doc_id"), "text", "lang"
             )
         )
     )
@@ -3199,7 +3204,9 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_filter": r"""
             WITH n AS (
                 SELECT doc_id,
-                       ' ' || regexp_replace(regexp_replace(lower(text),
+                       ' ' || regexp_replace(regexp_replace(
+                             regexp_replace(lower(text),
+                                 '[^\p{L}\p{N}\s]', ' ', 'g'),
                              '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g') || ' '
                            AS padded
                 FROM documents
@@ -5382,7 +5389,8 @@ def oracle_sql() -> dict[str, str]:
                            coalesce(lang, ''))) AS fp
                 FROM documents WHERE doc_id % 13 <> 3
                 UNION ALL
-                SELECT doc_id + 100000 AS doc_id,
+                SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents)
+                           AS doc_id,
                        md5(concat_ws(chr(31), coalesce(text, ''),
                                      coalesce(lang, ''))) AS fp
                 FROM documents WHERE doc_id % 19 = 1

@@ -24,6 +24,8 @@ exponent so both engines hit the correctly-rounded IEEE path.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -38,6 +40,15 @@ REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 _SYMBOL_RE = r"#|\.\.\.|…"
 _BULLET_RE = r"^\s*[-*•]"
 _ELLIPSIS_END_RE = r"(\.\.\.|…)\s*$"
+
+# Blocklist match normalization: anything that is not a letter,
+# number, or whitespace becomes a space BEFORE whitespace collapse,
+# so punctuation-adjacent occurrences ("fox,", "word!") still match
+# whole-word probes. \p{L}\p{N} works identically in Java regex
+# (Spark) and RE2 (the DuckDB oracle); the Python mirror below is
+# applied to the phrase list.
+_PUNCT_RE = r"[^\p{L}\p{N}\s]"
+_PUNCT_PY = _re.compile(r"[^\w\s]|_", _re.UNICODE)
 
 
 def _col(text: Column | str) -> Column:
@@ -312,8 +323,13 @@ def blocklist_hits(
 ) -> Column:
     """Number of distinct blocklist phrases present in the document —
     the C4-style bad-word gate. Matching is whole-word on normalized
-    text (lowercase, collapsed whitespace), so multi-word phrases
-    work and ``"class"`` never matches inside ``"classification"``.
+    text (lowercase, punctuation stripped to spaces, collapsed
+    whitespace), so multi-word phrases work, ``"class"`` never
+    matches inside ``"classification"``, and sentence-final
+    occurrences (``"fox,"``, ``"bad word!"``) DO match — punctuation
+    adjacency must not under-filter real prose. Phrases normalize
+    through the same pipeline, so a listed ``"word!"`` matches a
+    document's ``"word"``.
 
     Pure Column expression: k ``contains`` probes against the
     once-normalized padded text (map-only; codegen CSE shares the
@@ -325,20 +341,31 @@ def blocklist_hits(
     Examples
     --------
         >>> df = spark.createDataFrame(
-        ...     [(1, "the Quick  brown fox")], ["id", "text"])
+        ...     [(1, "the Quick  brown fox, runs.")], ["id", "text"])
         >>> df.select(blocklist_hits(
         ...     "text", ["quick brown", "fox", "class"]).alias("n")
         ... ).first()["n"]
         2
     """
-    from .text import normalize_text
-
     norm_phrases = sorted(
-        {" ".join(str(p).lower().split()) for p in phrases if str(p).strip()}
+        {
+            " ".join(_PUNCT_PY.sub(" ", str(p).lower()).split())
+            for p in phrases
+        }
+        - {""}
     )
     if not norm_phrases:
         return F.lit(0)
-    padded = F.concat(F.lit(" "), normalize_text(_col(text)), F.lit(" "))
+    normed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(_col(text)), _PUNCT_RE, " "),
+            r"^\s+|\s+$",
+            "",
+        ),
+        r"\s+",
+        " ",
+    )
+    padded = F.concat(F.lit(" "), normed, F.lit(" "))
     hit = None
     for p in norm_phrases:
         term = padded.contains(f" {p} ").cast("int")

@@ -903,11 +903,13 @@ def pq_topk(
         Q = np.stack([np.asarray(v, dtype=np.float64) for v in qvecs])
         # Tables for the distinct queries in this batch only.
         res = np.empty(n, dtype=np.float64)
-        # group rows by identical query vector via the query id-less
-        # bytes key (cheap, batches are ~10k rows)
-        keys = np.fromiter((hash(v.tobytes()) for v in Q), dtype=np.int64)
-        for key in np.unique(keys):
-            rows = np.flatnonzero(keys == key)
+        # group rows by identical query vector keyed on the raw bytes
+        # (exact — no hash-collision case; batches are ~10k rows)
+        groups: dict[bytes, list[int]] = {}
+        for i, v in enumerate(Q):
+            groups.setdefault(v.tobytes(), []).append(i)
+        for idxs in groups.values():
+            rows = np.asarray(idxs)
             qv = Q[rows[0]]
             qs = qv.reshape(m_, sub)  # (m, sub)
             table = np.einsum("ms,mcs->mc", qs, books)  # (m, n_codes)
@@ -1108,9 +1110,12 @@ def ivf_pq_topk(
         Cc = np.frombuffer(b"".join(codes), dtype=np.uint8).reshape(n, m_)
         Q = np.stack([np.asarray(v, dtype=np.float64) for v in qvecs])
         res = np.empty(n, dtype=np.float64)
-        keys = np.fromiter((hash(v.tobytes()) for v in Q), dtype=np.int64)
-        for key in np.unique(keys):
-            rows = np.flatnonzero(keys == key)
+        # exact bytes-keyed grouping (no hash-collision case)
+        groups: dict[bytes, list[int]] = {}
+        for i, v in enumerate(Q):
+            groups.setdefault(v.tobytes(), []).append(i)
+        for idxs in groups.values():
+            rows = np.asarray(idxs)
             qv = Q[rows[0]]
             qs = qv.reshape(m_, sub)
             table = np.einsum("ms,mcs->mc", qs, books)

@@ -22,8 +22,11 @@ from pyspark.sql import functions as F
 __all__ = ["canonical_url", "host_of", "url_dedup", "TRACKING_PARAM_RE"]
 
 # Query parameters that never identify content: analytics/click IDs.
-# Anchored prefix match against "name=value" strings.
-TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|ref|mc_cid|mc_eid)="
+# Anchored prefix match against "name=value" strings. Deliberately
+# NARROW: a generic "ref" is frequently content-bearing (?ref=branch
+# on code hosts), so only the known tracking variants ref_src/ref_url
+# are dropped — pass a custom list to :func:`canonical_url` to widen.
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|ref_src|ref_url|mc_cid|mc_eid)="
 
 _URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
 
@@ -32,14 +35,17 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
-def canonical_url(url: Column | str) -> Column:
+def canonical_url(
+    url: Column | str, tracking_re: str = TRACKING_PARAM_RE
+) -> Column:
     """Canonical form of an absolute http(s)-style URL:
 
     - scheme and host lowercased; a leading ``www.`` dropped
     - default ports stripped (``:80`` for http, ``:443`` for https)
     - the fragment dropped
-    - tracking query parameters removed (:data:`TRACKING_PARAM_RE`),
-      the surviving parameters sorted bytewise
+    - tracking query parameters removed (``tracking_re``, default
+      :data:`TRACKING_PARAM_RE`), the surviving parameters sorted
+      bytewise
     - a single trailing slash dropped from non-root paths; an empty
       path becomes ``/``
 
@@ -76,7 +82,7 @@ def canonical_url(url: Column | str) -> Column:
     params = F.array_sort(
         F.filter(
             F.split(F.regexp_replace(query0, r"^\?", ""), "&"),
-            lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_RE),
+            lambda x: (x != "") & ~x.rlike(tracking_re),
         )
     )
     query = F.when(
@@ -116,8 +122,14 @@ def url_dedup(
     exchange and come back via the id join.
     """
     curl = canonical_url(url_col).alias("__curl")
+    # NULL quality must LOSE to any scored row: struct-min sorts a
+    # null first field before every value, so coalesce the negated
+    # quality to +inf (null-quality rows then only win an all-null
+    # group, where the id tiebreak applies).
     pref = (
-        (-_col(quality_col)).alias("__nq")
+        F.coalesce(
+            (-_col(quality_col)).cast("double"), F.lit(float("inf"))
+        ).alias("__nq")
         if quality_col is not None
         else F.lit(0).alias("__nq")
     )

@@ -151,6 +151,28 @@ class TestBlocklist:
         }
         assert got == {1: 2, 2: 0}  # no substring match inside words
 
+    def test_punctuation_adjacent_hits(self, spark):
+        # sentence-final / punctuation-adjacent occurrences must match
+        # (the C4 gate would otherwise under-filter real prose), and
+        # punctuation in the PHRASE list normalizes away too.
+        df = spark.createDataFrame(
+            [
+                (1, "A quick brown fox, ran."),
+                (2, 'He said "bad word!" twice'),
+                (3, "don't say bad-word here"),
+            ],
+            ["id", "t"],
+        )
+        got = {
+            r["id"]: r["n"]
+            for r in df.select(
+                "id",
+                quality.blocklist_hits("t", ["fox", "bad word!"]).alias("n"),
+            ).collect()
+        }
+        # doc 3: "bad-word" normalizes to "bad word" -> hits
+        assert got == {1: 1, 2: 1, 3: 1}
+
     def test_pass_gate_and_normalized_phrases(self, spark):
         df = spark.createDataFrame([(1, "a BAD   word here")], ["id", "t"])
         # phrase list normalizes the same way as the text

@@ -42,6 +42,23 @@ class TestCanonicalUrl:
             == "https://example.com/p"
         )
 
+    def test_content_bearing_ref_survives(self, spark):
+        # generic "ref" is content-bearing on code hosts (?ref=branch);
+        # only the known tracking variants ref_src/ref_url are dropped
+        assert (
+            _canon(spark, "https://example.com/blob?ref=main&ref_src=tw")
+            == "https://example.com/blob?ref=main"
+        )
+
+    def test_custom_tracking_re(self, spark):
+        df = spark.createDataFrame(
+            [("https://example.com/p?sid=1&a=2",)], ["url"]
+        )
+        got = df.select(
+            web.canonical_url("url", tracking_re=r"^sid=").alias("u")
+        ).first()["u"]
+        assert got == "https://example.com/p?a=2"
+
     def test_params_sorted_values_kept(self, spark):
         assert (
             _canon(spark, "https://example.com/p?z=26&a=1&m=13")
@@ -82,6 +99,22 @@ class TestUrlDedup:
             2: "https://example.com/a",
             4: "https://example.com/b",
         }
+
+    def test_null_quality_loses_to_any_scored_row(self, spark):
+        # struct-min would sort a null first field ahead of every
+        # value; the coalesce-to-+inf fix makes null-quality rows
+        # lose, and an all-null group falls back to the id tiebreak.
+        df = spark.createDataFrame(
+            [
+                (1, "https://e.com/a", None),
+                (2, "https://e.com/a", 1),      # scored -> beats null
+                (7, "https://e.com/b", None),
+                (5, "https://e.com/b", None),   # all-null -> min id
+            ],
+            "doc_id long, url string, q int",
+        )
+        out = web.url_dedup(df, quality_col="q")
+        assert sorted(r["doc_id"] for r in out.collect()) == [2, 5]
 
     def test_no_quality_col_keeps_min_id(self, spark):
         df = spark.createDataFrame(
