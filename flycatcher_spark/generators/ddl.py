@@ -258,7 +258,11 @@ def read_routed(
         .schema(read_schema)
         .load(path)
     )
-    raw = raw.persist()
+    # Tracked (flycatcher_spark.caching) so a long-lived session can
+    # release the parsed cache once both sides are written out.
+    from .. import caching
+
+    raw = caching.track(raw)
     from pyspark.sql import functions as F
 
     good = raw.where(F.col(corrupt_col).isNull()).select(

@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 
+from .. import caching
 from .similarity import cosine
 from .text import bind_once, normalize_text, tokens
 
@@ -351,9 +352,10 @@ def minhash_lsh_pairs(
     # referencing stages can start concurrently and each recompute
     # the compute-dense signature map before the cache fills, so
     # materialize it eagerly with a cheap count. At cluster scale
-    # this is the stage you'd checkpoint/write to storage.
-    sig = sig.persist()
-    sig.count()
+    # this is the stage you'd checkpoint/write to storage. The handle
+    # is tracked (flycatcher_spark.caching) so long-lived sessions can
+    # release it — wrap pipeline runs in ``caching.scope()``.
+    sig = caching.track(sig, eager=True)
 
     # Band join carries ONLY (id, band, band_hash) — the 8×num_perm-
     # byte signature array stays out of the wide shuffle and is

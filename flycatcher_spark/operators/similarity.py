@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from .. import caching
 from pyspark.sql.functions import pandas_udf
 
 
@@ -552,9 +553,9 @@ def lsh_bucketed_topk(
         # The deduped candidate set is referenced twice (itself + its
         # mirror); without materialization the expensive bucket
         # self-join + dropDuplicates subtree can execute twice — same
-        # rationale as the MinHash signature persist.
-        cand = cand.persist()
-        cand.count()
+        # rationale as the MinHash signature persist. Tracked for
+        # release (flycatcher_spark.caching.scope / .release).
+        cand = caching.track(cand, eager=True)
         # both directions so every member of a pair ranks the other
         cand = cand.unionByName(
             cand.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
