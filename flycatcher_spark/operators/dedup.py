@@ -27,7 +27,7 @@ from functools import reduce
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 
@@ -303,6 +303,121 @@ def with_minhash_signature(
     return hashed.withColumn(out_col, sig).drop("__mh_h")
 
 
+def banded_self_pairs(
+    banded: DataFrame,
+    id_col: str,
+    key_cols: list[str],
+    payload_cols: list[str] | None = None,
+    bucket_cap: int = 8192,
+) -> DataFrame:
+    """Within-bucket candidate pairs (``id_a < id_b``) for a banded
+    LSH table, with pathologically hot buckets split into salted
+    sub-groups — EXACT (salted ≡ unsalted, pinned by pytest), the
+    same treatment :func:`embedding_neardup_pairs` applies to hot
+    clusters.
+
+    The naive ``groupBy``-shaped self-join on ``key_cols`` generates
+    all O(|bucket|²) pairs of one bucket inside ONE task: a
+    boilerplate-heavy corpus (near-identical templated pages that
+    survive exact dedup) can put millions of docs in a single
+    ``(band, band_hash)`` bucket and serialize the whole candidate
+    explosion. Here buckets above ``bucket_cap`` members are split
+    into ``s = ceil(n / bucket_cap)`` id-hash sub-groups and every
+    sub-group pair ``(pa <= pb)`` becomes its own join task — compute
+    is unchanged (all pairs are still generated exactly once), but a
+    hot bucket now degrades to ~s²/2 parallel tasks instead of one
+    straggler. Hot rows ship ~s/2 replicas through the shuffle (the
+    standard replicated-salt trade, paid ONLY by hot buckets); cold
+    buckets take the plain join with zero replication.
+
+    The bucket-size census is a ``count() over (partition by bucket)``
+    window — it rides the SAME hash partitioning the pair join needs
+    (no extra pass over the banded table, no broadcast-subquery job;
+    the buffered window partition is the slim key+id rows the join's
+    own sort buffers anyway).
+
+    Returns ``(id_a, id_b, <payload>_a, <payload>_b)``; callers apply
+    their own dedup across bands.
+    """
+    payload_cols = payload_cols or []
+    n = F.count("*").over(Window.partitionBy(*key_cols))
+    marked = banded.withColumn(
+        "__s",
+        F.when(
+            n > bucket_cap, F.ceil(n / F.lit(bucket_cap)).cast("int")
+        ),
+    )
+
+    def _key_eq(left, right):
+        cond = None
+        for k in key_cols:
+            c = F.col(f"l.{k}") == F.col(f"r.{k}")
+            cond = c if cond is None else cond & c
+        return cond
+
+    # Cold buckets: the plain within-bucket self-join (no replication).
+    cold = marked.where(F.col("__s").isNull()).drop("__s")
+    cold_l, cold_r = cold.alias("l"), cold.alias("r")
+    cold_pairs = cold_l.join(
+        cold_r,
+        _key_eq(cold_l, cold_r)
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        *[F.col(f"l.{p}").alias(f"{p}_a") for p in payload_cols],
+        *[F.col(f"r.{p}").alias(f"{p}_b") for p in payload_cols],
+    )
+
+    # Hot buckets: per-bucket sub-group g = hash(id) mod s; a pair in
+    # groups (p <= q) is produced exactly once, in the task keyed by
+    # (bucket, p, q): the LEFT copy carries (pa=g, pb=x) for x >= g,
+    # the RIGHT copy (pa=x, pb=g) for x <= g; join aligns pa/pb and
+    # the diagonal (p == q) falls back to the id ordering.
+    hot = marked.where(F.col("__s").isNotNull()).withColumn(
+        "__g",
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.col("__s")).cast(
+            "int"
+        ),
+    )
+    hot_l = hot.withColumn(
+        "__x", F.explode(F.sequence(F.col("__g"), F.col("__s") - 1))
+    ).alias("l")
+    hot_r = hot.withColumn(
+        "__x", F.explode(F.sequence(F.lit(0), F.col("__g")))
+    ).alias("r")
+    hot_pairs = hot_l.join(
+        hot_r,
+        _key_eq(hot_l, hot_r)
+        & (F.col("l.__g") == F.col("r.__x"))
+        & (F.col("l.__x") == F.col("r.__g"))
+        & (
+            (F.col("l.__g") < F.col("r.__g"))
+            | (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        ),
+    ).select(
+        F.least(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("id_a"),
+        F.greatest(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("id_b"),
+        *[
+            F.when(
+                F.col(f"l.{id_col}") <= F.col(f"r.{id_col}"), F.col(f"l.{p}")
+            )
+            .otherwise(F.col(f"r.{p}"))
+            .alias(f"{p}_a")
+            for p in payload_cols
+        ],
+        *[
+            F.when(
+                F.col(f"l.{id_col}") <= F.col(f"r.{id_col}"), F.col(f"r.{p}")
+            )
+            .otherwise(F.col(f"l.{p}"))
+            .alias(f"{p}_b")
+            for p in payload_cols
+        ],
+    )
+    return cold_pairs.unionByName(hot_pairs)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -312,11 +427,14 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
+    bucket_cap: int = 8192,
 ) -> DataFrame:
     """Candidate near-duplicate pairs with estimated Jaccard >= threshold.
 
     Pipeline: signature (map-only) → band explode (×bands rows) →
-    ``groupBy(band, band_hash)`` shuffle → within-bucket self-join →
+    ``groupBy(band, band_hash)`` shuffle → within-bucket self-join
+    (buckets above ``bucket_cap`` members salt-split into sub-group
+    tasks — see :func:`banded_self_pairs`; exact either way) →
     signature-agreement estimate. Returns distinct
     ``(doc_id_a, doc_id_b, est_jaccard)`` with ``a < b``.
     """
@@ -372,18 +490,13 @@ def minhash_lsh_pairs(
         ).alias("band", "band_hash"),
     )
 
-    left = banded.alias("l")
-    right = banded.alias("r")
     cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        banded_self_pairs(
+            banded, id_col, ["band", "band_hash"], bucket_cap=bucket_cap
         )
         .select(
-            F.col(f"l.{id_col}").alias("doc_id_a"),
-            F.col(f"r.{id_col}").alias("doc_id_b"),
+            F.col("id_a").alias("doc_id_a"),
+            F.col("id_b").alias("doc_id_b"),
         )
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
@@ -567,19 +680,29 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_distance: int = 3,
     n_bands: int = 4,
+    bucket_cap: int = 8192,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash banding + hamming threshold.
 
     Classic trick: signatures within hamming distance d must agree
     exactly on at least one of d+1 disjoint bit bands, so candidates
-    come from ``n_bands`` bucket joins instead of all pairs.
+    come from ``n_bands`` bucket joins instead of all pairs. Hot
+    ``(band, band_key)`` buckets split into salted sub-group tasks
+    above ``bucket_cap`` members (:func:`banded_self_pairs`) — the
+    same all-pairs straggler corner as MinHash banding.
     """
     band_bits = 64 // n_bands
     src = df.select(id_col, text_col).repartition(
         df.sparkSession.sparkContext.defaultParallelism
     )
-    sig = with_simhash(src, text_col=text_col, out_col="__sim").select(
-        id_col, "__sim"
+    # Persisted (and tracked — flycatcher_spark.caching) because the
+    # bucket-size census and the pair join both read the banded table;
+    # without the cache the compute-dense signature map runs twice.
+    sig = caching.track(
+        with_simhash(src, text_col=text_col, out_col="__sim").select(
+            id_col, "__sim"
+        ),
+        eager=True,
     )
     # unrolled driver-side: shiftrightunsigned requires an int shift
     band_keys = F.array(
@@ -595,19 +718,18 @@ def simhash_pairs(
         "__sim",
         F.posexplode(band_keys).alias("band", "band_key"),
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
+    pairs = banded_self_pairs(
+        banded,
+        id_col,
+        ["band", "band_key"],
+        payload_cols=["__sim"],
+        bucket_cap=bucket_cap,
+    )
     return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("doc_id_a"),
-            F.col(f"r.{id_col}").alias("doc_id_b"),
-            hamming64(F.col("l.__sim"), F.col("r.__sim")).alias("hamming"),
+        pairs.select(
+            F.col("id_a").alias("doc_id_a"),
+            F.col("id_b").alias("doc_id_b"),
+            hamming64(F.col("__sim_a"), F.col("__sim_b")).alias("hamming"),
         )
         .dropDuplicates(["doc_id_a", "doc_id_b"])
         .where(F.col("hamming") <= max_distance)

@@ -444,6 +444,92 @@ class TestSimHash:
         assert s1 == s2 and s1 >= 0
 
 
+class TestBandedHotBucketSalting:
+    """VERDICT r5 #1: (band, band_hash) buckets above bucket_cap split
+    into salted sub-group join tasks — salted output must equal
+    unsalted CELL-FOR-CELL on a planted hot-bucket corpus (the same
+    exactness pin the r4 embedding-dedup salting carries)."""
+
+    def _hot_corpus(self, spark):
+        # 40 near-identical templated docs — every band puts them in
+        # one hot bucket — plus distinct docs for cold buckets
+        base = (
+            "lorem ipsum dolor sit amet consectetur adipiscing elit"
+            " standard boilerplate footer text"
+        )
+        rows = [(i, base + f" page {i % 2}") for i in range(40)]
+        rows += [
+            (100 + i, f"unique document number {i} about topic {i} entirely")
+            for i in range(5)
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_minhash_salted_equals_unsalted(self, spark):
+        from flycatcher_spark import caching
+
+        df = self._hot_corpus(spark)
+        kw = dict(num_perm=32, bands=8, threshold=0.3)
+        with caching.scope():
+            plain = {
+                (r.doc_id_a, r.doc_id_b, r.est_jaccard)
+                for r in dedup.minhash_lsh_pairs(
+                    df, bucket_cap=10**9, **kw
+                ).collect()
+            }
+            salted = {
+                (r.doc_id_a, r.doc_id_b, r.est_jaccard)
+                for r in dedup.minhash_lsh_pairs(
+                    df, bucket_cap=8, **kw
+                ).collect()
+            }
+        assert salted == plain and len(plain) > 100
+
+    def test_simhash_salted_equals_unsalted(self, spark):
+        from flycatcher_spark import caching
+
+        df = self._hot_corpus(spark)
+        with caching.scope():
+            plain = {
+                (r.doc_id_a, r.doc_id_b, r.hamming)
+                for r in dedup.simhash_pairs(
+                    df, max_distance=6, bucket_cap=10**9
+                ).collect()
+            }
+            salted = {
+                (r.doc_id_a, r.doc_id_b, r.hamming)
+                for r in dedup.simhash_pairs(
+                    df, max_distance=6, bucket_cap=8
+                ).collect()
+            }
+        assert salted == plain and len(plain) > 100
+
+    def test_every_pair_exactly_once(self, spark):
+        # one bucket of 23 ids with cap 5 → s=5 sub-groups exercising
+        # diagonal AND cross-group tasks; BEFORE any dedup the helper
+        # must emit each unordered pair exactly once, ordered a < b
+        banded = spark.createDataFrame(
+            [(i, 0, 0) for i in range(23)], ["id", "band", "band_hash"]
+        )
+        out = dedup.banded_self_pairs(
+            banded, "id", ["band", "band_hash"], bucket_cap=5
+        ).collect()
+        pairs = [(r.id_a, r.id_b) for r in out]
+        assert len(pairs) == len(set(pairs)) == 23 * 22 // 2
+        assert all(a < b for a, b in pairs)
+
+    def test_payload_follows_id_order(self, spark):
+        banded = spark.createDataFrame(
+            [(i, 0, 0, f"sig{i}") for i in range(12)],
+            ["id", "band", "band_hash", "s"],
+        )
+        out = dedup.banded_self_pairs(
+            banded, "id", ["band", "band_hash"],
+            payload_cols=["s"], bucket_cap=4,
+        ).collect()
+        for r in out:
+            assert r.s_a == f"sig{r.id_a}" and r.s_b == f"sig{r.id_b}"
+
+
 class TestJaccard:
     def test_exact_value(self, spark):
         df = spark.createDataFrame(
