@@ -2156,6 +2156,32 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode (r6): every document gets a deterministic PNG
+    payload — true signature, IHDR/IDAT/IEND chunks with correct
+    CRCs, zlib-deflated scanlines alternating None and Up filters
+    (multimodal.make_png_payload) — and decode_image_meta genuinely
+    inflates + filter-reverses the raster back out of the bytes
+    (multimodal.parse_png, stdlib zlib only) inside the Arrow
+    mapInPandas stage. Dimension and pixel formulas match the PNM
+    fixture, so DuckDB value-checks the header fields AND the raster
+    mean in closed form; only the container (and the real inflate
+    path) differs from image_decode."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    with_payload = multimodal.make_png_payload(docs, color="rgb")
+    meta = multimodal.decode_image_meta(with_payload, id_col="doc_id")
+    return meta.select(
+        "doc_id",
+        "fmt",
+        "width",
+        "height",
+        "maxval",
+        "n_channels",
+        "n_pixel_bytes",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    )
+
+
 def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode (r5): deterministic 16-bit PCM WAV payloads
     (multimodal.make_wav_payload — interleaved sample i is
@@ -2188,9 +2214,18 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     are built, parsed, histogrammed — and every arithmetic step
     (bin = p // 32, hist/n, sequential-fold cosine) is reproduced by
     DuckDB in closed form, so the whole decode→embed→match path is
-    value-checked end-to-end."""
+    value-checked end-to-end. The corpus MIXES containers (r6): even
+    doc_ids carry PPM payloads, odd doc_ids real PNG — the pixel
+    formulas are identical, so the SAME oracle validates both decode
+    paths and the format dispatch simultaneously."""
     docs = _read(spark, sf_dir, "documents").select("doc_id")
-    payload = multimodal.make_pnm_payload(docs, fmt="ppm")
+    payload = multimodal.make_pnm_payload(
+        docs.where(F.col("doc_id") % 2 == 0), fmt="ppm"
+    ).unionByName(
+        multimodal.make_png_payload(
+            docs.where(F.col("doc_id") % 2 == 1), color="rgb"
+        )
+    )
     meta = multimodal.decode_image_meta(payload, id_col="doc_id").select(
         "doc_id", "width", "height"
     )
@@ -2882,6 +2917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- k-means + the kmeans→SemDeDup composition, bigram LM,
         # -- URL canonicalization dedup, C4 blocklist gate, Unicode
         # -- NFC normalization, per-host caps) ------------------------
+        "png_decode": q_png_decode,
         "ivf_rerank_topk": q_ivf_rerank_topk,
         "image_decode": q_image_decode,
         "wav_decode": q_wav_decode,
@@ -5342,6 +5378,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    'ppm' AS fmt,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(255 AS BIGINT) AS maxval,
+                   CAST(3 AS BIGINT) AS n_channels,
+                   CAST(w * h * 3 AS BIGINT) AS n_pixel_bytes,
+                   round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS mean_pixel
+            FROM px
+            GROUP BY doc_id, w, h
+        """,
+        "png_decode": """
+            WITH d AS (
+                SELECT doc_id,
+                       4 + doc_id % 13 AS w,
+                       3 + doc_id % 7 AS h
+                FROM documents
+            ),
+            px AS (
+                SELECT d.doc_id, d.w, d.h,
+                       (d.doc_id * 7 + i * 13) % 256 AS p
+                FROM d, LATERAL (SELECT unnest(range(0, d.w * d.h * 3)) AS i)
+            )
+            SELECT doc_id,
+                   'png' AS fmt,
                    CAST(w AS BIGINT) AS width,
                    CAST(h AS BIGINT) AS height,
                    CAST(255 AS BIGINT) AS maxval,

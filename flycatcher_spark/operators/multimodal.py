@@ -262,6 +262,150 @@ def parse_pnm(payload: bytes) -> dict | None:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_png(payload: bytes) -> dict | None:
+    r"""Parse a non-interlaced 8-bit PNG payload with stdlib ``zlib``
+    alone: signature, chunk walk (IHDR/IDAT/IEND), inflate, then
+    per-scanline filter reversal (all five PNG filter types). Returns
+    the same dict shape as :func:`parse_pnm` (``fmt="png"``, flat
+    uint8 raster) or ``None`` for anything malformed — corrupt
+    payloads must yield a null row, never a stage failure.
+
+    Supported subset (returns ``None`` outside it): bit depth 8,
+    color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA),
+    no interlacing. Chunk CRCs are not validated (tolerant-reader
+    stance: a flipped CRC byte shouldn't discard a decodable raster).
+
+    Filter notes: None/Up are vectorized per scanline; Sub/Average/
+    Paeth carry a sequential per-byte dependency and fall back to a
+    Python loop — fine for the fixture path (the companion encoder
+    emits filter 0), and a production 100 TB decode would plug a C
+    decoder into the SAME ``mapInPandas`` stage shape.
+
+    Examples
+    --------
+        >>> import struct, zlib
+        >>> ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
+        >>> raw = zlib.compress(b"\x00" + bytes([10, 20]))
+        >>> def chunk(t, b):
+        ...     return (struct.pack(">I", len(b)) + t + b
+        ...             + struct.pack(">I", zlib.crc32(t + b)))
+        >>> buf = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        ...        + chunk(b"IDAT", raw) + chunk(b"IEND", b""))
+        >>> m = parse_png(buf)
+        >>> (m["fmt"], m["width"], m["height"], list(m["pixels"]))
+        ('png', 2, 1, [10, 20])
+        >>> parse_png(b"JUNK") is None
+        True
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload is None or len(payload) < 8:
+        return None
+    buf = bytes(payload)
+    if buf[:8] != _PNG_SIG:
+        return None
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack_from(">I", buf, pos)
+        ctype = buf[pos + 4:pos + 8]
+        body = buf[pos + 8:pos + 8 + length]
+        if len(body) < length:
+            return None  # truncated chunk
+        if ctype == b"IHDR":
+            if len(body) != 13:
+                return None
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 8 + length + 4  # body + CRC
+    if ihdr is None or not idat:
+        return None
+    width, height, depth, color, comp, filt, interlace = ihdr
+    n_ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if (
+        n_ch is None
+        or depth != 8
+        or comp != 0
+        or filt != 0
+        or interlace != 0
+        or width <= 0
+        or height <= 0
+    ):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = width * n_ch
+    if len(raw) != height * (stride + 1):
+        return None
+    img = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    bpp = n_ch
+    off = 0
+    for y in range(height):
+        ft = raw[off]
+        off += 1
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=off
+        ).astype(np.int32)
+        off += stride
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            line = (line + prev) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                line[x] = (line[x] + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pr) & 0xFF
+        else:
+            return None
+        img[y] = line.astype(np.uint8)
+        prev = line
+    return {
+        "fmt": "png",
+        "width": width,
+        "height": height,
+        "maxval": 255,
+        "n_channels": n_ch,
+        "pixels": img.reshape(-1),
+    }
+
+
+def parse_image(payload: bytes) -> dict | None:
+    """Dispatch on magic bytes: PNG signature → :func:`parse_png`,
+    ``P5``/``P6`` → :func:`parse_pnm`, anything else → ``None``.
+    The decode stages (:func:`decode_image_meta`,
+    :func:`image_pixel_embedding`) parse through this, so one corpus
+    can mix formats row-by-row."""
+    if payload is None or len(payload) < 2:
+        return None
+    head = bytes(payload[:8])
+    if head == _PNG_SIG:
+        return parse_png(payload)
+    return parse_pnm(payload)
+
+
 def parse_wav(payload: bytes) -> dict | None:
     """Parse a PCM WAV payload: RIFF/WAVE container walk, ``fmt ``
     chunk (must be PCM, 8/16-bit), ``data`` chunk → int samples.
@@ -323,8 +467,9 @@ def parse_wav(payload: bytes) -> dict | None:
 def decode_image_meta(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
-    """REAL image decode over a binary column: parse PPM/PGM headers
-    and raster, emit true dimensions + pixel statistics. Same Arrow
+    """REAL image decode over a binary column: parse PPM/PGM or PNG
+    (magic-byte dispatch, :func:`parse_image`) headers and raster,
+    emit true dimensions + pixel statistics. Same Arrow
     ``mapInPandas`` plumbing as :func:`decode_meta` (map-only,
     payloads stay on executors); malformed payloads yield null
     metadata rather than failing the stage."""
@@ -338,7 +483,7 @@ def decode_image_meta(
         for pdf in batches:
             rows = []
             for p in pdf[payload_col]:
-                meta = parse_pnm(p)
+                meta = parse_image(p)
                 if meta is None:
                     rows.append((None,) * 7)
                 else:
@@ -412,12 +557,13 @@ def decode_wav_meta(
 
 def image_pixel_embedding(payload: bytes, dim: int) -> list | None:
     """Pixel-derived image embedding for :func:`embed_payload`:
-    a ``dim``-bin normalized histogram of the decoded raster — a real
-    (if simple) visual feature, unlike the byte-bucket stub. Returns
-    ``None`` for undecodable payloads."""
+    a ``dim``-bin normalized histogram of the decoded raster (PNM or
+    PNG — :func:`parse_image`) — a real (if simple) visual feature,
+    unlike the byte-bucket stub. Returns ``None`` for undecodable
+    payloads."""
     import numpy as np
 
-    meta = parse_pnm(payload)
+    meta = parse_image(payload)
     if meta is None:
         return None
     px = meta["pixels"]
@@ -480,6 +626,84 @@ def make_pnm_payload(
             n = w * h * n_ch
             px = (i * 7 + np.arange(n, dtype=np.int64) * 13) % 256
             out.append(header + px.astype(np.uint8).tobytes())
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, _build(F.col(id_col)))
+
+
+def make_png_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    color: str = "rgb",
+) -> DataFrame:
+    """Build a deterministic REAL PNG payload per row (fixture
+    generator; see :func:`make_pnm_payload`): proper signature,
+    IHDR/IDAT/IEND chunks with correct CRCs, zlib-deflated scanlines.
+    Same dimension and pixel formulas as the PNM fixture
+    (``w = 4 + id % 13``, ``h = 3 + id % 7``, pixel ``i`` is
+    ``(id*7 + i*13) % 256``), so the SAME closed-form SQL oracle
+    value-checks the decoded statistics — only the container format
+    (and the decode path through inflate + filter reversal) differs.
+    Scanlines alternate filter 0 (None) and filter 2 (Up) so the
+    round trip genuinely exercises the filter-reversal code, not
+    just the chunk walk. ``color``: ``"rgb"`` (type 2) or ``"gray"``
+    (type 0).
+
+    Examples
+    --------
+        >>> df = spark.createDataFrame([(0,)], "doc_id long")
+        >>> m = decode_image_meta(make_png_payload(df)).first()
+        >>> (m["fmt"], m["width"], m["height"], m["n_channels"])
+        ('png', 4, 3, 3)
+    """
+    import struct
+    import zlib
+
+    if color not in ("rgb", "gray"):
+        raise ValueError(f"unknown color mode: {color}")
+    ctype, n_ch = (2, 3) if color == "rgb" else (0, 1)
+
+    def _chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    @pandas_udf("binary")
+    def _build(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if i is None:
+                out.append(None)
+                continue
+            i = int(i)
+            w, h = 4 + i % 13, 3 + i % 7
+            n = w * h * n_ch
+            px = (
+                ((i * 7 + np.arange(n, dtype=np.int64) * 13) % 256)
+                .astype(np.uint8)
+                .reshape(h, w * n_ch)
+            )
+            raw = bytearray()
+            prev = np.zeros(w * n_ch, dtype=np.uint8)
+            for y in range(h):
+                if y % 2 == 0:
+                    raw += b"\x00" + px[y].tobytes()
+                else:  # Up filter: store line - prev (mod 256)
+                    raw += b"\x02" + ((px[y] - prev) & 0xFF).astype(
+                        np.uint8
+                    ).tobytes()
+                prev = px[y]
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+            out.append(
+                _PNG_SIG
+                + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + _chunk(b"IEND", b"")
+            )
         return pd.Series(out)
 
     return df.withColumn(payload_col, _build(F.col(id_col)))
