@@ -34,6 +34,7 @@ from flycatcher_spark.operators import (
     cluster,
     decontam,
     dedup,
+    langid,
     multimodal,
     quality,
     similarity,
@@ -2731,6 +2732,45 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "canonical_url", "n_chars")
 
 
+_LANGID_MARKERS = {
+    "en": "the quick brown fox jumps with joy over things ",
+    "de": "der schnelle braune fuchs springt mit freude ",
+    "es": "el zorro marron salta con alegria sobre cosas ",
+    "fr": "le renard brun rapide saute avec joie sur des ",
+    "zh": "kuai su de zong se hu li tiao yue guo dong xi ",
+}
+
+
+def q_langid_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven language ID (r6, operators/langid): per-language
+    marker prose is planted in front of a 40-char slice of each doc
+    (the fixture's lang labels are otherwise uncorrelated with its
+    synthetic text), char-trigram profiles are LEARNED from the
+    even-doc_id half (top-200 grams, -ln(count/total) costs, the
+    unigram_surprise OOV convention), and every document is scored
+    against every profile — cheapest language wins, (cost, lang)
+    tie-break. DECIMAL-summed 9-decimal costs make the whole fit +
+    argmax engine-exact, so DuckDB replays training AND prediction
+    cell-for-cell."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    marker = None
+    for code, txt in _LANGID_MARKERS.items():
+        cond = F.when(F.col("lang") == code, F.lit(txt))
+        marker = cond if marker is None else marker.when(
+            F.col("lang") == code, F.lit(txt)
+        )
+    marker = marker.otherwise(F.lit("und und und "))
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(marker, F.substring("text", 1, 40)).alias("text"),
+    )
+    prof = langid.train_langid_profiles(
+        base.where(F.col("doc_id") % 2 == 0), top_k=200
+    )
+    return langid.langid_predict(base, prof)
+
+
 def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style blocklist gate (quality.blocklist_hits/pass):
     whole-word hits of a curated phrase list — including a multi-word
@@ -2918,6 +2958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- URL canonicalization dedup, C4 blocklist gate, Unicode
         # -- NFC normalization, per-host caps) ------------------------
         "png_decode": q_png_decode,
+        "langid_profiles": q_langid_profiles,
         "ivf_rerank_topk": q_ivf_rerank_topk,
         "image_decode": q_image_decode,
         "wav_decode": q_wav_decode,
@@ -3236,6 +3277,80 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": f"""
             WITH {_kmeans_cte(k=8, n_iter=2)}
             SELECT vec_id, cluster, d AS dist FROM a2
+        """,
+        "langid_profiles": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       (CASE lang
+                            WHEN 'en' THEN 'the quick brown fox jumps with joy over things '
+                            WHEN 'de' THEN 'der schnelle braune fuchs springt mit freude '
+                            WHEN 'es' THEN 'el zorro marron salta con alegria sobre cosas '
+                            WHEN 'fr' THEN 'le renard brun rapide saute avec joie sur des '
+                            WHEN 'zh' THEN 'kuai su de zong se hu li tiao yue guo dong xi '
+                            ELSE 'und und und '
+                        END) || substr(text, 1, 40) AS t
+                FROM documents
+            ),
+            nrm AS (
+                SELECT doc_id,
+                       ' ' || regexp_replace(regexp_replace(lower(t),
+                             '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g') || ' ' AS s
+                FROM d
+            ),
+            grams AS (
+                SELECT doc_id, substr(s, CAST(i AS INT), 3) AS gram
+                FROM nrm, LATERAL (
+                    SELECT unnest(range(1, greatest(length(s) - 1, 1))) AS i)
+                WHERE length(s) >= 3
+            ),
+            ng AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+            counts AS (
+                SELECT lang, gram, count(*) AS cnt
+                FROM grams g JOIN documents USING (doc_id)
+                WHERE doc_id % 2 = 0
+                GROUP BY lang, gram
+            ),
+            totals AS (SELECT lang, sum(cnt) AS total FROM counts GROUP BY lang),
+            kept AS (
+                SELECT lang, gram, cnt, row_number() OVER (
+                    PARTITION BY lang ORDER BY cnt DESC, gram ASC) AS rn
+                FROM counts
+            ),
+            prof AS (
+                SELECT k.lang, k.gram,
+                       CAST(round(-ln(CAST(k.cnt AS DOUBLE) / t.total), 9)
+                            AS DECIMAL(20,9)) AS cost9,
+                       CAST(round(-ln(0.5 / t.total), 9)
+                            AS DECIMAL(20,9)) AS oov9
+                FROM kept k JOIN totals t USING (lang) WHERE k.rn <= 200
+            ),
+            langs AS (SELECT DISTINCT lang, oov9 FROM prof),
+            matched AS (
+                SELECT g.doc_id, p.lang,
+                       sum(p.cost9) AS mcost, count(*) AS n_matched
+                FROM grams g JOIN prof p ON g.gram = p.gram
+                GROUP BY g.doc_id, p.lang
+            ),
+            scores AS (
+                SELECT n.doc_id, l.lang, n.n_grams,
+                       COALESCE(m.mcost, CAST(0 AS DECIMAL(38,9)))
+                       + CAST(n.n_grams - COALESCE(m.n_matched, 0)
+                              AS DECIMAL(10,0)) * l.oov9
+                           AS score9
+                FROM ng n CROSS JOIN langs l
+                LEFT JOIN matched m
+                  ON m.doc_id = n.doc_id AND m.lang = l.lang
+            ),
+            best AS (
+                SELECT doc_id, lang, score9, n_grams, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score9 ASC, lang ASC) AS rn
+                FROM scores
+            )
+            SELECT doc_id,
+                   lang AS lang_pred,
+                   CAST(n_grams AS BIGINT) AS n_grams,
+                   CAST(score9 AS DOUBLE) AS total_cost
+            FROM best WHERE rn = 1
         """,
         "blocklist_filter": r"""
             WITH n AS (

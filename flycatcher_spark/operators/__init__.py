@@ -5,8 +5,11 @@ reference surface — see SURVEY.md §7.1 step 7).
   embedding-cosine near-duplicate detection.
 - :mod:`.similarity` — cosine/dot/norm expressions, brute-force and
   LSH-bucketed approximate nearest neighbors.
-- :mod:`.text` — language ID, quality scoring, token counting,
-  fingerprinting.
+- :mod:`.text` — language ID (stopword heuristic), quality scoring,
+  token counting, fingerprinting.
+- :mod:`.langid` — data-driven language ID: char-n-gram profiles
+  learned from a labeled sample, broadcast, naive-Bayes argmax
+  (curation-grade upgrade of ``text.lang_id``).
 - :mod:`.multimodal` — opaque binary payload columns with typed
   metadata, decoded via Arrow-batched ``mapInPandas``.
 - :mod:`.stats` — single-pass dataset profiling (counts, distincts,

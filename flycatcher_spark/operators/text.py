@@ -153,6 +153,11 @@ def lang_id(text: Column | str) -> Column:
     """Argmax language over marker-hit counts; ties break by language
     code order; no hits at all -> 'und' (undetermined).
 
+    This is the zero-training heuristic (a handful of stopword
+    markers per language). For curation-grade language ID use
+    :mod:`..langid` — char-n-gram profiles learned from a labeled
+    sample, with a pytest-pinned accuracy floor above this heuristic.
+
     Examples
     --------
         >>> df = spark.createDataFrame(
