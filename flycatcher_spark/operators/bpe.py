@@ -112,6 +112,85 @@ def learn_merges(
     return merges
 
 
+def save_merges(merges: list[tuple[str, str]], path: str) -> None:
+    """Write merges in the standard ``merges.txt`` text format
+    (the GPT-2 / Hugging Face ``tokenizers`` interchange file):
+    a ``#version`` header, then one space-separated pair per line in
+    rank order. :func:`load_merges` round-trips it exactly."""
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("#version: 0.2\n")
+        for a, b in merges:
+            f.write(f"{a} {b}\n")
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    """Parse the standard ``merges.txt`` format: optional ``#``
+    header/comment lines and blank lines are skipped; every other
+    line must be exactly ``left right`` (single space). Returns the
+    rank-ordered merge list consumed by every apply kernel here
+    (:func:`bpe_token_count`, :func:`bpe_encode`,
+    :func:`bpe_word_symbol_counts`), so a tokenizer FROZEN elsewhere
+    can be applied to the corpus — real pipelines apply a fixed
+    public tokenizer far more often than they train one.
+
+    Note on symbol space: the format is consumed verbatim, but this
+    module's pre-tokenization is whitespace words lowered to
+    character symbols — merge files built over other alphabets (e.g.
+    GPT-2's byte-to-unicode symbols with the ``Ġ`` space marker)
+    parse fine yet will rarely match; pair them with the matching
+    pre-tokenizer.
+    """
+    merges: list[tuple[str, str]] = []
+    with open(path, encoding="utf-8") as f:
+        for ln_no, ln in enumerate(f, start=1):
+            ln = ln.rstrip("\n")
+            if not ln.strip() or ln.startswith("#"):
+                continue
+            parts = ln.split(" ")
+            if len(parts) != 2 or not parts[0] or not parts[1]:
+                raise ValueError(
+                    f"{path}:{ln_no}: expected 'left right', got {ln!r}"
+                )
+            merges.append((parts[0], parts[1]))
+    return merges
+
+
+def save_vocab(vocab: dict[str, int], path: str) -> None:
+    """Write a piece→id mapping as standard ``vocab.json``."""
+    import json
+
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(vocab, f, ensure_ascii=False, sort_keys=True)
+
+
+def load_vocab(path: str) -> dict[str, int]:
+    """Load a standard ``vocab.json`` piece→id mapping."""
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        vocab = json.load(f)
+    if not isinstance(vocab, dict):
+        raise ValueError(f"{path}: vocab.json must be an object")
+    return {str(k): int(v) for k, v in vocab.items()}
+
+
+def vocab_from_merges(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Deterministic piece→id table implied by a merge list: ids
+    0..25 + digits for the base character alphabet that appears in
+    the merges, then one id per merge product in rank order — the
+    convention real BPE vocabularies follow (alphabet first, merge
+    products in learning order)."""
+    alphabet = sorted({c for pair in merges for s in pair for c in s})
+    vocab = {c: i for i, c in enumerate(alphabet)}
+    nxt = len(vocab)
+    for a, b in merges:
+        piece = a + b
+        if piece not in vocab:
+            vocab[piece] = nxt
+            nxt += 1
+    return vocab
+
+
 def _make_encoder(ranks: dict[tuple[str, str], int]):
     """Greedy lowest-rank merge loop (GPT-2 style), built as a local
     closure so cloudpickle ships it BY VALUE — executors never need
@@ -232,6 +311,45 @@ def bpe_token_count(
         return pd.Series(out, dtype="object")
 
     return _count(F.lower(normalize_text(c)))
+
+
+def bpe_encode_ids(
+    text: Column | str,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    unk_id: int | None = None,
+) -> Column:
+    """Per-row BPE token ids (``array<long>``) under a frozen
+    tokenizer: the merge list (``merges.txt``) drives the encoding,
+    the ``vocab.json`` mapping assigns ids. Pieces missing from the
+    vocabulary become ``unk_id`` (or null elements when unset). Same
+    Arrow kernel shape as :func:`bpe_encode`; both side tables ride
+    in the closure (bounded: a real vocab is tens of thousands of
+    rows)."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    encode_word = _make_encoder(ranks)
+    c = F.col(text) if isinstance(text, str) else text
+
+    @pandas_udf("array<long>")
+    def _ids(texts: pd.Series) -> pd.Series:
+        out = []
+        cache: dict[str, list] = {}
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            ids: list = []
+            for w in t.split():
+                w = w.lower()
+                hit = cache.get(w)
+                if hit is None:
+                    hit = [vocab.get(p, unk_id) for p in encode_word(w)]
+                    cache[w] = hit
+                ids.extend(hit)
+            out.append(ids)
+        return pd.Series(out)
+
+    return _ids(F.lower(normalize_text(c)))
 
 
 def bpe_encode(

@@ -173,3 +173,91 @@ class TestSqlImplEquivalence:
         }
         assert got[1] == 2          # both words collapse to one token
         assert got[2] == 1 + 3      # 'low' merged, 'zzq' stays chars
+
+
+class TestStandardFormatInterop:
+    """VERDICT r5 #6: consume the standard merges.txt / vocab.json
+    text format (the GPT-2 / HF tokenizers interchange files) so a
+    tokenizer FROZEN elsewhere drives the same apply kernels."""
+
+    FIXTURE_DIR = str(
+        __import__("pathlib").Path(__file__).parent / "fixtures" / "bpe"
+    )
+
+    def _fixture_merges(self):
+        return bpe.load_merges(f"{self.FIXTURE_DIR}/merges.txt")
+
+    def test_checked_in_fixture_loads(self):
+        merges = self._fixture_merges()
+        assert merges[:4] == [("l", "o"), ("lo", "w"), ("e", "r"), ("s", "t")]
+        assert len(merges) == 12
+        vocab = bpe.load_vocab(f"{self.FIXTURE_DIR}/vocab.json")
+        assert vocab["low"] == 12 and vocab["newer"] == 22
+
+    def test_save_load_roundtrip(self, corpus, tmp_path):
+        learned = bpe.learn_merges(bpe.word_counts(corpus), n_merges=8)
+        p = str(tmp_path / "merges.txt")
+        bpe.save_merges(learned, p)
+        assert bpe.load_merges(p) == learned
+        # header really written in the standard shape
+        first = open(p).readline()
+        assert first.startswith("#version:")
+
+    def test_loaded_fixture_applies_like_learned(self, spark):
+        """apply(frozen fixture) == apply(internally-learned merges
+        that produced the fixture) on fresh text, for both the Arrow
+        kernel and the oracle-parity replace chain."""
+        merges = self._fixture_merges()
+        # re-learn from the exact corpus the fixture was built from
+        gen = spark.createDataFrame(
+            [("low lower lowest newer newest wider widest low low newer",),
+             ("the wide new lower low list lasted longer in the new test",)],
+            ["text"])
+        relearned = bpe.learn_merges(bpe.word_counts(gen), n_merges=12)
+        assert relearned == merges
+        df = spark.createDataFrame(
+            [(1, "the newest wide list"), (2, "lower lowest newer")],
+            "doc_id long, text string",
+        )
+        a = {r["doc_id"]: r["n"] for r in df.select(
+            "doc_id", bpe.bpe_token_count("text", merges).alias("n")
+        ).collect()}
+        b = {r["doc_id"]: r["n"] for r in df.select(
+            "doc_id", bpe.bpe_token_count("text", relearned).alias("n")
+        ).collect()}
+        chain = {r["doc_id"]: r["n_bpe"] for r in
+                 bpe.bpe_word_symbol_counts(df, merges).collect()}
+        assert a == b == chain
+
+    def test_malformed_lines_raise_blanks_skip(self, tmp_path):
+        p = tmp_path / "merges.txt"
+        p.write_text("#version: 0.2\n\n# comment\na b\n\nc d\n")
+        assert bpe.load_merges(str(p)) == [("a", "b"), ("c", "d")]
+        bad = tmp_path / "bad.txt"
+        bad.write_text("a b c\n")
+        with pytest.raises(ValueError, match="expected 'left right'"):
+            bpe.load_merges(str(bad))
+
+    def test_encode_ids_with_vocab(self, spark):
+        merges = self._fixture_merges()
+        vocab = bpe.load_vocab(f"{self.FIXTURE_DIR}/vocab.json")
+        df = spark.createDataFrame(
+            [(1, "low newer"), (2, "zq")], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r["ids"] for r in df.select(
+            "doc_id",
+            bpe.bpe_encode_ids("text", merges, vocab, unk_id=-1).alias("ids"),
+        ).collect()}
+        assert got[1] == [vocab["low"], vocab["newer"]]
+        assert got[2] == [-1, -1]  # chars outside the alphabet -> unk
+        # ids must agree with the piece encoder through the vocab
+        [r] = df.where("doc_id = 1").select(
+            bpe.bpe_encode("text", merges).alias("p")
+        ).collect()
+        assert [vocab[p] for p in r["p"]] == got[1]
+
+    def test_vocab_from_merges_matches_fixture(self):
+        merges = self._fixture_merges()
+        assert bpe.vocab_from_merges(merges) == bpe.load_vocab(
+            f"{self.FIXTURE_DIR}/vocab.json"
+        )
