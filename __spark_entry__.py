@@ -2942,38 +2942,83 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order matters: the driver's correctness gate
-    evaluates a prefix window of this dict (r1/r2: the first 50
-    entries). Ordering policy, documented in COVERAGE.md: queries
-    with no driver verdict yet come first, then queries whose
-    oracle/impl changed this round, then a rotation of
-    previously-green queries. Everything passes the full local
-    replica (tools/check_oracle.py) regardless of position.
+    evaluates a prefix window of this dict (the first 50 entries).
+    Ordering policy, documented in COVERAGE.md: queries new this
+    round first, then queries whose oracle/impl changed this round,
+    then a rotation of the OLDEST previously-green queries.
+    Everything passes the full local replica
+    (tools/check_oracle.py) regardless of position.
     """
     return {
-        # == r5 WINDOW (first 50 = the driver's correctness prefix) ==
-        # -- positions 1-13: NEW in r5 (ANN re-rank composite, real
-        # -- media decoders, decode→embed→match composition, corpus
-        # -- release diff, semantic decontamination, deterministic
-        # -- k-means + the kmeans→SemDeDup composition, bigram LM,
-        # -- URL canonicalization dedup, C4 blocklist gate, Unicode
-        # -- NFC normalization, per-host caps) ------------------------
+        # == r6 WINDOW (first 50 = the driver's correctness prefix) ==
+        # -- positions 1-2: new r6 (png decode, char-n-gram language ID)
         "png_decode": q_png_decode,
         "langid_profiles": q_langid_profiles,
+        # -- positions 3-11: impl/oracle CHANGED in r6 (blocklist punctuation
+        # -- matching, url_dedup null-quality + ref narrowing, corpus_diff
+        # -- derived offset, PNG arm in image_neardup, hot-bucket salting in
+        # -- the minhash/simhash banding path)
+        "image_neardup": q_image_neardup,
+        "corpus_diff": q_corpus_diff,
+        "url_dedup": q_url_dedup,
+        "blocklist_filter": q_blocklist_filter,
+        "host_cap": q_host_cap,
+        "minhash_verified_pairs": q_minhash_verified_pairs,
+        "simhash_verified_pairs": q_simhash_verified_pairs,
+        "minhash_dedup_verified": q_minhash_dedup_verified,
+        "leakage_safe_split": q_leakage_safe_split,
+        # -- positions 12-21: oldest-green rotation: last driver-checked r3
+        # -- (displaced from the r5 window)
+        "events_sessions": q_events_sessions,
+        "events_user_top3": q_events_user_top3,
+        "events_asof_join": q_events_asof_join,
+        "events_json_props": q_events_json_props,
+        "events_session_window": q_events_session_window,
+        "text_profile": q_text_profile,
+        "lang_histogram": q_lang_histogram,
+        "dedup_exact": q_dedup_exact,
+        "dedup_exact_normalized": q_dedup_exact_normalized,
+        "jaccard_pairs": q_jaccard_pairs,
+        # -- positions 22-50: next-oldest: r4-green family
+        "events_range_join": q_events_range_join,
+        "q12_priority_shipping": q12_priority_shipping,
+        "pivot_order_status": q_pivot_order_status,
+        "deterministic_split": q_deterministic_split,
+        "array_ops": q_array_ops,
+        "pii_redaction": q_pii_redaction,
+        "stratified_sample": q_stratified_sample,
+        "events_hourly_rollup": q_events_hourly_rollup,
+        "doc_repetition": q_doc_repetition,
+        "skew_salted_join": q_skew_salted_join,
+        "ivf_full_probe": q_ivf_full_probe,
+        "corpus_select": q_corpus_select,
+        "decontam_report": q_decontam_report,
+        "incremental_dedup_exact": q_incremental_dedup_exact,
+        "incremental_minhash_dedup": q_incremental_minhash_dedup,
+        "bloom_pruned_join": q_bloom_pruned_join,
+        "span_dedup": q_span_dedup,
+        "bpe_apply": q_bpe_apply,
+        "payload_embed_knn": q_payload_embed_knn,
+        "semantic_dedup": q_semantic_dedup,
+        "incremental_semantic_dedup": q_incremental_semantic_dedup,
+        "embedding_neardup": q_embedding_neardup,
+        "ccnet_buckets": q_ccnet_buckets,
+        "budget_mix": q_budget_mix,
+        "validate_lineitem": q_validate_lineitem,
+        "violation_counts": q_violation_counts,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_revenue_orders": q3_top_revenue_orders,
+        "q9_brand_revenue": q9_brand_revenue,
+        # == past the 50-entry window from here on ===================
+        # -- r5-green fresh batch (driver-checked last round, impl unchanged)
         "ivf_rerank_topk": q_ivf_rerank_topk,
         "image_decode": q_image_decode,
         "wav_decode": q_wav_decode,
-        "image_neardup": q_image_neardup,
-        "corpus_diff": q_corpus_diff,
         "semantic_decontam": q_semantic_decontam,
         "kmeans_clusters": q_kmeans_clusters,
         "kmeans_semantic_dedup": q_kmeans_semantic_dedup,
         "bigram_surprise": q_bigram_surprise,
-        "url_dedup": q_url_dedup,
-        "blocklist_filter": q_blocklist_filter,
         "unicode_normalize": q_unicode_normalize,
-        "host_cap": q_host_cap,
-        # -- positions 4-24: oldest-green rotation — the TPC-H family
-        # -- last driver-checked in r1/r2 (VERDICT r5 directive #3) --
         "q6_forecast_revenue": q6_forecast_revenue,
         "q10_returned_customers": q10_returned_customers,
         "q13_order_count_distribution": q13_order_count_distribution,
@@ -2995,7 +3040,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_stats": q_distinct_stats,
         "name_editdist_pairs": q_name_editdist_pairs,
         "orders_no_lineitems": q_orders_no_lineitems,
-        # -- positions 25-50: oldest r3-green queries, re-verified ---
         "gopher_quality": q_gopher_quality,
         "classifier_quality": q_classifier_quality,
         "unigram_surprise": q_unigram_surprise,
@@ -3012,56 +3056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "corpus_divergence": q_corpus_divergence,
         "events_daily": q_events_daily,
-        # == past the 50-entry window from here on ===================
-        # (text_profile / lang_histogram / events_session_window /
-        # events_json_props / events_asof_join / events_user_top3 /
-        # events_sessions were displaced from the r5 window by the
-        # seven newest r5 queries; they rotate in r6)
-        "events_sessions": q_events_sessions,
-        "events_user_top3": q_events_user_top3,
-        "events_asof_join": q_events_asof_join,
-        "events_json_props": q_events_json_props,
-        "events_session_window": q_events_session_window,
-        "text_profile": q_text_profile,
-        "lang_histogram": q_lang_histogram,
-        "dedup_exact": q_dedup_exact,
-        "dedup_exact_normalized": q_dedup_exact_normalized,
-        "jaccard_pairs": q_jaccard_pairs,
-        # -- r4-green window (fresh driver verdicts last round) plus
-        # -- the newer r3-green remainder ----------------------------
-        "events_range_join": q_events_range_join,
-        "q12_priority_shipping": q12_priority_shipping,
-        "pivot_order_status": q_pivot_order_status,
-        "deterministic_split": q_deterministic_split,
-        "array_ops": q_array_ops,
-        "pii_redaction": q_pii_redaction,
-        "stratified_sample": q_stratified_sample,
-        "events_hourly_rollup": q_events_hourly_rollup,
-        "doc_repetition": q_doc_repetition,
-        "skew_salted_join": q_skew_salted_join,
-        "ivf_full_probe": q_ivf_full_probe,
-        "corpus_select": q_corpus_select,
-        "minhash_verified_pairs": q_minhash_verified_pairs,
-        "simhash_verified_pairs": q_simhash_verified_pairs,
-        "minhash_dedup_verified": q_minhash_dedup_verified,
-        "decontam_report": q_decontam_report,
-        "incremental_dedup_exact": q_incremental_dedup_exact,
-        "incremental_minhash_dedup": q_incremental_minhash_dedup,
-        "bloom_pruned_join": q_bloom_pruned_join,
-        "span_dedup": q_span_dedup,
-        "bpe_apply": q_bpe_apply,
-        "payload_embed_knn": q_payload_embed_knn,
-        "semantic_dedup": q_semantic_dedup,
-        "incremental_semantic_dedup": q_incremental_semantic_dedup,
-        "embedding_neardup": q_embedding_neardup,
-        "ccnet_buckets": q_ccnet_buckets,
-        "budget_mix": q_budget_mix,
-        "leakage_safe_split": q_leakage_safe_split,
-        "validate_lineitem": q_validate_lineitem,
-        "violation_counts": q_violation_counts,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_top_revenue_orders": q3_top_revenue_orders,
-        "q9_brand_revenue": q9_brand_revenue,
+        # -- r4/r3-green remainder
         "window_suite": q_window_suite,
         "rollup_revenue": q_rollup_revenue,
         "set_ops_customers": q_set_ops_customers,
@@ -3095,13 +3090,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "doc_tfidf_top3": q_doc_tfidf_top3,
         "dsl_datetime_events": q_dsl_datetime_events,
-        # -- rows-only by design (seed/HLL-dependent or bench twins):
-        # -- permanently past the window — the driver can only report
-        # -- err:no_oracle for these; their value-level evidence comes
-        # -- from oracle-checked companions (minhash_verified_pairs,
-        # -- simhash_verified_pairs, bpe_pair_counts/bpe_apply,
-        # -- knn_topk, ivf_full_probe, ivf_rerank_topk,
-        # -- leakage_safe_split) and pinned-kernel pytest ------------
+        # -- rows-only by documented design (value evidence via oracle-checked
+        # -- companions); minhash_pairs/simhash_pairs/leakage_safe_split_prod
+        # -- share the r6 salting change, value-checked via their companions in
+        # -- the window
         "minhash_pairs": q_minhash_pairs,
         "leakage_safe_split_prod": q_leakage_safe_split_prod,
         "simhash_pairs": q_simhash_pairs,

@@ -74,6 +74,9 @@ HEADLINE = [
     "bigram_surprise",          # interpolated bigram LM scoring
     "url_dedup",                # URL canonicalize + best-row dedup
     "unicode_normalize",        # Arrow-UDF NFC pass (the one UDF path)
+    # round-6 additions
+    "png_decode",               # real PNG decode (deflate + filters)
+    "langid_profiles",          # char-n-gram LM train + score + argmax
 ]
 
 

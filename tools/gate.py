@@ -120,6 +120,20 @@ def main() -> int:
                 failures.append("bench-regression")
             else:
                 print("=== bench-regression: OK (vs bench_baseline.json)", flush=True)
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        # three full bench passes (sf0.001/0.01/0.1) — opt-in only.
+        # Exponent regressions WARN the gate red so a quadratic corner
+        # can't land silently; see tools/scaling_curves.py.
+        if not _run(
+            "scaling-curves",
+            [sys.executable, os.path.join("tools", "scaling_curves.py")],
+        ):
+            failures.append("scaling-curves")
+    else:
+        print(
+            "=== scaling-curves: skipped (set SPARK_GRAFT_SCALING=1; "
+            "see tools/scaling_curves.py)"
+        )
     if failures:
         print(f"GATE RED: {failures}")
         return 1
