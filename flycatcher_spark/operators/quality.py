@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import re as _re
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -319,7 +320,7 @@ def unigram_surprise(
 
 
 def blocklist_hits(
-    text: Column | str, phrases: list[str]
+    text: Column | str, phrases: list[str], impl: str = "column"
 ) -> Column:
     """Number of distinct blocklist phrases present in the document —
     the C4-style bad-word gate. Matching is whole-word on normalized
@@ -331,12 +332,20 @@ def blocklist_hits(
     through the same pipeline, so a listed ``"word!"`` matches a
     document's ``"word"``.
 
-    Pure Column expression: k ``contains`` probes against the
-    once-normalized padded text (map-only; codegen CSE shares the
-    normalization across probes). Right for curated lists in the
-    hundreds (C4's list is ~400 entries); a list in the tens of
-    thousands wants an Aho-Corasick Arrow kernel instead — documented
-    rather than hidden.
+    Two implementations, identical results (pinned by pytest):
+
+    - ``impl="column"`` (default): k ``contains`` probes against the
+      once-normalized padded text (map-only; codegen CSE shares the
+      normalization across probes; engine-portable — this is what the
+      DuckDB oracle replays). Right for curated lists in the hundreds
+      (C4's list is ~400 entries); cost and plan size grow linearly
+      in k.
+    - ``impl="kernel"``: one Arrow-batched pass whose cost is
+      independent of the list size — tokenize once per document, then
+      C-speed set intersections (exact single-word lookups plus one
+      n-gram set per distinct multi-word phrase length). The phrase
+      sets ship by value in the closure; a 50k-entry list costs the
+      same scan as 50. The scale path for real blocklists.
 
     Examples
     --------
@@ -354,6 +363,10 @@ def blocklist_hits(
         }
         - {""}
     )
+    if impl == "kernel":
+        return _blocklist_hits_kernel(_col(text), norm_phrases)
+    if impl != "column":
+        raise ValueError(f"unknown impl: {impl}")
     if not norm_phrases:
         return F.lit(0)
     normed = F.regexp_replace(
@@ -373,11 +386,65 @@ def blocklist_hits(
     return hit
 
 
+def _blocklist_hits_kernel(c: Column, norm_phrases: list[str]) -> Column:
+    r"""Arrow kernel behind ``blocklist_hits(impl="kernel")``: distinct
+    whole-word phrase hits via set intersection — one normalization +
+    tokenize per document, then a hash-set probe per n-gram length
+    present in the list (almost always 1-3). Python-side
+    normalization mirrors the Column/oracle pipeline (lowercase,
+    punctuation → space, whitespace collapse); exotic codepoints
+    outside ``\w`` may classify differently from Java's ``\p{L}`` —
+    ASCII/letter text is identical (pinned by pytest against the
+    Column impl on the real corpus)."""
+    import re
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    singles = frozenset(p for p in norm_phrases if " " not in p)
+    multis_raw: dict[int, set[str]] = {}
+    for p in norm_phrases:
+        n = p.count(" ") + 1
+        if n > 1:
+            multis_raw.setdefault(n, set()).add(p)
+    multis = {n: frozenset(s) for n, s in sorted(multis_raw.items())}
+    punct = re.compile(r"[^\w\s]|_", re.UNICODE)
+    empty = not norm_phrases
+
+    @pandas_udf("integer")
+    def _hits(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                # parity with the Column impl: null text -> null hits
+                out.append(None)
+                continue
+            if empty:
+                out.append(0)
+                continue
+            toks = punct.sub(" ", t.lower()).split()
+            n_hit = len(singles.intersection(toks))
+            for n, ps in multis.items():
+                if len(toks) >= n:
+                    grams = {
+                        " ".join(toks[i : i + n])
+                        for i in range(len(toks) - n + 1)
+                    }
+                    n_hit += len(ps & grams)
+            out.append(n_hit)
+        return pd.Series(out, dtype="object")
+
+    return _hits(c)
+
+
 def blocklist_pass(
-    text: Column | str, phrases: list[str], max_hits: int = 0
+    text: Column | str,
+    phrases: list[str],
+    max_hits: int = 0,
+    impl: str = "column",
 ) -> Column:
     """Boolean gate: at most ``max_hits`` distinct blocklist phrases
-    (default: zero tolerance, the C4 rule).
+    (default: zero tolerance, the C4 rule). ``impl`` as in
+    :func:`blocklist_hits`.
 
     Examples
     --------
@@ -386,7 +453,7 @@ def blocklist_pass(
         ... ).first()["ok"]
         True
     """
-    return blocklist_hits(text, phrases) <= int(max_hits)
+    return blocklist_hits(text, phrases, impl=impl) <= int(max_hits)
 
 
 def bigram_surprise(

@@ -194,6 +194,68 @@ class TestBlocklist:
         plans.assert_no_shuffle(out)
         plans.assert_jvm_only(out)
 
+    def test_kernel_equals_column_on_real_corpus(self, spark):
+        """The Arrow kernel (list-size-independent scale path) must
+        equal the Column/oracle impl cell-for-cell — real corpus +
+        punctuation/null/multi-word fixtures."""
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", F.col("text").alias("t"))
+        extra = spark.createDataFrame(
+            [
+                (100001, 'He said "bad word!" and the fox, ran.'),
+                (100002, None),
+                (100003, ""),
+                (100004, "batch stream batch stream dup"),
+            ],
+            "doc_id long, t string",
+        )
+        df = docs.unionByName(extra)
+        phrases = ["slow", "dup", "batch stream", "bad word!", "fox",
+                   "the small row", "never-present"]
+        got = df.select(
+            "doc_id",
+            quality.blocklist_hits("t", phrases).alias("col_n"),
+            quality.blocklist_hits("t", phrases, impl="kernel").alias(
+                "ker_n"
+            ),
+            quality.blocklist_pass("t", phrases, max_hits=1).alias("col_p"),
+            quality.blocklist_pass(
+                "t", phrases, max_hits=1, impl="kernel"
+            ).alias("ker_p"),
+        ).collect()
+        assert len(got) == 504
+        for r in got:
+            assert r["col_n"] == r["ker_n"], r
+            assert r["col_p"] == r["ker_p"], r
+        null_row = [r for r in got if r["doc_id"] == 100002][0]
+        assert null_row["col_n"] is None and null_row["ker_n"] is None
+
+    def test_kernel_handles_huge_list(self, spark):
+        """50k phrases: the Column impl would inline 50k contains
+        probes; the kernel's cost is list-size independent."""
+        phrases = [f"zz{i} yy{i}" for i in range(25000)] + [
+            f"qq{i}" for i in range(24999)
+        ] + ["slow"]
+        df = spark.createDataFrame(
+            [(1, "a slow day"), (2, "zz7 yy7 here"), (3, "clean")],
+            "id long, t string",
+        )
+        got = {
+            r["id"]: r["n"]
+            for r in df.select(
+                "id",
+                quality.blocklist_hits("t", phrases, impl="kernel").alias(
+                    "n"
+                ),
+            ).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 0}
+
+    def test_unknown_impl_raises(self):
+        with pytest.raises(ValueError, match="unknown impl"):
+            quality.blocklist_hits("t", ["x"], impl="nope")
+
 
 class TestProfileStruct:
     def test_struct_matches_standalone_metrics(self, spark):
