@@ -18,9 +18,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F
 
-from flycatcher_spark import sources
+from flycatcher_spark import caching, sources
 from flycatcher_spark.functions import chunk_documents, fingerprint
-from flycatcher_spark.operators import decontam, dedup, quality, stats, text
+from flycatcher_spark.operators import (
+    bpe,
+    decontam,
+    dedup,
+    langid,
+    quality,
+    stats,
+    text,
+)
 from flycatcher_spark.session import get_spark
 
 DATA = "/root/testdata/sf0.01"
@@ -60,9 +68,26 @@ def main() -> None:
 
     # 2a'. Blocklist gate (r5, the C4 bad-word rule): whole-word hits
     #      of a curated phrase list, zero tolerance — map-only, the
-    #      list rides in the plan.
+    #      list rides in the plan. A real (10k+-entry) list would pass
+    #      impl="kernel": one Arrow set-intersection pass whose cost
+    #      is independent of list size (r6).
     keep = keep.where(quality.blocklist_pass("text", ["lorem ipsum", "xxx"]))
     print("after NFC + blocklist gate:", keep.count())
+
+    # 2a''. Curation-grade language ID (r6): char-trigram profiles
+    #       learned from a small labeled sample, broadcast, scored as
+    #       a naive-Bayes argmax — replaces the stopword heuristic
+    #       when the corpus mix decision depends on the label. Here
+    #       the generator's lang column plays the labeled sample —
+    #       NOTE the synthetic corpus's labels are uncorrelated with
+    #       its (English-ish) text, so this stage demos the mechanics
+    #       only; tests/test_langid.py pins real accuracy (>= 0.9
+    #       held-out) on genuine multilingual prose.
+    profiles = langid.train_langid_profiles(
+        docs.where(F.col("doc_id") % 10 == 0), top_k=200
+    )
+    lang_pred = langid.langid_predict(keep, profiles)
+    lang_pred.groupBy("lang_pred").count().orderBy("lang_pred").show()
 
     # 2b. Repetition ceiling (Gopher-style): drop docs whose duplicated
     #     trigrams cover too much of the text, and redact PII before
@@ -87,9 +112,14 @@ def main() -> None:
     #    → connected components → one survivor per cluster (A~B, B~C
     #    collapses all three even if A and C never banded together)
     #    Edges are VERIFIED with exact Jaccard before clustering — one
-    #    false LSH edge would merge two whole clusters
-    final = dedup.minhash_dedup_transitive(deduped, verify_threshold=0.7)
-    print("after transitive minhash dedup:", final.count())
+    #    false LSH edge would merge two whole clusters. The operator's
+    #    internal signature cache is released when the scope closes
+    #    (r6, flycatcher_spark.caching) — long-lived sessions don't
+    #    accumulate dead cached blocks; hot (band, band_hash) buckets
+    #    above bucket_cap split into salted sub-group tasks (exact).
+    with caching.scope():
+        final = dedup.minhash_dedup_transitive(deduped, verify_threshold=0.7)
+        print("after transitive minhash dedup:", final.count())
 
     # 4b. Benchmark decontamination: drop any doc overlapping the
     #     held-out eval set's trigrams (real docs from the test
@@ -218,10 +248,16 @@ def main() -> None:
 
     # 10. Epoch order + fixed-length sequence packing: every token of
     #     the final corpus lands in exactly one slot of one 512-token
-    #     training sequence, reproducibly; a new seed reshuffles
+    #     training sequence, reproducibly; a new seed reshuffles.
+    #     Token counts come from a FROZEN BPE tokenizer (r6): train
+    #     once, save in the standard merges.txt format, reload and
+    #     apply — exactly how a pipeline pins a public tokenizer.
+    merges = bpe.learn_merges(bpe.word_counts(matched), n_merges=60)
+    bpe.save_merges(merges, "/tmp/flycatcher_bpe_merges.txt")
+    frozen = bpe.load_merges("/tmp/flycatcher_bpe_merges.txt")
     packed = quality.pack_sequences(
         matched.select(
-            "doc_id", text.token_count("text").cast("long").alias("ntc")
+            "doc_id", bpe.bpe_token_count("text", frozen).alias("ntc")
         ),
         "ntc",
         seq_len=512,
