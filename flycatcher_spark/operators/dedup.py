@@ -27,7 +27,7 @@ from functools import reduce
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 
@@ -330,23 +330,27 @@ def banded_self_pairs(
     standard replicated-salt trade, paid ONLY by hot buckets); cold
     buckets take the plain join with zero replication.
 
-    The bucket-size census is a ``count() over (partition by bucket)``
-    window — it rides the SAME hash partitioning the pair join needs
-    (no extra pass over the banded table, no broadcast-subquery job;
-    the buffered window partition is the slim key+id rows the join's
-    own sort buffers anyway).
+    The bucket-size census is a partial-aggregated ``groupBy`` over
+    the slim banded table, collected to the driver (bounded: only
+    over-cap buckets survive, and the hot set is pathological by
+    definition — almost always EMPTY; a ``max_hot_collect`` guard
+    falls back to a broadcast-join plan if an adversarial corpus
+    overflows it). The census action doubles as the materialization
+    of whatever cache ``banded`` reads (it evaluates every upstream
+    partition before the join stages launch), so callers that persist
+    a signature table get its eager fill FOR FREE — and when no
+    bucket is hot, the returned plan is EXACTLY the plain unguarded
+    self-join. Two alternatives were measured and rejected: a
+    window-function census (re-evaluated by all four join branches:
+    6.65s vs 4.23s on the sf0.1 bench query) and an always-broadcast
+    census subquery (+0.5-1.0s fixed per call at sf0.01 on top of the
+    then-separate eager count).
 
     Returns ``(id_a, id_b, <payload>_a, <payload>_b)``; callers apply
     their own dedup across bands.
     """
     payload_cols = payload_cols or []
-    n = F.count("*").over(Window.partitionBy(*key_cols))
-    marked = banded.withColumn(
-        "__s",
-        F.when(
-            n > bucket_cap, F.ceil(n / F.lit(bucket_cap)).cast("int")
-        ),
-    )
+    max_hot_collect = 100_000
 
     def _key_eq(left, right):
         cond = None
@@ -355,19 +359,44 @@ def banded_self_pairs(
             cond = c if cond is None else cond & c
         return cond
 
-    # Cold buckets: the plain within-bucket self-join (no replication).
-    cold = marked.where(F.col("__s").isNull()).drop("__s")
-    cold_l, cold_r = cold.alias("l"), cold.alias("r")
-    cold_pairs = cold_l.join(
-        cold_r,
-        _key_eq(cold_l, cold_r)
-        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-    ).select(
-        F.col(f"l.{id_col}").alias("id_a"),
-        F.col(f"r.{id_col}").alias("id_b"),
-        *[F.col(f"l.{p}").alias(f"{p}_a") for p in payload_cols],
-        *[F.col(f"r.{p}").alias(f"{p}_b") for p in payload_cols],
+    def _plain_pairs(src):
+        l_, r_ = src.alias("l"), src.alias("r")
+        return l_.join(
+            r_,
+            _key_eq(l_, r_) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        ).select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            *[F.col(f"l.{p}").alias(f"{p}_a") for p in payload_cols],
+            *[F.col(f"r.{p}").alias(f"{p}_b") for p in payload_cols],
+        )
+
+    # Census (and cache-materialization) action: over-cap buckets only.
+    hot_keys_df = (
+        banded.groupBy(*key_cols)
+        .agg(F.count("*").alias("__n"))
+        .where(F.col("__n") > bucket_cap)
+        .select(
+            *key_cols,
+            F.ceil(F.col("__n") / F.lit(bucket_cap))
+            .cast("int")
+            .alias("__s"),
+        )
     )
+    hot_rows = hot_keys_df.limit(max_hot_collect + 1).collect()
+    if not hot_rows:
+        return _plain_pairs(banded)
+    if len(hot_rows) > max_hot_collect:
+        # adversarial bucket count: keep the hot set distributed
+        marked = banded.join(F.broadcast(hot_keys_df), key_cols, "left")
+    else:
+        spark = banded.sparkSession
+        marked = banded.join(
+            F.broadcast(spark.createDataFrame(hot_rows)), key_cols, "left"
+        )
+
+    # Cold buckets: the plain within-bucket self-join (no replication).
+    cold_pairs = _plain_pairs(marked.where(F.col("__s").isNull()).drop("__s"))
 
     # Hot buckets: per-bucket sub-group g = hash(id) mod s; a pair in
     # groups (p <= q) is produced exactly once, in the task keyed by
@@ -468,12 +497,14 @@ def minhash_lsh_pairs(
     # The signature table is referenced three times below (banding +
     # two candidate re-joins). persist() alone is not enough: the
     # referencing stages can start concurrently and each recompute
-    # the compute-dense signature map before the cache fills, so
-    # materialize it eagerly with a cheap count. At cluster scale
-    # this is the stage you'd checkpoint/write to storage. The handle
-    # is tracked (flycatcher_spark.caching) so long-lived sessions can
-    # release it — wrap pipeline runs in ``caching.scope()``.
-    sig = caching.track(sig, eager=True)
+    # the compute-dense signature map before the cache fills — here
+    # the blocking census action inside banded_self_pairs fills the
+    # cache before any join stage launches (no separate eager count
+    # needed). At cluster scale this is the stage you'd checkpoint /
+    # write to storage. The handle is tracked
+    # (flycatcher_spark.caching) so long-lived sessions can release
+    # it — wrap pipeline runs in ``caching.scope()``.
+    sig = caching.track(sig)
 
     # Band join carries ONLY (id, band, band_hash) — the 8×num_perm-
     # byte signature array stays out of the wide shuffle and is
@@ -698,11 +729,11 @@ def simhash_pairs(
     # Persisted (and tracked — flycatcher_spark.caching) because the
     # bucket-size census and the pair join both read the banded table;
     # without the cache the compute-dense signature map runs twice.
+    # The census action inside banded_self_pairs fills the cache.
     sig = caching.track(
         with_simhash(src, text_col=text_col, out_col="__sim").select(
             id_col, "__sim"
-        ),
-        eager=True,
+        )
     )
     # unrolled driver-side: shiftrightunsigned requires an int shift
     band_keys = F.array(
