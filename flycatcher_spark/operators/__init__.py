@@ -28,6 +28,9 @@ reference surface — see SURVEY.md §7.1 step 7).
 - :mod:`.web` — URL canonicalization and URL-keyed dedup for crawled
   corpora (map-only Column canonicalizer, slim-shuffle best-row-wins
   dedup).
+- :mod:`.warc` — WARC (ISO 28500) crawl-archive record parsing:
+  plain/gzip/gzip-member inputs, Arrow ``mapInPandas`` record
+  fan-out, deterministic oracle fixtures.
 - :mod:`.quality` — corpus curation: Gopher-style rule gates, linear
   classifier scoring, unigram-LM surprise, per-domain caps,
   temperature mixture sampling, deterministic training order,
@@ -40,6 +43,7 @@ from . import (
     cluster,
     decontam,
     dedup,
+    langid,
     multimodal,
     quality,
     range_join,
@@ -48,6 +52,7 @@ from . import (
     stats,
     text,
     versioning,
+    warc,
     web,
 )
 
@@ -57,12 +62,15 @@ __all__ = [
     "cluster",
     "decontam",
     "dedup",
+    "langid",
     "multimodal",
     "quality",
+    "range_join",
     "similarity",
     "skew",
     "stats",
     "text",
     "versioning",
+    "warc",
     "web",
 ]

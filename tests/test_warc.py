@@ -1,0 +1,110 @@
+"""operators/warc — WARC (ISO 28500) crawl-archive record parsing."""
+
+from __future__ import annotations
+
+import gzip
+
+from flycatcher_spark import plans
+from flycatcher_spark.operators import warc
+
+
+def _rec(rtype=b"response", uri=b"http://e.com/", body=b"hello",
+         version=b"WARC/1.0", clen=None):
+    head = [version, b"WARC-Type: " + rtype]
+    if uri is not None:
+        head.append(b"WARC-Target-URI: " + uri)
+    head.append(
+        b"Content-Length: %d" % (len(body) if clen is None else clen)
+    )
+    return b"\r\n".join(head) + b"\r\n\r\n" + body + b"\r\n\r\n"
+
+
+class TestParseWarc:
+    def test_multi_record_walk(self):
+        buf = _rec(body=b"one") + _rec(body=b"second body", uri=b"http://e.com/2")
+        recs = warc.parse_warc(buf)
+        assert [r["body"] for r in recs] == [b"one", b"second body"]
+        assert recs[1]["target_uri"] == "http://e.com/2"
+        assert recs[0]["content_length"] == 3
+
+    def test_body_may_contain_header_like_bytes(self):
+        # Content-Length drives the walk — a body containing
+        # "WARC/1.0" or CRLFCRLF must not confuse record boundaries
+        tricky = b"WARC/1.0\r\n\r\nfake"
+        buf = _rec(body=tricky) + _rec(body=b"next")
+        recs = warc.parse_warc(buf)
+        assert [r["body"] for r in recs] == [tricky, b"next"]
+
+    def test_gzip_whole_and_members(self):
+        plain = _rec(body=b"a") + _rec(body=b"bb")
+        whole = gzip.compress(plain, mtime=0)
+        members = gzip.compress(_rec(body=b"a"), mtime=0) + gzip.compress(
+            _rec(body=b"bb"), mtime=0
+        )
+        for buf in (plain, whole, members):
+            assert [r["body"] for r in warc.parse_warc(buf)] == [b"a", b"bb"]
+
+    def test_corrupt_returns_none(self):
+        assert warc.parse_warc(None) is None
+        assert warc.parse_warc(b"HTTP/1.1 200 OK\r\n\r\n") is None
+        # truncated block: declared length exceeds payload
+        assert warc.parse_warc(_rec(body=b"hello", clen=99)) is None
+        # bad version, missing/invalid length, negative length
+        assert warc.parse_warc(_rec(version=b"WARC/2.0")) is None
+        bad = _rec().replace(b"Content-Length: 5", b"Content-Length: x")
+        assert warc.parse_warc(bad) is None
+        bad2 = _rec().replace(b"Content-Length: 5\r\n", b"")
+        assert warc.parse_warc(bad2) is None
+        # corrupt gzip stream
+        assert warc.parse_warc(b"\x1f\x8bnot really gzip") is None
+        # truncated gzip member
+        assert warc.parse_warc(gzip.compress(_rec(), mtime=0)[:-4]) is None
+
+    def test_padding_tolerated(self):
+        buf = _rec(body=b"a") + b"\r\n\r\n" + _rec(body=b"b")
+        assert [r["body"] for r in warc.parse_warc(buf)] == [b"a", b"b"]
+
+
+class TestWarcRecordsStage:
+    def test_fixture_roundtrip_all_gzip_modes(self, spark):
+        df = spark.createDataFrame([(i,) for i in (0, 4, 11)], "doc_id long")
+        expected = None
+        for mode in ("none", "whole", "members"):
+            rows = sorted(
+                (r["doc_id"], r["rec_idx"], r["rec_type"], r["target_uri"],
+                 r["content_length"], bytes(r["body"]))
+                for r in warc.warc_records(
+                    warc.make_warc_payload(df, gzip_mode=mode)
+                ).collect()
+            )
+            if expected is None:
+                expected = rows
+            assert rows == expected, mode
+        # closed-form check for one doc: id=4 -> warcinfo + 2 responses
+        got4 = [r for r in expected if r[0] == 4]
+        assert [r[2] for r in got4] == ["warcinfo", "response", "response"]
+        assert got4[1][3] == "http://example.com/4/0"
+        assert got4[1][5] == b"body 4 0 xxxx"
+
+    def test_corrupt_archive_yields_attributable_null_row(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(b"not a warc")), (2, None)],
+            "doc_id long, payload binary",
+        )
+        rows = {r["doc_id"]: r for r in warc.warc_records(df).collect()}
+        assert rows[1]["rec_idx"] is None and rows[1]["body"] is None
+        assert rows[2]["rec_idx"] is None
+
+    def test_map_only_plan(self, spark):
+        df = warc.make_warc_payload(
+            spark.createDataFrame([(1,)], "doc_id long")
+        )
+        out = warc.warc_records(df)
+        plans.assert_no_shuffle(out)
+
+    def test_unknown_gzip_mode_raises(self, spark):
+        import pytest
+
+        df = spark.createDataFrame([(1,)], "doc_id long")
+        with pytest.raises(ValueError, match="gzip_mode"):
+            warc.make_warc_payload(df, gzip_mode="zstd")
