@@ -2795,6 +2795,49 @@ def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROBOTS_TXT = (
+    "User-agent: evilbot\n"
+    "Disallow: /\n"
+    "\n"
+    "User-agent: *\n"
+    "Disallow: /private\n"
+    "Allow: /private/ok\n"
+    "Disallow: /tmp/*.log\n"
+    "Allow: /tmp/keep.log$\n"
+)
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt crawl gate (r6, operators/web): every source host
+    publishes a REAL robots.txt (group for another agent that must be
+    ignored, prefix rules, a '*' wildcard, a '$' anchor), parsed by
+    the Arrow kernel and compiled to rules; five planted URL shapes
+    per doc exercise RFC 9309 precedence — longest match wins, allow
+    beats disallow on ties, no-match defaults to allowed. The oracle
+    states each shape's verdict outright, so parser + group selection
+    + precedence are known-answer-checked end-to-end."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    robots = docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host")
+    ).distinct().withColumn("robots_txt", F.lit(_ROBOTS_TXT))
+    rules = web.robots_rules(robots, agent="flycatcher")
+    v = F.col("doc_id") % 5
+    path = (
+        F.when(v == 0, F.concat(F.lit("/public/"), F.col("doc_id")))
+        .when(v == 1, F.concat(F.lit("/private/"), F.col("doc_id")))
+        .when(v == 2, F.concat(F.lit("/private/ok/"), F.col("doc_id")))
+        .when(v == 3, F.concat(F.lit("/tmp/f"), F.col("doc_id"), F.lit(".log")))
+        .otherwise(F.lit("/tmp/keep.log"))
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com"), path
+        ).alias("url"),
+    )
+    return web.robots_gate(urls, rules).select("doc_id", "url", "allowed")
+
+
 def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style blocklist gate (quality.blocklist_hits/pass):
     whole-word hits of a curated phrase list — including a multi-word
@@ -2975,12 +3018,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # == r6 WINDOW (first 50 = the driver's correctness prefix) ==
-        # -- positions 1-3: new r6 (png decode, char-n-gram language
-        # -- ID, WARC crawl-archive ingest)
+        # -- positions 1-4: new r6 (png decode, char-n-gram language
+        # -- ID, WARC crawl-archive ingest, robots.txt crawl gate)
         "png_decode": q_png_decode,
         "langid_profiles": q_langid_profiles,
         "warc_records": q_warc_records,
-        # -- positions 4-12: impl/oracle CHANGED in r6 (blocklist punctuation
+        "robots_gate": q_robots_gate,
+        # -- positions 5-13: impl/oracle CHANGED in r6 (blocklist punctuation
         # -- matching, url_dedup null-quality + ref narrowing, corpus_diff
         # -- derived offset, PNG arm in image_neardup, hot-bucket salting in
         # -- the minhash/simhash banding path)
@@ -2993,7 +3037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_verified_pairs": q_simhash_verified_pairs,
         "minhash_dedup_verified": q_minhash_dedup_verified,
         "leakage_safe_split": q_leakage_safe_split,
-        # -- positions 13-22: oldest-green rotation: last driver-checked r3
+        # -- positions 14-23: oldest-green rotation: last driver-checked r3
         # -- (displaced from the r5 window)
         "events_sessions": q_events_sessions,
         "events_user_top3": q_events_user_top3,
@@ -3005,7 +3049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_exact_normalized": q_dedup_exact_normalized,
         "jaccard_pairs": q_jaccard_pairs,
-        # -- positions 23-50: next-oldest: r4-green family (q9 rotates just past the cut)
+        # -- positions 24-50: next-oldest: r4-green family (q3/q9 rotate just past the cut)
         "events_range_join": q_events_range_join,
         "q12_priority_shipping": q12_priority_shipping,
         "pivot_order_status": q_pivot_order_status,
@@ -3033,8 +3077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_lineitem": q_validate_lineitem,
         "violation_counts": q_violation_counts,
         "q1_pricing_summary": q1_pricing_summary,
-        "q3_top_revenue_orders": q3_top_revenue_orders,
         # == past the 50-entry window from here on ===================
+        "q3_top_revenue_orders": q3_top_revenue_orders,
         "q9_brand_revenue": q9_brand_revenue,
         # -- r5-green fresh batch (driver-checked last round, impl unchanged)
         "ivf_rerank_topk": q_ivf_rerank_topk,
@@ -3295,6 +3339,26 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": f"""
             WITH {_kmeans_cte(k=8, n_iter=2)}
             SELECT vec_id, cluster, d AS dist FROM a2
+        """,
+        "robots_gate": """
+            SELECT doc_id,
+                   'https://' || source || '.example.com' ||
+                   (CASE CAST(doc_id % 5 AS INT)
+                        WHEN 0 THEN '/public/' || doc_id
+                        WHEN 1 THEN '/private/' || doc_id
+                        WHEN 2 THEN '/private/ok/' || doc_id
+                        WHEN 3 THEN '/tmp/f' || doc_id || '.log'
+                        ELSE '/tmp/keep.log'
+                    END) AS url,
+                   (CASE CAST(doc_id % 5 AS INT)
+                        WHEN 0 THEN true   -- no matching rule
+                        WHEN 1 THEN false  -- Disallow: /private
+                        WHEN 2 THEN true   -- longer Allow: /private/ok
+                        WHEN 3 THEN false  -- Disallow: /tmp/*.log
+                        ELSE true          -- Allow: /tmp/keep.log$ is
+                                           -- longer than the wildcard
+                    END) AS allowed
+            FROM documents
         """,
         "warc_records": """
             WITH d AS (SELECT doc_id FROM documents),

@@ -16,10 +16,19 @@ DuckDB oracle replays it verbatim (the ``url_dedup`` query).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["canonical_url", "host_of", "url_dedup", "TRACKING_PARAM_RE"]
+__all__ = [
+    "canonical_url",
+    "host_of",
+    "url_dedup",
+    "parse_robots",
+    "robots_rules",
+    "robots_gate",
+    "TRACKING_PARAM_RE",
+]
 
 # Query parameters that never identify content: analytics/click IDs.
 # Anchored prefix match against "name=value" strings. Deliberately
@@ -105,6 +114,160 @@ def host_of(url: Column | str) -> Column:
         'blog.example.com'
     """
     return F.regexp_extract(_col(url), _URL_RE, 2)
+
+
+def parse_robots(text: str) -> list[tuple[str, bool, str]]:
+    r"""Parse a robots.txt body (RFC 9309) into
+    ``(agent_lowercase, allow, pattern)`` rules. Group semantics per
+    the RFC: consecutive ``User-agent`` lines open one group whose
+    ``Allow``/``Disallow`` rules apply to every listed agent;
+    comments (``#``) strip; unknown directives and empty
+    ``Disallow:`` lines (explicit allow-all) are ignored. Pattern
+    wildcards (``*``, trailing ``$``) are preserved verbatim —
+    :func:`robots_rules` compiles them.
+
+    Examples
+    --------
+        >>> parse_robots("User-agent: *\nDisallow: /private\n"
+        ...              "Allow: /private/ok\n")
+        [('*', False, '/private'), ('*', True, '/private/ok')]
+    """
+    rules: list[tuple[str, bool, str]] = []
+    agents: list[str] = []
+    in_group_header = True
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if not in_group_header:
+                agents = []  # a new group starts
+            agents.append(value.lower())
+            in_group_header = True
+        elif key in ("allow", "disallow"):
+            in_group_header = False
+            if not value:
+                continue  # "Disallow:" (empty) = allow all, no rule
+            for a in agents:
+                rules.append((a, key == "allow", value))
+    return rules
+
+
+def _pattern_regex(pattern: str) -> str:
+    """robots path pattern → anchored regex: ``*`` matches any run,
+    a trailing ``$`` anchors the end, everything else is literal."""
+    import re as _re
+
+    anchored_end = pattern.endswith("$")
+    body = pattern[:-1] if anchored_end else pattern
+    rx = "".join(".*" if ch == "*" else _re.escape(ch) for ch in body)
+    return "^" + rx + ("$" if anchored_end else "")
+
+
+def robots_rules(
+    robots_df: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """Per-host crawl rules for ``agent``: parse each host's
+    robots.txt (Arrow kernel — group semantics are stateful per
+    file), then keep the MOST SPECIFIC matching group per RFC 9309
+    (the agent's own group when one exists, else ``*``; groups never
+    merge). Returns ``(host, allow, pattern_len, pattern_re)`` — a
+    per-host metadata side table, tiny next to any crawl and built
+    once per robots refresh.
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    agent_l = agent.lower()
+
+    @pandas_udf(
+        "array<struct<agent:string, allow:boolean, pattern:string>>"
+    )
+    def _parse(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if t is None else parse_robots(t) for t in texts]
+        )
+
+    exploded = (
+        robots_df.select(
+            F.col(host_col).alias("host"),
+            F.explode(_parse(F.col(robots_col))).alias("__r"),
+        )
+        .select("host", "__r.agent", "__r.allow", "__r.pattern")
+        .where(F.col("agent").isin(agent_l, "*"))
+    )
+    # group selection: hosts with an exact-agent group use ONLY it
+    has_exact = F.max((F.col("agent") == agent_l).cast("int")).over(
+        Window.partitionBy("host")
+    )
+    picked = exploded.withColumn("__he", has_exact).where(
+        (F.col("agent") == agent_l)
+        | ((F.col("__he") == 0) & (F.col("agent") == "*"))
+    )
+
+    @pandas_udf("string")
+    def _rx(patterns: pd.Series) -> pd.Series:
+        return patterns.map(_pattern_regex)
+
+    return picked.select(
+        "host",
+        "allow",
+        F.length("pattern").cast("long").alias("pattern_len"),
+        _rx(F.col("pattern")).alias("pattern_re"),
+    )
+
+
+def robots_gate(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Crawl-permission gate: joins each URL's host against the
+    :func:`robots_rules` side table and applies RFC 9309 precedence —
+    among matching rules the LONGEST pattern wins, allow beating
+    disallow on equal length; no matching rule (or no robots.txt at
+    all) means allowed. Adds an ``allowed`` boolean to the input
+    rows.
+
+    Shuffle shape: the slim ``(id-less url, host, path)`` projection
+    joins the per-host rule table (broadcast when small, as a real
+    rules table is); the per-URL argmax shuffles one partial row per
+    URL. Matching runs ``RLIKE`` with a column-side pattern —
+    per-row regex, acceptable because rules-per-host is single
+    digits; a fixed curated rule set should be inlined as literals
+    instead.
+    """
+    host = host_of(canonical_url(F.col(url_col)))
+    path = F.regexp_extract(canonical_url(F.col(url_col)), _URL_RE, 3)
+    with_hp = urls.withColumn("__host", host).withColumn("__path", path)
+    joined = with_hp.join(
+        rules.withColumnRenamed("host", "__host"), "__host", "left"
+    )
+    matched = joined.withColumn(
+        "__hit",
+        F.when(
+            F.col("pattern_re").isNotNull()
+            & F.expr("__path rlike pattern_re"),
+            F.struct(
+                F.col("pattern_len"),
+                F.col("allow").cast("int").alias("allow_i"),
+            ),
+        ),
+    )
+    best = matched.groupBy(*urls.columns, "__host", "__path").agg(
+        F.max("__hit").alias("__best")
+    )
+    return best.select(
+        *urls.columns,
+        F.coalesce(F.col("__best.allow_i") == 1, F.lit(True)).alias(
+            "allowed"
+        ),
+    )
 
 
 def url_dedup(

@@ -131,3 +131,77 @@ class TestUrlDedup:
         row = web.url_dedup(df).first()
         assert row["body"] == "payload"
         assert row["canonical_url"] == "https://e.com/x"
+
+
+class TestRobots:
+    """RFC 9309 subset: group semantics, precedence (longest match,
+    allow wins ties), wildcards, $ anchor, default allow."""
+
+    def test_parse_groups_and_comments(self):
+        txt = (
+            "# crawl policy\n"
+            "User-agent: a\n"
+            "User-agent: b\n"
+            "Disallow: /x  # inline comment\n"
+            "\n"
+            "User-agent: *\n"
+            "Allow: /y\n"
+            "Disallow:\n"           # empty = allow-all, no rule
+            "Crawl-delay: 10\n"     # unknown directive ignored
+        )
+        rules = web.parse_robots(txt)
+        assert ("a", False, "/x") in rules and ("b", False, "/x") in rules
+        assert ("*", True, "/y") in rules
+        assert len(rules) == 3
+
+    def test_consecutive_agent_lines_share_one_group(self):
+        txt = "User-agent: a\nDisallow: /1\nUser-agent: c\nDisallow: /2\n"
+        assert web.parse_robots(txt) == [
+            ("a", False, "/1"), ("c", False, "/2")
+        ]
+
+    def test_exact_agent_group_excludes_star(self, spark):
+        robots = spark.createDataFrame(
+            [("h.com", "User-agent: me\nDisallow: /a\n"
+                        "User-agent: *\nDisallow: /\n")],
+            ["host", "robots_txt"],
+        )
+        rules = web.robots_rules(robots, agent="ME")  # case-insensitive
+        pats = {(r["allow"], r["pattern_len"]) for r in rules.collect()}
+        assert pats == {(False, 2)}  # only "/a"; the "/" rule ignored
+
+    def test_precedence_and_wildcards(self, spark):
+        robots = spark.createDataFrame(
+            [("h.com",
+              "User-agent: *\nDisallow: /p\nAllow: /p/ok\n"
+              "Disallow: /t/*.log\nAllow: /t/keep.log$\n")],
+            ["host", "robots_txt"],
+        )
+        rules = web.robots_rules(robots)
+        urls = spark.createDataFrame(
+            [
+                (1, "https://h.com/q"),            # no match -> allow
+                (2, "https://h.com/p/x"),          # disallow
+                (3, "https://h.com/p/ok/x"),       # longer allow
+                (4, "https://h.com/t/a.log"),      # wildcard disallow
+                (5, "https://h.com/t/keep.log"),   # $-anchored allow wins
+                (6, "https://h.com/t/keep.logs"),  # $ does NOT match
+                (7, "https://other.com/p/x"),      # no robots -> allow
+            ],
+            ["id", "url"],
+        )
+        got = {
+            r["id"]: r["allowed"]
+            for r in web.robots_gate(urls, rules).collect()
+        }
+        assert got == {1: True, 2: False, 3: True, 4: False,
+                       5: True, 6: False, 7: True}
+
+    def test_null_robots_text(self, spark):
+        robots = spark.createDataFrame(
+            [("h.com", None)], "host string, robots_txt string"
+        )
+        rules = web.robots_rules(robots)
+        assert rules.count() == 0
+        urls = spark.createDataFrame([(1, "https://h.com/x")], ["id", "url"])
+        assert web.robots_gate(urls, rules).first()["allowed"] is True
