@@ -2838,6 +2838,32 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return web.robots_gate(urls, rules).select("doc_id", "url", "allowed")
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text extraction (r6, web.html_to_text — the WET
+    conversion stage after WARC ingest): each doc is wrapped in a
+    real HTML page (head/style block, heading, comment, entity,
+    trailing script block) and the pure-Column regex chain must strip
+    blocks+tags, decode entities, and collapse whitespace. DuckDB
+    replays the identical chain (script/style expanded to two passes
+    — RE2 has no backreferences), value-checking the extracted text
+    and its token count."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    page = F.concat(
+        F.lit("<html><head><style>p {color: red}</style></head><body>"),
+        F.lit("<h1>Title "), F.col("doc_id"), F.lit("</h1>"),
+        F.lit("<!-- boilerplate -->"),
+        F.lit("<p>"), F.substring("text", 1, 60),
+        F.lit(" &amp; more</p><script>var x = 1;</script></body></html>"),
+    )
+    out = web.html_to_text(page)
+    return docs.select(
+        "doc_id",
+        out.alias("text_out"),
+        F.length(out).alias("n_chars"),
+        F.size(F.split(out, " ")).cast("long").alias("n_tokens"),
+    )
+
+
 def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style blocklist gate (quality.blocklist_hits/pass):
     whole-word hits of a curated phrase list — including a multi-word
@@ -3018,13 +3044,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # == r6 WINDOW (first 50 = the driver's correctness prefix) ==
-        # -- positions 1-4: new r6 (png decode, char-n-gram language
-        # -- ID, WARC crawl-archive ingest, robots.txt crawl gate)
+        # -- positions 1-5: new r6 (png decode, char-n-gram language
+        # -- ID, WARC crawl-archive ingest, robots.txt crawl gate,
+        # -- HTML->text extraction)
         "png_decode": q_png_decode,
         "langid_profiles": q_langid_profiles,
         "warc_records": q_warc_records,
         "robots_gate": q_robots_gate,
-        # -- positions 5-13: impl/oracle CHANGED in r6 (blocklist punctuation
+        "html_extract": q_html_extract,
+        # -- positions 6-14: impl/oracle CHANGED in r6 (blocklist punctuation
         # -- matching, url_dedup null-quality + ref narrowing, corpus_diff
         # -- derived offset, PNG arm in image_neardup, hot-bucket salting in
         # -- the minhash/simhash banding path)
@@ -3037,7 +3065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_verified_pairs": q_simhash_verified_pairs,
         "minhash_dedup_verified": q_minhash_dedup_verified,
         "leakage_safe_split": q_leakage_safe_split,
-        # -- positions 14-23: oldest-green rotation: last driver-checked r3
+        # -- positions 15-24: oldest-green rotation: last driver-checked r3
         # -- (displaced from the r5 window)
         "events_sessions": q_events_sessions,
         "events_user_top3": q_events_user_top3,
@@ -3049,7 +3077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_exact_normalized": q_dedup_exact_normalized,
         "jaccard_pairs": q_jaccard_pairs,
-        # -- positions 24-50: next-oldest: r4-green family (q3/q9 rotate just past the cut)
+        # -- positions 25-50: next-oldest: r4-green family (q1/q3/q9 rotate just past the cut)
         "events_range_join": q_events_range_join,
         "q12_priority_shipping": q12_priority_shipping,
         "pivot_order_status": q_pivot_order_status,
@@ -3076,8 +3104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_mix": q_budget_mix,
         "validate_lineitem": q_validate_lineitem,
         "violation_counts": q_violation_counts,
-        "q1_pricing_summary": q1_pricing_summary,
         # == past the 50-entry window from here on ===================
+        "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue_orders": q3_top_revenue_orders,
         "q9_brand_revenue": q9_brand_revenue,
         # -- r5-green fresh batch (driver-checked last round, impl unchanged)
@@ -3339,6 +3367,46 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": f"""
             WITH {_kmeans_cte(k=8, n_iter=2)}
             SELECT vec_id, cluster, d AS dist FROM a2
+        """,
+        "html_extract": r"""
+            WITH page AS (
+                SELECT doc_id,
+                       '<html><head><style>p {color: red}</style></head><body>'
+                       || '<h1>Title ' || doc_id || '</h1>'
+                       || '<!-- boilerplate -->'
+                       || '<p>' || substr(text, 1, 60)
+                       || ' &amp; more</p><script>var x = 1;</script></body></html>'
+                           AS h
+                FROM documents
+            ),
+            stripped AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(h,
+                               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                               '(?s)<!--.*?-->', ' ', 'g'),
+                               '(?s)<[^>]+>', ' ', 'g') AS t
+                FROM page
+            ),
+            decoded AS (
+                SELECT doc_id,
+                       replace(replace(replace(replace(replace(replace(t,
+                           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                           '&quot;', '"'), '&#39;', chr(39)),
+                           '&amp;', '&') AS t
+                FROM stripped
+            ),
+            final AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(t,
+                           '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g') AS text_out
+                FROM decoded
+            )
+            SELECT doc_id, text_out,
+                   CAST(length(text_out) AS INT) AS n_chars,
+                   CAST(len(str_split(text_out, ' ')) AS BIGINT) AS n_tokens
+            FROM final
         """,
         "robots_gate": """
             SELECT doc_id,

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "canonical_url",
     "host_of",
+    "html_to_text",
     "url_dedup",
     "parse_robots",
     "robots_rules",
@@ -114,6 +115,47 @@ def host_of(url: Column | str) -> Column:
         'blog.example.com'
     """
     return F.regexp_extract(_col(url), _URL_RE, 2)
+
+
+def html_to_text(html: Column | str) -> Column:
+    """Crude-but-honest HTML→text extraction (the WET-conversion
+    stage that follows :func:`warc.warc_records` in a crawl
+    pipeline): drop ``<script>``/``<style>`` blocks and comments,
+    strip every remaining tag to a space, decode the common
+    entities, collapse whitespace. Pure Column expression — regex
+    chains run JVM-side in codegen and the identical chain replays in
+    any SQL dialect (the ``html_extract`` oracle). This is the
+    boilerplate-light subset of real extraction (trafilatura-class
+    readability scoring is a model, not a regex — out of scope by
+    design); it is deterministic, engine-portable, and good enough to
+    feed the quality gates, which is what the downstream operators
+    actually need.
+
+    Examples
+    --------
+        >>> df = spark.createDataFrame(
+        ...     [("<p>Hi &amp; bye</p><script>var x;</script>",)], ["h"])
+        >>> df.select(html_to_text("h").alias("t")).first()["t"]
+        'Hi & bye'
+    """
+    c = _col(html)
+    # order matters: blocks first (their CONTENT must go), then tags,
+    # then entities, then whitespace
+    out = F.regexp_replace(c, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for ent, rep in [
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),  # LAST, or "&amp;lt;" would double-decode
+    ]:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.regexp_replace(
+        F.regexp_replace(out, r"^\s+|\s+$", ""), r"\s+", " "
+    )
 
 
 def parse_robots(text: str) -> list[tuple[str, bool, str]]:

@@ -205,3 +205,45 @@ class TestRobots:
         assert rules.count() == 0
         urls = spark.createDataFrame([(1, "https://h.com/x")], ["id", "url"])
         assert web.robots_gate(urls, rules).first()["allowed"] is True
+
+
+class TestHtmlToText:
+    def test_blocks_tags_entities_whitespace(self, spark):
+        html = (
+            "<html><head><style>p{a:b}</style>"
+            "<script type='x'>if (a<b) {}</script></head>"
+            "<body><!-- note --><h1>Hello</h1>\n<p>a &amp;\n"
+            "b &lt;c&gt; &quot;d&quot; &#39;e&#39;&nbsp;f</p></body></html>"
+        )
+        df = spark.createDataFrame([(html,)], ["h"])
+        got = df.select(web.html_to_text("h").alias("t")).first()["t"]
+        assert got == "Hello a & b <c> \"d\" 'e' f"
+
+    def test_amp_decodes_last_no_double_decode(self, spark):
+        df = spark.createDataFrame([("&amp;lt;",)], ["h"])
+        # literal "&lt;" in the source text must survive as "&lt;",
+        # not double-decode into "<"
+        assert df.select(web.html_to_text("h").alias("t")).first()["t"] == "&lt;"
+
+    def test_map_only_jvm_plan(self, spark):
+        df = spark.createDataFrame([("<p>x</p>",)], ["h"])
+        out = df.select(web.html_to_text("h"))
+        plans.assert_no_shuffle(out)
+        plans.assert_jvm_only(out)
+
+    def test_composes_with_warc_ingest(self, spark):
+        """The crawl pipeline shape: WARC archive -> records ->
+        response bodies -> extracted text."""
+        from flycatcher_spark.operators import warc
+
+        body = b"<html><body><h1>T</h1><p>hello &amp; world</p></body></html>"
+        rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Target-URI: http://e.com/\r\n"
+               b"Content-Length: %d\r\n\r\n" % len(body)) + body + b"\r\n\r\n"
+        df = spark.createDataFrame([(1, bytearray(rec))],
+                                   "doc_id long, payload binary")
+        recs = warc.warc_records(df)
+        out = recs.where(F.col("rec_type") == "response").select(
+            web.html_to_text(F.col("body").cast("string")).alias("t")
+        ).first()["t"]
+        assert out == "T hello & world"
