@@ -2864,6 +2864,24 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization (r6, similarity.quantize_embeddings —
+    the 4x-storage companion to PQ): per-vector affine int8 codes
+    with floor(x + 0.5) rounding, deliberately chosen over round()
+    because floor is engine-exact on half-way points. DuckDB replays
+    min/scale and EVERY code byte (hex-matched), so the quantizer is
+    value-checked bit-for-bit."""
+    em = _emb_double(spark, sf_dir)
+    q = similarity.quantize_embeddings(em)
+    return q.select(
+        "vec_id",
+        F.col("sq8.mn").alias("mn"),
+        F.col("sq8.scale").alias("scale"),
+        F.length("sq8.codes").cast("long").alias("n_bytes"),
+        F.hex("sq8.codes").alias("codes_hex"),
+    )
+
+
 def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style blocklist gate (quality.blocklist_hits/pass):
     whole-word hits of a curated phrase list — including a multi-word
@@ -3044,15 +3062,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # == r6 WINDOW (first 50 = the driver's correctness prefix) ==
-        # -- positions 1-5: new r6 (png decode, char-n-gram language
+        # -- positions 1-6: new r6 (png decode, char-n-gram language
         # -- ID, WARC crawl-archive ingest, robots.txt crawl gate,
-        # -- HTML->text extraction)
+        # -- HTML->text extraction, SQ8 embedding quantization)
         "png_decode": q_png_decode,
         "langid_profiles": q_langid_profiles,
         "warc_records": q_warc_records,
         "robots_gate": q_robots_gate,
         "html_extract": q_html_extract,
-        # -- positions 6-14: impl/oracle CHANGED in r6 (blocklist punctuation
+        "embedding_quantize": q_embedding_quantize,
+        # -- positions 7-15: impl/oracle CHANGED in r6 (blocklist punctuation
         # -- matching, url_dedup null-quality + ref narrowing, corpus_diff
         # -- derived offset, PNG arm in image_neardup, hot-bucket salting in
         # -- the minhash/simhash banding path)
@@ -3065,7 +3084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_verified_pairs": q_simhash_verified_pairs,
         "minhash_dedup_verified": q_minhash_dedup_verified,
         "leakage_safe_split": q_leakage_safe_split,
-        # -- positions 15-24: oldest-green rotation: last driver-checked r3
+        # -- positions 16-25: oldest-green rotation: last driver-checked r3
         # -- (displaced from the r5 window)
         "events_sessions": q_events_sessions,
         "events_user_top3": q_events_user_top3,
@@ -3077,7 +3096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_exact_normalized": q_dedup_exact_normalized,
         "jaccard_pairs": q_jaccard_pairs,
-        # -- positions 25-50: next-oldest: r4-green family (q1/q3/q9 rotate just past the cut)
+        # -- positions 26-50: next-oldest: r4-green family (violation_counts/q1/q3/q9 rotate just past the cut)
         "events_range_join": q_events_range_join,
         "q12_priority_shipping": q12_priority_shipping,
         "pivot_order_status": q_pivot_order_status,
@@ -3103,8 +3122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "budget_mix": q_budget_mix,
         "validate_lineitem": q_validate_lineitem,
-        "violation_counts": q_violation_counts,
         # == past the 50-entry window from here on ===================
+        "violation_counts": q_violation_counts,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue_orders": q3_top_revenue_orders,
         "q9_brand_revenue": q9_brand_revenue,
@@ -3367,6 +3386,27 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": f"""
             WITH {_kmeans_cte(k=8, n_iter=2)}
             SELECT vec_id, cluster, d AS dist FROM a2
+        """,
+        "embedding_quantize": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            q AS (
+                SELECT vec_id,
+                       list_min(v) AS mn,
+                       list_max(v) - list_min(v) AS scale,
+                       v
+                FROM e
+            )
+            SELECT vec_id, mn, scale,
+                   CAST(len(v) AS BIGINT) AS n_bytes,
+                   upper(array_to_string(list_transform(v,
+                       x -> lpad(to_hex(CAST(CASE WHEN scale > 0
+                                THEN floor((x - mn) / scale * 255 + 0.5)
+                                ELSE 0 END AS INT)), 2, '0')), ''))
+                       AS codes_hex
+            FROM q
         """,
         "html_extract": r"""
             WITH page AS (

@@ -77,6 +77,9 @@ HEADLINE = [
     # round-6 additions
     "png_decode",               # real PNG decode (deflate + filters)
     "langid_profiles",          # char-n-gram LM train + score + argmax
+    "warc_records",             # WARC gunzip-member + record walk
+    "robots_gate",              # robots.txt parse + precedence gate
+    "html_extract",             # pure-Column HTML->text chain
 ]
 
 

@@ -769,6 +769,103 @@ def pq_decode_np(codebooks: np.ndarray, codes: np.ndarray) -> np.ndarray:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8): the light-compression storage path that
+# complements PQ. Per-vector affine int8 codes cut embedding storage
+# 4x (vs PQ's 8-32x) while staying accurate enough that a brute scan
+# over DEQUANTIZED vectors is nearly exact — the right trade when the
+# corpus fits after 4x and recall must stay ~1.0 without re-ranking.
+# ---------------------------------------------------------------------------
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "sq8",
+) -> DataFrame:
+    """Per-vector affine int8 quantization: ``code_i = floor((x_i -
+    min) / scale * 255 + 0.5)`` with ``scale = max - min`` (constant
+    vectors get scale 0 and all-zero codes). Emits a struct column
+    ``(codes binary, mn double, scale double)`` — 1 byte/dim + 16
+    bytes, 4x under float32 and ~8x under the float64 arrays the
+    fixture carries. Pure Column expressions (engine-portable —
+    ``floor(x + 0.5)`` rounds identically everywhere, unlike
+    ``round``'s engine-specific half-way rule, which is why the
+    ``embedding_quantize`` oracle can hash-match the codes);
+    map-only.
+
+    Examples
+    --------
+        >>> df = spark.createDataFrame(
+        ...     [(1, [0.0, 0.5, 1.0])], "vec_id long, embedding array<double>")
+        >>> r = quantize_embeddings(df).first()["sq8"]
+        >>> (list(r["codes"]), r["mn"], r["scale"])
+        ([0, 128, 255], 0.0, 1.0)
+    """
+    v = F.col(vec_col)
+    mn = F.array_min(v).cast("double")
+    mx = F.array_max(v).cast("double")
+    scale = (mx - mn).cast("double")
+    # codes are provably in [0, 255] ((x-mn)/scale is in [0, 1]);
+    # kept as ints until the hex packing (ANSI mode forbids the
+    # tinyint wrap)
+    code = F.transform(
+        v,
+        lambda x: F.when(scale > 0,
+            F.floor((x.cast("double") - mn) / scale * 255.0 + 0.5)
+        ).otherwise(F.lit(0)).cast("int"),
+    )
+    packed = F.struct(
+        _codes_to_binary(code).alias("codes"),
+        mn.alias("mn"),
+        scale.alias("scale"),
+    )
+    return df.withColumn(out_col, packed)
+
+
+def _codes_to_binary(codes_int):
+    """array<int in 0..255> -> binary (JVM-side; no UDF). Spark has
+    no array<byte> -> binary cast; build one hex string (2 chars per
+    code) and unhex it once."""
+    hexed = F.concat_ws(
+        "",
+        F.transform(
+            codes_int,
+            lambda c: F.lpad(F.hex(c), 2, "0"),
+        ),
+    )
+    return F.unhex(hexed)
+
+
+def dequantize_embedding(sq8_col) -> "F.Column":
+    """Reconstruct the approximate vector from an SQ8 struct:
+    ``x_i ≈ mn + (code_i & 255) / 255 * scale``. Pure Column —
+    decode happens inside the scan, so a brute-force search over
+    SQ8 storage is one codegen'd pass.
+
+    Examples
+    --------
+        >>> df = spark.createDataFrame(
+        ...     [(1, [0.0, 0.5, 1.0])], "vec_id long, embedding array<double>")
+        >>> q = quantize_embeddings(df)
+        >>> q.select(dequantize_embedding(F.col("sq8")).alias("v")
+        ... ).first()["v"]
+        [0.0, 0.5019607843137255, 1.0]
+    """
+    s = sq8_col
+    # binary -> per-byte unsigned ints, decoded through one hex
+    # string (ascii() on raw bytes is unreliable above 127)
+    n = F.length(s["codes"])
+    hexstr = F.hex(s["codes"])
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: s["mn"]
+        + F.conv(F.substring(hexstr, (i - 1) * 2 + 1, 2), 16, 10).cast(
+            "double"
+        )
+        / 255.0
+        * s["scale"],
+    )
+
+
 def rerank_exact(
     shortlist: DataFrame,
     corpus: DataFrame,

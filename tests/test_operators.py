@@ -1568,6 +1568,68 @@ class TestCosineKernel:
         assert rows[3] is None or math.isnan(rows[3])
 
 
+class TestScalarQuantization:
+    """SQ8 (r6): per-vector affine int8 codes, 4x storage, near-exact
+    search over dequantized vectors."""
+
+    def _em(self, spark):
+        return spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+
+    def test_roundtrip_error_bounded_by_half_step(self, spark):
+        em = self._em(spark).limit(100)
+        q = similarity.quantize_embeddings(em)
+        rows = q.select(
+            "embedding",
+            F.col("sq8.scale").alias("s"),
+            similarity.dequantize_embedding(F.col("sq8")).alias("deq"),
+        ).collect()
+        for r in rows:
+            step = r["s"] / 255.0
+            err = max(
+                abs(a - b) for a, b in zip(r["embedding"], r["deq"])
+            )
+            assert err <= step / 2 + 1e-12
+
+    def test_constant_vector_zero_scale(self, spark):
+        df = spark.createDataFrame(
+            [(1, [2.5, 2.5, 2.5])], "vec_id long, embedding array<double>"
+        )
+        q = similarity.quantize_embeddings(df)
+        r = q.select(
+            "sq8", similarity.dequantize_embedding(F.col("sq8")).alias("d")
+        ).first()
+        assert r["sq8"]["scale"] == 0.0
+        assert list(r["sq8"]["codes"]) == [0, 0, 0]
+        assert r["d"] == [2.5, 2.5, 2.5]  # mn restores the constant
+
+    def test_search_over_sq8_storage_is_near_exact(self, spark):
+        """Brute-force top-5 over DEQUANTIZED vectors vs exact: SQ8
+        keeps enough precision that recall is ~1.0 (the reason to
+        pick it over PQ when the 4x-compressed corpus still fits)."""
+        em = self._em(spark)
+        queries = em.where(F.col("vec_id") < 10)
+        exact = similarity.brute_force_topk(em, queries, k=5)
+        deq = similarity.quantize_embeddings(em).select(
+            "vec_id",
+            similarity.dequantize_embedding(F.col("sq8")).alias("embedding"),
+        )
+        approx = similarity.brute_force_topk(deq, queries, k=5)
+        a = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+        b = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+        recall = len(a & b) / len(a)
+        assert recall >= 0.95, recall
+
+    def test_quantize_is_map_only(self, spark):
+        out = similarity.quantize_embeddings(self._em(spark))
+        plans.assert_no_shuffle(out)
+        plans.assert_jvm_only(out)
+
+
 class TestAnnIndexPersistence:
     def test_pq_codebooks_roundtrip_bit_exact(self, spark, tmp_path):
         em = spark.read.parquet(
