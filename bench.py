@@ -80,6 +80,7 @@ HEADLINE = [
     "warc_records",             # WARC gunzip-member + record walk
     "robots_gate",              # robots.txt parse + precedence gate
     "html_extract",             # pure-Column HTML->text chain
+    "embedding_quantize",       # SQ8 int8 pack (pure-Column hex path)
 ]
 
 

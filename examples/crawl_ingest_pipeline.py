@@ -1,0 +1,115 @@
+"""Web-crawl ingest pipeline: WARC archives → records → robots gate →
+HTML→text extraction → URL dedup → language ID → quality gates.
+
+The r6 web-family showcase: everything between "a directory of crawl
+archives" and "documents ready for the curation pipeline"
+(examples/training_data_pipeline.py picks up from there). Every stage
+is a DataFrame transformation; archive payload bytes never leave the
+executors, rule/profile side tables broadcast.
+
+Run: python examples/crawl_ingest_pipeline.py
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from flycatcher_spark.operators import langid, quality, warc, web
+from flycatcher_spark.session import get_spark
+
+DATA = "/root/testdata/sf0.01"
+
+
+def main() -> None:
+    spark = get_spark(app_name="crawl_ingest", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # 0. Crawl archives: one WARC per source row, Common Crawl layout
+    #    (one gzip member per record). In production this is
+    #    spark.read.format("binaryFile") over the crawl bucket.
+    docs = spark.read.parquet(f"{DATA}/documents.parquet")
+    archives = warc.make_warc_payload(
+        docs.select("doc_id"), gzip_mode="members"
+    )
+
+    # 1. Record split: archives fan out to records inside one Arrow
+    #    map stage; corrupt archives become attributable null rows.
+    records = warc.warc_records(archives)
+    records.groupBy("rec_type").count().orderBy("rec_type").show()
+
+    # 2. Keep response records; attach a crawl URL per record.
+    pages = (
+        records.where(F.col("rec_type") == "response")
+        .select(
+            (F.col("doc_id") * 10 + F.col("rec_idx")).alias("page_id"),
+            F.col("target_uri").alias("url"),
+            F.col("body").cast("string").alias("html"),
+        )
+    )
+
+    # 3. robots.txt gate (RFC 9309): per-host rules parsed once,
+    #    broadcast; longest-match precedence, allow wins ties. The
+    #    wildcard rule blocks every second-position page (/<id>/1).
+    hosts = pages.select(
+        web.host_of(web.canonical_url("url")).alias("host")
+    ).distinct()
+    robots = hosts.withColumn(
+        "robots_txt",
+        F.lit("User-agent: *\nDisallow: /*/1$\nAllow: /7/1\n"),
+    )
+    rules = web.robots_rules(robots, agent="flycatcher")
+    gated = web.robots_gate(pages, rules).where(F.col("allowed"))
+    print("pages:", pages.count(), "-> crawlable:", gated.count())
+
+    # 4. HTML → text (pure-Column WET conversion), then recrawl
+    #    dedup: a SECOND crawl of the same pages arrives under
+    #    tracking-noised URLs; canonical_url collapses the variants
+    #    and url_dedup keeps the best row per page.
+    texts = gated.withColumn("text", web.html_to_text("html")).withColumn(
+        "n_chars", F.length("text")
+    ).select("page_id", "url", "text", "n_chars")
+    recrawl = texts.select(
+        (F.col("page_id") + 1_000_000).alias("page_id"),
+        F.concat(F.col("url"), F.lit("?utm_source=recrawl&fbclid=x")).alias("url"),
+        "text",
+        "n_chars",
+    )
+    unique = web.url_dedup(
+        texts.unionByName(recrawl), id_col="page_id", quality_col="n_chars"
+    )
+    print("two crawls:", texts.count() * 2, "-> after URL dedup:",
+          unique.count())
+
+    # 5. Language ID from learned char-trigram profiles (labels come
+    #    from a small labeled sample — here the fixture's lang column)
+    profiles = langid.train_langid_profiles(
+        docs.select("lang", "text").where(F.col("doc_id") % 10 == 0),
+        top_k=200,
+    )
+    tagged = unique.join(
+        langid.langid_predict(unique, profiles, id_col="page_id"),
+        "page_id",
+    )
+    tagged.groupBy("lang_pred").count().orderBy("lang_pred").show()
+
+    # 6. Quality gates before the corpus pipeline takes over:
+    #    blocklist (kernel path — cost independent of list size) +
+    #    Gopher word-count floor.
+    blocked = ["casino bonus", "viagra"]
+    ready = tagged.where(
+        quality.blocklist_pass("text", blocked, impl="kernel")
+        & (F.size(F.split(F.col("text"), r"\s+")) >= 3)
+    )
+    print("ready for curation:", ready.count())
+    ready.select("page_id", "url", "lang_pred", "n_chars").show(
+        5, truncate=60
+    )
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
