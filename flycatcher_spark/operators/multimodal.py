@@ -274,9 +274,10 @@ def parse_png(payload: bytes) -> dict | None:
     payloads must yield a null row, never a stage failure.
 
     Supported subset (returns ``None`` outside it): bit depth 8,
-    color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA),
-    no interlacing. Chunk CRCs are not validated (tolerant-reader
-    stance: a flipped CRC byte shouldn't discard a decodable raster).
+    color types 0 (gray), 2 (RGB), 3 (palette — expanded to RGB via
+    the PLTE chunk), 4 (gray+alpha), 6 (RGBA), no interlacing. Chunk
+    CRCs are not validated (tolerant-reader stance: a flipped CRC
+    byte shouldn't discard a decodable raster).
 
     Filter notes: None/Up are vectorized per scanline; Sub/Average/
     Paeth carry a sequential per-byte dependency and fall back to a
@@ -310,7 +311,7 @@ def parse_png(payload: bytes) -> dict | None:
     buf = bytes(payload)
     if buf[:8] != _PNG_SIG:
         return None
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 8 <= len(buf):
         (length,) = struct.unpack_from(">I", buf, pos)
         ctype = buf[pos + 4:pos + 8]
@@ -321,6 +322,10 @@ def parse_png(payload: bytes) -> dict | None:
             if len(body) != 13:
                 return None
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            if length % 3 != 0 or length == 0 or length > 768:
+                return None
+            plte = body
         elif ctype == b"IDAT":
             idat.append(body)
         elif ctype == b"IEND":
@@ -329,7 +334,9 @@ def parse_png(payload: bytes) -> dict | None:
     if ihdr is None or not idat:
         return None
     width, height, depth, color, comp, filt, interlace = ihdr
-    n_ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if color == 3 and plte is None:
+        return None  # palette image without a PLTE chunk
     if (
         n_ch is None
         or depth != 8
@@ -382,13 +389,21 @@ def parse_png(payload: bytes) -> dict | None:
             return None
         img[y] = line.astype(np.uint8)
         prev = line
+    flat = img.reshape(-1)
+    if color == 3:
+        # palette indices -> RGB triples (out-of-range index = corrupt)
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(flat.max(initial=0)) >= pal.shape[0]:
+            return None
+        flat = pal[flat].reshape(-1)
+        n_ch = 3
     return {
         "fmt": "png",
         "width": width,
         "height": height,
         "maxval": 255,
         "n_channels": n_ch,
-        "pixels": img.reshape(-1),
+        "pixels": flat,
     }
 
 

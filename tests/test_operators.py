@@ -1160,6 +1160,51 @@ class TestMultimodal:
                 f"filter {ft} raster mismatch"
             )
 
+    def test_png_palette_expands_to_rgb(self):
+        """Color type 3: indices resolve through PLTE to RGB; a
+        missing PLTE or out-of-range index is corrupt, not a crash."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        def chunk(t, b):
+            return (
+                struct.pack(">I", len(b))
+                + t + b
+                + struct.pack(">I", zlib.crc32(t + b))
+            )
+
+        sig = b"\x89PNG\r\n\x1a\n"
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)  # 2x2 palette
+        plte = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255])    # R,G,B
+        idat = zlib.compress(b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 0]))
+        buf = (sig + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+               + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+        m = multimodal.parse_png(buf)
+        assert m["n_channels"] == 3
+        assert np.array_equal(
+            m["pixels"].reshape(2, 2, 3),
+            np.array([[[255, 0, 0], [0, 255, 0]],
+                      [[0, 0, 255], [255, 0, 0]]]),
+        )
+        # no PLTE -> corrupt
+        assert multimodal.parse_png(
+            sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b"")
+        ) is None
+        # index beyond the palette -> corrupt
+        bad = zlib.compress(b"\x00" + bytes([0, 9]) + b"\x00" + bytes([0, 0]))
+        assert multimodal.parse_png(
+            sig + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+            + chunk(b"IDAT", bad) + chunk(b"IEND", b"")
+        ) is None
+        # malformed PLTE (not a multiple of 3)
+        assert multimodal.parse_png(
+            sig + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte[:4])
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+        ) is None
+
     def test_png_rejects_corrupt_and_unsupported(self):
         import struct
         import zlib
