@@ -30,10 +30,12 @@ from pyspark.sql import functions as F
 from flycatcher_spark import Field, Schema, col, model_validator
 from flycatcher_spark import plans
 from flycatcher_spark.operators import (
+    audio,
     bpe,
     cluster,
     decontam,
     dedup,
+    graph,
     langid,
     multimodal,
     quality,
@@ -3043,6 +3045,180 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round 7: crawl-graph ranking, CDX indexing, sitemap frontier,
+# line-level dedup, audio STFT features
+# ---------------------------------------------------------------------------
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line dedup (r7, dedup.line_dedup — the FineWeb
+    / RefinedWeb boilerplate-line stage): every document is wrapped
+    with planted boilerplate (a global cookie banner, a %4 section
+    header, a per-source footer) plus its own text line and a
+    trailing blank; a line whose normalized form appears in >= 2
+    distinct docs vanishes from EVERY doc, blank lines are exempt,
+    survivors rejoin in original order. DuckDB replays the explode →
+    count-distinct → rebuild chain cell-for-cell."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    page = F.concat_ws(
+        "\n",
+        F.lit("Cookie Notice: We Value Your Privacy"),
+        F.concat(F.lit("Section "), (F.col("doc_id") % 4).cast("string")),
+        F.col("text"),
+        F.concat(F.lit("footer of "), F.col("source")),
+        F.lit(""),
+    )
+    out = dedup.line_dedup(docs.withColumn("text", page))
+    return out.select("doc_id", "text_dedup", "n_lines", "n_removed")
+
+
+def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-graph quality prior (r7, web.extract_links →
+    web.resolve_link → web.host_links → graph.pagerank): every doc is
+    a page on host h(id%100) whose planted HTML links to three other
+    hosts through three different href forms (absolute,
+    protocol-relative, and an uppercase WWW absolute that only
+    canonicalization maps to the right host), plus a root-relative
+    self link (must drop as a self-loop) and a dot-segment relative
+    link (must resolve to NULL and drop). Three exact PageRank
+    iterations with DECIMAL-summed contributions; DuckDB states the
+    edge list in closed form and replays the iterations as unrolled
+    CTEs, so extraction, resolution, canonicalization, degree
+    computation and the rank arithmetic are all value-checked."""
+    i = F.col("doc_id")
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    a = (i * 7 + 1) % 100
+    b = (i * 13 + 3) % 100
+    c = (i * 3 + 2) % 100
+    html = F.concat(
+        F.lit('<p>page</p><a href="https://h'), a.cast("string"),
+        F.lit('.example.com/a">A</a><a href="//h'), b.cast("string"),
+        F.lit('.example.com/b">B</a><A HREF="HTTPS://WWW.H'),
+        c.cast("string"),
+        F.lit('.EXAMPLE.COM/c">C</A><a href="/self">S</a>'),
+        F.lit('<a href="../rel">R</a>'),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://h"), (i % 100).cast("string"),
+            F.lit(".example.com/p"), i.cast("string"),
+        ).alias("url"),
+        html.alias("html"),
+    )
+    edges = web.host_links(pages)
+    return graph.pagerank(edges, iterations=3)
+
+
+def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor extraction + resolution (r7, web.extract_links /
+    web.resolve_link / web.canonical_url as one map-only chain):
+    planted HTML carries a root-relative href, an absolute href with
+    unsorted query params, a single-quoted href (outside the
+    documented double-quote subset — must NOT extract) and a
+    fragment-only href (must resolve to NULL). The oracle states
+    every extracted position, resolution and canonical form
+    outright."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit('<p>x</p><a href="/p'), i.cast("string"),
+        F.lit('">l</a> <a class="m" href="https://ext'),
+        (i % 7).cast("string"),
+        F.lit(".org/x?b=2&a=1\">e</a> <a href='/skip'>s</a>"),
+        F.lit('<a href="#top">t</a>'),
+    )
+    base = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/dir/page")
+    )
+    resolved = web.resolve_link(F.col("__base"), F.col("href"))
+    return (
+        docs.select(
+            "doc_id",
+            base.alias("__base"),
+            F.posexplode(web.extract_links(html)).alias("link_idx", "href"),
+        )
+        .select(
+            "doc_id",
+            F.col("link_idx").cast("long").alias("link_idx"),
+            "href",
+            resolved.alias("resolved"),
+            web.canonical_url(resolved).alias("canon"),
+        )
+    )
+
+
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture index (r7, warc.cdx_index over the real WARC
+    pipeline): deterministic member-gzip archives → warc_records →
+    one index row per response with SURT key, 14-digit timestamp,
+    canonical URL, body md5 and byte length. DuckDB rebuilds every
+    record in closed form (the warc_records oracle's fixtures), so
+    the SURT transform and every index field are value-checked."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    archives = warc.make_warc_payload(docs, gzip_mode="members")
+    recs = warc.warc_records(archives)
+    return warc.cdx_index(recs)
+
+
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap frontier seeding (r7, web.sitemap_entries): each
+    source host publishes a REAL sitemap.xml aggregated from its own
+    docs (deterministic entry order, whitespace-padded <loc>,
+    optional <lastmod> on even ids only); the parser explodes it back
+    to one row per URL. The oracle states every (host, loc, lastmod)
+    outright, so block splitting, trimming and the optional-tag NULL
+    rule are known-answer-checked."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    i = F.col("doc_id")
+    entry_xml = F.concat(
+        F.lit("<url><loc> https://"), F.col("source"),
+        F.lit(".example.com/d"), i.cast("string"), F.lit(" </loc>"),
+        F.when(
+            i % 2 == 0,
+            F.concat(
+                F.lit("<lastmod>2024-0"), (i % 9 + 1).cast("string"),
+                F.lit("-01</lastmod>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    sitemaps = (
+        docs.select("source", F.struct(i.alias("i"), entry_xml.alias("x")).alias("__e"))
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(F.collect_list("__e")),
+                        lambda s: s.getField("x"),
+                    ),
+                ),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml")
+        )
+        .select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+            "sitemap_xml",
+        )
+    )
+    return web.sitemap_entries(sitemaps)
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed STFT audio features (r7, audio.stft_frame_features):
+    deterministic square-wave WAVs (period 2^(2+id%5) divides the
+    256-sample frame, amplitude 500+(id%10)*100, 1-3 frames) go
+    through a REAL rfft per frame; the planted structure makes every
+    output closed-form — dominant bin = frame_len/period, energy =
+    frame_len*A^2 exactly (time-domain integer, Parseval-equal to the
+    spectrum), rms = A — so DuckDB states the whole feature table
+    outright."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    tones = audio.make_tone_payload(docs)
+    return audio.stft_frame_features(tones)
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -3061,20 +3237,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (tools/check_oracle.py) regardless of position.
     """
     return {
-        # == r6 WINDOW (first 50 = the driver's correctness prefix) ==
-        # -- positions 1-6: new r6 (png decode, char-n-gram language
-        # -- ID, WARC crawl-archive ingest, robots.txt crawl gate,
-        # -- HTML->text extraction, SQ8 embedding quantization)
+        # == r7 WINDOW (first 50 = the driver's correctness prefix) ==
+        # -- positions 1-6: new r7 (cross-doc line dedup, crawl-graph
+        # -- PageRank, link extraction/resolution, CDX indexing,
+        # -- sitemap frontier parsing, audio STFT features)
+        "line_dedup": q_line_dedup,
+        "pagerank_hosts": q_pagerank_hosts,
+        "extract_links": q_extract_links,
+        "cdx_index": q_cdx_index,
+        "sitemap_urls": q_sitemap_urls,
+        "audio_features": q_audio_features,
+        # -- positions 7-12: the r6-new batch. The r6 driver artifacts
+        # -- (CORRECTNESS_r06) never landed in the repo, so these have
+        # -- no driver-green yet — they stay in the window rather than
+        # -- rotating out on local evidence alone.
         "png_decode": q_png_decode,
         "langid_profiles": q_langid_profiles,
         "warc_records": q_warc_records,
         "robots_gate": q_robots_gate,
         "html_extract": q_html_extract,
         "embedding_quantize": q_embedding_quantize,
-        # -- positions 7-15: impl/oracle CHANGED in r6 (blocklist punctuation
+        # -- positions 13-21: impl/oracle CHANGED in r6 (blocklist punctuation
         # -- matching, url_dedup null-quality + ref narrowing, corpus_diff
         # -- derived offset, PNG arm in image_neardup, hot-bucket salting in
-        # -- the minhash/simhash banding path)
+        # -- the minhash/simhash banding path) — same no-driver-green caveat
         "image_neardup": q_image_neardup,
         "corpus_diff": q_corpus_diff,
         "url_dedup": q_url_dedup,
@@ -3084,8 +3270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_verified_pairs": q_simhash_verified_pairs,
         "minhash_dedup_verified": q_minhash_dedup_verified,
         "leakage_safe_split": q_leakage_safe_split,
-        # -- positions 16-25: oldest-green rotation: last driver-checked r3
-        # -- (displaced from the r5 window)
+        # -- positions 22-31: r6's oldest-green rotation (last
+        # -- driver-checked r3), kept in-window for the same reason
         "events_sessions": q_events_sessions,
         "events_user_top3": q_events_user_top3,
         "events_asof_join": q_events_asof_join,
@@ -3096,7 +3282,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_exact_normalized": q_dedup_exact_normalized,
         "jaccard_pairs": q_jaccard_pairs,
-        # -- positions 26-50: next-oldest: r4-green family (violation_counts/q1/q3/q9 rotate just past the cut)
+        # -- positions 32-50: next-oldest r4-green family (the last six of
+        # -- r6's window — validate_lineitem, budget_mix, ccnet_buckets,
+        # -- embedding_neardup, incremental_semantic_dedup, semantic_dedup —
+        # -- rotate just past the cut; all r4/r5 driver-green)
         "events_range_join": q_events_range_join,
         "q12_priority_shipping": q12_priority_shipping,
         "pivot_order_status": q_pivot_order_status,
@@ -3116,13 +3305,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "bpe_apply": q_bpe_apply,
         "payload_embed_knn": q_payload_embed_knn,
+        # == past the 50-entry window from here on ===================
         "semantic_dedup": q_semantic_dedup,
         "incremental_semantic_dedup": q_incremental_semantic_dedup,
         "embedding_neardup": q_embedding_neardup,
         "ccnet_buckets": q_ccnet_buckets,
         "budget_mix": q_budget_mix,
         "validate_lineitem": q_validate_lineitem,
-        # == past the 50-entry window from here on ===================
         "violation_counts": q_violation_counts,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -3381,8 +3570,168 @@ def _kmeans_cte(k: int = 8, n_iter: int = 2) -> str:
     return ",".join(parts)
 
 
+def _pagerank_cte(n_iter: int = 3, damping: str = "0.85") -> str:
+    """CTE chain replaying operators/graph.pagerank in DuckDB over
+    the ``edges(src, dst)`` CTE the caller must define: ``nodes``,
+    ``nn`` (node count), ``deg`` (out-degrees), ``r0`` (uniform
+    init), then one CTE per iteration ending in ``r{n_iter}``. The
+    rounding points mirror the Spark implementation exactly: per-edge
+    contributions round to 9 and sum as DECIMAL(20,9); ranks round
+    back to 9; the shared constants are the same IEEE expressions
+    ((1.0 - d)/n, 1.0/n) in both engines."""
+    parts = [
+        """nodes AS (SELECT src AS node FROM edges
+                     UNION SELECT dst FROM edges),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        deg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+        r0 AS (SELECT node, ROUND(1.0 / (SELECT n FROM nn), 9) AS rank
+               FROM nodes)""",
+    ]
+    for it in range(1, n_iter + 1):
+        parts.append(f"""r{it} AS (
+            SELECT nd.node,
+                   ROUND((1.0 - {damping}) / (SELECT n FROM nn)
+                         + {damping} * COALESCE(CAST(SUM(CAST(
+                               ROUND(r.rank / dg.od, 9)
+                           AS DECIMAL(20,9))) AS DOUBLE), 0.0),
+                         9) AS rank
+            FROM nodes nd
+            LEFT JOIN edges e ON e.dst = nd.node
+            LEFT JOIN deg dg ON dg.src = e.src
+            LEFT JOIN r{it - 1} r ON r.node = e.src
+            GROUP BY nd.node)""")
+    return ",\n        ".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        # -- r7 ------------------------------------------------------
+        "line_dedup": r"""
+            WITH wrapped AS (
+                SELECT doc_id,
+                       'Cookie Notice: We Value Your Privacy' || chr(10)
+                       || 'Section ' || (doc_id % 4) || chr(10)
+                       || text || chr(10)
+                       || 'footer of ' || source || chr(10) || '' AS t
+                FROM documents
+            ),
+            lines AS (
+                SELECT doc_id,
+                       unnest(string_split(t, chr(10))) AS line,
+                       unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
+                FROM wrapped
+            ),
+            keyed AS (
+                SELECT doc_id, pos, line,
+                       regexp_replace(regexp_replace(lower(line),
+                           '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g') AS k
+                FROM lines
+            ),
+            freq AS (
+                SELECT k FROM keyed WHERE length(k) >= 1
+                GROUP BY k HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            marked AS (
+                SELECT doc_id, pos, line,
+                       (length(k) >= 1 AND k IN (SELECT k FROM freq)) AS rm
+                FROM keyed
+            )
+            SELECT doc_id,
+                   COALESCE(string_agg(CASE WHEN NOT rm THEN line END,
+                                       chr(10) ORDER BY pos), '') AS text_dedup,
+                   COUNT(*) AS n_lines,
+                   CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_removed
+            FROM marked
+            GROUP BY doc_id
+        """,
+        "pagerank_hosts": f"""
+            WITH d AS (
+                SELECT doc_id % 100 AS s,
+                       (doc_id * 7 + 1) % 100 AS a,
+                       (doc_id * 13 + 3) % 100 AS b,
+                       (doc_id * 3 + 2) % 100 AS c
+                FROM documents
+            ),
+            e0 AS (
+                SELECT DISTINCT s, dst FROM (
+                    SELECT s, a AS dst FROM d
+                    UNION ALL SELECT s, b AS dst FROM d
+                    UNION ALL SELECT s, c AS dst FROM d) u
+                WHERE dst <> s
+            ),
+            edges AS (
+                SELECT 'h' || s || '.example.com' AS src,
+                       'h' || dst || '.example.com' AS dst
+                FROM e0
+            ),
+            {_pagerank_cte(n_iter=3)}
+            SELECT node, rank FROM r3
+        """,
+        "extract_links": """
+            WITH l AS (
+                SELECT doc_id, source,
+                       unnest(['/p' || doc_id,
+                               'https://ext' || (doc_id % 7) || '.org/x?b=2&a=1',
+                               '#top']) AS href,
+                       unnest(range(0, 3)) AS link_idx
+                FROM documents
+            )
+            SELECT doc_id, link_idx, href,
+                   CASE WHEN link_idx = 0
+                        THEN 'https://' || source || '.example.com/p' || doc_id
+                        WHEN link_idx = 1
+                        THEN 'https://ext' || (doc_id % 7) || '.org/x?b=2&a=1'
+                   END AS resolved,
+                   CASE WHEN link_idx = 0
+                        THEN 'https://' || source || '.example.com/p' || doc_id
+                        WHEN link_idx = 1
+                        THEN 'https://ext' || (doc_id % 7) || '.org/x?a=1&b=2'
+                   END AS canon
+            FROM l
+        """,
+        "cdx_index": """
+            WITH r AS (
+                SELECT doc_id AS i,
+                       unnest(range(0, 1 + doc_id % 3)) AS j
+                FROM documents
+            ),
+            built AS (
+                SELECT i, j,
+                       'body ' || i || ' ' || j || ' '
+                           || repeat('x', CAST(i % 7 AS INT)) AS body
+                FROM r
+            )
+            SELECT 'com,example)/' || i || '/' || j AS surt_key,
+                   '20240101000000' AS ts14,
+                   'http://example.com/' || i || '/' || j AS url,
+                   md5(body) AS digest,
+                   CAST(length(body) AS BIGINT) AS length
+            FROM built
+        """,
+        "sitemap_urls": """
+            SELECT source || '.example.com' AS host,
+                   'https://' || source || '.example.com/d' || doc_id AS loc,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN '2024-0' || (doc_id % 9 + 1) || '-01'
+                   END AS lastmod
+            FROM documents
+        """,
+        "audio_features": """
+            WITH f AS (
+                SELECT doc_id,
+                       unnest(range(0, 1 + doc_id % 3)) AS frame_idx,
+                       500 + (doc_id % 10) * 100 AS amp
+                FROM documents
+            )
+            SELECT doc_id, frame_idx,
+                   CAST(256 / power(2, 2 + doc_id % 5) AS BIGINT)
+                       AS dominant_bin,
+                   CAST(256 * amp * amp AS BIGINT) AS energy,
+                   CAST(amp AS DOUBLE) AS rms
+            FROM f
+        """,
+        # -- r6 ------------------------------------------------------
         "kmeans_clusters": f"""
             WITH {_kmeans_cte(k=8, n_iter=2)}
             SELECT vec_id, cluster, d AS dist FROM a2

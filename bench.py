@@ -81,6 +81,12 @@ HEADLINE = [
     "robots_gate",              # robots.txt parse + precedence gate
     "html_extract",             # pure-Column HTML->text chain
     "embedding_quantize",       # SQ8 int8 pack (pure-Column hex path)
+    # round-7 additions
+    "line_dedup",               # cross-doc boilerplate-line removal
+    "pagerank_hosts",           # link extract + host graph + 3 PR iters
+    "cdx_index",                # WARC records -> SURT capture index
+    "sitemap_urls",             # sitemap build + parse round-trip
+    "audio_features",           # framed rfft over PCM payloads
 ]
 
 

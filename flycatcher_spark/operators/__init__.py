@@ -27,7 +27,12 @@ reference surface — see SURVEY.md §7.1 step 7).
   sampled index bootstrapping lives in :mod:`.similarity`).
 - :mod:`.web` — URL canonicalization and URL-keyed dedup for crawled
   corpora (map-only Column canonicalizer, slim-shuffle best-row-wins
-  dedup).
+  dedup), link extraction/resolution, sitemap parsing, robots.txt
+  gating.
+- :mod:`.graph` — link-graph analytics: out-degrees and exact
+  deterministic PageRank (the crawl quality prior).
+- :mod:`.audio` — framed STFT features over PCM payloads (dominant
+  spectral bin, exact frame energy/RMS) via Arrow ``mapInPandas``.
 - :mod:`.warc` — WARC (ISO 28500) crawl-archive record parsing:
   plain/gzip/gzip-member inputs, Arrow ``mapInPandas`` record
   fan-out, deterministic oracle fixtures.
@@ -39,10 +44,12 @@ reference surface — see SURVEY.md §7.1 step 7).
 
 from . import (
     asof,
+    audio,
     bpe,
     cluster,
     decontam,
     dedup,
+    graph,
     langid,
     multimodal,
     quality,
@@ -58,10 +65,12 @@ from . import (
 
 __all__ = [
     "asof",
+    "audio",
     "bpe",
     "cluster",
     "decontam",
     "dedup",
+    "graph",
     "langid",
     "multimodal",
     "quality",

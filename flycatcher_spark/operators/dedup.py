@@ -1402,3 +1402,83 @@ def span_dedup(
         )
     )
     return rebuilt
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    min_chars: int = 1,
+    normalize: bool = True,
+) -> DataFrame:
+    """Cross-document duplicated-line removal (the FineWeb /
+    RefinedWeb line-dedup stage): a line whose normalized form
+    appears in at least ``min_docs`` DISTINCT documents is boilerplate
+    (cookie banners, nav bars, footers) and is removed from EVERY
+    document; each document's surviving lines are rejoined in their
+    original order. Complements :func:`span_dedup` (which removes
+    *within*-corpus verbatim token spans): line dedup is the cheap
+    structural pass that runs first in real web pipelines.
+
+    Lines whose normalized form is shorter than ``min_chars`` (blank
+    lines by default) never count and are never removed — removing
+    blank lines would silently reflow every document.
+
+    Returns ``(id_col, text_dedup, n_lines, n_removed)`` — join back
+    on ``id_col`` for the full rows.
+
+    Scale shape: the frequency pass groups on ``md5`` of the
+    normalized line (32-byte fixed key — raw line text stays out of
+    the counting exchange; md5 rather than xxhash64 so any SQL engine
+    replays the key, and a collision merely double-counts one line
+    shape); the removal join carries (id, pos, line-hash); the
+    rebuild groups by document id. Nothing quadratic, no driver-side
+    state.
+
+    Examples
+    --------
+        >>> df = spark.createDataFrame(
+        ...     [(1, "keep me\\nSHARED FOOTER"), (2, "other\\nSHARED FOOTER")],
+        ...     ["doc_id", "text"])
+        >>> out = line_dedup(df).orderBy("doc_id").collect()
+        >>> [(r.text_dedup, r.n_removed) for r in out]
+        [('keep me', 1), ('other', 1)]
+    """
+    key_src = F.col("__line")
+    key = normalize_text(key_src) if normalize else key_src
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    ).withColumn(
+        "__h",
+        F.when(F.length(key) >= min_chars, F.md5(key)),
+    )
+    frequent = (
+        lines.where(F.col("__h").isNotNull())
+        .groupBy("__h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__h", F.lit(True).alias("__rm"))
+    )
+    marked = lines.join(frequent, on="__h", how="left")
+    keep_struct = F.when(
+        F.col("__rm").isNull(),
+        F.struct(F.col("__pos"), F.col("__line")),
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(keep_struct)),
+                    lambda s: s.getField("__line"),
+                ),
+            ).alias("text_dedup"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.coalesce(F.col("__rm"), F.lit(False)).cast("long")
+            ).alias("n_removed"),
+        )
+    )

@@ -1,0 +1,163 @@
+"""Link-graph operators for crawl corpora: degrees and exact
+deterministic PageRank.
+
+A web-scale curation pipeline uses the host link graph as a quality
+prior (Common Crawl publishes harmonic-centrality / PageRank rankings
+for exactly this purpose): pages from well-linked hosts get a boost,
+link-farm islands get damped. The graph itself comes out of the
+crawl front-end already in this repo — ``warc.warc_records`` →
+``web.html_to_text`` / ``web.extract_links`` → ``web.host_links`` —
+and this module ranks it.
+
+Engine-portable by the same discipline as :mod:`.cluster` (exact
+deterministic Lloyd's): every per-node contribution rounds to 9
+decimals and sums as DECIMAL(20,9) — bitwise identical under any
+partitioning — and every constant the two engines must agree on
+((1-d)/N, 1/N) is *computed with the same IEEE double expression* in
+both, never pre-evaluated on one side only. A fixed-iteration run is
+therefore reproducible cell-for-cell, and DuckDB replays it with
+unrolled CTEs (the ``pagerank_hosts`` oracle query).
+
+Scale shape (per iteration; E = edges, N = nodes):
+
+- ranks live in a distributed (node, rank) table — never collected
+  (a 100 TB crawl has ~1e8-1e9 hosts; driver-side ranks are a
+  non-starter, which is why this is NOT the k-means collect shape);
+- one shuffle joins edges to ranks on ``src`` (both sides hash-
+  partitioned on the same key, so consecutive iterations reuse the
+  edge exchange under AQE), one shuffle aggregates contributions on
+  ``dst`` with map-side partial DECIMAL sums;
+- dangling mass (nodes with no out-links) is *dropped*, the common
+  simplification — documented so the oracle states the same rule;
+- lineage is truncated with ``localCheckpoint`` every
+  ``checkpoint_every`` iterations (the :func:`dedup.connected_components`
+  pattern) so long runs don't accrete a growing plan tree.
+
+Reference parity note: the reference engine has no graph operator
+(SURVEY.md §2.8 gap list); this is a §7 scale extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["out_degrees", "pagerank"]
+
+# Order-independent DECIMAL aggregation, as in cluster.py /
+# quality.unigram_surprise: contributions round to 9 decimals before
+# the exact DECIMAL(20,9) sum, results round back to 9.
+_RANK_DECIMALS = 9
+
+
+def out_degrees(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Out-degree per source node of a distinct-edge table:
+    ``(src, out_deg)``. One slim groupBy shuffle (two key columns in,
+    one count out).
+
+    Examples
+    --------
+        >>> e = spark.createDataFrame(
+        ...     [("a", "b"), ("a", "c"), ("b", "c")], ["src", "dst"])
+        >>> sorted((r.src, r.out_deg) for r in out_degrees(e).collect())
+        [('a', 2), ('b', 1)]
+    """
+    return edges.groupBy(F.col(src_col).alias("src")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    dedupe_edges: bool = True,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Exact deterministic PageRank over a directed edge table.
+
+    Returns ``(node, rank)`` for every node that appears as a source
+    or destination. Fixed ``iterations`` of the standard update
+
+        rank'(v) = (1-d)/N + d * sum over in-edges (u,v) of
+                   rank(u) / out_deg(u)
+
+    with the documented simplifications that make it engine-portable
+    and partitioning-invariant:
+
+    - per-edge contributions ``rank(u)/out_deg(u)`` round to 9
+      decimals and sum as DECIMAL(20,9) (exact, order-independent);
+      the updated rank rounds back to 9 decimals;
+    - dangling-node mass is dropped (no redistribution), so ranks sum
+      to slightly under 1 — the usual simplification, stated here
+      because the oracle must apply the same rule;
+    - ``(1-d)/N`` and the initial ``1/N`` are evaluated as the same
+      IEEE double expressions in every engine (``lit(1.0) -
+      lit(damping)`` divided by the node count), never as a
+      pre-rounded constant on one side.
+
+    ``N`` (node count) is the one driver-side scalar (a count job);
+    ranks themselves stay distributed throughout.
+
+    Examples
+    --------
+        >>> e = spark.createDataFrame(
+        ...     [("a", "b"), ("b", "a"), ("a", "c")], ["src", "dst"])
+        >>> r = {x.node: x.rank for x in pagerank(e, iterations=1).collect()}
+        >>> sorted(r.items())  # c is dangling: its mass drops
+        [('a', 0.333333333), ('b', 0.191666667), ('c', 0.191666667)]
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    e = edges.select(
+        F.col(src_col).cast("string").alias("src"),
+        F.col(dst_col).cast("string").alias("dst"),
+    )
+    if dedupe_edges:
+        e = e.distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+
+    # engine-shared IEEE expressions (see module docstring)
+    init = F.round(F.lit(1.0) / F.lit(float(n_nodes)), _RANK_DECIMALS)
+    base = (F.lit(1.0) - F.lit(float(damping))) / F.lit(float(n_nodes))
+
+    deg = out_degrees(e)
+    edeg = e.join(deg, on="src")  # (src, dst, out_deg)
+    ranks = nodes.withColumn("rank", init)
+    for it in range(iterations):
+        contrib = (
+            edeg.join(ranks.withColumnRenamed("node", "src"), on="src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("rank") / F.col("out_deg"), _RANK_DECIMALS)
+                .cast("decimal(20,9)")
+                .alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = nodes.join(contrib, on="node", how="left").select(
+            "node",
+            F.round(
+                base
+                + F.lit(float(damping))
+                * F.coalesce(F.col("__in").cast("double"), F.lit(0.0)),
+                _RANK_DECIMALS,
+            ).alias("rank"),
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and (
+            it + 1
+        ) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -22,8 +22,12 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "canonical_url",
+    "extract_links",
     "host_of",
+    "host_links",
     "html_to_text",
+    "resolve_link",
+    "sitemap_entries",
     "url_dedup",
     "parse_robots",
     "robots_rules",
@@ -155,6 +159,141 @@ def html_to_text(html: Column | str) -> Column:
         out = F.replace(out, F.lit(ent), F.lit(rep))
     return F.regexp_replace(
         F.regexp_replace(out, r"^\s+|\s+$", ""), r"\s+", " "
+    )
+
+
+def extract_links(html: Column | str) -> Column:
+    """Array of ``href`` targets from anchor tags, in document order.
+
+    Matches double-quoted ``href`` attributes of ``<a>`` tags (the
+    overwhelmingly dominant form in real markup; unquoted/single-
+    quoted hrefs are out of this deliberately-regex-portable subset
+    and documented as such). Pure Column — ``regexp_extract_all``
+    runs JVM-side and the identical pattern replays in DuckDB (the
+    ``extract_links`` oracle).
+
+    Examples
+    --------
+        >>> df = spark.createDataFrame(
+        ...     [('<a href="/x">x</a> <a id="z" href="https://e.com/y">y</a>',)],
+        ...     ["h"])
+        >>> df.select(extract_links("h").alias("l")).first()["l"]
+        ['/x', 'https://e.com/y']
+    """
+    return F.regexp_extract_all(
+        _col(html), F.lit(r'(?is)<a\s[^>]*href\s*=\s*"([^"]*)"'), F.lit(1)
+    )
+
+
+def resolve_link(base_url: Column | str, href: Column | str) -> Column:
+    """Resolve an ``href`` against the page URL into an absolute URL.
+
+    Handles the three forms that cover crawl-graph construction:
+    absolute (``scheme://...`` — passed through), protocol-relative
+    (``//host/...`` — takes the base scheme), and root-relative
+    (``/path`` — takes the base scheme+host). Fragment-only,
+    ``mailto:``/``javascript:`` and dot-segment relative paths
+    (``../a``) return NULL — a documented subset: the null links
+    drop out of the edge list rather than fabricating wrong edges.
+    Pure Column.
+
+    Examples
+    --------
+        >>> df = spark.createDataFrame(
+        ...     [("https://a.com/p/q", "/x"),
+        ...      ("https://a.com/p/q", "//b.com/y"),
+        ...      ("https://a.com/p/q", "http://c.com/z"),
+        ...      ("https://a.com/p/q", "../rel")],
+        ...     ["base", "href"])
+        >>> [r.u for r in df.select(resolve_link("base", "href").alias("u")).collect()]
+        ['https://a.com/x', 'https://b.com/y', 'http://c.com/z', None]
+    """
+    b, h = _col(base_url), _col(href)
+    scheme = F.lower(F.regexp_extract(b, _URL_RE, 1))
+    host = F.lower(F.regexp_extract(b, _URL_RE, 2))
+    return (
+        F.when(h.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), h)
+        .when(h.rlike(r"^//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.rlike(r"^/"), F.concat(scheme, F.lit("://"), host, h))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def host_links(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Host-level link edges ``(src, dst)`` from crawled pages — the
+    input :func:`graph.pagerank` ranks. Extracts anchors
+    (:func:`extract_links`), resolves them against the page URL
+    (:func:`resolve_link`), canonicalizes, and keeps one distinct
+    edge per ordered host pair, self-links dropped.
+
+    Shuffle shape: extraction/resolution/canonicalization are
+    map-only on the page scan; the only exchange is the distinct on
+    two short host strings — page bodies never shuffle.
+    """
+    src = host_of(canonical_url(F.col(url_col)))
+    edges = pages.select(
+        src.alias("src"),
+        F.explode(extract_links(F.col(html_col))).alias("__href"),
+        F.col(url_col).alias("__base"),
+    ).select(
+        "src",
+        host_of(
+            canonical_url(resolve_link(F.col("__base"), F.col("__href")))
+        ).alias("dst"),
+    )
+    return (
+        edges.where(
+            F.col("dst").isNotNull()
+            & (F.col("dst") != "")
+            & (F.col("dst") != F.col("src"))
+        )
+        .distinct()
+    )
+
+
+def sitemap_entries(
+    sitemaps: DataFrame,
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Explode sitemap XML (sitemaps.org protocol) into one row per
+    ``<url>`` entry: the input columns plus ``loc`` and ``lastmod``
+    (NULL when the optional tag is absent). This is the crawl
+    frontier seed stage: compose with :func:`robots_gate` and
+    :func:`url_dedup` to turn published sitemaps into a deduplicated,
+    crawl-permitted URL list.
+
+    Pure Column: ``<url>`` blocks via ``regexp_extract_all``, fields
+    via ``regexp_extract`` inside a ``transform`` lambda — map-only,
+    engine-portable (the ``sitemap_urls`` oracle replays it with
+    ``list_transform``). Sitemap *index* files (``<sitemapindex>``)
+    nest the same ``<loc>`` structure and can be fed through the same
+    parser to list child sitemap URLs.
+    """
+    blocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit(r"(?is)<url>(.*?)</url>"), F.lit(1)
+    )
+    entry = F.transform(
+        blocks,
+        lambda b: F.struct(
+            F.regexp_extract(b, r"(?is)<loc>\s*([^<]*?)\s*</loc>", 1).alias(
+                "loc"
+            ),
+            F.nullif(
+                F.regexp_extract(
+                    b, r"(?is)<lastmod>\s*([^<]*?)\s*</lastmod>", 1
+                ),
+                F.lit(""),
+            ).alias("lastmod"),
+        ),
+    )
+    return (
+        sitemaps.withColumn("__e", F.explode(entry))
+        .select(*sitemaps.columns, "__e.loc", "__e.lastmod")
+        .drop(xml_col)
     )
 
 

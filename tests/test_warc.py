@@ -108,3 +108,37 @@ class TestWarcRecordsStage:
         df = spark.createDataFrame([(1,)], "doc_id long")
         with pytest.raises(ValueError, match="gzip_mode"):
             warc.make_warc_payload(df, gzip_mode="zstd")
+
+
+class TestCdxIndex:
+    def test_known_answer_fields(self, spark):
+        rows = [
+            ("response", "HTTPS://Blog.Example.com:8443/A/?b=2&a=1#f",
+             "2024-03-05T06:07:08Z", bytearray(b"hi")),
+            ("response", "http://example.com:80/", "2024-01-01T00:00:00Z",
+             bytearray(b"x")),
+            ("request", "http://skip.me/", "2024-01-01T00:00:00Z",
+             bytearray(b"")),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "rec_type string, target_uri string, warc_date string, body binary",
+        )
+        out = {r.surt_key: r for r in warc.cdx_index(df).collect()}
+        assert set(out) == {
+            "com,example,blog:8443)/A?a=1&b=2",  # request row filtered
+            "com,example)/",
+        }
+        r = out["com,example,blog:8443)/A?a=1&b=2"]
+        assert r.ts14 == "20240305060708"
+        assert r.url == "https://blog.example.com:8443/A?a=1&b=2"
+        assert r.length == 2
+        import hashlib
+
+        assert r.digest == hashlib.md5(b"hi").hexdigest()
+
+    def test_composes_with_warc_records(self, spark):
+        df = spark.createDataFrame([(4,)], "doc_id long")
+        recs = warc.warc_records(warc.make_warc_payload(df, gzip_mode="members"))
+        keys = sorted(r.surt_key for r in warc.cdx_index(recs).collect())
+        assert keys == ["com,example)/4/0", "com,example)/4/1"]
