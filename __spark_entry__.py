@@ -3204,6 +3204,30 @@ def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return web.sitemap_entries(sitemaps)
 
 
+def q_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC decode (r7, operators/flac): each doc's PCM (the
+    exact make_wav_payload sample formula) is compressed into a real
+    FLAC stream — STREAMINFO, frame header with CRC-8, rotating
+    verbatim/fixed-order subframes with Rice residuals, CRC-16 — and
+    parse_flac genuinely walks the bitstream back out inside the
+    Arrow stage. FLAC is lossless, so DuckDB replays the same sample
+    formula as wav_decode, value-checking rate/channels/frames/
+    duration and the sample RMS through the compressed container."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    with_payload = multimodal.make_flac_payload(docs)
+    meta = multimodal.decode_audio_meta(with_payload, id_col="doc_id")
+    return meta.select(
+        "doc_id",
+        "fmt",
+        "sample_rate",
+        "n_channels",
+        "bits_per_sample",
+        "n_frames",
+        F.round("duration_sec", 6).alias("duration_sec"),
+        F.round("rms", 6).alias("rms"),
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Framed STFT audio features (r7, audio.stft_frame_features):
     deterministic square-wave WAVs (period 2^(2+id%5) divides the
@@ -3247,7 +3271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "sitemap_urls": q_sitemap_urls,
         "audio_features": q_audio_features,
-        # -- positions 7-12: the r6-new batch. The r6 driver artifacts
+        "flac_decode": q_flac_decode,
+        # -- positions 8-13: the r6-new batch. The r6 driver artifacts
         # -- (CORRECTNESS_r06) never landed in the repo, so these have
         # -- no driver-green yet — they stay in the window rather than
         # -- rotating out on local evidence alone.
@@ -3304,8 +3329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_pruned_join": q_bloom_pruned_join,
         "span_dedup": q_span_dedup,
         "bpe_apply": q_bpe_apply,
-        "payload_embed_knn": q_payload_embed_knn,
         # == past the 50-entry window from here on ===================
+        "payload_embed_knn": q_payload_embed_knn,
         "semantic_dedup": q_semantic_dedup,
         "incremental_semantic_dedup": q_incremental_semantic_dedup,
         "embedding_neardup": q_embedding_neardup,
@@ -3730,6 +3755,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(256 * amp * amp AS BIGINT) AS energy,
                    CAST(amp AS DOUBLE) AS rms
             FROM f
+        """,
+        "flac_decode": """
+            WITH d AS (
+                SELECT doc_id,
+                       1 + doc_id % 2 AS nch,
+                       50 + doc_id % 100 AS nfr
+                FROM documents
+            ),
+            s AS (
+                SELECT d.doc_id, d.nch, d.nfr,
+                       ((d.doc_id * 31 + i * 17) % 4096) - 2048 AS smp
+                FROM d, LATERAL (SELECT unnest(range(0, d.nfr * d.nch)) AS i)
+            )
+            SELECT doc_id,
+                   'flac' AS fmt,
+                   CAST(8000 AS BIGINT) AS sample_rate,
+                   CAST(nch AS BIGINT) AS n_channels,
+                   CAST(16 AS BIGINT) AS bits_per_sample,
+                   CAST(nfr AS BIGINT) AS n_frames,
+                   round(CAST(nfr AS DOUBLE) / 8000, 6) AS duration_sec,
+                   round(sqrt(CAST(sum(smp * smp) AS DOUBLE) / count(*)), 6) AS rms
+            FROM s
+            GROUP BY doc_id, nch, nfr
         """,
         # -- r6 ------------------------------------------------------
         "kmeans_clusters": f"""

@@ -87,6 +87,7 @@ HEADLINE = [
     "cdx_index",                # WARC records -> SURT capture index
     "sitemap_urls",             # sitemap build + parse round-trip
     "audio_features",           # framed rfft over PCM payloads
+    "flac_decode",              # real FLAC bitstream decode
 ]
 
 

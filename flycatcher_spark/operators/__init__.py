@@ -33,6 +33,9 @@ reference surface — see SURVEY.md §7.1 step 7).
   deterministic PageRank (the crawl quality prior).
 - :mod:`.audio` — framed STFT features over PCM payloads (dominant
   spectral bin, exact frame energy/RMS) via Arrow ``mapInPandas``.
+- :mod:`.flac` — stdlib-only FLAC (RFC 9639) lossless decode:
+  CONSTANT/VERBATIM/FIXED subframes, Rice residuals, CRC-8/16,
+  stereo decorrelation; plus a spec-conformant fixture encoder.
 - :mod:`.warc` — WARC (ISO 28500) crawl-archive record parsing:
   plain/gzip/gzip-member inputs, Arrow ``mapInPandas`` record
   fan-out, deterministic oracle fixtures.
@@ -49,6 +52,7 @@ from . import (
     cluster,
     decontam,
     dedup,
+    flac,
     graph,
     langid,
     multimodal,
@@ -70,6 +74,7 @@ __all__ = [
     "cluster",
     "decontam",
     "dedup",
+    "flac",
     "graph",
     "langid",
     "multimodal",

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
-from .multimodal import parse_wav
+from .multimodal import parse_audio
 
 __all__ = ["stft_frame_features", "make_tone_payload"]
 
@@ -84,8 +84,9 @@ def stft_frame_features(
     hop: int | None = None,
     channel: int = 0,
 ) -> DataFrame:
-    """Per-frame STFT features over a WAV payload column: one row per
-    full ``frame_len``-sample frame (stride ``hop``, default
+    """Per-frame STFT features over an audio payload column (WAV or
+    FLAC — :func:`multimodal.parse_audio` dispatch): one row per full
+    ``frame_len``-sample frame (stride ``hop``, default
     non-overlapping) of the selected ``channel``.
 
     Output: ``(id_col, frame_idx, dominant_bin, energy, rms)`` — see
@@ -108,7 +109,7 @@ def stft_frame_features(
             ids: list[Any] = []
             rows: list[tuple] = []
             for i, p in zip(pdf[id_col], pdf[payload_col]):
-                meta = parse_wav(p)
+                meta = parse_audio(p)
                 feats: list[tuple] = []
                 if meta is not None and channel < meta["n_channels"]:
                     mono = meta["samples"][channel :: meta["n_channels"]]

@@ -1,0 +1,493 @@
+"""FLAC (RFC 9639) lossless audio decoding with the standard library
+only — the compressed counterpart to :func:`multimodal.parse_wav`,
+because a real 100 TB audio corpus ships FLAC/MP3, not raw PCM.
+
+Scope (documented subset, honest about what it is):
+
+- STREAMINFO metadata walk (other metadata blocks skipped);
+- frame decoding with CRC-8 header / CRC-16 frame verification;
+- subframe types CONSTANT, VERBATIM, and FIXED orders 0-4 with
+  Rice-coded residuals (both 4-bit parameters and the 5-bit escape),
+  including wasted-bits handling — everything a fixed-predictor
+  encoder emits. LPC subframes return ``None`` (unsupported, not
+  wrong): supporting them means shipping a bit-exact 32-bit LPC
+  multiply chain, which is beyond the dependency-free bar here;
+- all four channel assignments: independent, left/side, right/side,
+  mid/side.
+
+Decoding is exact (FLAC is lossless), so decoded samples equal the
+fixture generator's closed-form PCM and the ``flac_decode`` oracle
+replays sample statistics cell-for-cell — the same evidence shape as
+``wav_decode`` / ``png_decode``.
+
+The fixture encoder (:func:`encode_flac`) is a real, spec-conformant
+writer for the same subset (CONSTANT/VERBATIM/FIXED subframes, Rice
+residuals, correct CRCs), which is what lets pytest pin exact
+round-trips through every decode path, including stereo
+decorrelation.
+
+Bit-level work runs inside the Arrow ``mapInPandas`` decode stage
+(see :func:`multimodal.decode_audio_meta`): payloads never shuffle
+and never reach the driver; a corrupt archive yields an attributable
+null row, not a job failure.
+"""
+
+from __future__ import annotations
+
+__all__ = [
+    "parse_flac",
+    "encode_flac",
+    "crc8",
+    "crc16",
+]
+
+
+def crc8(data: bytes) -> int:
+    """CRC-8 with polynomial x^8 + x^2 + x + 1 (0x07), init 0 — the
+    FLAC frame-header checksum.
+
+    Examples
+    --------
+        >>> crc8(b"")
+        0
+        >>> crc8(b"123456789")
+        244
+    """
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def crc16(data: bytes) -> int:
+    """CRC-16 with polynomial 0x8005, init 0 — the FLAC whole-frame
+    checksum.
+
+    Examples
+    --------
+        >>> crc16(b"123456789")
+        65256
+    """
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+class _BitReader:
+    def __init__(self, buf: bytes, pos_bytes: int = 0):
+        self.buf = buf
+        self.pos = pos_bytes * 8  # absolute bit position
+
+    def read(self, n: int) -> int:
+        """n-bit big-endian unsigned read."""
+        end = self.pos + n
+        if end > len(self.buf) * 8:
+            raise EOFError("bitstream truncated")
+        v = 0
+        pos = self.pos
+        while n > 0:
+            byte = self.buf[pos >> 3]
+            avail = 8 - (pos & 7)
+            take = min(avail, n)
+            shift = avail - take
+            v = (v << take) | ((byte >> shift) & ((1 << take) - 1))
+            pos += take
+            n -= take
+        self.pos = pos
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v & (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def byte_pos(self) -> int:
+        return self.pos >> 3
+
+
+_FIXED_COEFFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+_BLOCKSIZES = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+    13: 8192, 14: 16384, 15: 32768,
+}
+
+_SAMPLE_SIZES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _decode_residuals(br: _BitReader, blocksize: int, order: int) -> list[int]:
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("reserved residual coding method")
+    plen = 4 + method  # 4-bit (method 0) or 5-bit (method 1) params
+    escape = (1 << plen) - 1
+    part_order = br.read(4)
+    n_parts = 1 << part_order
+    if blocksize % n_parts:
+        raise ValueError("blocksize not divisible by partition count")
+    out: list[int] = []
+    for p in range(n_parts):
+        count = (blocksize >> part_order) - (order if p == 0 else 0)
+        param = br.read(plen)
+        if param == escape:
+            raw = br.read(5)
+            for _ in range(count):
+                out.append(br.read_signed(raw) if raw else 0)
+        else:
+            for _ in range(count):
+                q = br.read_unary()
+                u = (q << param) | br.read(param)
+                out.append((u >> 1) ^ -(u & 1))
+    return out
+
+
+def _decode_subframe(br: _BitReader, blocksize: int, bps: int) -> list[int]:
+    if br.read(1) != 0:
+        raise ValueError("subframe padding bit set")
+    ftype = br.read(6)
+    wasted = 0
+    if br.read(1):  # wasted-bits flag: unary count - 1 follows
+        wasted = 1 + br.read_unary()
+    eff = bps - wasted
+    if ftype == 0:  # CONSTANT
+        samples = [br.read_signed(eff)] * blocksize
+    elif ftype == 1:  # VERBATIM
+        samples = [br.read_signed(eff) for _ in range(blocksize)]
+    elif 8 <= ftype <= 12:  # FIXED, order 0-4
+        order = ftype - 8
+        samples = [br.read_signed(eff) for _ in range(order)]
+        residuals = _decode_residuals(br, blocksize, order)
+        coeffs = _FIXED_COEFFS[order]
+        for r in residuals:
+            pred = 0
+            for k, c in enumerate(coeffs):
+                pred += c * samples[-1 - k]
+            samples.append(r + pred)
+    elif ftype >= 32:
+        raise NotImplementedError("LPC subframes out of subset")
+    else:
+        raise ValueError("reserved subframe type")
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
+def _read_utf8_number(br: _BitReader) -> int:
+    first = br.read(8)
+    if first < 0x80:
+        return first
+    n_cont = 0
+    mask = 0x40
+    while first & mask:
+        n_cont += 1
+        mask >>= 1
+    v = first & (mask - 1)
+    for _ in range(n_cont):
+        b = br.read(8)
+        if b & 0xC0 != 0x80:
+            raise ValueError("bad UTF-8 coded number")
+        v = (v << 6) | (b & 0x3F)
+    return v
+
+
+def parse_flac(payload: bytes) -> dict | None:
+    """Decode a FLAC payload to PCM. Returns the
+    :func:`multimodal.parse_wav` dict shape — ``sample_rate``,
+    ``n_channels``, ``bits_per_sample``, ``n_frames``, interleaved
+    ``samples`` — or ``None`` for non-FLAC / out-of-subset /
+    corrupt / CRC-failing payloads.
+
+    Examples
+    --------
+        >>> body = encode_flac([100, -100, 50, 25], sample_rate=8000)
+        >>> m = parse_flac(body)
+        >>> (m["sample_rate"], m["n_frames"], list(m["samples"]))
+        (8000, 4, [100, -100, 50, 25])
+        >>> parse_flac(b"RIFFnotflac") is None
+        True
+    """
+    import numpy as np
+
+    if payload is None:
+        return None
+    try:
+        buf = bytes(payload)
+        if len(buf) < 42 or buf[:4] != b"fLaC":
+            return None
+        # metadata blocks
+        pos = 4
+        streaminfo = None
+        while True:
+            if pos + 4 > len(buf):
+                return None
+            header = buf[pos]
+            length = int.from_bytes(buf[pos + 1 : pos + 4], "big")
+            body = buf[pos + 4 : pos + 4 + length]
+            if header & 0x7F == 0 and len(body) >= 34:
+                streaminfo = body
+            pos += 4 + length
+            if header & 0x80:
+                break
+        if streaminfo is None:
+            return None
+        si = _BitReader(streaminfo)
+        si.read(16)  # min block size
+        si.read(16)  # max block size
+        si.read(24)  # min frame size
+        si.read(24)  # max frame size
+        sample_rate = si.read(20)
+        n_channels = si.read(3) + 1
+        bps = si.read(5) + 1
+        total = si.read(36)
+        if sample_rate == 0 or bps not in (8, 12, 16, 20, 24, 32):
+            return None
+
+        chans: list[list[int]] = [[] for _ in range(n_channels)]
+        got = 0
+        while got < total:
+            fr_start = pos
+            br = _BitReader(buf, pos)
+            if br.read(14) != 0b11111111111110:
+                return None
+            br.read(1)  # reserved
+            br.read(1)  # blocking strategy
+            bs_code = br.read(4)
+            sr_code = br.read(4)
+            ch_code = br.read(4)
+            ss_code = br.read(3)
+            br.read(1)  # reserved
+            _read_utf8_number(br)
+            if bs_code == 0:
+                return None
+            elif bs_code == 6:
+                blocksize = br.read(8) + 1
+            elif bs_code == 7:
+                blocksize = br.read(16) + 1
+            else:
+                blocksize = _BLOCKSIZES[bs_code]
+            if sr_code == 12:
+                br.read(8)
+            elif sr_code in (13, 14):
+                br.read(16)
+            elif sr_code == 15:
+                return None
+            fbps = _SAMPLE_SIZES.get(ss_code, bps) if ss_code else bps
+            header_crc = br.read(8)
+            hdr_end = br.byte_pos()
+            if crc8(buf[fr_start : hdr_end - 1]) != header_crc:
+                return None
+
+            if ch_code <= 7:
+                n_sub = ch_code + 1
+                side = [False] * n_sub
+            elif ch_code in (8, 9, 10):
+                n_sub = 2
+                # the SIDE channel carries one extra bit
+                side = [False, True] if ch_code in (8, 10) else [True, False]
+            else:
+                return None
+            if n_sub != n_channels:
+                return None
+
+            subs = []
+            for c in range(n_sub):
+                subs.append(
+                    _decode_subframe(br, blocksize, fbps + (1 if side[c] else 0))
+                )
+            br.align()
+            frame_crc = br.read(16)
+            if crc16(buf[fr_start : br.byte_pos() - 2]) != frame_crc:
+                return None
+            pos = br.byte_pos()
+
+            if ch_code == 8:  # left/side: R = L - S
+                left, s = subs
+                subs = [left, [a - b for a, b in zip(left, s)]]
+            elif ch_code == 9:  # right/side: L = R + S
+                s, right = subs
+                subs = [[a + b for a, b in zip(right, s)], right]
+            elif ch_code == 10:  # mid/side
+                mid, s = subs
+                left, right = [], []
+                for m, sd in zip(mid, s):
+                    m2 = (m << 1) | (sd & 1)
+                    left.append((m2 + sd) >> 1)
+                    right.append((m2 - sd) >> 1)
+                subs = [left, right]
+            for c in range(n_channels):
+                chans[c].extend(subs[c])
+            got += blocksize
+
+        n_frames = min(len(c) for c in chans)
+        inter = np.empty(n_frames * n_channels, dtype=np.int64)
+        for c in range(n_channels):
+            inter[c::n_channels] = chans[c][:n_frames]
+        return {
+            "sample_rate": sample_rate,
+            "n_channels": n_channels,
+            "bits_per_sample": bps,
+            "n_frames": n_frames,
+            "samples": inter,
+        }
+    except (EOFError, ValueError, NotImplementedError, KeyError, IndexError):
+        return None
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def write(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def write_signed(self, v: int, n: int) -> None:
+        self.write(v & ((1 << n) - 1), n)
+
+    def write_unary(self, q: int) -> None:
+        self.bits.extend([0] * q)
+        self.bits.append(1)
+
+    def align(self) -> None:
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def to_bytes(self) -> bytes:
+        self.align()
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for bit in self.bits[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+def _encode_subframe(
+    bw: _BitWriter, samples: list[int], bps: int, mode: str, rice_param: int
+) -> None:
+    if mode == "constant":
+        bw.write(0, 1); bw.write(0, 6); bw.write(0, 1)
+        bw.write_signed(samples[0], bps)
+        return
+    if mode == "verbatim":
+        bw.write(0, 1); bw.write(1, 6); bw.write(0, 1)
+        for s in samples:
+            bw.write_signed(s, bps)
+        return
+    # fixed order k with rice-coded residuals, partition order 0
+    if not 0 <= rice_param <= 14:
+        raise ValueError("rice_param 15 is the escape code; use 0-14")
+    order = int(mode.split("fixed", 1)[1])
+    bw.write(0, 1); bw.write(8 + order, 6); bw.write(0, 1)
+    for s in samples[:order]:
+        bw.write_signed(s, bps)
+    coeffs = _FIXED_COEFFS[order]
+    bw.write(0, 2)  # method 0 (4-bit rice params)
+    bw.write(0, 4)  # partition order 0
+    bw.write(rice_param, 4)
+    for i in range(order, len(samples)):
+        pred = sum(c * samples[i - 1 - k] for k, c in enumerate(coeffs))
+        r = samples[i] - pred
+        u = (r << 1) ^ (r >> 63) if r >= 0 else ((-r) << 1) - 1
+        bw.write_unary(u >> rice_param)
+        bw.write(u & ((1 << rice_param) - 1), rice_param)
+
+
+def encode_flac(
+    samples,
+    sample_rate: int = 8000,
+    n_channels: int = 1,
+    bps: int = 16,
+    subframe: str = "verbatim",
+    channel_mode: str = "independent",
+    rice_param: int = 6,
+) -> bytes:
+    """Spec-conformant FLAC writer for the decoded subset
+    (fixture/oracle generator, the :func:`multimodal.make_wav_payload`
+    pattern): STREAMINFO + ONE frame holding all samples.
+    ``subframe``: ``constant`` | ``verbatim`` | ``fixed0``..``fixed4``;
+    ``channel_mode`` (stereo only): ``independent`` | ``left_side`` |
+    ``right_side`` | ``mid_side``. Interleaved input.
+    """
+    samples = [int(s) for s in samples]
+    n = len(samples) // n_channels
+    chans = [samples[c::n_channels] for c in range(n_channels)]
+
+    bw = _BitWriter()
+    # frame header
+    bw.write(0b11111111111110, 14)
+    bw.write(0, 1)  # reserved
+    bw.write(0, 1)  # fixed blocksize stream
+    bw.write(6 if n <= 256 else 7, 4)  # 8/16-bit blocksize follows
+    bw.write(0, 4)  # sample rate: from STREAMINFO
+    mode_code = {"independent": None, "left_side": 8, "right_side": 9,
+                 "mid_side": 10}[channel_mode]
+    if mode_code is None:
+        bw.write(n_channels - 1, 4)
+    else:
+        if n_channels != 2:
+            raise ValueError("stereo decorrelation needs 2 channels")
+        bw.write(mode_code, 4)
+    bw.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6}[bps], 3)
+    bw.write(0, 1)  # reserved
+    bw.write(0, 8)  # frame number 0 (UTF-8)
+    if n <= 256:
+        bw.write(n - 1, 8)
+    else:
+        bw.write(n - 1, 16)
+    hdr = bw.to_bytes()
+    hdr += bytes([crc8(hdr)])
+
+    body = _BitWriter()
+    if mode_code is None:
+        subs = [(ch, bps) for ch in chans]
+    else:
+        left, right = chans
+        s = [a - b for a, b in zip(left, right)]
+        if mode_code == 8:
+            subs = [(left, bps), (s, bps + 1)]
+        elif mode_code == 9:
+            subs = [(s, bps + 1), (right, bps)]
+        else:
+            mid = [(a + b) >> 1 for a, b in zip(left, right)]
+            subs = [(mid, bps), (s, bps + 1)]
+    for ch, chbps in subs:
+        _encode_subframe(body, ch, chbps, subframe, rice_param)
+    frame = hdr + body.to_bytes()
+    frame += crc16(frame).to_bytes(2, "big")
+
+    si = _BitWriter()
+    si.write(n, 16); si.write(n, 16)       # min/max block size
+    si.write(0, 24); si.write(0, 24)       # min/max frame size unknown
+    si.write(sample_rate, 20)
+    si.write(n_channels - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(n, 36)
+    streaminfo = si.to_bytes() + bytes(16)  # md5 unknown (zeros)
+    meta = bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    return b"fLaC" + meta + frame

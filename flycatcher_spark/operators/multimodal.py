@@ -791,3 +791,119 @@ def frame_sample_plan(
         F.col("frame_idx").cast("long").alias("frame_idx"),
         F.col("byte_offset").cast("long").alias("byte_offset"),
     )
+
+
+AUDIO_META_FIELDS = [T.StructField("fmt", T.StringType()), *WAV_META_FIELDS]
+
+
+def parse_audio(payload: bytes) -> dict | None:
+    """Dispatch on magic bytes (the :func:`parse_image` pattern for
+    audio): ``fLaC`` → :func:`flac.parse_flac`, ``RIFF`` →
+    :func:`parse_wav`, anything else → ``None``. The returned dict
+    gains a ``fmt`` key (``"flac"`` / ``"wav"``) so one corpus can
+    mix containers row-by-row."""
+    if payload is None or len(payload) < 4:
+        return None
+    head = bytes(payload[:4])
+    if head == b"fLaC":
+        from .flac import parse_flac
+
+        meta = parse_flac(payload)
+        fmt = "flac"
+    elif head == b"RIFF":
+        meta = parse_wav(payload)
+        fmt = "wav"
+    else:
+        return None
+    if meta is not None:
+        meta["fmt"] = fmt
+    return meta
+
+
+def decode_audio_meta(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio decode over a mixed WAV/FLAC binary column
+    (:func:`parse_audio` dispatch): container format, true
+    rate/channels/duration and sample RMS — the
+    :func:`decode_wav_meta` shape plus ``fmt``. FLAC is lossless, so
+    the RMS of a FLAC clip equals the RMS of the PCM it encodes,
+    which is what lets the ``flac_decode`` oracle replay the sample
+    formula in closed form."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), *AUDIO_META_FIELDS]
+    )
+
+    def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for p in pdf[payload_col]:
+                meta = parse_audio(p)
+                if meta is None:
+                    rows.append((None,) * 7)
+                else:
+                    s = meta["samples"]
+                    rows.append(
+                        (
+                            meta["fmt"],
+                            meta["sample_rate"],
+                            meta["n_channels"],
+                            meta["bits_per_sample"],
+                            meta["n_frames"],
+                            meta["n_frames"] / meta["sample_rate"],
+                            float(np.sqrt(np.mean(np.square(s))))
+                            if s.size
+                            else None,
+                        )
+                    )
+            out = pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_META_FIELDS]
+            )
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(process, schema=out_schema)
+
+
+def make_flac_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Build a deterministic FLAC payload per row carrying the SAME
+    PCM as :func:`make_wav_payload` (channels/frames/samples all
+    id-derived, interleaved sample ``i`` is
+    ``((id*31 + i*17) % 4096) - 2048``), so the closed-form oracle of
+    ``wav_decode`` replays FLAC decoding too — lossless means the
+    statistics are identical. The subframe coding rotates with the id
+    (verbatim / fixed 1-3) so the fixture corpus exercises every
+    decode path the subset supports."""
+    from .flac import encode_flac
+
+    @pandas_udf("binary")
+    def _build(ids: pd.Series) -> pd.Series:
+        out = []
+        modes = ["verbatim", "fixed1", "fixed2", "fixed3"]
+        for i in ids:
+            if i is None:
+                out.append(None)
+                continue
+            i = int(i)
+            n_channels = 1 + i % 2
+            n_frames = 50 + i % 100
+            n_samples = n_frames * n_channels
+            samples = (
+                (i * 31 + np.arange(n_samples, dtype=np.int64) * 17) % 4096
+            ) - 2048
+            out.append(
+                encode_flac(
+                    samples,
+                    sample_rate=sample_rate,
+                    n_channels=n_channels,
+                    subframe=modes[i % 4],
+                )
+            )
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, _build(F.col(id_col)))
