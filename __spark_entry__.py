@@ -3228,6 +3228,32 @@ def q_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode (r7, operators/jpeg): every doc gets
+    a deterministic grayscale JPEG — DQT/SOF0/DHT/SOS marker walk,
+    custom canonical Huffman tables, DC-predicted entropy-coded
+    blocks, every fifth payload with restart markers — and parse_jpeg
+    genuinely Huffman-decodes, dequantizes and IDCTs the raster back
+    inside the Arrow stage. DC-only blocks with quantizer 8 decode to
+    the closed-form flat value 128 + dc per block, so DuckDB states
+    dimensions and the raster mean outright while the decode path is
+    the real thing (the AC/chroma/4:2:0 paths are pinned by pytest
+    against an independent IDCT)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    with_payload = multimodal.make_jpeg_payload(docs)
+    meta = multimodal.decode_image_meta(with_payload, id_col="doc_id")
+    return meta.select(
+        "doc_id",
+        "fmt",
+        "width",
+        "height",
+        "maxval",
+        "n_channels",
+        "n_pixel_bytes",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Framed STFT audio features (r7, audio.stft_frame_features):
     deterministic square-wave WAVs (period 2^(2+id%5) divides the
@@ -3272,7 +3298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_urls": q_sitemap_urls,
         "audio_features": q_audio_features,
         "flac_decode": q_flac_decode,
-        # -- positions 8-13: the r6-new batch. The r6 driver artifacts
+        "jpeg_decode": q_jpeg_decode,
+        # -- positions 9-14: the r6-new batch. The r6 driver artifacts
         # -- (CORRECTNESS_r06) never landed in the repo, so these have
         # -- no driver-green yet — they stay in the window rather than
         # -- rotating out on local evidence alone.
@@ -3328,8 +3355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_minhash_dedup": q_incremental_minhash_dedup,
         "bloom_pruned_join": q_bloom_pruned_join,
         "span_dedup": q_span_dedup,
-        "bpe_apply": q_bpe_apply,
         # == past the 50-entry window from here on ===================
+        "bpe_apply": q_bpe_apply,
         "payload_embed_knn": q_payload_embed_knn,
         "semantic_dedup": q_semantic_dedup,
         "incremental_semantic_dedup": q_incremental_semantic_dedup,
@@ -3755,6 +3782,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(256 * amp * amp AS BIGINT) AS energy,
                    CAST(amp AS DOUBLE) AS rms
             FROM f
+        """,
+        "jpeg_decode": """
+            WITH d AS (
+                SELECT doc_id,
+                       1 + doc_id % 3 AS bx,
+                       1 + doc_id % 2 AS by
+                FROM documents
+            ),
+            b AS (
+                SELECT d.doc_id, d.bx, d.by,
+                       ((d.doc_id * 7 + j * 13) % 160) - 80 AS dc
+                FROM d, LATERAL (SELECT unnest(range(0, d.bx * d.by)) AS j)
+            )
+            SELECT doc_id,
+                   'jpeg' AS fmt,
+                   CAST(8 * bx AS BIGINT) AS width,
+                   CAST(8 * by AS BIGINT) AS height,
+                   CAST(255 AS BIGINT) AS maxval,
+                   CAST(1 AS BIGINT) AS n_channels,
+                   CAST(64 * bx * by AS BIGINT) AS n_pixel_bytes,
+                   round(CAST(sum(128 + dc) AS DOUBLE) / count(*), 6)
+                       AS mean_pixel
+            FROM b
+            GROUP BY doc_id, bx, by
         """,
         "flac_decode": """
             WITH d AS (

@@ -88,6 +88,7 @@ HEADLINE = [
     "sitemap_urls",             # sitemap build + parse round-trip
     "audio_features",           # framed rfft over PCM payloads
     "flac_decode",              # real FLAC bitstream decode
+    "jpeg_decode",              # real baseline JPEG decode
 ]
 
 

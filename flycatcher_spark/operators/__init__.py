@@ -33,6 +33,10 @@ reference surface — see SURVEY.md §7.1 step 7).
   deterministic PageRank (the crawl quality prior).
 - :mod:`.audio` — framed STFT features over PCM payloads (dominant
   spectral bin, exact frame energy/RMS) via Arrow ``mapInPandas``.
+- :mod:`.jpeg` — baseline JPEG (ITU-T T.81) decode with
+  stdlib+numpy: Huffman entropy decode, dequant, IDCT, chroma
+  upsampling, restart markers; plus a coefficient-domain fixture
+  encoder.
 - :mod:`.flac` — stdlib-only FLAC (RFC 9639) lossless decode:
   CONSTANT/VERBATIM/FIXED subframes, Rice residuals, CRC-8/16,
   stereo decorrelation; plus a spec-conformant fixture encoder.
@@ -54,6 +58,7 @@ from . import (
     dedup,
     flac,
     graph,
+    jpeg,
     langid,
     multimodal,
     quality,
@@ -76,6 +81,7 @@ __all__ = [
     "dedup",
     "flac",
     "graph",
+    "jpeg",
     "langid",
     "multimodal",
     "quality",

@@ -409,15 +409,19 @@ def parse_png(payload: bytes) -> dict | None:
 
 def parse_image(payload: bytes) -> dict | None:
     """Dispatch on magic bytes: PNG signature → :func:`parse_png`,
-    ``P5``/``P6`` → :func:`parse_pnm`, anything else → ``None``.
-    The decode stages (:func:`decode_image_meta`,
-    :func:`image_pixel_embedding`) parse through this, so one corpus
-    can mix formats row-by-row."""
+    ``FFD8`` → :func:`jpeg.parse_jpeg`, ``P5``/``P6`` →
+    :func:`parse_pnm`, anything else → ``None``. The decode stages
+    (:func:`decode_image_meta`, :func:`image_pixel_embedding`) parse
+    through this, so one corpus can mix formats row-by-row."""
     if payload is None or len(payload) < 2:
         return None
     head = bytes(payload[:8])
     if head == _PNG_SIG:
         return parse_png(payload)
+    if head[:2] == b"\xff\xd8":
+        from .jpeg import parse_jpeg
+
+        return parse_jpeg(payload)
     return parse_pnm(payload)
 
 
@@ -902,6 +906,46 @@ def make_flac_payload(
                     sample_rate=sample_rate,
                     n_channels=n_channels,
                     subframe=modes[i % 4],
+                )
+            )
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, _build(F.col(id_col)))
+
+
+def make_jpeg_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Build a deterministic baseline JPEG per row (fixture/oracle
+    generator): grayscale, ``(1 + id % 3) x (1 + id % 2)`` blocks of
+    8x8, DC-only coefficients with quantizer 8 — block ``b`` decodes
+    to the flat value ``128 + ((id*7 + b*13) % 160) - 80`` exactly
+    (the orthonormal IDCT of a DC-only block is ``dc/8`` per pixel;
+    see :mod:`.jpeg`), so every pixel statistic is closed-form while
+    the decoder genuinely Huffman-decodes and IDCTs. Every fifth
+    payload adds restart markers (interval 2) to exercise the
+    DRI/RSTn path."""
+    from .jpeg import encode_jpeg
+
+    @pandas_udf("binary")
+    def _build(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if i is None:
+                out.append(None)
+                continue
+            i = int(i)
+            bx, by = 1 + i % 3, 1 + i % 2
+            blocks = []
+            for b in range(bx * by):
+                dc = ((i * 7 + b * 13) % 160) - 80
+                blocks.append([dc] + [0] * 63)
+            out.append(
+                encode_jpeg(
+                    8 * bx, 8 * by, [blocks],
+                    restart_interval=2 if i % 5 == 0 else 0,
                 )
             )
         return pd.Series(out)
