@@ -43,6 +43,7 @@ from flycatcher_spark.operators import (
     stats,
     text,
     versioning,
+    video,
     warc,
     web,
 )
@@ -3228,6 +3229,28 @@ def q_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling (r7, operators/video): every doc
+    gets a genuine MJPEG AVI — RIFF container with avih/strl headers
+    and 4-8 DC-only fixture JPEGs in the movi LIST — and
+    video_frames walks the chunks and fully JPEG-decodes every
+    SECOND frame (every_n=2; unsampled frames are never decoded).
+    Each frame's two blocks decode flat to closed-form values, so
+    DuckDB states the sampled frame indices, dimensions and pixel
+    means outright."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    with_payload = video.make_avi_payload(docs)
+    out = video.video_frames(with_payload, every_n=2)
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        "n_frames_total",
+        "width",
+        "height",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    )
+
+
 def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline JPEG decode (r7, operators/jpeg): every doc gets
     a deterministic grayscale JPEG — DQT/SOF0/DHT/SOS marker walk,
@@ -3299,7 +3322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "flac_decode": q_flac_decode,
         "jpeg_decode": q_jpeg_decode,
-        # -- positions 9-14: the r6-new batch. The r6 driver artifacts
+        "video_frames": q_video_frames,
+        # -- positions 10-15: the r6-new batch. The r6 driver artifacts
         # -- (CORRECTNESS_r06) never landed in the repo, so these have
         # -- no driver-green yet — they stay in the window rather than
         # -- rotating out on local evidence alone.
@@ -3354,8 +3378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_exact": q_incremental_dedup_exact,
         "incremental_minhash_dedup": q_incremental_minhash_dedup,
         "bloom_pruned_join": q_bloom_pruned_join,
-        "span_dedup": q_span_dedup,
         # == past the 50-entry window from here on ===================
+        "span_dedup": q_span_dedup,
         "bpe_apply": q_bpe_apply,
         "payload_embed_knn": q_payload_embed_knn,
         "semantic_dedup": q_semantic_dedup,
@@ -3782,6 +3806,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(256 * amp * amp AS BIGINT) AS energy,
                    CAST(amp AS DOUBLE) AS rms
             FROM f
+        """,
+        "video_frames": """
+            WITH d AS (
+                SELECT doc_id, 4 + doc_id % 5 AS n FROM documents
+            ),
+            f AS (
+                SELECT d.doc_id, d.n, fi
+                FROM d, LATERAL (SELECT unnest(range(0, d.n)) AS fi)
+                WHERE fi % 2 = 0
+            ),
+            b AS (
+                SELECT f.doc_id, f.n, f.fi,
+                       ((f.doc_id * 11 + f.fi * 17 + j * 23) % 160) - 80 AS dc
+                FROM f, LATERAL (SELECT unnest(range(0, 2)) AS j)
+            )
+            SELECT doc_id,
+                   fi AS frame_idx,
+                   CAST(n AS BIGINT) AS n_frames_total,
+                   CAST(16 AS BIGINT) AS width,
+                   CAST(8 AS BIGINT) AS height,
+                   round(CAST(sum(128 + dc) AS DOUBLE) / count(*), 6)
+                       AS mean_pixel
+            FROM b
+            GROUP BY doc_id, n, fi
         """,
         "jpeg_decode": """
             WITH d AS (

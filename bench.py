@@ -89,6 +89,7 @@ HEADLINE = [
     "audio_features",           # framed rfft over PCM payloads
     "flac_decode",              # real FLAC bitstream decode
     "jpeg_decode",              # real baseline JPEG decode
+    "video_frames",             # AVI walk + sampled-frame JPEG decode
 ]
 
 

@@ -33,6 +33,9 @@ reference surface — see SURVEY.md §7.1 step 7).
   deterministic PageRank (the crawl quality prior).
 - :mod:`.audio` — framed STFT features over PCM payloads (dominant
   spectral bin, exact frame energy/RMS) via Arrow ``mapInPandas``.
+- :mod:`.video` — MJPEG-in-AVI frame extraction: RIFF walk +
+  per-sampled-frame JPEG decode (real frame sampling; unsampled
+  frames never decode).
 - :mod:`.jpeg` — baseline JPEG (ITU-T T.81) decode with
   stdlib+numpy: Huffman entropy decode, dequant, IDCT, chroma
   upsampling, restart markers; plus a coefficient-domain fixture
@@ -68,6 +71,7 @@ from . import (
     stats,
     text,
     versioning,
+    video,
     warc,
     web,
 )
@@ -91,6 +95,7 @@ __all__ = [
     "stats",
     "text",
     "versioning",
+    "video",
     "warc",
     "web",
 ]

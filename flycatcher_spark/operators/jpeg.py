@@ -78,80 +78,112 @@ def _idct2(block: np.ndarray) -> np.ndarray:
     return _A.T @ block @ _A
 
 
+_HUFF_CACHE: dict = {}
+
+
+def _huff_table(counts: list[int], symbols: bytes) -> "_HuffTable":
+    """Memoized table compilation: the 65536-entry LUT costs more to
+    build than decoding a small image, and a corpus of fixture (or
+    same-encoder) JPEGs reuses identical tables across payloads."""
+    key = (bytes(counts), bytes(symbols))
+    table = _HUFF_CACHE.get(key)
+    if table is None:
+        table = _HuffTable(counts, symbols)
+        if len(_HUFF_CACHE) < 64:  # bound worker-side memory
+            _HUFF_CACHE[key] = table
+    return table
+
+
 class _HuffTable:
-    """Canonical Huffman table from a DHT (16 counts + symbols)."""
+    """Canonical Huffman table from a DHT (16 counts + symbols),
+    compiled to a flat 16-bit-prefix lookup (the classic fast-decode
+    table): ``lut_len[idx] == 0`` marks an invalid prefix."""
 
     def __init__(self, counts: list[int], symbols: bytes):
-        self.lookup: dict[tuple[int, int], int] = {}
+        self.lut_len = [0] * 65536
+        self.lut_sym = [0] * 65536
         code = 0
         k = 0
         for length in range(1, 17):
             for _ in range(counts[length - 1]):
-                self.lookup[(length, code)] = symbols[k]
+                lo = code << (16 - length)
+                hi = (code + 1) << (16 - length)
+                self.lut_len[lo:hi] = [length] * (hi - lo)
+                self.lut_sym[lo:hi] = [symbols[k]] * (hi - lo)
                 code += 1
                 k += 1
+            if code > (1 << length):
+                raise ValueError("over-subscribed huffman table")
             code <<= 1
 
 
-class _BitReader:
-    """MSB-first bit reader over entropy-coded data with FF00
-    unstuffing; raises ``_Marker`` when a real marker interrupts."""
-
-    def __init__(self, buf: bytes, pos: int):
-        self.buf = buf
-        self.pos = pos
-        self.acc = 0
-        self.n = 0
-
-    def _fill(self) -> None:
-        b = self.buf[self.pos]
-        if b == 0xFF:
-            nxt = self.buf[self.pos + 1]
+def _split_entropy(buf: bytes, pos: int) -> list[bytes]:
+    """Split the entropy-coded data starting at ``pos`` into
+    restart-interval segments (RSTn markers are the separators; any
+    other marker, e.g. EOI, terminates) and unstuff FF00 → FF in
+    each. In entropy data 0xFF is ALWAYS followed by a stuffed 0x00
+    or a marker byte, so this scan cannot misfire on payload bytes."""
+    segs: list[bytes] = []
+    start = i = pos
+    n = len(buf)
+    while i < n - 1:
+        if buf[i] == 0xFF:
+            nxt = buf[i + 1]
             if nxt == 0x00:
-                self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:  # RSTn handled by caller
-                raise _Marker(nxt)
-            else:
-                raise _Marker(nxt)
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.n += 8
+                i += 2
+                continue
+            segs.append(buf[start:i].replace(b"\xff\x00", b"\xff"))
+            if 0xD0 <= nxt <= 0xD7:  # restart: next segment follows
+                i += 2
+                start = i
+                continue
+            return segs  # real marker (EOI/next scan) terminates
+        i += 1
+    segs.append(buf[start:n].replace(b"\xff\x00", b"\xff"))
+    return segs
 
-    def bit(self) -> int:
-        if self.n == 0:
-            self._fill()
-        self.n -= 1
-        return (self.acc >> self.n) & 1
 
-    def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
+class _SegReader:
+    """MSB-first bit reader over one unstuffed entropy segment. The
+    huffman path peeks a 16-bit window into the flat table and
+    consumes the decoded length — no per-bit Python loop."""
+
+    __slots__ = ("data", "bitpos", "nbits")
+
+    def __init__(self, data: bytes):
+        # 2 padding bytes so the 16-bit peek window never runs off
+        # the end mid-symbol (spec pads the tail with 1-bits; zeros
+        # here are fine because decoding is bounded by the MCU count)
+        self.data = data + b"\x00\x00"
+        self.bitpos = 0
+        self.nbits = len(data) * 8
 
     def huff(self, table: _HuffTable) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.bit()
-            sym = table.lookup.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid huffman code")
+        if self.bitpos >= self.nbits:
+            raise ValueError("entropy segment exhausted")
+        byte = self.bitpos >> 3
+        off = self.bitpos & 7
+        window = (
+            int.from_bytes(self.data[byte : byte + 3], "big") >> (8 - off)
+        ) & 0xFFFF
+        length = table.lut_len[window]
+        if length == 0:
+            raise ValueError("invalid huffman code")
+        self.bitpos += length
+        return table.lut_sym[window]
 
-    def restart(self) -> None:
-        # align and consume the RSTn marker
-        self.n = 0
-        while self.buf[self.pos] != 0xFF or not (
-            0xD0 <= self.buf[self.pos + 1] <= 0xD7
-        ):
-            self.pos += 1
-        self.pos += 2
-
-
-class _Marker(Exception):
-    def __init__(self, code: int):
-        self.code = code
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        if self.bitpos + k > self.nbits:
+            raise ValueError("entropy segment exhausted")
+        byte = self.bitpos >> 3
+        off = self.bitpos & 7
+        need = off + k
+        nbytes = (need + 7) >> 3
+        v = int.from_bytes(self.data[byte : byte + nbytes], "big")
+        self.bitpos += k
+        return (v >> (nbytes * 8 - need)) & ((1 << k) - 1)
 
 
 def _extend(v: int, size: int) -> int:
@@ -212,7 +244,7 @@ def parse_jpeg(payload: bytes) -> dict | None:
                     counts = list(seg[i + 1 : i + 17])
                     n_sym = sum(counts)
                     symbols = seg[i + 17 : i + 17 + n_sym]
-                    table = _HuffTable(counts, symbols)
+                    table = _huff_table(counts, symbols)
                     (huff_dc if cls == 0 else huff_ac)[tid] = table
                     i += 17 + n_sym
             elif marker == 0xC0:  # SOF0 baseline
@@ -249,7 +281,7 @@ def parse_jpeg(payload: bytes) -> dict | None:
                 )
             pos += 2 + seg_len
         return None
-    except (IndexError, ValueError, KeyError, _Marker):
+    except (IndexError, ValueError, KeyError):
         return None
 
 
@@ -265,21 +297,29 @@ def _decode_scan(buf, pos, h, w, comps, sel, qt, huff_dc, huff_ac, dri):
         ph = mcus_y * c["v"] * 8
         planes.append(np.zeros((ph, pw)))
 
-    br = _BitReader(buf, pos)
+    segs = _split_entropy(buf, pos)
+    br = _SegReader(segs[0])
+    seg_idx = 0
     pred = [0] * len(comps)
     n_mcu = 0
+    # entropy pass collects zigzag coefficient vectors per component;
+    # dequant + IDCT run vectorized over all blocks afterwards
+    coeff_lists: list[list] = [[] for _ in comps]
+    block_pos: list[list] = [[] for _ in comps]
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if dri and n_mcu and n_mcu % dri == 0:
-                br.restart()
+                seg_idx += 1  # RSTn boundary: next unstuffed segment
+                if seg_idx >= len(segs):
+                    raise ValueError("missing restart segment")
+                br = _SegReader(segs[seg_idx])
                 pred = [0] * len(comps)
             for ci, c in enumerate(comps):
                 dc_t = huff_dc[sel[c["id"]][0]]
                 ac_t = huff_ac[sel[c["id"]][1]]
-                q = qt[c["tq"]]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        coeffs = np.zeros(64, dtype=np.int64)
+                        coeffs = [0] * 64
                         size = br.huff(dc_t)
                         diff = _extend(br.bits(size), size) if size else 0
                         pred[ci] += diff
@@ -298,14 +338,22 @@ def _decode_scan(buf, pos, h, w, comps, sel, qt, huff_dc, huff_ac, dri):
                                 raise ValueError("bad AC run")
                             coeffs[k] = _extend(br.bits(size), size)
                             k += 1
-                        block = np.zeros((8, 8))
-                        for i, (r_, c_) in enumerate(ZIGZAG):
-                            block[r_, c_] = coeffs[i] * q[i]
-                        px = _idct2(block)
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+                        coeff_lists[ci].append(coeffs)
+                        block_pos[ci].append(
+                            ((my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8)
+                        )
             n_mcu += 1
+
+    zz = np.array([r_ * 8 + c_ for (r_, c_) in ZIGZAG])
+    for ci, c in enumerate(comps):
+        q = qt[c["tq"]]
+        cf = np.asarray(coeff_lists[ci], dtype=np.float64)  # (n, 64)
+        deq = np.zeros_like(cf)
+        deq[:, zz] = cf * q  # dezigzag + dequant in one shot
+        blocks = deq.reshape(-1, 8, 8)
+        px = np.einsum("ua,nuv,vb->nab", _A, blocks, _A)  # batched IDCT
+        for bi, (y0, x0) in enumerate(block_pos[ci]):
+            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px[bi]
 
     # upsample by replication, crop, level-shift
     out = []
@@ -348,22 +396,22 @@ class _BitWriter:
         self.n = 0
 
     def write(self, v: int, k: int) -> None:
-        for i in range(k - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((v >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)  # byte stuffing
-                self.acc = 0
-                self.n = 0
+        self.acc = (self.acc << k) | (v & ((1 << k) - 1))
+        self.n += k
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.n) - 1
 
     def flush(self) -> None:
         if self.n:
-            self.acc <<= 8 - self.n
-            self.acc |= (1 << (8 - self.n)) - 1  # pad with 1s per T.81
-            self.out.append(self.acc)
-            if self.acc == 0xFF:
+            b = (self.acc << (8 - self.n)) & 0xFF
+            b |= (1 << (8 - self.n)) - 1  # pad with 1s per T.81
+            self.out.append(b)
+            if b == 0xFF:
                 self.out.append(0x00)
             self.acc = 0
             self.n = 0
