@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import caching
+
 __all__ = ["out_degrees", "pagerank"]
 
 # Order-independent DECIMAL aggregation, as in cluster.py /
@@ -119,45 +121,61 @@ def pagerank(
     )
     if dedupe_edges:
         e = e.distinct()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    n_nodes = nodes.count()
-    if n_nodes == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
-
-    # engine-shared IEEE expressions (see module docstring)
-    init = F.round(F.lit(1.0) / F.lit(float(n_nodes)), _RANK_DECIMALS)
-    base = (F.lit(1.0) - F.lit(float(damping))) / F.lit(float(n_nodes))
-
-    deg = out_degrees(e)
-    edeg = e.join(deg, on="src")  # (src, dst, out_deg)
-    ranks = nodes.withColumn("rank", init)
-    for it in range(iterations):
-        contrib = (
-            edeg.join(ranks.withColumnRenamed("node", "src"), on="src")
-            .select(
-                F.col("dst").alias("node"),
-                F.round(F.col("rank") / F.col("out_deg"), _RANK_DECIMALS)
-                .cast("decimal(20,9)")
-                .alias("__c"),
+    # Every iteration references the edge table, and the edge table's
+    # lineage is often an expensive extraction (HTML parse → link
+    # resolution → distinct). Without a persist, Spark re-runs that
+    # whole upstream once per JOIN PER ITERATION — measured 40s+ for
+    # 3 iterations over a trivially small graph whose extraction
+    # costs ~1s. Persist edges/nodes/degrees for the duration of the
+    # iteration loop (the standard iterative-algorithm shape) inside
+    # a caching scope: the final ranks are checkpoint-materialized
+    # INSIDE the scope, so the returned plan references no cached
+    # blocks and the scope exit (incl. the exception path) releases
+    # every internal handle — the caching-module contract.
+    with caching.scope():
+        e = caching.track(e.persist())
+        nodes = caching.track(
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
+        )
+        n_nodes = nodes.count()
+        if n_nodes == 0:
+            return e.sparkSession.createDataFrame(
+                [], "node string, rank double"
             )
-            .groupBy("node")
-            .agg(F.sum("__c").alias("__in"))
-        )
-        ranks = nodes.join(contrib, on="node", how="left").select(
-            "node",
-            F.round(
-                base
-                + F.lit(float(damping))
-                * F.coalesce(F.col("__in").cast("double"), F.lit(0.0)),
-                _RANK_DECIMALS,
-            ).alias("rank"),
-        )
-        if checkpoint_every and (it + 1) % checkpoint_every == 0 and (
-            it + 1
-        ) < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+
+        # engine-shared IEEE expressions (see module docstring)
+        init = F.round(F.lit(1.0) / F.lit(float(n_nodes)), _RANK_DECIMALS)
+        base = (F.lit(1.0) - F.lit(float(damping))) / F.lit(float(n_nodes))
+
+        deg = out_degrees(e)
+        edeg = caching.track(e.join(deg, on="src").persist())
+        ranks = nodes.withColumn("rank", init)
+        for it in range(iterations):
+            contrib = (
+                edeg.join(ranks.withColumnRenamed("node", "src"), on="src")
+                .select(
+                    F.col("dst").alias("node"),
+                    F.round(F.col("rank") / F.col("out_deg"), _RANK_DECIMALS)
+                    .cast("decimal(20,9)")
+                    .alias("__c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("__c").alias("__in"))
+            )
+            ranks = nodes.join(contrib, on="node", how="left").select(
+                "node",
+                F.round(
+                    base
+                    + F.lit(float(damping))
+                    * F.coalesce(F.col("__in").cast("double"), F.lit(0.0)),
+                    _RANK_DECIMALS,
+                ).alias("rank"),
+            )
+            if checkpoint_every and (it + 1) % checkpoint_every == 0 and (
+                it + 1
+            ) < iterations:
+                ranks = ranks.localCheckpoint(eager=True)
+        return ranks.localCheckpoint(eager=True)
