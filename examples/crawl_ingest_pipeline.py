@@ -1,11 +1,14 @@
-"""Web-crawl ingest pipeline: WARC archives → records → robots gate →
-HTML→text extraction → URL dedup → language ID → quality gates.
+"""Web-crawl ingest pipeline: sitemap frontier → WARC archives →
+records → CDX index → robots gate → HTML→text extraction → link
+graph + PageRank prior → URL dedup → boilerplate line dedup →
+language ID → quality gates.
 
-The r6 web-family showcase: everything between "a directory of crawl
-archives" and "documents ready for the curation pipeline"
+The web-family showcase (r6 + r7): everything between "a directory of
+crawl archives" and "documents ready for the curation pipeline"
 (examples/training_data_pipeline.py picks up from there). Every stage
 is a DataFrame transformation; archive payload bytes never leave the
-executors, rule/profile side tables broadcast.
+executors, rule/profile side tables broadcast, and the link graph is
+ranked without ranks ever visiting the driver.
 
 Run: python examples/crawl_ingest_pipeline.py
 """
@@ -17,7 +20,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F
 
-from flycatcher_spark.operators import langid, quality, warc, web
+from flycatcher_spark.operators import dedup, graph, langid, quality, warc, web
 from flycatcher_spark.session import get_spark
 
 DATA = "/root/testdata/sf0.01"
@@ -35,10 +38,26 @@ def main() -> None:
         docs.select("doc_id"), gzip_mode="members"
     )
 
+    # 0b. Frontier seeding (r7): each host publishes a sitemap; the
+    #    parser explodes it to a URL list that feeds the next crawl.
+    sitemaps = docs.select(F.col("source")).distinct().select(
+        F.concat("source", F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("<urlset><url><loc>https://"), F.col("source"),
+            F.lit(".example.com/</loc></url></urlset>"),
+        ).alias("sitemap_xml"),
+    )
+    frontier = web.sitemap_entries(sitemaps)
+    print("frontier seeds:", frontier.count())
+
     # 1. Record split: archives fan out to records inside one Arrow
     #    map stage; corrupt archives become attributable null rows.
     records = warc.warc_records(archives)
     records.groupBy("rec_type").count().orderBy("rec_type").show()
+
+    # 1b. CDX capture index (r7): the lookup artifact shipped next to
+    #    the WARCs — SURT key, timestamp, canonical URL, digest.
+    warc.cdx_index(records).orderBy("surt_key").show(3, truncate=False)
 
     # 2. Keep response records; attach a crawl URL per record.
     pages = (
@@ -82,6 +101,38 @@ def main() -> None:
     )
     print("two crawls:", texts.count() * 2, "-> after URL dedup:",
           unique.count())
+
+    # 4b. Link-graph quality prior (r7): anchors → resolved host
+    #    edges → 3 exact PageRank iterations; ranks join back as a
+    #    per-host prior (here the fixture HTML has no cross-host
+    #    links, so the graph is tiny — the shape is the point).
+    linked = gated.withColumn(
+        "html2",
+        F.concat(
+            F.col("html"),
+            F.lit('<a href="https://hub.example.com/x">hub</a>'),
+        ),
+    )
+    edges = web.host_links(linked.select("url", F.col("html2").alias("html")))
+    ranks = graph.pagerank(edges, iterations=3)
+    ranks.orderBy(F.desc("rank")).show(5, truncate=False)
+
+    # 4c. Cross-document line dedup (r7): the site template's footer
+    #    line appears in every page → removed everywhere; real
+    #    content survives in order.
+    with_footer = unique.withColumn(
+        "text", F.concat_ws("\n", "text", F.lit("(c) example.com — all rights reserved"))
+    )
+    deduped_lines = dedup.line_dedup(
+        with_footer, id_col="page_id"
+    ).withColumnRenamed("text_dedup", "text")
+    print(
+        "boilerplate lines removed:",
+        deduped_lines.agg(F.sum("n_removed")).first()[0],
+    )
+    unique = unique.drop("text").join(
+        deduped_lines.select("page_id", "text"), "page_id"
+    )
 
     # 5. Language ID from learned char-trigram profiles (labels come
     #    from a small labeled sample — here the fixture's lang column)

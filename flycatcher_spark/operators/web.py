@@ -32,6 +32,7 @@ __all__ = [
     "parse_robots",
     "robots_rules",
     "robots_gate",
+    "robots_sitemaps",
     "TRACKING_PARAM_RE",
 ]
 
@@ -335,6 +336,38 @@ def parse_robots(text: str) -> list[tuple[str, bool, str]]:
             for a in agents:
                 rules.append((a, key == "allow", value))
     return rules
+
+
+def robots_sitemaps(
+    robots_df: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    r"""Sitemap discovery from robots.txt: RFC 9309 ``Sitemap:``
+    directives are group-independent absolute URLs, so this is a
+    pure-Column extraction (one row per directive) — the usual way a
+    crawler finds the frontier seeds that
+    :func:`sitemap_entries` then explodes. Hosts without a directive
+    produce no rows.
+
+    Examples
+    --------
+        >>> df = spark.createDataFrame(
+        ...     [("a.com", "User-agent: *\nDisallow: /x\n"
+        ...       "Sitemap: https://a.com/s1.xml\nSitemap: https://a.com/s2.xml")],
+        ...     ["host", "robots_txt"])
+        >>> [r.sitemap_url for r in robots_sitemaps(df).collect()]
+        ['https://a.com/s1.xml', 'https://a.com/s2.xml']
+    """
+    urls = F.regexp_extract_all(
+        F.col(robots_col),
+        F.lit(r"(?im)^\s*sitemap\s*:\s*(\S+)\s*$"),
+        F.lit(1),
+    )
+    return robots_df.select(
+        F.col(host_col).alias("host"),
+        F.explode(urls).alias("sitemap_url"),
+    )
 
 
 def _pattern_regex(pattern: str) -> str:

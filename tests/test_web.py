@@ -332,3 +332,22 @@ class TestSitemapEntries:
         )
         sm = spark.createDataFrame([("h1", xml)], ["host", "sitemap_xml"])
         assert web.sitemap_entries(sm).count() == 0
+
+
+class TestRobotsSitemaps:
+    def test_directives_extracted_case_insensitive(self, spark):
+        txt = (
+            "User-agent: *\nDisallow: /x\n"
+            "SITEMAP: https://a.com/s1.xml\n"
+            "sitemap:https://a.com/s2.xml\n"
+            "# Sitemap: https://a.com/commented.xml is just a comment line\n"
+        )
+        df = spark.createDataFrame([("a.com", txt)], ["host", "robots_txt"])
+        got = [r.sitemap_url for r in web.robots_sitemaps(df).collect()]
+        assert got == ["https://a.com/s1.xml", "https://a.com/s2.xml"]
+
+    def test_no_directive_no_rows(self, spark):
+        df = spark.createDataFrame(
+            [("a.com", "User-agent: *\nDisallow:")], ["host", "robots_txt"]
+        )
+        assert web.robots_sitemaps(df).count() == 0
