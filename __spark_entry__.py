@@ -3251,6 +3251,34 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hits_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (r7, graph.hits) over the SAME planted
+    crawl link graph as pagerank_hosts: two exact iterations of
+    DECIMAL-summed mutual reinforcement with engine-portable
+    max-normalization. DuckDB replays both iterations as unrolled
+    CTEs with scalar-subquery maxes, so the sums, the normalizations
+    and the no-in/out-edge zero rules are all value-checked."""
+    i = F.col("doc_id")
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    a = (i * 7 + 1) % 100
+    b = (i * 13 + 3) % 100
+    c = (i * 3 + 2) % 100
+    html = F.concat(
+        F.lit('<a href="https://h'), a.cast("string"),
+        F.lit('.example.com/a">A</a><a href="//h'), b.cast("string"),
+        F.lit('.example.com/b">B</a><a href="https://h'),
+        c.cast("string"), F.lit('.example.com/c">C</a>'),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://h"), (i % 100).cast("string"),
+            F.lit(".example.com/p"), i.cast("string"),
+        ).alias("url"),
+        html.alias("html"),
+    )
+    return graph.hits(web.host_links(pages), iterations=2)
+
+
 def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline JPEG decode (r7, operators/jpeg): every doc gets
     a deterministic grayscale JPEG — DQT/SOF0/DHT/SOS marker walk,
@@ -3323,7 +3351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flac_decode": q_flac_decode,
         "jpeg_decode": q_jpeg_decode,
         "video_frames": q_video_frames,
-        # -- positions 10-15: the r6-new batch. The r6 driver artifacts
+        "hits_hosts": q_hits_hosts,
+        # -- positions 11-16: the r6-new batch. The r6 driver artifacts
         # -- (CORRECTNESS_r06) never landed in the repo, so these have
         # -- no driver-green yet — they stay in the window rather than
         # -- rotating out on local evidence alone.
@@ -3377,8 +3406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_report": q_decontam_report,
         "incremental_dedup_exact": q_incremental_dedup_exact,
         "incremental_minhash_dedup": q_incremental_minhash_dedup,
-        "bloom_pruned_join": q_bloom_pruned_join,
         # == past the 50-entry window from here on ===================
+        "bloom_pruned_join": q_bloom_pruned_join,
         "span_dedup": q_span_dedup,
         "bpe_apply": q_bpe_apply,
         "payload_embed_knn": q_payload_embed_knn,
@@ -3646,6 +3675,40 @@ def _kmeans_cte(k: int = 8, n_iter: int = 2) -> str:
     return ",".join(parts)
 
 
+def _hits_cte(n_iter: int = 2) -> str:
+    """CTE chain replaying operators/graph.hits in DuckDB over the
+    caller-defined ``edges(src, dst)`` CTE: ``nodes``, ``h0``
+    (uniform hubs), then per iteration an authority CTE (round-9
+    DECIMAL sum of hub scores over in-edges, max-normalized via a
+    scalar subquery) and a hub CTE (same over out-edges), ending in
+    ``h{n}``/``a{n}``. Mirrors graph.hits' rounding points exactly."""
+    parts = [
+        """nodes AS (SELECT src AS node FROM edges
+                     UNION SELECT dst FROM edges),
+        h0 AS (SELECT node, 1.0 AS s FROM nodes)""",
+    ]
+    for it in range(1, n_iter + 1):
+        parts.append(f"""a{it}r AS (
+            SELECT e.dst AS node,
+                   ROUND(CAST(SUM(CAST(ROUND(h.s, 9) AS DECIMAL(20,9)))
+                         AS DOUBLE), 9) AS raw
+            FROM edges e JOIN h{it - 1} h ON h.node = e.src
+            GROUP BY e.dst)""")
+        parts.append(f"""a{it} AS (
+            SELECT node, ROUND(raw / (SELECT MAX(raw) FROM a{it}r), 9) AS s
+            FROM a{it}r)""")
+        parts.append(f"""h{it}r AS (
+            SELECT e.src AS node,
+                   ROUND(CAST(SUM(CAST(ROUND(a.s, 9) AS DECIMAL(20,9)))
+                         AS DOUBLE), 9) AS raw
+            FROM edges e JOIN a{it} a ON a.node = e.dst
+            GROUP BY e.src)""")
+        parts.append(f"""h{it} AS (
+            SELECT node, ROUND(raw / (SELECT MAX(raw) FROM h{it}r), 9) AS s
+            FROM h{it}r)""")
+    return ",\n        ".join(parts)
+
+
 def _pagerank_cte(n_iter: int = 3, damping: str = "0.85") -> str:
     """CTE chain replaying operators/graph.pagerank in DuckDB over
     the ``edges(src, dst)`` CTE the caller must define: ``nodes``,
@@ -3720,6 +3783,34 @@ def oracle_sql() -> dict[str, str]:
                        AS n_removed
             FROM marked
             GROUP BY doc_id
+        """,
+        "hits_hosts": f"""
+            WITH d AS (
+                SELECT doc_id % 100 AS s,
+                       (doc_id * 7 + 1) % 100 AS a,
+                       (doc_id * 13 + 3) % 100 AS b,
+                       (doc_id * 3 + 2) % 100 AS c
+                FROM documents
+            ),
+            e0 AS (
+                SELECT DISTINCT s, dst FROM (
+                    SELECT s, a AS dst FROM d
+                    UNION ALL SELECT s, b AS dst FROM d
+                    UNION ALL SELECT s, c AS dst FROM d) u
+                WHERE dst <> s
+            ),
+            edges AS (
+                SELECT 'h' || s || '.example.com' AS src,
+                       'h' || dst || '.example.com' AS dst
+                FROM e0
+            ),
+            {_hits_cte(n_iter=2)}
+            SELECT n.node,
+                   COALESCE(h2.s, 0.0) AS hub,
+                   COALESCE(a2.s, 0.0) AS authority
+            FROM nodes n
+            LEFT JOIN h2 ON h2.node = n.node
+            LEFT JOIN a2 ON a2.node = n.node
         """,
         "pagerank_hosts": f"""
             WITH d AS (

@@ -90,6 +90,7 @@ HEADLINE = [
     "flac_decode",              # real FLAC bitstream decode
     "jpeg_decode",              # real baseline JPEG decode
     "video_frames",             # AVI walk + sampled-frame JPEG decode
+    "hits_hosts",               # hubs/authorities, 2 exact iterations
 ]
 
 

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from .. import caching
 
-__all__ = ["out_degrees", "pagerank"]
+__all__ = ["hits", "out_degrees", "pagerank"]
 
 # Order-independent DECIMAL aggregation, as in cluster.py /
 # quality.unigram_surprise: contributions round to 9 decimals before
@@ -179,3 +179,121 @@ def pagerank(
             ) < iterations:
                 ranks = ranks.localCheckpoint(eager=True)
         return ranks.localCheckpoint(eager=True)
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    dedupe_edges: bool = True,
+) -> DataFrame:
+    """Exact deterministic HITS (Kleinberg hubs/authorities) over a
+    directed edge table — the complementary centrality to
+    :func:`pagerank`: authorities are pointed AT by good hubs, hubs
+    point TO good authorities (link-farm detection reads the two
+    scores against each other).
+
+    Returns ``(node, hub, authority)``. Fixed ``iterations`` of
+
+        auth(v) = sum over (u,v) of hub(u),  then  auth /= max(auth)
+        hub(u)  = sum over (u,v) of auth(v), then  hub  /= max(hub)
+
+    with the same engine-portability discipline as :func:`pagerank`:
+    per-edge contributions are the 9-decimal-rounded scores summed as
+    DECIMAL(20,9) (order-invariant), normalization divides two
+    identically-rounded doubles (IEEE-deterministic), results round
+    back to 9. Max-normalization (rather than L2) is deliberate: it
+    is exactly replayable in SQL. Nodes with no in-edges get
+    authority 0; no out-edges, hub 0.
+
+    Scale shape: per iteration two edge⋈score joins + two DECIMAL
+    aggregations (map-side combine) + two single-row max aggregates
+    (the only driver-side values). Edges/nodes persist across
+    iterations inside a caching scope; the result is
+    checkpoint-materialized before the handles release.
+
+    Examples
+    --------
+        >>> e = spark.createDataFrame(
+        ...     [("a", "b"), ("c", "b"), ("b", "c")], ["src", "dst"])
+        >>> r = {x.node: (x.hub, x.authority)
+        ...      for x in hits(e, iterations=1).collect()}
+        >>> r["b"]  # everyone points at b: top authority
+        (0.5, 1.0)
+        >>> r["a"]
+        (0.5, 0.0)
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(
+        F.col(src_col).cast("string").alias("src"),
+        F.col(dst_col).cast("string").alias("dst"),
+    )
+    if dedupe_edges:
+        e = e.distinct()
+
+    def _norm_sum(joined: DataFrame, key: str, val: str) -> DataFrame:
+        """groupBy(key) DECIMAL-sum of round-9 ``val``, then divide
+        by the max and round back to 9."""
+        raw = (
+            joined.select(
+                F.col(key).alias("node"),
+                F.round(F.col(val), _RANK_DECIMALS)
+                .cast("decimal(20,9)")
+                .alias("__c"),
+            )
+            .groupBy("node")
+            .agg(
+                F.round(F.sum("__c").cast("double"), _RANK_DECIMALS).alias(
+                    "__raw"
+                )
+            )
+        )
+        mx = raw.agg(F.max("__raw")).first()[0]
+        if not mx:
+            return raw.select("node", F.lit(0.0).alias("__s"))
+        return raw.select(
+            "node",
+            F.round(F.col("__raw") / F.lit(float(mx)), _RANK_DECIMALS).alias(
+                "__s"
+            ),
+        )
+
+    with caching.scope():
+        e = caching.track(e.persist())
+        nodes = caching.track(
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
+        )
+        nodes.count()  # materialize while cached
+        hub = nodes.withColumn("hub", F.lit(1.0))
+        auth = None
+        for _ in range(iterations):
+            auth = _norm_sum(
+                e.join(hub.withColumnRenamed("node", "src"), on="src"),
+                "dst",
+                "hub",
+            )
+            hub = _norm_sum(
+                e.join(
+                    auth.withColumnRenamed("node", "dst"), on="dst"
+                ),
+                "src",
+                "__s",
+            )
+            hub = hub.withColumnRenamed("__s", "hub")
+        out = (
+            nodes.join(
+                hub.select("node", F.col("hub").alias("__h")), "node", "left"
+            )
+            .join(auth.select("node", F.col("__s").alias("__a")), "node", "left")
+            .select(
+                "node",
+                F.coalesce("__h", F.lit(0.0)).alias("hub"),
+                F.coalesce("__a", F.lit(0.0)).alias("authority"),
+            )
+        )
+        return out.localCheckpoint(eager=True)

@@ -93,3 +93,62 @@ class TestPagerank:
         e = spark.createDataFrame(EDGES, ["src", "dst"])
         with pytest.raises(ValueError):
             graph.pagerank(e, iterations=-1)
+
+
+def _py_hits(edges, iterations=2):
+    edges = sorted(set(edges))
+    nodes = sorted({x for t in edges for x in t})
+    h = {n: 1.0 for n in nodes}
+    a = {}
+    for _ in range(iterations):
+        a = {}
+        for s, d in edges:
+            a[d] = a.get(d, 0.0) + round(h[s], 9)
+        a = {n: round(v, 9) for n, v in a.items()}
+        mx = max(a.values())
+        a = {n: round(v / mx, 9) for n, v in a.items()}
+        h = {}
+        for s, d in edges:
+            h[s] = h.get(s, 0.0) + round(a[d], 9)
+        h = {n: round(v, 9) for n, v in h.items()}
+        mx = max(h.values())
+        h = {n: round(v / mx, 9) for n, v in h.items()}
+    return {
+        n: (h.get(n, 0.0), a.get(n, 0.0)) for n in nodes
+    }
+
+
+class TestHits:
+    def test_matches_python_reference(self, spark):
+        e = spark.createDataFrame(EDGES, ["src", "dst"])
+        got = {
+            r.node: (r.hub, r.authority)
+            for r in graph.hits(e, iterations=2).collect()
+        }
+        assert got == _py_hits(EDGES, iterations=2)
+
+    def test_pure_hub_and_pure_authority(self, spark):
+        # a only points, b is only pointed at
+        e = spark.createDataFrame(
+            [("a", "b"), ("c", "b"), ("b", "c")], ["src", "dst"]
+        )
+        got = {
+            r.node: (r.hub, r.authority)
+            for r in graph.hits(e, iterations=1).collect()
+        }
+        assert got["a"][1] == 0.0      # nothing points at a
+        assert got["b"][1] == 1.0      # top authority (2 hubs in)
+        assert max(v[0] for v in got.values()) == 1.0
+
+    def test_duplicate_edges_collapse(self, spark):
+        e = spark.createDataFrame(EDGES + EDGES[:3], ["src", "dst"])
+        got = {
+            r.node: (r.hub, r.authority)
+            for r in graph.hits(e, iterations=2).collect()
+        }
+        assert got == _py_hits(EDGES, iterations=2)
+
+    def test_zero_iterations_raise(self, spark):
+        e = spark.createDataFrame(EDGES, ["src", "dst"])
+        with pytest.raises(ValueError):
+            graph.hits(e, iterations=0)

@@ -51,6 +51,10 @@ TRACKED = [
     "kmeans_clusters",
     "curated_corpus",
     "ivf_rerank_topk",
+    # r7 additions: the cross-doc line-frequency shape and the
+    # heaviest Arrow decode stage (AVI walk + sampled JPEG decode)
+    "line_dedup",
+    "video_frames",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 ALPHA_REGRESSION = 0.35
