@@ -3251,6 +3251,49 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_webdataset_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard ingestion (r7, operators/webdataset): every
+    doc becomes a REAL tar shard holding 2-4 samples, each a .txt
+    caption + a .jpg image stored adjacently; tar_members walks the
+    archive, webdataset_samples groups members into samples
+    row-locally (no shuffle — the format's adjacency contract), and
+    the jpg member is then genuinely JPEG-decoded. DuckDB states the
+    sample keys, member counts, captions AND decoded image means in
+    closed form, so the tar walk, grouping and the decode composition
+    are value-checked end-to-end."""
+    from flycatcher_spark.operators import webdataset
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    shards = webdataset.make_webdataset_payload(docs)
+    samples = webdataset.webdataset_samples(shards).select(
+        "doc_id",
+        "sample_key",
+        "n_members",
+        F.element_at("parts", "txt").cast("string").alias("caption"),
+        (
+            F.col("doc_id") * 10
+            + F.regexp_extract("sample_key", r"_(\d+)$", 1).cast("long")
+        ).alias("__mid"),
+    )
+    jpgs = (
+        webdataset.tar_members(shards)
+        .where(F.col("ext") == "jpg")
+        .select(
+            (
+                F.col("doc_id") * 10
+                + F.regexp_extract("sample_key", r"_(\d+)$", 1).cast("long")
+            ).alias("__mid"),
+            F.col("member").alias("payload"),
+        )
+    )
+    meta = multimodal.decode_image_meta(jpgs, id_col="__mid").select(
+        "__mid", F.round("mean_pixel", 6).alias("mean_pixel")
+    )
+    return samples.join(meta, on="__mid").select(
+        "doc_id", "sample_key", "n_members", "caption", "mean_pixel"
+    )
+
+
 def q_hits_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities (r7, graph.hits) over the SAME planted
     crawl link graph as pagerank_hosts: two exact iterations of
@@ -3352,7 +3395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_decode": q_jpeg_decode,
         "video_frames": q_video_frames,
         "hits_hosts": q_hits_hosts,
-        # -- positions 11-16: the r6-new batch. The r6 driver artifacts
+        "webdataset_samples": q_webdataset_samples,
+        # -- positions 12-17: the r6-new batch. The r6 driver artifacts
         # -- (CORRECTNESS_r06) never landed in the repo, so these have
         # -- no driver-green yet — they stay in the window rather than
         # -- rotating out on local evidence alone.
@@ -3405,8 +3449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_select": q_corpus_select,
         "decontam_report": q_decontam_report,
         "incremental_dedup_exact": q_incremental_dedup_exact,
-        "incremental_minhash_dedup": q_incremental_minhash_dedup,
         # == past the 50-entry window from here on ===================
+        "incremental_minhash_dedup": q_incremental_minhash_dedup,
         "bloom_pruned_join": q_bloom_pruned_join,
         "span_dedup": q_span_dedup,
         "bpe_apply": q_bpe_apply,
@@ -3783,6 +3827,20 @@ def oracle_sql() -> dict[str, str]:
                        AS n_removed
             FROM marked
             GROUP BY doc_id
+        """,
+        "webdataset_samples": """
+            WITH s AS (
+                SELECT doc_id,
+                       unnest(range(0, 2 + doc_id % 3)) AS k
+                FROM documents
+            )
+            SELECT doc_id,
+                   's' || doc_id || '_' || k AS sample_key,
+                   CAST(2 AS BIGINT) AS n_members,
+                   'caption ' || doc_id || ' ' || k AS caption,
+                   round(CAST(128 + ((doc_id * 5 + k * 9) % 160) - 80
+                              AS DOUBLE), 6) AS mean_pixel
+            FROM s
         """,
         "hits_hosts": f"""
             WITH d AS (

@@ -91,6 +91,7 @@ HEADLINE = [
     "jpeg_decode",              # real baseline JPEG decode
     "video_frames",             # AVI walk + sampled-frame JPEG decode
     "hits_hosts",               # hubs/authorities, 2 exact iterations
+    "webdataset_samples",       # tar shard walk + sample group + decode
 ]
 
 

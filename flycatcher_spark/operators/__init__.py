@@ -33,6 +33,9 @@ reference surface — see SURVEY.md §7.1 step 7).
   deterministic PageRank (the crawl quality prior).
 - :mod:`.audio` — framed STFT features over PCM payloads (dominant
   spectral bin, exact frame energy/RMS) via Arrow ``mapInPandas``.
+- :mod:`.webdataset` — WebDataset-style TAR shard ingestion: member
+  explode + row-local sample grouping (ext→payload map), composing
+  with the real decoders for downstream decode.
 - :mod:`.video` — MJPEG-in-AVI frame extraction: RIFF walk +
   per-sampled-frame JPEG decode (real frame sampling; unsampled
   frames never decode).
@@ -72,6 +75,7 @@ from . import (
     text,
     versioning,
     video,
+    webdataset,
     warc,
     web,
 )
@@ -96,6 +100,7 @@ __all__ = [
     "text",
     "versioning",
     "video",
+    "webdataset",
     "warc",
     "web",
 ]
