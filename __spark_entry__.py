@@ -3251,6 +3251,22 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection (r7, similarity.random_projection): the
+    64-dim embeddings project to 8 dims through a pure-Column
+    index-derived ±1 sign matrix — no stored matrix, no seed, no
+    Python — and DuckDB replays every output component with the same
+    list-fold, so the sign formula, the sequential sum and the
+    1/sqrt(out_dim) scaling are value-checked cell-for-cell."""
+    em = _emb_double(spark, sf_dir)
+    return em.select(
+        "vec_id",
+        F.posexplode(
+            similarity.random_projection("embedding", 8)
+        ).alias("dim", "val"),
+    ).select("vec_id", F.col("dim").cast("long").alias("dim"), "val")
+
+
 def q_webdataset_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset shard ingestion (r7, operators/webdataset): every
     doc becomes a REAL tar shard holding 2-4 samples, each a .txt
@@ -3396,7 +3412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "hits_hosts": q_hits_hosts,
         "webdataset_samples": q_webdataset_samples,
-        # -- positions 12-17: the r6-new batch. The r6 driver artifacts
+        "embedding_project": q_embedding_project,
+        # -- positions 13-18: the r6-new batch. The r6 driver artifacts
         # -- (CORRECTNESS_r06) never landed in the repo, so these have
         # -- no driver-green yet — they stay in the window rather than
         # -- rotating out on local evidence alone.
@@ -3448,8 +3465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_full_probe": q_ivf_full_probe,
         "corpus_select": q_corpus_select,
         "decontam_report": q_decontam_report,
-        "incremental_dedup_exact": q_incremental_dedup_exact,
         # == past the 50-entry window from here on ===================
+        "incremental_dedup_exact": q_incremental_dedup_exact,
         "incremental_minhash_dedup": q_incremental_minhash_dedup,
         "bloom_pruned_join": q_bloom_pruned_join,
         "span_dedup": q_span_dedup,
@@ -3827,6 +3844,23 @@ def oracle_sql() -> dict[str, str]:
                        AS n_removed
             FROM marked
             GROUP BY doc_id
+        """,
+        "embedding_project": """
+            SELECT vec_id,
+                   j AS dim,
+                   round(
+                       list_sum(list_transform(
+                           range(1, len(embedding) + 1),
+                           i -> CAST(embedding[i] AS DOUBLE)
+                                * (CASE WHEN CAST(floor(
+                                        ((i * (j + 17) * 2654435761)
+                                         % 4294967296) / 65536.0)
+                                     AS BIGINT) % 2 = 0
+                                   THEN 1.0 ELSE -1.0 END)
+                       )) / sqrt(8.0),
+                       6) AS val
+            FROM embeddings,
+                 LATERAL (SELECT unnest(range(0, 8)) AS j)
         """,
         "webdataset_samples": """
             WITH s AS (

@@ -92,6 +92,7 @@ HEADLINE = [
     "video_frames",             # AVI walk + sampled-frame JPEG decode
     "hits_hosts",               # hubs/authorities, 2 exact iterations
     "webdataset_samples",       # tar shard walk + sample group + decode
+    "embedding_project",        # pure-Column JL projection
 ]
 
 

@@ -1714,3 +1714,65 @@ class TestAnnIndexPersistence:
             ).collect()
         }
         assert a == b and len(a) > 0
+
+
+class TestRandomProjection:
+    """similarity.random_projection — pure-Column JL projection."""
+
+    def test_matches_numpy_replica(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        vecs = [[float(x) for x in rng.normal(size=16)] for _ in range(20)]
+        df = spark.createDataFrame([(i, v) for i, v in enumerate(vecs)],
+                                   ["vec_id", "v"])
+        got = {
+            r.vec_id: r.p
+            for r in df.select(
+                "vec_id",
+                similarity.random_projection("v", 4).alias("p"),
+            ).collect()
+        }
+        def sign(k, j):
+            x = ((k + 1) * (j + 17) * 2654435761) % 4294967296
+            return 1.0 if (x // 65536) % 2 == 0 else -1.0
+
+        for i, v in enumerate(vecs):
+            want = [
+                round(
+                    sum(v[k] * sign(k, j) for k in range(16)) / 2.0, 6
+                )
+                for j in range(4)
+            ]
+            assert got[i] == pytest.approx(want, abs=1e-9)
+
+    def test_norm_preservation_loose(self, spark):
+        # JL sanity: a ±1/sqrt(d) projection is an unbiased estimator
+        # of the squared norm; at out_dim=16 the relative error is
+        # ~25% typical, so bound generously per vector. (Pairwise
+        # DISTANCE correlation is NOT a usable check here: iid
+        # gaussian pairs are near-equidistant, so distance spread is
+        # pure noise.)
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        vecs = rng.normal(size=(8, 64))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            ["vec_id", "v"],
+        )
+        proj = {
+            r.vec_id: np.array(r.p)
+            for r in df.select(
+                "vec_id", similarity.random_projection("v", 16).alias("p")
+            ).collect()
+        }
+        for i, v in enumerate(vecs):
+            ratio = np.sum(proj[i] ** 2) / np.sum(v**2)
+            assert 0.2 < ratio < 5.0
+
+    def test_map_only_plan(self, spark):
+        df = spark.createDataFrame([([1.0, 2.0],)], ["v"])
+        out = df.select(similarity.random_projection("v", 2))
+        plans.assert_no_shuffle(out)
+        plans.assert_jvm_only(out)
