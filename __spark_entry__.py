@@ -3267,6 +3267,27 @@ def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("dim").cast("long").alias("dim"), "val")
 
 
+def q_html_lines_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-text composition (r7): planted multi-block HTML →
+    html_to_text(block_breaks=True) (block boundaries become lines,
+    per-line whitespace collapse) → dedup.line_dedup (the shared
+    title and nav blocks vanish from every page, the content line
+    survives). DuckDB replays the entire regex chain AND the
+    line-frequency dedup, value-checking the two r7 stages composed
+    end-to-end."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    page = F.concat(
+        F.lit("<html><body><h1>Site Title</h1><p>"),
+        F.substring("text", 1, 50),
+        F.lit(" &amp; tail</p><div>nav | about | contact</div></body></html>"),
+    )
+    texts = docs.select(
+        "doc_id", web.html_to_text(page, block_breaks=True).alias("text")
+    )
+    out = dedup.line_dedup(texts)
+    return out.select("doc_id", "text_dedup", "n_lines", "n_removed")
+
+
 def q_webdataset_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset shard ingestion (r7, operators/webdataset): every
     doc becomes a REAL tar shard holding 2-4 samples, each a .txt
@@ -3413,7 +3434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_hosts": q_hits_hosts,
         "webdataset_samples": q_webdataset_samples,
         "embedding_project": q_embedding_project,
-        # -- positions 13-18: the r6-new batch. The r6 driver artifacts
+        "html_lines_dedup": q_html_lines_dedup,
+        # -- positions 14-19: the r6-new batch. The r6 driver artifacts
         # -- (CORRECTNESS_r06) never landed in the repo, so these have
         # -- no driver-green yet — they stay in the window rather than
         # -- rotating out on local evidence alone.
@@ -3464,8 +3486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join": q_skew_salted_join,
         "ivf_full_probe": q_ivf_full_probe,
         "corpus_select": q_corpus_select,
-        "decontam_report": q_decontam_report,
         # == past the 50-entry window from here on ===================
+        "decontam_report": q_decontam_report,
         "incremental_dedup_exact": q_incremental_dedup_exact,
         "incremental_minhash_dedup": q_incremental_minhash_dedup,
         "bloom_pruned_join": q_bloom_pruned_join,
@@ -3820,6 +3842,65 @@ def oracle_sql() -> dict[str, str]:
                        unnest(string_split(t, chr(10))) AS line,
                        unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
                 FROM wrapped
+            ),
+            keyed AS (
+                SELECT doc_id, pos, line,
+                       regexp_replace(regexp_replace(lower(line),
+                           '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g') AS k
+                FROM lines
+            ),
+            freq AS (
+                SELECT k FROM keyed WHERE length(k) >= 1
+                GROUP BY k HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            marked AS (
+                SELECT doc_id, pos, line,
+                       (length(k) >= 1 AND k IN (SELECT k FROM freq)) AS rm
+                FROM keyed
+            )
+            SELECT doc_id,
+                   COALESCE(string_agg(CASE WHEN NOT rm THEN line END,
+                                       chr(10) ORDER BY pos), '') AS text_dedup,
+                   COUNT(*) AS n_lines,
+                   CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_removed
+            FROM marked
+            GROUP BY doc_id
+        """,
+        "html_lines_dedup": r"""
+            WITH page AS (
+                SELECT doc_id,
+                       '<html><body><h1>Site Title</h1><p>'
+                       || substr(text, 1, 50)
+                       || ' &amp; tail</p><div>nav | about | contact</div></body></html>'
+                           AS h
+                FROM documents
+            ),
+            txt AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           replace(
+                               regexp_replace(
+                                   regexp_replace(h,
+                                       '</(p|div|li|tr|h[1-6])\s*>|<br\s*/?>',
+                                       chr(10), 'gi'),
+                                   '<[^>]+>', ' ', 'gs'),
+                               '&amp;', '&'),
+                           '[ \t\r\f]+', ' ', 'g'),
+                           ' ?\n ?', chr(10), 'g'),
+                           '\n+', chr(10), 'g') AS t0
+                FROM page
+            ),
+            cleaned AS (
+                SELECT doc_id,
+                       regexp_replace(t0, '^\s+|\s+$', '', 'g') AS t
+                FROM txt
+            ),
+            lines AS (
+                SELECT doc_id,
+                       unnest(string_split(t, chr(10))) AS line,
+                       unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
+                FROM cleaned
             ),
             keyed AS (
                 SELECT doc_id, pos, line,

@@ -93,6 +93,7 @@ HEADLINE = [
     "hits_hosts",               # hubs/authorities, 2 exact iterations
     "webdataset_samples",       # tar shard walk + sample group + decode
     "embedding_project",        # pure-Column JL projection
+    "html_lines_dedup",         # block-break extraction + line dedup
 ]
 
 

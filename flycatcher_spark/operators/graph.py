@@ -235,8 +235,12 @@ def hits(
 
     def _norm_sum(joined: DataFrame, key: str, val: str) -> DataFrame:
         """groupBy(key) DECIMAL-sum of round-9 ``val``, then divide
-        by the max and round back to 9."""
-        raw = (
+        by the max and round back to 9. The raw table is persisted
+        (scope-tracked): it is consumed twice (the max aggregate, the
+        normalized projection) and its normalized result twice more
+        downstream — without the persist every consumer re-executes
+        the edge⋈score join chain (measured 2x on the bench query)."""
+        raw = caching.track(
             joined.select(
                 F.col(key).alias("node"),
                 F.round(F.col(val), _RANK_DECIMALS)
@@ -249,6 +253,7 @@ def hits(
                     "__raw"
                 )
             )
+            .persist()
         )
         mx = raw.agg(F.max("__raw")).first()[0]
         if not mx:

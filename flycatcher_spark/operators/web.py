@@ -122,7 +122,9 @@ def host_of(url: Column | str) -> Column:
     return F.regexp_extract(_col(url), _URL_RE, 2)
 
 
-def html_to_text(html: Column | str) -> Column:
+def html_to_text(
+    html: Column | str, block_breaks: bool = False
+) -> Column:
     """Crude-but-honest HTML→text extraction (the WET-conversion
     stage that follows :func:`warc.warc_records` in a crawl
     pipeline): drop ``<script>``/``<style>`` blocks and comments,
@@ -136,18 +138,39 @@ def html_to_text(html: Column | str) -> Column:
     feed the quality gates, which is what the downstream operators
     actually need.
 
+    With ``block_breaks=True``, block-level boundaries (``</p>``,
+    ``</div>``, ``</li>``, ``</h1>``-``</h6>``, ``</tr>``, ``<br>``)
+    become NEWLINES and whitespace collapses per-line instead of
+    globally — the layout-preserving mode that makes the extracted
+    text compose with :func:`dedup.line_dedup` (a site template's
+    nav/footer blocks land on their own lines, exactly what the
+    line-frequency pass removes). Default ``False`` keeps the
+    original single-line WET behavior.
+
     Examples
     --------
         >>> df = spark.createDataFrame(
         ...     [("<p>Hi &amp; bye</p><script>var x;</script>",)], ["h"])
         >>> df.select(html_to_text("h").alias("t")).first()["t"]
         'Hi & bye'
+        >>> df2 = spark.createDataFrame(
+        ...     [("<p>one</p><p>two</p><div>nav</div>",)], ["h"])
+        >>> df2.select(
+        ...     html_to_text("h", block_breaks=True).alias("t")
+        ... ).first()["t"]
+        'one\\ntwo\\nnav'
     """
     c = _col(html)
     # order matters: blocks first (their CONTENT must go), then tags,
     # then entities, then whitespace
     out = F.regexp_replace(c, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
     out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    if block_breaks:
+        out = F.regexp_replace(
+            out,
+            r"(?i)</(p|div|li|tr|h[1-6])\s*>|<br\s*/?>",
+            "\n",
+        )
     out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
     for ent, rep in [
         ("&nbsp;", " "),
@@ -158,9 +181,15 @@ def html_to_text(html: Column | str) -> Column:
         ("&amp;", "&"),  # LAST, or "&amp;lt;" would double-decode
     ]:
         out = F.replace(out, F.lit(ent), F.lit(rep))
-    return F.regexp_replace(
-        F.regexp_replace(out, r"^\s+|\s+$", ""), r"\s+", " "
-    )
+    if not block_breaks:
+        return F.regexp_replace(
+            F.regexp_replace(out, r"^\s+|\s+$", ""), r"\s+", " "
+        )
+    # per-line collapse: spaces/tabs within lines, blank lines dropped
+    out = F.regexp_replace(out, r"[ \t\r\f]+", " ")
+    out = F.regexp_replace(out, r" ?\n ?", "\n")
+    out = F.regexp_replace(out, r"\n+", "\n")
+    return F.regexp_replace(out, r"^\s+|\s+$", "")
 
 
 def extract_links(html: Column | str) -> Column:

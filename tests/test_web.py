@@ -351,3 +351,46 @@ class TestRobotsSitemaps:
             [("a.com", "User-agent: *\nDisallow:")], ["host", "robots_txt"]
         )
         assert web.robots_sitemaps(df).count() == 0
+
+
+class TestHtmlToTextBlockBreaks:
+    def test_blocks_become_lines(self, spark):
+        html = (
+            "<html><body><h1>Title</h1>"
+            "<p>para one</p>\n<p>para  two</p>"
+            "<div>  nav | home  </div>"
+            "<ul><li>item a</li><li>item b</li></ul>"
+            "line<br>break</body></html>"
+        )
+        df = spark.createDataFrame([(html,)], ["h"])
+        got = df.select(
+            web.html_to_text("h", block_breaks=True).alias("t")
+        ).first()["t"]
+        assert got == (
+            "Title\npara one\npara two\nnav | home\n"
+            "item a\nitem b\nline\nbreak"
+        )
+
+    def test_composes_with_line_dedup(self, spark):
+        from flycatcher_spark.operators import dedup
+
+        pages = spark.createDataFrame(
+            [
+                (1, "<p>unique one</p><div>SHARED NAV</div>"),
+                (2, "<p>unique two</p><div>SHARED NAV</div>"),
+            ],
+            ["doc_id", "html"],
+        )
+        texts = pages.select(
+            "doc_id",
+            web.html_to_text("html", block_breaks=True).alias("text"),
+        )
+        out = {
+            r.doc_id: r.text_dedup
+            for r in dedup.line_dedup(texts).collect()
+        }
+        assert out == {1: "unique one", 2: "unique two"}
+
+    def test_default_mode_unchanged(self, spark):
+        df = spark.createDataFrame([("<p>a</p><p>b</p>",)], ["h"])
+        assert df.select(web.html_to_text("h").alias("t")).first()["t"] == "a b"
