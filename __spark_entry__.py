@@ -3435,7 +3435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webdataset_samples": q_webdataset_samples,
         "embedding_project": q_embedding_project,
         "html_lines_dedup": q_html_lines_dedup,
-        # -- positions 14-19: the r6-new batch. The r6 driver artifacts
+        # -- positions 14-19 (r6-new batch; see COVERAGE note). The r6 driver artifacts
         # -- (CORRECTNESS_r06) never landed in the repo, so these have
         # -- no driver-green yet — they stay in the window rather than
         # -- rotating out on local evidence alone.

@@ -100,6 +100,8 @@ def stft_frame_features(
         hop = frame_len
     if frame_len < 2 or hop < 1:
         raise ValueError("frame_len must be >= 2 and hop >= 1")
+    if channel < 0:
+        raise ValueError("channel must be >= 0")
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), *STFT_FIELDS]
     )

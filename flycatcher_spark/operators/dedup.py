@@ -1447,9 +1447,14 @@ def line_dedup(
     """
     key_src = F.col("__line")
     key = normalize_text(key_src) if normalize else key_src
+    # posexplode_outer, not posexplode: a NULL text must keep its row
+    # (null line → null text_dedup, 0 lines) instead of silently
+    # dropping the document from the output
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+        F.posexplode_outer(
+            F.split(F.col(text_col), "\n")
+        ).alias("__pos", "__line"),
     ).withColumn(
         "__h",
         F.when(F.length(key) >= min_chars, F.md5(key)),
@@ -1469,14 +1474,17 @@ def line_dedup(
     return (
         marked.groupBy(id_col)
         .agg(
-            F.concat_ws(
-                "\n",
-                F.transform(
-                    F.array_sort(F.collect_list(keep_struct)),
-                    lambda s: s.getField("__line"),
+            F.when(
+                F.count(F.col("__line")) > 0,
+                F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.array_sort(F.collect_list(keep_struct)),
+                        lambda s: s.getField("__line"),
+                    ),
                 ),
             ).alias("text_dedup"),
-            F.count(F.lit(1)).alias("n_lines"),
+            F.count(F.col("__line")).alias("n_lines"),
             F.sum(
                 F.coalesce(F.col("__rm"), F.lit(False)).cast("long")
             ).alias("n_removed"),

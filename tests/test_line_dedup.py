@@ -71,3 +71,15 @@ class TestLineDedup:
         )
         assert got[1][0] == "first\nsecond\nthird"
         assert got[1][2] == 2
+
+    def test_null_text_keeps_row(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a\nB"), (2, None), (3, "a\nc")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.text_dedup, r.n_lines, r.n_removed)
+            for r in dedup.line_dedup(df).collect()
+        }
+        assert got[2] == (None, 0, 0)
+        assert got[1] == ("B", 2, 1)  # "a" shared with doc 3
