@@ -3302,32 +3302,28 @@ def q_webdataset_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents").select("doc_id")
     shards = webdataset.make_webdataset_payload(docs)
+    # ONE shard pass: the sample map already carries the jpg member,
+    # so the decode stage reads element_at(parts, 'jpg') instead of a
+    # second tar_members walk (which would re-run the fixture build
+    # AND the tar parse — measured 2x the whole query at sf0.1)
     samples = webdataset.webdataset_samples(shards).select(
         "doc_id",
         "sample_key",
         "n_members",
         F.element_at("parts", "txt").cast("string").alias("caption"),
-        (
-            F.col("doc_id") * 10
-            + F.regexp_extract("sample_key", r"_(\d+)$", 1).cast("long")
-        ).alias("__mid"),
+        F.element_at("parts", "jpg").alias("payload"),
     )
-    jpgs = (
-        webdataset.tar_members(shards)
-        .where(F.col("ext") == "jpg")
-        .select(
-            (
-                F.col("doc_id") * 10
-                + F.regexp_extract("sample_key", r"_(\d+)$", 1).cast("long")
-            ).alias("__mid"),
-            F.col("member").alias("payload"),
-        )
+    meta = multimodal.decode_image_meta(
+        samples,
+        id_col="doc_id",
+        passthrough=["sample_key", "n_members", "caption"],
     )
-    meta = multimodal.decode_image_meta(jpgs, id_col="__mid").select(
-        "__mid", F.round("mean_pixel", 6).alias("mean_pixel")
-    )
-    return samples.join(meta, on="__mid").select(
-        "doc_id", "sample_key", "n_members", "caption", "mean_pixel"
+    return meta.select(
+        "doc_id",
+        "sample_key",
+        "n_members",
+        "caption",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
     )
 
 

@@ -151,6 +151,16 @@ def main() -> None:
         # transfer, no count-only plan pruning
         df.write.format("noop").mode("overwrite").save()
 
+    def drop_all_storage() -> None:
+        # clearCache() drops cached TABLES but not localCheckpoint
+        # RDDs (pagerank/hits/connected-components materialize
+        # results through checkpoints); in a 51-query session those
+        # accumulate until driver GC notices, so drop them explicitly
+        # — every run must start from the same empty storage state.
+        spark.catalog.clearCache()
+        for r in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            r.unpersist(False)
+
     warm_sf = "/root/testdata/sf0.001"
     if os.path.isdir(warm_sf) and warm_sf != sf_dir:
         for name in headline:
@@ -158,6 +168,7 @@ def main() -> None:
                 run_full(qs[name](spark, warm_sf))
             except Exception as e:  # warm-up must never fail the bench
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
+        drop_all_storage()  # warmup checkpoints must not leak into timing
 
     timings: dict[str, float] = {}
     for name in headline:
@@ -173,7 +184,7 @@ def main() -> None:
             run_full(fn(spark, sf_dir))
         except Exception as e:
             print(f"# target-sf warmup {name} failed: {e}", file=sys.stderr)
-        spark.catalog.clearCache()
+        drop_all_storage()
         runs = []
         for _ in range(n_runs):
             t0 = time.time()
@@ -185,7 +196,7 @@ def main() -> None:
             # the cached blocks would otherwise accumulate across
             # 3 runs x the headline set — drop them so every run starts from
             # the same storage state.
-            spark.catalog.clearCache()
+            drop_all_storage()
         med = statistics.median(runs)
         timings[name] = round(med, 3)
         runs_s = "/".join(f"{r:.2f}" for r in runs)

@@ -484,18 +484,28 @@ def parse_wav(payload: bytes) -> dict | None:
 
 
 def decode_image_meta(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
-    """REAL image decode over a binary column: parse PPM/PGM or PNG
-    (magic-byte dispatch, :func:`parse_image`) headers and raster,
-    emit true dimensions + pixel statistics. Same Arrow
+    """REAL image decode over a binary column: parse PPM/PGM, PNG, or
+    baseline JPEG (magic-byte dispatch, :func:`parse_image`) headers
+    and raster, emit true dimensions + pixel statistics. Same Arrow
     ``mapInPandas`` plumbing as :func:`decode_meta` (map-only,
     payloads stay on executors); malformed payloads yield null
-    metadata rather than failing the stage."""
+    metadata rather than failing the stage.
+
+    ``passthrough`` columns ride through the Arrow stage unchanged —
+    a composed query (e.g. WebDataset sample decode) then needs NO
+    join back to its source, so an expensive upstream (shard build +
+    tar walk) evaluates exactly once."""
     import pandas as pd
 
+    passthrough = [c for c in (passthrough or []) if c != id_col]
+    pass_fields = [df.schema[c] for c in passthrough]
     out_schema = T.StructType(
-        [T.StructField(id_col, T.LongType()), *IMAGE_META_FIELDS]
+        [T.StructField(id_col, T.LongType()), *pass_fields, *IMAGE_META_FIELDS]
     )
 
     def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -524,10 +534,14 @@ def decode_image_meta(
                 rows,
                 columns=[f.name for f in IMAGE_META_FIELDS],
             )
+            for i, c in enumerate(passthrough):
+                out.insert(i, c, pdf[c].values)
             out.insert(0, id_col, pdf[id_col].values)
             yield out
 
-    return df.select(id_col, payload_col).mapInPandas(process, schema=out_schema)
+    return df.select(id_col, *passthrough, payload_col).mapInPandas(
+        process, schema=out_schema
+    )
 
 
 def decode_wav_meta(
