@@ -221,8 +221,8 @@ def hits(
         ...      for x in hits(e, iterations=1).collect()}
         >>> r["b"]  # everyone points at b: top authority
         (0.5, 1.0)
-        >>> r["a"]
-        (0.5, 0.0)
+        >>> r["a"]  # a points only at the top authority: top hub
+        (1.0, 0.0)
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
