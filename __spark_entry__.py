@@ -3214,7 +3214,10 @@ def q_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow stage. FLAC is lossless, so DuckDB replays the same sample
     formula as wav_decode, value-checking rate/channels/frames/
     duration and the sample RMS through the compressed container."""
-    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    # the tiny doc table arrives in 1-2 file splits; the encode +
+    # bitstream-decode Arrow stages are compute-dense, so spread them
+    # (the SCALE.md single-node-harness note)
+    docs = _read(spark, sf_dir, "documents").select("doc_id").repartition(spark.sparkContext.defaultParallelism)
     with_payload = multimodal.make_flac_payload(docs)
     meta = multimodal.decode_audio_meta(with_payload, id_col="doc_id")
     return meta.select(
@@ -3238,7 +3241,7 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each frame's two blocks decode flat to closed-form values, so
     DuckDB states the sampled frame indices, dimensions and pixel
     means outright."""
-    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    docs = _read(spark, sf_dir, "documents").select("doc_id").repartition(spark.sparkContext.defaultParallelism)
     with_payload = video.make_avi_payload(docs)
     out = video.video_frames(with_payload, every_n=2)
     return out.select(
@@ -3300,7 +3303,7 @@ def q_webdataset_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     are value-checked end-to-end."""
     from flycatcher_spark.operators import webdataset
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    docs = _read(spark, sf_dir, "documents").select("doc_id").repartition(spark.sparkContext.defaultParallelism)
     shards = webdataset.make_webdataset_payload(docs)
     # ONE shard pass: the sample map already carries the jpg member,
     # so the decode stage reads element_at(parts, 'jpg') instead of a
@@ -3366,7 +3369,7 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimensions and the raster mean outright while the decode path is
     the real thing (the AC/chroma/4:2:0 paths are pinned by pytest
     against an independent IDCT)."""
-    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    docs = _read(spark, sf_dir, "documents").select("doc_id").repartition(spark.sparkContext.defaultParallelism)
     with_payload = multimodal.make_jpeg_payload(docs)
     meta = multimodal.decode_image_meta(with_payload, id_col="doc_id")
     return meta.select(
@@ -3390,7 +3393,7 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame_len*A^2 exactly (time-domain integer, Parseval-equal to the
     spectrum), rms = A — so DuckDB states the whole feature table
     outright."""
-    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    docs = _read(spark, sf_dir, "documents").select("doc_id").repartition(spark.sparkContext.defaultParallelism)
     tones = audio.make_tone_payload(docs)
     return audio.stft_frame_features(tones)
 
