@@ -313,6 +313,28 @@ def main() -> None:
     )
     print("semantic dedup on learned clusters:", sem_kept.count(), "/", em.count())
 
+    # 13. Multimodal shard ingest (r7): WebDataset-style tar shards
+    #     explode to (caption, image) samples row-locally — the
+    #     format's adjacency contract means no shuffle — and the jpg
+    #     member is genuinely JPEG-decoded in the same Arrow pass
+    #     (passthrough columns avoid a join back to the samples).
+    from flycatcher_spark.operators import multimodal, webdataset
+
+    shards = webdataset.make_webdataset_payload(
+        docs.select("doc_id").limit(200).repartition(8)
+    )
+    samples = webdataset.webdataset_samples(shards).select(
+        "doc_id",
+        "sample_key",
+        F.element_at("parts", "txt").cast("string").alias("caption"),
+        F.element_at("parts", "jpg").alias("payload"),
+    )
+    decoded = multimodal.decode_image_meta(
+        samples, id_col="doc_id", passthrough=["sample_key", "caption"]
+    )
+    print("webdataset samples decoded:", decoded.count())
+    decoded.select("sample_key", "caption", "width", "mean_pixel").show(3)
+
     spark.stop()
 
 
