@@ -3811,7 +3811,8 @@ def _pagerank_cte(n_iter: int = 3, damping: str = "0.85") -> str:
     for it in range(1, n_iter + 1):
         parts.append(f"""r{it} AS (
             SELECT nd.node,
-                   ROUND((1.0 - {damping}) / (SELECT n FROM nn)
+                   ROUND((CAST(1.0 AS DOUBLE) - CAST({damping} AS DOUBLE))
+                             / (SELECT n FROM nn)
                          + {damping} * COALESCE(CAST(SUM(CAST(
                                ROUND(r.rank / dg.od, 9)
                            AS DECIMAL(20,9))) AS DOUBLE), 0.0),

@@ -295,7 +295,13 @@ def parse_flac(payload: bytes) -> dict | None:
                 br.read(16)
             elif sr_code == 15:
                 return None
-            fbps = _SAMPLE_SIZES.get(ss_code, bps) if ss_code else bps
+            if ss_code == 3:
+                # 0b011 is reserved (RFC 9639 §9.1.4) — reject rather
+                # than guess the STREAMINFO bps ("unsupported, not
+                # wrong"); 0b111 is defined there as 32 bit/sample and
+                # resolves via _SAMPLE_SIZES.
+                return None
+            fbps = _SAMPLE_SIZES[ss_code] if ss_code else bps
             header_crc = br.read(8)
             hdr_end = br.byte_pos()
             if crc8(buf[fr_start : hdr_end - 1]) != header_crc:

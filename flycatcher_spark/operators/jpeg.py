@@ -105,6 +105,12 @@ class _HuffTable:
         code = 0
         k = 0
         for length in range(1, 17):
+            # Reject over-subscription BEFORE touching the LUT: a
+            # slice-assign past index 65536 silently GROWS the lists
+            # (worst case ~8M entries on an adversarial DHT), so the
+            # guard must precede the writes, not follow them.
+            if code + counts[length - 1] > (1 << length):
+                raise ValueError("over-subscribed huffman table")
             for _ in range(counts[length - 1]):
                 lo = code << (16 - length)
                 hi = (code + 1) << (16 - length)
@@ -112,8 +118,6 @@ class _HuffTable:
                 self.lut_sym[lo:hi] = [symbols[k]] * (hi - lo)
                 code += 1
                 k += 1
-            if code > (1 << length):
-                raise ValueError("over-subscribed huffman table")
             code <<= 1
 
 

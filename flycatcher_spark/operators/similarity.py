@@ -1284,7 +1284,11 @@ def random_projection(
         [1.414214, 0.0]
     """
     v = F.col(vec) if isinstance(vec, str) else vec
-    inv = 1.0 / float(out_dim) ** 0.5
+    # divide (not multiply-by-reciprocal): the DuckDB oracle computes
+    # ``total / sqrt(out_dim)`` and ``x*(1/s)`` differs from ``x/s``
+    # by up to 1 ulp — same IEEE op in both engines or the
+    # cell-for-cell check can flake on rounding boundaries.
+    scale = float(out_dim) ** 0.5
 
     def sign(i: Column, j: Column) -> Column:
         # bit 16 of the multiplicative hash; operands stay < 2^63
@@ -1300,7 +1304,7 @@ def random_projection(
             lambda x, i: x * sign(i, j),
         )
         total = F.aggregate(signed, F.lit(0.0), lambda acc, t: acc + t)
-        return F.round(total * F.lit(inv), decimals)
+        return F.round(total / F.lit(scale), decimals)
 
     return F.transform(
         F.sequence(F.lit(0), F.lit(out_dim - 1)), comp

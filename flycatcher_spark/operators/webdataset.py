@@ -53,7 +53,12 @@ def _iter_members(payload: bytes):
             if not m.isfile():
                 continue
             name = m.name
-            dot = name.rfind(".")
+            # WebDataset convention: the sample key is everything up
+            # to the FIRST dot of the basename (so ``x.seg.png`` is
+            # sample ``x`` with ext ``seg.png``, and dotted directory
+            # prefixes like ``v1.2/x.png`` never split the key).
+            base = name.rfind("/") + 1
+            dot = name.find(".", base)
             key, ext = (name, "") if dot < 0 else (name[:dot], name[dot + 1 :])
             body = tf.extractfile(m).read()
             yield key, ext, body
