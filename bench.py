@@ -1,7 +1,8 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ...} plus the noise-proofing fields
+described below.
 
 Each query is forced with a **noop-sink write** (r4 change): the query
 fully executes — every output column materialized — without result
@@ -13,21 +14,55 @@ eliminated outright, so e.g. ``verbatim_overlap`` "ran" in 0.4s
 without ever computing its n-grams. Timings from r4 on are therefore
 honest but NOT comparable to r1-r3 for map-heavy queries.
 
-r5 change: each query runs ``$SPARK_GRAFT_BENCH_RUNS`` times (default
-3) and reports the **median** — single runs showed ±0.3s noise on
-sub-second queries, which made per-query regression gating (see
-``tools/gate.py`` vs ``bench_baseline.json``) too flaky to enforce.
-Each query additionally gets one untimed warm run at the TARGET SF
-before its timed runs (cache cleared in between): the sf0.001 warmup
-alone leaves some plan shapes cold and their first timed run 3-4x
-steady state.
+r8 change — the noise-proof protocol. BENCH_r07.json was captured
+while an external process load (loadavg 10+, nothing local above 2%
+CPU) contaminated the host, and recorded a 2.76x "regression" that
+re-runs on a quiet machine showed never happened. Three defenses now
+protect the recorded numbers:
+
+1. **min over separated passes, not median of adjacent runs.**
+   External noise is strictly additive — a contaminated run is never
+   FASTER than the code's true cost — so the minimum over samples is
+   the robust statistic (the r7 builder note already argued this; the
+   r7 verdict endorsed it). Each query is timed
+   ``$SPARK_GRAFT_BENCH_RUNS`` times (default 2) in each of
+   ``$SPARK_GRAFT_BENCH_PASSES`` passes (default 2) over the WHOLE
+   headline list, so a query's samples are separated by minutes — a
+   transient load burst cannot contaminate all of them.
+2. **A per-run external-load sentinel.** Around every timed run the
+   harness reads host CPU busy jiffies (/proc/stat, steal included)
+   and subtracts the CPU consumed by this process tree (driver +
+   JVM + Python workers, via a /proc walk); the remainder divided by
+   wall time is the average number of EXTERNAL busy cores during the
+   run. A run with external cores > $SPARK_GRAFT_BENCH_EXT_CORES
+   (default 1.5) is marked dirty and excluded from the min. A query
+   whose every sample is dirty gets extra retry runs; if all samples
+   are still dirty its min is recorded anyway but the query lands in
+   ``dirty_queries`` and its per-query entry carries ``dirty: true``
+   in ``query_detail`` — consumers (tools/gate.py) skip, not fail,
+   dirty samples.
+3. **A machine-state stanza in the output.** The JSON line carries
+   loadavg at bench start/end, per-query loadavg before/after, the
+   per-run external-core estimates, and a top-level ``clean`` flag —
+   a reader can SEE whether a snapshot is trustworthy instead of
+   reconstructing it forensically like r7 required.
+
+Cross-session minima: set ``SPARK_GRAFT_BENCH_MERGE=/path/to/prev.json``
+to min-merge a previous session's per-query values (same sf required)
+into this run's output — the documented way to record "min of N
+across >= 2 separated sessions".
+
+r5 note (superseded by the above): medians replaced single runs
+because sub-second queries showed ±0.3s noise. Each query still gets
+one untimed warm run at the TARGET SF before its timed runs (cache
+cleared in between): the sf0.001 warmup alone leaves some plan shapes
+cold and their first timed run 3-4x steady state.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
 import time
 
@@ -96,11 +131,92 @@ HEADLINE = [
     "html_lines_dedup",         # block-break extraction + line dedup
 ]
 
+_CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+
+
+def _host_busy_seconds() -> float | None:
+    """Total busy CPU-seconds across all host CPUs from /proc/stat
+    (user+nice+system+irq+softirq+steal — steal IS external load)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+    except OSError:
+        return None
+    if parts[0] != "cpu" or len(parts) < 8:
+        return None
+    v = [int(x) for x in parts[1:]]
+    # user nice system idle iowait irq softirq steal ...
+    busy = v[0] + v[1] + v[2] + v[5] + v[6] + (v[7] if len(v) > 7 else 0)
+    return busy / _CLK_TCK
+
+
+def _tree_cpu_seconds() -> float | None:
+    """CPU-seconds consumed so far by this process and every live
+    descendant (the Spark JVM and its Python workers are children,
+    not reaped, so getrusage(RUSAGE_CHILDREN) misses them)."""
+    try:
+        entries = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as f:
+                    raw = f.read()
+            except OSError:
+                continue
+            fields = raw.rsplit(")", 1)[1].split()
+            # post-comm fields: 0=state 1=ppid ... 11=utime 12=stime
+            entries[int(d)] = (int(fields[1]), int(fields[11]) + int(fields[12]))
+    except OSError:
+        return None
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _) in entries.items():
+        kids.setdefault(ppid, []).append(pid)
+    total, frontier = 0, [os.getpid()]
+    while frontier:
+        pid = frontier.pop()
+        ent = entries.get(pid)
+        if ent is None:
+            continue
+        total += ent[1]
+        frontier.extend(kids.get(pid, []))
+    return total / _CLK_TCK
+
+
+def _loadavg() -> list[float] | None:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        return None
+
+
+class _RunMeter:
+    """Times one run and estimates average EXTERNAL busy cores during
+    it: (host busy CPU - our tree's CPU) / wall."""
+
+    def __enter__(self):
+        self.h0 = _host_busy_seconds()
+        self.t0 = _tree_cpu_seconds()
+        self.w0 = time.time()
+        return self
+
+    def __exit__(self, *exc):
+        self.wall = time.time() - self.w0
+        h1, t1 = _host_busy_seconds(), _tree_cpu_seconds()
+        self.ext_cores = None
+        if None not in (self.h0, self.t0, h1, t1) and self.wall > 0:
+            ext = (h1 - self.h0) - (t1 - self.t0)
+            self.ext_cores = max(0.0, round(ext / self.wall, 2))
+        return False
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    ext_thresh = float(os.environ.get("SPARK_GRAFT_BENCH_EXT_CORES", "1.5"))
+    merge_path = os.environ.get("SPARK_GRAFT_BENCH_MERGE", "")
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
     headline = (
         [q for q in HEADLINE if q in set(only.split(","))]
@@ -170,43 +286,115 @@ def main() -> None:
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
         drop_all_storage()  # warmup checkpoints must not leak into timing
 
-    timings: dict[str, float] = {}
-    for name in headline:
-        fn = qs[name]
-        # One untimed warm run AT THE TARGET SF: the sf0.001 warmup
-        # compiles different AQE/codegen plan shapes for some queries
-        # (ivf_rerank_topk's first sf0.01 run measured 3-4x its
-        # steady state), which made median-of-3 flaky for regression
-        # gating. The cache is cleared after the warm run too, so
-        # timed runs recompute all data — only code paths stay warm,
-        # matching the docstring's steady-state-throughput intent.
-        try:
-            run_full(fn(spark, sf_dir))
-        except Exception as e:
-            print(f"# target-sf warmup {name} failed: {e}", file=sys.stderr)
+    load_start = _loadavg()
+
+    def timed_run(name: str) -> tuple[float, float | None]:
+        with _RunMeter() as m:
+            run_full(qs[name](spark, sf_dir))
+        # Some operators persist intermediates internally (minhash
+        # signatures, LSH candidates). Each run creates its own
+        # DataFrame objects so nothing is shared between runs, but the
+        # cached blocks would otherwise accumulate across runs x the
+        # headline set — drop them so every run starts from the same
+        # storage state. The drop is outside the meter: it is harness
+        # bookkeeping, not query cost.
         drop_all_storage()
-        runs = []
-        for _ in range(n_runs):
-            t0 = time.time()
-            run_full(fn(spark, sf_dir))
-            runs.append(time.time() - t0)
-            # Some operators persist intermediates internally (minhash
-            # signatures, LSH candidates). Each run creates its own
-            # DataFrame objects so nothing is shared between runs, but
-            # the cached blocks would otherwise accumulate across
-            # 3 runs x the headline set — drop them so every run starts from
-            # the same storage state.
-            drop_all_storage()
-        med = statistics.median(runs)
-        timings[name] = round(med, 3)
-        runs_s = "/".join(f"{r:.2f}" for r in runs)
+        return m.wall, m.ext_cores
+
+    # runs[name] -> list of (seconds, ext_cores); detail[name] keeps
+    # the loadavg snapshots for the machine stanza.
+    runs: dict[str, list[tuple[float, float | None]]] = {q: [] for q in headline}
+    detail: dict[str, dict] = {q: {} for q in headline}
+
+    for p in range(n_passes):
+        for name in headline:
+            if p == 0:
+                # One untimed warm run AT THE TARGET SF: the sf0.001
+                # warmup compiles different AQE/codegen plan shapes for
+                # some queries (ivf_rerank_topk's first sf0.01 run
+                # measured 3-4x its steady state). The cache is cleared
+                # after the warm run too, so timed runs recompute all
+                # data — only code paths stay warm.
+                detail[name]["loadavg_before"] = _loadavg()
+                try:
+                    run_full(qs[name](spark, sf_dir))
+                except Exception as e:
+                    print(f"# target-sf warmup {name} failed: {e}", file=sys.stderr)
+                drop_all_storage()
+            for _ in range(n_runs):
+                runs[name].append(timed_run(name))
+            if p == n_passes - 1:
+                detail[name]["loadavg_after"] = _loadavg()
+
+    def split_clean(samples):
+        clean = [s for s, e in samples if e is not None and e <= ext_thresh]
+        unmetered = [s for s, e in samples if e is None]
+        return clean + unmetered  # no meter -> can't condemn the run
+
+    # Retry round: a query whose EVERY sample was taken under external
+    # load gets two more attempts now (the burst may have passed).
+    for name in headline:
+        attempts = 0
+        while not split_clean(runs[name]) and attempts < 2:
+            print(f"# {name}: all samples dirty, retrying", file=sys.stderr)
+            runs[name].append(timed_run(name))
+            attempts += 1
+
+    timings: dict[str, float] = {}
+    dirty_queries: list[str] = []
+    for name in headline:
+        samples = runs[name]
+        clean = split_clean(samples)
+        dirty = not clean
+        if dirty:
+            dirty_queries.append(name)
+        best = min(clean) if clean else min(s for s, _ in samples)
+        timings[name] = round(best, 3)
+        detail[name].update(
+            {
+                "runs": [round(s, 3) for s, _ in samples],
+                "ext_cores": [e for _, e in samples],
+                "n_clean": len(clean),
+                "dirty": dirty,
+            }
+        )
+        runs_s = "/".join(
+            f"{s:.2f}@{e if e is not None else '?'}" for s, e in samples
+        )
+        flag = " DIRTY" if dirty else ""
         print(
-            f"# {name}: median {med:.2f}s over {n_runs} runs ({runs_s})",
+            f"# {name}: min {best:.2f}s over {len(samples)} runs "
+            f"({runs_s}){flag}",
             file=sys.stderr,
         )
 
-    total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    merged_from = None
+    if merge_path and os.path.exists(merge_path):
+        with open(merge_path) as f:
+            prev = json.load(f)
+        if prev.get("sf") == sf_val:
+            merged_from = merge_path
+            prev_dirty = set(prev.get("dirty_queries", []))
+            for name, t in prev.get("queries", {}).items():
+                if name in timings and name not in prev_dirty and t < timings[name]:
+                    timings[name] = t
+                    if name in dirty_queries:
+                        dirty_queries.remove(name)
+                        detail[name]["dirty"] = False
+                    detail[name]["merged_min"] = t
+        else:
+            print(
+                f"# merge skipped: sf mismatch ({prev.get('sf')} vs {sf_val})",
+                file=sys.stderr,
+            )
+
+    total = round(sum(timings.values()), 3)
+    ext_seen = [
+        e for d in detail.values() for e in d.get("ext_cores", []) if e is not None
+    ]
     print(
         json.dumps(
             {
@@ -214,7 +402,27 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                "protocol": {
+                    "stat": "min-of-clean-runs",
+                    "passes": n_passes,
+                    "runs_per_pass": n_runs,
+                    "ext_cores_threshold": ext_thresh,
+                    "merged_from": merged_from,
+                },
+                "dirty_queries": dirty_queries,
+                "clean": not dirty_queries,
+                "machine": {
+                    "cpus": os.cpu_count(),
+                    "spark_cpus": int(cpus),
+                    "loadavg_start": load_start,
+                    "loadavg_end": _loadavg(),
+                    "ext_cores_max": max(ext_seen) if ext_seen else None,
+                    "ext_cores_mean": (
+                        round(sum(ext_seen) / len(ext_seen), 2) if ext_seen else None
+                    ),
+                },
+                "query_detail": detail,
             }
         )
     )
