@@ -3209,7 +3209,9 @@ def q_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL FLAC decode (r7, operators/flac): each doc's PCM (the
     exact make_wav_payload sample formula) is compressed into a real
     FLAC stream — STREAMINFO, frame header with CRC-8, rotating
-    verbatim/fixed-order subframes with Rice residuals, CRC-16 — and
+    verbatim/fixed-order/LPC subframes (r8 adds quantized-coefficient
+    LPC, the coding real-world FLAC uses almost exclusively) with
+    Rice residuals, CRC-16 — and
     parse_flac genuinely walks the bitstream back out inside the
     Arrow stage. FLAC is lossless, so DuckDB replays the same sample
     formula as wav_decode, value-checking rate/channels/frames/

@@ -895,14 +895,16 @@ def make_flac_payload(
     ``((id*31 + i*17) % 4096) - 2048``), so the closed-form oracle of
     ``wav_decode`` replays FLAC decoding too — lossless means the
     statistics are identical. The subframe coding rotates with the id
-    (verbatim / fixed 1-3) so the fixture corpus exercises every
-    decode path the subset supports."""
+    (verbatim / fixed 1-3 / lpc 2,4 since r8) so the fixture corpus
+    exercises every decode path the subset supports, including the
+    LPC coefficient/shift reconstruction real-world FLAC uses almost
+    exclusively."""
     from .flac import encode_flac
 
     @pandas_udf("binary")
     def _build(ids: pd.Series) -> pd.Series:
         out = []
-        modes = ["verbatim", "fixed1", "fixed2", "fixed3"]
+        modes = ["verbatim", "fixed1", "fixed2", "fixed3", "lpc2", "lpc4"]
         for i in ids:
             if i is None:
                 out.append(None)
@@ -919,7 +921,7 @@ def make_flac_payload(
                     samples,
                     sample_rate=sample_rate,
                     n_channels=n_channels,
-                    subframe=modes[i % 4],
+                    subframe=modes[i % len(modes)],
                 )
             )
         return pd.Series(out)

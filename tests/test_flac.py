@@ -76,17 +76,14 @@ class TestCorruption:
         assert parse_flac(b"RIFF" + b"\x00" * 60) is None
         assert parse_flac(None) is None
 
-    def test_lpc_subframe_unsupported_not_crash(self):
-        # rewrite the subframe type bits to LPC (0b100000): the
-        # documented subset boundary must yield None, not an exception
-        b = bytearray(encode_flac([1, 2, 3, 4], subframe="verbatim"))
+    def test_reserved_sample_size_code_rejected(self):
+        # rewrite the frame-header sample-size bits to the reserved
+        # 0b011: the decoder must return None rather than guess the
+        # STREAMINFO bit depth
+        b = bytearray(encode_flac(list(range(50))))
         hdr = 4 + 4 + 34
-        # frame header here: 4 fixed bytes + 1 (frame no) + 1
-        # (8-bit blocksize) + 1 crc8 = 7; subframe header is next
-        sub = hdr + 7
-        b[sub] = 0b01000000  # pad=0, type=100000 (LPC order 1), wasted=0
-        # re-sign the frame CRC so the subset boundary (not the CRC)
-        # is what the decoder hits
+        b[hdr + 3] = (b[hdr + 3] & 0xF0) | (3 << 1)
+        b[hdr + 6] = crc8(bytes(b[hdr : hdr + 6]))
         b[-2:] = crc16(bytes(b[hdr:-2])).to_bytes(2, "big")
         assert parse_flac(bytes(b)) is None
 
@@ -161,6 +158,101 @@ class TestHandBuiltStreams:
 
         m = parse_flac(_frame_bytes(bits, 16))
         assert list(m["samples"]) == [int(s) for s in samples]
+
+
+class TestLPC:
+    """LPC subframes (RFC 9639 §9.2.4, r8): quantized coefficients +
+    arithmetic right shift, integer-exact round-trips through the
+    fixture encoder's real bit layout, CRC-verified by parse_flac."""
+
+    def test_fixture_orders_roundtrip(self):
+        s = list(RNG.integers(-3000, 3000, size=300))
+        for mode in ["lpc1", "lpc2", "lpc3", "lpc4", "lpc8"]:
+            _roundtrip(s, subframe=mode)
+
+    def test_explicit_coeffs_and_zero_shift(self):
+        s = list(RNG.integers(-2000, 2000, size=128))
+        _roundtrip(s, subframe="lpc5", lpc_coeffs=[3, -2, 1, -1, 1],
+                   lpc_shift=0)
+
+    def test_order_32_max(self):
+        s = list(RNG.integers(-1000, 1000, size=200))
+        _roundtrip(s, subframe="lpc32", lpc_coeffs=[1] * 32, lpc_shift=5)
+
+    def test_stereo_decorrelation_with_lpc(self):
+        st = list(RNG.integers(-2000, 2000, size=400))
+        for cm in ["left_side", "right_side", "mid_side"]:
+            m = _roundtrip(st, n_channels=2, channel_mode=cm,
+                           subframe="lpc2")
+            assert m["n_channels"] == 2
+
+    def test_lpc_compresses_smooth_signal(self):
+        # the point of LPC: a tuned fractional predictor (63/64 ~
+        # matches the 0.9^(1/10) decay) leaves tiny residuals where
+        # verbatim stores every sample whole
+        sig = [int(1500 * (0.9 ** (i / 10))) for i in range(1000)]
+        lpc = encode_flac(sig, subframe="lpc1", lpc_coeffs=[63],
+                          lpc_shift=6, rice_param=3)
+        assert len(lpc) < len(encode_flac(sig, subframe="verbatim")) / 2
+
+    def test_corrupt_coefficient_fails_crc(self):
+        b = bytearray(encode_flac(list(RNG.integers(-999, 999, size=200)),
+                                  subframe="lpc2"))
+        b[60] ^= 0x40
+        assert parse_flac(bytes(b)) is None
+
+    def test_invalid_precision_code_rejected(self):
+        # hand-built LPC order-1 subframe with the invalid 0b1111
+        # coefficient-precision code
+        def bits(bw):
+            bw.write(0, 1); bw.write(32, 6); bw.write(0, 1)  # lpc order 1
+            bw.write_signed(10, 16)                           # warmup
+            bw.write(0b1111, 4)                               # invalid
+            bw.write(0, 5)
+            bw.write_signed(1, 15)
+            bw.write(0, 2); bw.write(0, 4); bw.write(2, 4)
+            for _ in range(3):
+                bw.write_unary(0); bw.write(0, 2)
+
+        assert parse_flac(_frame_bytes(bits, 4)) is None
+
+    def test_negative_shift_rejected(self):
+        def bits(bw):
+            bw.write(0, 1); bw.write(32, 6); bw.write(0, 1)
+            bw.write_signed(10, 16)
+            bw.write(3, 4)                                    # precision 4
+            bw.write(0b11111, 5)                              # shift -1
+            bw.write_signed(1, 4)
+            bw.write(0, 2); bw.write(0, 4); bw.write(2, 4)
+            for _ in range(3):
+                bw.write_unary(0); bw.write(0, 2)
+
+        assert parse_flac(_frame_bytes(bits, 4)) is None
+
+    def test_handbuilt_known_prediction(self):
+        # order-2, coeffs [5, 2], shift 2: s[i] = r[i] +
+        # ((5*s[i-1] + 2*s[i-2]) >> 2) — state the expected samples
+        # outright from the residuals
+        warm = [100, -40]
+        residuals = [7, -3, 0, 12]
+        expect = list(warm)
+        for r in residuals:
+            expect.append(r + ((5 * expect[-1] + 2 * expect[-2]) >> 2))
+
+        def bits(bw):
+            bw.write(0, 1); bw.write(33, 6); bw.write(0, 1)  # lpc order 2
+            for w in warm:
+                bw.write_signed(w, 16)
+            bw.write(3, 4)                                    # precision 4
+            bw.write_signed(2, 5)                             # shift 2
+            bw.write_signed(5, 4); bw.write_signed(2, 4)
+            bw.write(0, 2); bw.write(0, 4); bw.write(5, 4)
+            for r in residuals:
+                u = (r << 1) if r >= 0 else ((-r) << 1) - 1
+                bw.write_unary(u >> 5); bw.write(u & 31, 5)
+
+        m = parse_flac(_frame_bytes(bits, 6))
+        assert list(m["samples"]) == expect
 
 
 class TestSparkIntegration:
