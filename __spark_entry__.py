@@ -3361,16 +3361,19 @@ def q_hits_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL baseline JPEG decode (r7, operators/jpeg): every doc gets
-    a deterministic grayscale JPEG — DQT/SOF0/DHT/SOS marker walk,
-    custom canonical Huffman tables, DC-predicted entropy-coded
-    blocks, every fifth payload with restart markers — and parse_jpeg
-    genuinely Huffman-decodes, dequantizes and IDCTs the raster back
-    inside the Arrow stage. DC-only blocks with quantizer 8 decode to
-    the closed-form flat value 128 + dc per block, so DuckDB states
-    dimensions and the raster mean outright while the decode path is
-    the real thing (the AC/chroma/4:2:0 paths are pinned by pytest
-    against an independent IDCT)."""
+    """REAL JPEG decode (r7, operators/jpeg; progressive arm r8):
+    every doc gets a deterministic grayscale JPEG — DQT/SOF/DHT/SOS
+    marker walk, custom canonical Huffman tables, DC-predicted
+    entropy-coded blocks, every fifth payload with restart markers,
+    and every THIRD payload progressive (SOF2: multi-scan DC
+    first/refinement + AC bands accumulated per T.81 Annex G) — and
+    parse_jpeg genuinely Huffman-decodes, dequantizes and IDCTs the
+    raster back inside the Arrow stage. DC-only blocks with quantizer
+    8 decode to the closed-form flat value 128 + dc per block, so
+    DuckDB states dimensions and the raster mean outright while the
+    decode path is the real thing (the AC/chroma/4:2:0 paths — and
+    progressive == baseline on identical coefficients — are pinned by
+    pytest against an independent IDCT)."""
     docs = _read(spark, sf_dir, "documents").select("doc_id").repartition(spark.sparkContext.defaultParallelism)
     with_payload = multimodal.make_jpeg_payload(docs)
     meta = multimodal.decode_image_meta(with_payload, id_col="doc_id")

@@ -942,8 +942,11 @@ def make_jpeg_payload(
     see :mod:`.jpeg`), so every pixel statistic is closed-form while
     the decoder genuinely Huffman-decodes and IDCTs. Every fifth
     payload adds restart markers (interval 2) to exercise the
-    DRI/RSTn path."""
-    from .jpeg import encode_jpeg
+    DRI/RSTn path; every third payload is PROGRESSIVE (SOF2, r8) —
+    multi-scan DC first/refinement plus AC bands through the same
+    closed-form coefficients, so the oracle formula is unchanged
+    while the decode genuinely runs the Annex G scan accumulation."""
+    from .jpeg import encode_jpeg, encode_jpeg_progressive
 
     @pandas_udf("binary")
     def _build(ids: pd.Series) -> pd.Series:
@@ -958,12 +961,15 @@ def make_jpeg_payload(
             for b in range(bx * by):
                 dc = ((i * 7 + b * 13) % 160) - 80
                 blocks.append([dc] + [0] * 63)
-            out.append(
-                encode_jpeg(
-                    8 * bx, 8 * by, [blocks],
-                    restart_interval=2 if i % 5 == 0 else 0,
+            if i % 3 == 2:
+                out.append(encode_jpeg_progressive(8 * bx, 8 * by, [blocks]))
+            else:
+                out.append(
+                    encode_jpeg(
+                        8 * bx, 8 * by, [blocks],
+                        restart_interval=2 if i % 5 == 0 else 0,
+                    )
                 )
-            )
         return pd.Series(out)
 
     return df.withColumn(payload_col, _build(F.col(id_col)))

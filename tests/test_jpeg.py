@@ -11,6 +11,7 @@ from flycatcher_spark.operators.jpeg import (
     _A,
     ZIGZAG,
     encode_jpeg,
+    encode_jpeg_progressive,
     parse_jpeg,
 )
 
@@ -121,12 +122,104 @@ class TestRejection:
         b = encode_jpeg(8, 8, [[_dc_block(10)]])
         assert parse_jpeg(b[: len(b) // 2]) is None
 
-    def test_progressive_rejected(self):
-        # rewrite SOF0 (0xC0) to SOF2 (0xC2): subset boundary
+    def test_arithmetic_coding_rejected(self):
+        # rewrite SOF0 (0xC0) to SOF9 (0xC9, arithmetic sequential):
+        # subset boundary
+        b = bytearray(encode_jpeg(8, 8, [[_dc_block(10)]]))
+        i = bytes(b).index(b"\xff\xc0")
+        b[i + 1] = 0xC9
+        assert parse_jpeg(bytes(b)) is None
+
+    def test_sequential_scan_under_sof2_rejected(self):
+        # a baseline stream relabeled SOF2 carries an Ss=0/Se=63 scan
+        # header, which is invalid for progressive (DC scans must
+        # have Se=0) — reject, don't misdecode
         b = bytearray(encode_jpeg(8, 8, [[_dc_block(10)]]))
         i = bytes(b).index(b"\xff\xc0")
         b[i + 1] = 0xC2
         assert parse_jpeg(bytes(b)) is None
+
+
+class TestProgressive:
+    """SOF2 (r8): every test decodes a progressive stream built by
+    encode_jpeg_progressive and pins it equal to the BASELINE decode
+    of the identical coefficient blocks — the two pipelines share
+    only the coefficient semantics, so agreement checks the Annex G
+    scan accumulation end to end."""
+
+    def _blocks(self, n, density=0.3, lo=-200, hi=200):
+        out = []
+        for _ in range(n):
+            b = [int(RNG.integers(lo, hi))] + [0] * 63
+            ks = RNG.choice(range(1, 64), size=int(63 * density),
+                            replace=False)
+            for k in ks:
+                b[int(k)] = int(RNG.integers(lo, hi))
+            out.append(b)
+        return out
+
+    def _pin(self, w, h, comps, sampling=None, scans=None):
+        base = parse_jpeg(encode_jpeg(w, h, comps, sampling=sampling))
+        prog = parse_jpeg(
+            encode_jpeg_progressive(w, h, comps, sampling=sampling,
+                                    scans=scans)
+        )
+        assert prog is not None
+        assert prog["width"] == base["width"]
+        assert np.array_equal(prog["pixels"], base["pixels"])
+
+    def test_dc_only_closed_form(self):
+        img = parse_jpeg(
+            encode_jpeg_progressive(16, 8, [[_dc_block(10), _dc_block(-30)]])
+        )
+        assert set(img["pixels"][: 8 * 8].tolist()) <= {138, 98}
+        assert sorted(set(img["pixels"].tolist())) == [98, 138]
+
+    def test_grayscale_random_equals_baseline(self):
+        self._pin(32, 24, [self._blocks(12)])
+
+    def test_color_420_equals_baseline(self):
+        self._pin(
+            32, 32,
+            [self._blocks(16), self._blocks(4), self._blocks(4)],
+            sampling=[(2, 2), (1, 1), (1, 1)],
+        )
+
+    def test_sparse_long_eob_runs(self):
+        # mostly-empty blocks drive multi-block EOB runs with buffered
+        # refinement correction bits
+        self._pin(64, 64, [self._blocks(64, density=0.03, lo=-40, hi=40)])
+
+    def test_deep_successive_approximation(self):
+        scans = [
+            {"comps": [0], "ss": 0, "se": 0, "ah": 0, "al": 2},
+            {"comps": [0], "ss": 0, "se": 0, "ah": 2, "al": 1},
+            {"comps": [0], "ss": 0, "se": 0, "ah": 1, "al": 0},
+            {"comps": [0], "ss": 1, "se": 63, "ah": 0, "al": 2},
+            {"comps": [0], "ss": 1, "se": 63, "ah": 2, "al": 1},
+            {"comps": [0], "ss": 1, "se": 63, "ah": 1, "al": 0},
+        ]
+        self._pin(48, 8, [self._blocks(6, density=0.2)], scans=scans)
+
+    def test_spectral_bands_only_no_refinement(self):
+        # pure spectral selection at Al=0: no successive approximation
+        scans = [
+            {"comps": [0], "ss": 0, "se": 0, "ah": 0, "al": 0},
+            {"comps": [0], "ss": 1, "se": 9, "ah": 0, "al": 0},
+            {"comps": [0], "ss": 10, "se": 63, "ah": 0, "al": 0},
+        ]
+        self._pin(24, 16, [self._blocks(6)], scans=scans)
+
+    def test_truncated_progressive(self):
+        b = encode_jpeg_progressive(16, 8, [[_dc_block(10), _dc_block(20)]])
+        assert parse_jpeg(b[: len(b) // 2]) is None
+
+    def test_crop_non_multiple_of_8(self):
+        blocks = [self._blocks(4)]
+        base = parse_jpeg(encode_jpeg(13, 11, blocks))
+        prog = parse_jpeg(encode_jpeg_progressive(13, 11, blocks))
+        assert prog["width"] == 13 and prog["height"] == 11
+        assert np.array_equal(prog["pixels"], base["pixels"])
 
 
 class TestSparkIntegration:
