@@ -3108,6 +3108,41 @@ def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(edges, iterations=3)
 
 
+def q_pagerank_redistribute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dangling-mass-conserving PageRank (r8,
+    graph.pagerank(dangling="redistribute")): the pagerank_hosts
+    pipeline, but only hosts with id % 5 != 0 publish pages — the
+    other 20 hosts still RECEIVE links, so the graph has genuine
+    sinks whose rank mass would leak under the drop rule. Each of the
+    3 iterations adds d * D / N where D is the round-9 DECIMAL sum of
+    rank on out-degree-0 nodes; DuckDB replays D and the extra term
+    per iteration in the unrolled CTEs. Mass conservation (ranks sum
+    to 1 within rounding) is pinned by pytest."""
+    i = F.col("doc_id")
+    docs = _read(spark, sf_dir, "documents").select("doc_id").where(
+        (i % 100) % 5 != 0
+    )
+    a = (i * 7 + 1) % 100
+    b = (i * 13 + 3) % 100
+    c = (i * 3 + 2) % 100
+    html = F.concat(
+        F.lit('<p>page</p><a href="https://h'), a.cast("string"),
+        F.lit('.example.com/a">A</a><a href="//h'), b.cast("string"),
+        F.lit('.example.com/b">B</a><a href="https://h'),
+        c.cast("string"),
+        F.lit('.example.com/c">C</a>'),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://h"), (i % 100).cast("string"),
+            F.lit(".example.com/p"), i.cast("string"),
+        ).alias("url"),
+        html.alias("html"),
+    )
+    edges = web.host_links(pages)
+    return graph.pagerank(edges, iterations=3, dangling="redistribute")
+
+
 def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor extraction + resolution (r7, web.extract_links /
     web.resolve_link / web.canonical_url as one map-only chain):
@@ -3428,6 +3463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- sitemap frontier parsing, audio STFT features)
         "line_dedup": q_line_dedup,
         "pagerank_hosts": q_pagerank_hosts,
+        "pagerank_redistribute": q_pagerank_redistribute,
         "extract_links": q_extract_links,
         "cdx_index": q_cdx_index,
         "sitemap_urls": q_sitemap_urls,
@@ -3796,7 +3832,9 @@ def _hits_cte(n_iter: int = 2) -> str:
     return ",\n        ".join(parts)
 
 
-def _pagerank_cte(n_iter: int = 3, damping: str = "0.85") -> str:
+def _pagerank_cte(
+    n_iter: int = 3, damping: str = "0.85", dangling: str = "drop"
+) -> str:
     """CTE chain replaying operators/graph.pagerank in DuckDB over
     the ``edges(src, dst)`` CTE the caller must define: ``nodes``,
     ``nn`` (node count), ``deg`` (out-degrees), ``r0`` (uniform
@@ -3804,7 +3842,10 @@ def _pagerank_cte(n_iter: int = 3, damping: str = "0.85") -> str:
     rounding points mirror the Spark implementation exactly: per-edge
     contributions round to 9 and sum as DECIMAL(20,9); ranks round
     back to 9; the shared constants are the same IEEE expressions
-    ((1.0 - d)/n, 1.0/n) in both engines."""
+    ((1.0 - d)/n, 1.0/n) in both engines. ``dangling="redistribute"``
+    (r8) adds a per-iteration ``dang{it}`` CTE — the round-9 DECIMAL
+    sum of rank mass on out-degree-0 nodes — and the extra update
+    term ``d * (D / n)``, exactly where Spark appends it."""
     parts = [
         """nodes AS (SELECT src AS node FROM edges
                      UNION SELECT dst FROM edges),
@@ -3814,13 +3855,24 @@ def _pagerank_cte(n_iter: int = 3, damping: str = "0.85") -> str:
                FROM nodes)""",
     ]
     for it in range(1, n_iter + 1):
+        extra = ""
+        if dangling == "redistribute":
+            parts.append(f"""dang{it} AS (
+            SELECT ROUND(CAST(SUM(CAST(ROUND(r.rank, 9)
+                       AS DECIMAL(20,9))) AS DOUBLE), 9) AS dm
+            FROM r{it - 1} r
+            WHERE r.node NOT IN (SELECT src FROM deg))""")
+            extra = f"""
+                         + CAST({damping} AS DOUBLE)
+                           * (COALESCE((SELECT dm FROM dang{it}), 0.0)
+                              / (SELECT n FROM nn))"""
         parts.append(f"""r{it} AS (
             SELECT nd.node,
                    ROUND((CAST(1.0 AS DOUBLE) - CAST({damping} AS DOUBLE))
                              / (SELECT n FROM nn)
                          + {damping} * COALESCE(CAST(SUM(CAST(
                                ROUND(r.rank / dg.od, 9)
-                           AS DECIMAL(20,9))) AS DOUBLE), 0.0),
+                           AS DECIMAL(20,9))) AS DOUBLE), 0.0){extra},
                          9) AS rank
             FROM nodes nd
             LEFT JOIN edges e ON e.dst = nd.node
@@ -4011,6 +4063,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM e0
             ),
             {_pagerank_cte(n_iter=3)}
+            SELECT node, rank FROM r3
+        """,
+        "pagerank_redistribute": f"""
+            WITH d AS (
+                SELECT doc_id % 100 AS s,
+                       (doc_id * 7 + 1) % 100 AS a,
+                       (doc_id * 13 + 3) % 100 AS b,
+                       (doc_id * 3 + 2) % 100 AS c
+                FROM documents
+                WHERE (doc_id % 100) % 5 <> 0
+            ),
+            e0 AS (
+                SELECT DISTINCT s, dst FROM (
+                    SELECT s, a AS dst FROM d
+                    UNION ALL SELECT s, b AS dst FROM d
+                    UNION ALL SELECT s, c AS dst FROM d) u
+                WHERE dst <> s
+            ),
+            edges AS (
+                SELECT 'h' || s || '.example.com' AS src,
+                       'h' || dst || '.example.com' AS dst
+                FROM e0
+            ),
+            {_pagerank_cte(n_iter=3, dangling="redistribute")}
             SELECT node, rank FROM r3
         """,
         "extract_links": """

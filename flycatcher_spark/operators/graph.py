@@ -27,8 +27,11 @@ Scale shape (per iteration; E = edges, N = nodes):
   partitioned on the same key, so consecutive iterations reuse the
   edge exchange under AQE), one shuffle aggregates contributions on
   ``dst`` with map-side partial DECIMAL sums;
-- dangling mass (nodes with no out-links) is *dropped*, the common
-  simplification — documented so the oracle states the same rule;
+- dangling mass (nodes with no out-links) is *dropped* by default,
+  the textbook simplification — documented so the oracle states the
+  same rule; ``dangling="redistribute"`` (r8) conserves mass with one
+  extra 1-row DECIMAL aggregate per iteration, the right setting for
+  sink-heavy real crawl graphs;
 - lineage is truncated with ``localCheckpoint`` every
   ``checkpoint_every`` iterations (the :func:`dedup.connected_components`
   pattern) so long runs don't accrete a growing plan tree.
@@ -79,6 +82,7 @@ def pagerank(
     dst_col: str = "dst",
     dedupe_edges: bool = True,
     checkpoint_every: int = 4,
+    dangling: str = "drop",
 ) -> DataFrame:
     """Exact deterministic PageRank over a directed edge table.
 
@@ -87,6 +91,7 @@ def pagerank(
 
         rank'(v) = (1-d)/N + d * sum over in-edges (u,v) of
                    rank(u) / out_deg(u)
+                   [+ d * D/N  when dangling="redistribute"]
 
     with the documented simplifications that make it engine-portable
     and partitioning-invariant:
@@ -94,16 +99,29 @@ def pagerank(
     - per-edge contributions ``rank(u)/out_deg(u)`` round to 9
       decimals and sum as DECIMAL(20,9) (exact, order-independent);
       the updated rank rounds back to 9 decimals;
-    - dangling-node mass is dropped (no redistribution), so ranks sum
-      to slightly under 1 — the usual simplification, stated here
-      because the oracle must apply the same rule;
+    - ``dangling="drop"`` (default): dangling-node mass is dropped,
+      so ranks sum to slightly under 1 — the textbook simplification,
+      kept as the default for oracle stability across rounds.
+      ``dangling="redistribute"`` (r8): each iteration additionally
+      computes the total rank mass ``D`` sitting on nodes with no
+      out-edges (one DECIMAL-summed scalar aggregate — the same
+      bounded driver-side shape as the HITS max) and adds
+      ``d * D / N`` to every node, so rank mass is conserved. Crawl
+      graphs are sink-heavy; redistribution keeps ranks comparable
+      across iteration counts and graph snapshots;
     - ``(1-d)/N`` and the initial ``1/N`` are evaluated as the same
       IEEE double expressions in every engine (``lit(1.0) -
       lit(damping)`` divided by the node count), never as a
-      pre-rounded constant on one side.
+      pre-rounded constant on one side; the redistribution term is
+      ``d * (D / N)`` with ``D`` the round-9 double both engines
+      compute identically.
 
-    ``N`` (node count) is the one driver-side scalar (a count job);
-    ranks themselves stay distributed throughout.
+    ``N`` (node count) is the one driver-side scalar in drop mode
+    (a count job); redistribute mode adds one 1-row aggregate per
+    iteration. Ranks themselves stay distributed throughout; in
+    redistribute mode each iteration's ranks are checkpoint-
+    materialized because two consumers read them (the dangling-mass
+    aggregate and the next join).
 
     Examples
     --------
@@ -112,9 +130,15 @@ def pagerank(
         >>> r = {x.node: x.rank for x in pagerank(e, iterations=1).collect()}
         >>> sorted(r.items())  # c is dangling: its mass drops
         [('a', 0.333333333), ('b', 0.191666667), ('c', 0.191666667)]
+        >>> r = {x.node: x.rank for x in pagerank(
+        ...     e, iterations=1, dangling="redistribute").collect()}
+        >>> round(sum(r.values()), 9)  # conserved, to the round-9 grid
+        0.999999999
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
+    if dangling not in ("drop", "redistribute"):
+        raise ValueError("dangling must be 'drop' or 'redistribute'")
     e = edges.select(
         F.col(src_col).cast("string").alias("src"),
         F.col(dst_col).cast("string").alias("dst"),
@@ -152,8 +176,39 @@ def pagerank(
 
         deg = out_degrees(e)
         edeg = caching.track(e.join(deg, on="src").persist())
+        dang_nodes = None
+        if dangling == "redistribute":
+            dang_nodes = caching.track(
+                nodes.join(
+                    deg.withColumnRenamed("src", "node"), on="node",
+                    how="left_anti",
+                ).persist()
+            )
         ranks = nodes.withColumn("rank", init)
         for it in range(iterations):
+            extra = None
+            if dangling == "redistribute":
+                # two consumers read this iteration's ranks (the
+                # dangling-mass aggregate and the contribution join):
+                # materialize once instead of recomputing the lineage
+                ranks = ranks.localCheckpoint(eager=True)
+                dmass = (
+                    ranks.join(dang_nodes, on="node")
+                    .agg(
+                        F.round(
+                            F.sum(
+                                F.round(F.col("rank"), _RANK_DECIMALS).cast(
+                                    "decimal(20,9)"
+                                )
+                            ).cast("double"),
+                            _RANK_DECIMALS,
+                        )
+                    )
+                    .first()[0]
+                )
+                extra = F.lit(float(damping)) * (
+                    F.lit(float(dmass or 0.0)) / F.lit(float(n_nodes))
+                )
             contrib = (
                 edeg.join(ranks.withColumnRenamed("node", "src"), on="src")
                 .select(
@@ -165,14 +220,14 @@ def pagerank(
                 .groupBy("node")
                 .agg(F.sum("__c").alias("__in"))
             )
+            upd = base + F.lit(float(damping)) * F.coalesce(
+                F.col("__in").cast("double"), F.lit(0.0)
+            )
+            if extra is not None:
+                upd = upd + extra
             ranks = nodes.join(contrib, on="node", how="left").select(
                 "node",
-                F.round(
-                    base
-                    + F.lit(float(damping))
-                    * F.coalesce(F.col("__in").cast("double"), F.lit(0.0)),
-                    _RANK_DECIMALS,
-                ).alias("rank"),
+                F.round(upd, _RANK_DECIMALS).alias("rank"),
             )
             if checkpoint_every and (it + 1) % checkpoint_every == 0 and (
                 it + 1

@@ -9,22 +9,49 @@ import pytest
 from flycatcher_spark.operators import graph
 
 
-def _py_pagerank(edges, iterations=3, damping=0.85):
+def _r9(x):
+    """Spark's F.round semantics on doubles: HALF_UP on the shortest
+    decimal representation (java BigDecimal.valueOf). Python's
+    built-in round() is half-EVEN and diverges on boundary values."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x))).quantize(
+        Decimal("1e-9"), rounding=ROUND_HALF_UP
+    ))
+
+
+def _py_pagerank(edges, iterations=3, damping=0.85, dangling="drop"):
     """Driver-side replica of the documented arithmetic (round-9
-    contributions, round-9 ranks, dangling mass dropped)."""
+    contributions, round-9 ranks, dangling mass dropped or — r8 —
+    redistributed as d * D / n)."""
     edges = sorted(set(edges))
     nodes = sorted({x for t in edges for x in t})
     n = len(nodes)
     outd = defaultdict(int)
     for s, _ in edges:
         outd[s] += 1
-    r = {v: round(1.0 / n, 9) for v in nodes}
+    from decimal import Decimal
+
+    def dec9(x):  # exact DECIMAL(20,9) image of a round-9 double
+        return Decimal(repr(_r9(x)))
+
+    r = {v: _r9(1.0 / n) for v in nodes}
     for _ in range(iterations):
-        inc = defaultdict(float)
+        extra = 0.0
+        if dangling == "redistribute":
+            dm = _r9(float(sum(
+                (dec9(r[v]) for v in nodes if v not in outd), Decimal(0)
+            )))
+            extra = damping * (dm / n)
+        inc = defaultdict(lambda: Decimal(0))
         for s, d in edges:
-            inc[d] += round(r[s] / outd[s], 9)
+            inc[d] += dec9(r[s] / outd[s])
         r = {
-            v: round((1.0 - damping) / n + damping * round(inc.get(v, 0.0), 9), 9)
+            v: _r9(
+                (1.0 - damping) / n
+                + damping * float(inc.get(v, Decimal(0)))
+                + extra
+            )
             for v in nodes
         }
     return r
@@ -70,6 +97,55 @@ class TestPagerank:
         )  # duplicates must not double-count contributions
         got = {r.node: r.rank for r in graph.pagerank(e, iterations=2).collect()}
         assert got == _py_pagerank(EDGES, iterations=2)
+
+    def test_redistribute_matches_python_reference(self, spark):
+        # b and f are sinks: redistribute must add d*D/n each round
+        edges = EDGES + [("a", "f")]
+        e = spark.createDataFrame(edges, ["src", "dst"])
+        got = {
+            r.node: r.rank
+            for r in graph.pagerank(
+                e, iterations=3, dangling="redistribute"
+            ).collect()
+        }
+        assert got == _py_pagerank(edges, iterations=3,
+                                   dangling="redistribute")
+
+    def test_redistribute_conserves_mass(self, spark):
+        # with sinks present: drop leaks mass, redistribute keeps the
+        # rank sum at 1 to within the 9-decimal rounding grid
+        edges = [("a", "b"), ("b", "c"), ("a", "d"), ("d", "a")]
+        e = spark.createDataFrame(edges, ["src", "dst"])
+        dropped = {
+            r.node: r.rank for r in graph.pagerank(e, iterations=4).collect()
+        }
+        kept = {
+            r.node: r.rank
+            for r in graph.pagerank(
+                e, iterations=4, dangling="redistribute"
+            ).collect()
+        }
+        assert sum(dropped.values()) < 0.999
+        # error bound: n round-offs of <= 5e-10 each per iteration
+        assert abs(sum(kept.values()) - 1.0) < len(kept) * 4 * 5e-10
+
+    def test_redistribute_no_sinks_equals_drop(self, spark):
+        # every node has out-edges: D == 0, the modes must agree
+        edges = [("a", "b"), ("b", "c"), ("c", "a")]
+        e = spark.createDataFrame(edges, ["src", "dst"])
+        drop = {r.node: r.rank for r in graph.pagerank(e, iterations=3).collect()}
+        redist = {
+            r.node: r.rank
+            for r in graph.pagerank(
+                e, iterations=3, dangling="redistribute"
+            ).collect()
+        }
+        assert drop == redist
+
+    def test_bad_dangling_mode_raises(self, spark):
+        e = spark.createDataFrame([("a", "b")], ["src", "dst"])
+        with pytest.raises(ValueError, match="dangling"):
+            graph.pagerank(e, dangling="teleport")
 
     def test_checkpointing_does_not_change_values(self, spark):
         e = spark.createDataFrame(EDGES, ["src", "dst"])
