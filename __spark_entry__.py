@@ -2841,6 +2841,40 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return web.robots_gate(urls, rules).select("doc_id", "url", "allowed")
 
 
+def q_robots_gate_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robots_gate fixture through the COMPILED path (r8,
+    web.robots_gate(impl="compiled")): the curated rule table is
+    collected once and re-expressed as literal Column predicates —
+    prefix rules as startswith, wildcard/anchored rules as
+    literal-pattern rlike, precedence resolved at compile time into
+    a WHEN chain — so the gate is join-free, shuffle-free and fully
+    codegen-able. Same oracle verdicts as robots_gate; pytest
+    additionally asserts the compiled plan carries no rule join and
+    no pattern column."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    robots = docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host")
+    ).distinct().withColumn("robots_txt", F.lit(_ROBOTS_TXT))
+    rules = web.robots_rules(robots, agent="flycatcher")
+    v = F.col("doc_id") % 5
+    path = (
+        F.when(v == 0, F.concat(F.lit("/public/"), F.col("doc_id")))
+        .when(v == 1, F.concat(F.lit("/private/"), F.col("doc_id")))
+        .when(v == 2, F.concat(F.lit("/private/ok/"), F.col("doc_id")))
+        .when(v == 3, F.concat(F.lit("/tmp/f"), F.col("doc_id"), F.lit(".log")))
+        .otherwise(F.lit("/tmp/keep.log"))
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com"), path
+        ).alias("url"),
+    )
+    return web.robots_gate(urls, rules, impl="compiled").select(
+        "doc_id", "url", "allowed"
+    )
+
+
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML→text extraction (r6, web.html_to_text — the WET
     conversion stage after WARC ingest): each doc is wrapped in a
@@ -3483,6 +3517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_profiles": q_langid_profiles,
         "warc_records": q_warc_records,
         "robots_gate": q_robots_gate,
+        "robots_gate_compiled": q_robots_gate_compiled,
         "html_extract": q_html_extract,
         "embedding_quantize": q_embedding_quantize,
         # -- positions 13-21: impl/oracle CHANGED in r6 (blocklist punctuation
@@ -4290,6 +4325,26 @@ def oracle_sql() -> dict[str, str]:
             FROM final
         """,
         "robots_gate": """
+            SELECT doc_id,
+                   'https://' || source || '.example.com' ||
+                   (CASE CAST(doc_id % 5 AS INT)
+                        WHEN 0 THEN '/public/' || doc_id
+                        WHEN 1 THEN '/private/' || doc_id
+                        WHEN 2 THEN '/private/ok/' || doc_id
+                        WHEN 3 THEN '/tmp/f' || doc_id || '.log'
+                        ELSE '/tmp/keep.log'
+                    END) AS url,
+                   (CASE CAST(doc_id % 5 AS INT)
+                        WHEN 0 THEN true   -- no matching rule
+                        WHEN 1 THEN false  -- Disallow: /private
+                        WHEN 2 THEN true   -- longer Allow: /private/ok
+                        WHEN 3 THEN false  -- Disallow: /tmp/*.log
+                        ELSE true          -- Allow: /tmp/keep.log$ is
+                                           -- longer than the wildcard
+                    END) AS allowed
+            FROM documents
+        """,
+"robots_gate_compiled": """
             SELECT doc_id,
                    'https://' || source || '.example.com' ||
                    (CASE CAST(doc_id % 5 AS INT)

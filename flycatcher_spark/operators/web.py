@@ -420,9 +420,11 @@ def robots_rules(
     robots.txt (Arrow kernel — group semantics are stateful per
     file), then keep the MOST SPECIFIC matching group per RFC 9309
     (the agent's own group when one exists, else ``*``; groups never
-    merge). Returns ``(host, allow, pattern_len, pattern_re)`` — a
-    per-host metadata side table, tiny next to any crawl and built
-    once per robots refresh.
+    merge). Returns ``(host, allow, pattern, pattern_len,
+    pattern_re)`` — a per-host metadata side table, tiny next to any
+    crawl and built once per robots refresh (``pattern`` is the raw
+    robots pattern, which the compiled gate path re-expresses as
+    literal predicates).
     """
     from pyspark.sql.pandas.functions import pandas_udf
 
@@ -460,33 +462,112 @@ def robots_rules(
     return picked.select(
         "host",
         "allow",
+        "pattern",
         F.length("pattern").cast("long").alias("pattern_len"),
         _rx(F.col("pattern")).alias("pattern_re"),
     )
+
+
+def _compile_rules(rules: DataFrame):
+    """Compile a :func:`robots_rules` table into a closure
+    ``(host_col, path_col) -> allowed Column`` of pure literal
+    predicates (the ``robots_gate(impl="compiled")`` backend).
+
+    Precedence is resolved AT COMPILE TIME: each host's rules sort by
+    (pattern length desc, allow-first), so the first matching WHEN
+    arm is exactly the RFC 9309 winner the dynamic path's struct-max
+    picks. Patterns without ``*``/``$`` (the overwhelming majority of
+    real robots rules) compile to ``startswith`` — a plain string op
+    inside whole-stage codegen; the rest compile to ``rlike`` with a
+    LITERAL pattern, which codegen compiles once per query instead of
+    per row."""
+    rows = rules.select("host", "allow", "pattern").collect()
+    if len({r.host for r in rows}) > 1000:
+        raise ValueError(
+            "compiled robots gate is for curated rule sets "
+            "(<= 1000 hosts); use impl='dynamic' for per-host crawl rules"
+        )
+    by_host: dict[str, list] = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+
+    def predicate(host_col, path_col):
+        case = None
+        for h in sorted(by_host):
+            cond = None
+            ordered = sorted(
+                by_host[h],
+                key=lambda r: (-len(r.pattern), -int(bool(r.allow))),
+            )
+            for r in ordered:
+                pat = r.pattern
+                if "*" not in pat and not pat.endswith("$"):
+                    m = path_col.startswith(pat)
+                else:
+                    m = path_col.rlike(_pattern_regex(pat))
+                verdict = F.lit(bool(r.allow))
+                cond = (
+                    F.when(m, verdict)
+                    if cond is None
+                    else cond.when(m, verdict)
+                )
+            hostly = (
+                cond.otherwise(F.lit(True))
+                if cond is not None
+                else F.lit(True)
+            )
+            case = (
+                F.when(host_col == F.lit(h), hostly)
+                if case is None
+                else case.when(host_col == F.lit(h), hostly)
+            )
+        if case is None:
+            return F.lit(True)
+        return case.otherwise(F.lit(True))
+
+    return predicate
 
 
 def robots_gate(
     urls: DataFrame,
     rules: DataFrame,
     url_col: str = "url",
+    impl: str = "dynamic",
 ) -> DataFrame:
-    """Crawl-permission gate: joins each URL's host against the
-    :func:`robots_rules` side table and applies RFC 9309 precedence —
-    among matching rules the LONGEST pattern wins, allow beating
-    disallow on equal length; no matching rule (or no robots.txt at
-    all) means allowed. Adds an ``allowed`` boolean to the input
-    rows.
+    """Crawl-permission gate: applies each URL's host's
+    :func:`robots_rules` with RFC 9309 precedence — among matching
+    rules the LONGEST pattern wins, allow beating disallow on equal
+    length; no matching rule (or no robots.txt at all) means allowed.
+    Adds an ``allowed`` boolean to the input rows.
 
-    Shuffle shape: the slim ``(id-less url, host, path)`` projection
-    joins the per-host rule table (broadcast when small, as a real
-    rules table is); the per-URL argmax shuffles one partial row per
-    URL. Matching runs ``RLIKE`` with a column-side pattern —
-    per-row regex, acceptable because rules-per-host is single
-    digits; a fixed curated rule set should be inlined as literals
-    instead.
+    Two implementations with identical results (pytest- and
+    oracle-pinned equal):
+
+    - ``impl="dynamic"`` (default): joins the per-host rule table
+      (broadcast when small, as a real rules table is); the per-URL
+      argmax shuffles one partial row per URL. Matching runs
+      ``RLIKE`` with a COLUMN-side pattern — per-row regex compile,
+      acceptable because rules-per-host is single digits, and the
+      right path when the rule table is itself data (per-host
+      robots refreshed by the crawl).
+    - ``impl="compiled"`` (r8): for the common curated-fixed-ruleset
+      case — collects the (bounded, by definition) rule table once
+      and compiles it into literal Column predicates: plain prefix
+      rules become ``startswith`` and wildcard/anchored rules become
+      literal-pattern ``rlike`` (compiled once by codegen, not per
+      row), chained in precedence order inside a per-host CASE. No
+      join, no shuffle, no pattern column — the whole gate stays in
+      WholeStageCodegen. Refuses rule tables over 1000 hosts (use
+      the dynamic path there).
     """
+    if impl not in ("dynamic", "compiled"):
+        raise ValueError("impl must be 'dynamic' or 'compiled'")
     host = host_of(canonical_url(F.col(url_col)))
     path = F.regexp_extract(canonical_url(F.col(url_col)), _URL_RE, 3)
+    if impl == "compiled":
+        return urls.withColumn(
+            "allowed", _compile_rules(rules)(host, path)
+        )
     with_hp = urls.withColumn("__host", host).withColumn("__path", path)
     joined = with_hp.join(
         rules.withColumnRenamed("host", "__host"), "__host", "left"

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from flycatcher_spark import plans
@@ -205,6 +206,73 @@ class TestRobots:
         assert rules.count() == 0
         urls = spark.createDataFrame([(1, "https://h.com/x")], ["id", "url"])
         assert web.robots_gate(urls, rules).first()["allowed"] is True
+
+    def test_compiled_equals_dynamic(self, spark):
+        # r8: both implementations must return identical verdicts over
+        # every precedence shape (prefix, wildcard, $-anchor, ties,
+        # unknown host) and across two hosts with different rules
+        robots = spark.createDataFrame(
+            [
+                ("h.com",
+                 "User-agent: *\nDisallow: /p\nAllow: /p/ok\n"
+                 "Disallow: /t/*.log\nAllow: /t/keep.log$\n"),
+                ("i.com", "User-agent: *\nDisallow: /\nAllow: /pub\n"),
+            ],
+            ["host", "robots_txt"],
+        )
+        rules = web.robots_rules(robots)
+        urls = spark.createDataFrame(
+            [
+                (1, "https://h.com/q"),
+                (2, "https://h.com/p/x"),
+                (3, "https://h.com/p/ok/x"),
+                (4, "https://h.com/t/a.log"),
+                (5, "https://h.com/t/keep.log"),
+                (6, "https://h.com/t/keep.logs"),
+                (7, "https://other.com/p/x"),
+                (8, "https://i.com/secret"),
+                (9, "https://i.com/pub/x"),
+            ],
+            ["id", "url"],
+        )
+        dyn = {
+            r["id"]: r["allowed"]
+            for r in web.robots_gate(urls, rules).collect()
+        }
+        comp = {
+            r["id"]: r["allowed"]
+            for r in web.robots_gate(urls, rules, impl="compiled").collect()
+        }
+        assert comp == dyn
+        assert comp[8] is False and comp[9] is True
+
+    def test_compiled_plan_has_no_join_or_pattern_column(self, spark):
+        # the whole point of the compiled path: no rule join, no
+        # RLIKE-on-column — literal predicates only
+        robots = spark.createDataFrame(
+            [("h.com", "User-agent: *\nDisallow: /p\nDisallow: /t/*.log\n")],
+            ["host", "robots_txt"],
+        )
+        rules = web.robots_rules(robots)
+        urls = spark.createDataFrame(
+            [(1, "https://h.com/p/x")], ["id", "url"]
+        )
+        gated = web.robots_gate(urls, rules, impl="compiled")
+        plan = gated._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+        assert "pattern_re" not in plan
+        assert "Exchange" not in plan
+        # prefix rule compiled to StartsWith, not a regex
+        assert "StartsWith" in plan
+
+    def test_compiled_refuses_oversized_rule_tables(self, spark):
+        rules = spark.createDataFrame(
+            [(f"h{i}.com", False, "/x") for i in range(1001)],
+            ["host", "allow", "pattern"],
+        )
+        urls = spark.createDataFrame([(1, "https://h0.com/x")], ["id", "url"])
+        with pytest.raises(ValueError, match="curated"):
+            web.robots_gate(urls, rules, impl="compiled")
 
 
 class TestHtmlToText:
