@@ -3362,6 +3362,48 @@ def q_html_lines_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text_dedup", "n_lines", "n_removed")
 
 
+def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset WRITE side (r8, webdataset.write_webdataset →
+    webdataset_samples): every doc becomes one sample (closed-form
+    .txt caption + an id-length .bin member), the writer re-shards
+    them into tar shards of exactly 100 samples assigned by the
+    deterministic md5 order, and the ingest path reads the shards
+    back. DuckDB replays the assignment outright — pos =
+    row_number over md5('wds:'||key) ordering, shard = pos // 100 —
+    plus each sample's caption, member count and .bin length, so the
+    pack → tar → unpack loop AND the shard assignment are
+    value-checked cell-for-cell."""
+    from flycatcher_spark.operators import webdataset
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    samples = docs.select(
+        F.concat(F.lit("s"), F.col("doc_id").cast("string")).alias(
+            "sample_key"
+        ),
+        F.create_map(
+            F.lit("txt"),
+            F.encode(
+                F.concat(F.lit("caption "), F.col("doc_id").cast("string")),
+                "utf-8",
+            ),
+            F.lit("bin"),
+            F.encode(
+                F.repeat(F.lit("x"), (F.col("doc_id") % 50).cast("int")),
+                "utf-8",
+            ),
+        ).alias("parts"),
+    )
+    shards = webdataset.write_webdataset(samples, samples_per_shard=100)
+    back = webdataset.webdataset_samples(shards, id_col="shard_id")
+    return back.select(
+        "shard_id",
+        "sample_key",
+        F.element_at("parts", "txt").cast("string").alias("caption"),
+        F.col("n_members").alias("n_parts"),
+        F.length(F.element_at("parts", "bin")).cast("long").alias("bin_len"),
+    )
+
+
 def q_webdataset_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset shard ingestion (r7, operators/webdataset): every
     doc becomes a REAL tar shard holding 2-4 samples, each a .txt
@@ -3507,6 +3549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "hits_hosts": q_hits_hosts,
         "webdataset_samples": q_webdataset_samples,
+        "webdataset_roundtrip": q_webdataset_roundtrip,
         "embedding_project": q_embedding_project,
         "html_lines_dedup": q_html_lines_dedup,
         # -- positions 14-19 (r6-new batch; see COVERAGE note). The r6 driver artifacts
@@ -4034,6 +4077,26 @@ def oracle_sql() -> dict[str, str]:
                        6) AS val
             FROM embeddings,
                  LATERAL (SELECT unnest(range(0, 8)) AS j)
+        """,
+        "webdataset_roundtrip": """
+            WITH s AS (
+                SELECT 's' || doc_id AS key,
+                       'caption ' || doc_id AS caption,
+                       CAST(doc_id % 50 AS BIGINT) AS bin_len
+                FROM documents
+            ),
+            p AS (
+                SELECT key, caption, bin_len,
+                       ROW_NUMBER() OVER (
+                           ORDER BY md5('wds:' || key), key) - 1 AS pos
+                FROM s
+            )
+            SELECT CAST(pos // 100 AS BIGINT) AS shard_id,
+                   key AS sample_key,
+                   caption,
+                   CAST(2 AS BIGINT) AS n_parts,
+                   bin_len
+            FROM p
         """,
         "webdataset_samples": """
             WITH s AS (

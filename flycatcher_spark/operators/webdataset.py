@@ -3,7 +3,13 @@ layout for large-scale multimodal training data (shards are plain
 tar archives; the files ``key.jpg`` / ``key.txt`` / ``key.json``
 form one training sample per key, samples stored contiguously).
 
-Two stages, both Arrow ``mapInPandas`` over the shard scan:
+Ingest stages (Arrow ``mapInPandas`` over the shard scan) plus — r8
+— the WRITE side (:func:`write_webdataset` /
+:func:`save_webdataset`): a curation pipeline re-shards its output
+(select → re-pack into size-bounded tar shards with deterministic
+md5-order assignment), closing the read-curate-write loop.
+
+Ingest:
 
 - :func:`tar_members` — explode a tar payload column into one row
   per member (key, extension, byte size, payload). Stdlib
@@ -44,7 +50,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-__all__ = ["tar_members", "webdataset_samples", "make_webdataset_payload"]
+__all__ = [
+    "tar_members",
+    "webdataset_samples",
+    "write_webdataset",
+    "save_webdataset",
+    "make_webdataset_payload",
+]
 
 
 def _iter_members(payload: bytes):
@@ -159,6 +171,107 @@ def webdataset_samples(
     return df.select(id_col, payload_col).mapInPandas(
         process, schema=out_schema
     )
+
+
+def write_webdataset(
+    samples: DataFrame,
+    samples_per_shard: int = 1000,
+    key_col: str = "sample_key",
+    parts_col: str = "parts",
+    seed: str = "wds",
+) -> DataFrame:
+    """Re-shard curated samples into WebDataset tar shards (r8, the
+    write side of this module): the inverse of
+    :func:`webdataset_samples`. Input is one row per sample with an
+    ``ext -> payload`` map (exactly the ingest output, so
+    select/filter stages compose in between); output is one row per
+    shard: ``(shard_id, n_samples, n_bytes, payload)``.
+
+    Shard assignment is DETERMINISTIC and size-bounded: samples get a
+    dense global position ordered by ``md5(seed || ':' || key)``
+    (:func:`quality.training_order` — the sharded-cumsum pattern, no
+    single-task global window), and ``shard_id = pos //
+    samples_per_shard`` — every shard holds exactly
+    ``samples_per_shard`` samples except the last, and any engine can
+    replay the assignment (the ``webdataset_roundtrip`` oracle does).
+    The md5 order doubles as the epoch shuffle a training loader
+    wants baked into shard layout.
+
+    Packing keeps the WebDataset contract: one ``applyInPandas``
+    group per shard sorts its samples by position and writes each
+    sample's members ADJACENTLY (``key.ext``, extensions sorted,
+    mtime 0 for byte-reproducibility). Payloads shuffle exactly once
+    (into their shard group) and never visit the driver; a shard's
+    bytes materialize only inside its one task, so executor memory
+    bounds shard size, not corpus size — pick ``samples_per_shard``
+    to target the usual ~1 GB shards.
+    """
+    from .quality import training_order
+
+    ordered = training_order(
+        samples.select(key_col, parts_col), key_col, seed=seed
+    )
+    with_shard = ordered.select(
+        F.col(key_col).alias("sample_key"),
+        F.col(parts_col).alias("parts"),
+        "pos",
+        (F.col("pos") / F.lit(int(samples_per_shard)))
+        .cast("long")
+        .alias("shard_id"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("shard_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pos")
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for key, parts in zip(pdf["sample_key"], pdf["parts"]):
+                for ext in sorted(parts):
+                    body = bytes(parts[ext])
+                    info = tarfile.TarInfo(name=f"{key}.{ext}")
+                    info.size = len(body)
+                    info.mtime = 0
+                    tf.addfile(info, io.BytesIO(body))
+        payload = buf.getvalue()
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "n_samples": [len(pdf)],
+                "n_bytes": [len(payload)],
+                "payload": [payload],
+            }
+        )
+
+    return with_shard.groupBy("shard_id").applyInPandas(
+        pack, schema=out_schema
+    )
+
+
+def save_webdataset(shards: DataFrame, directory: str) -> None:
+    """Write :func:`write_webdataset` shards as ``shard-{id:06d}.tar``
+    files under ``directory``. Files are written executor-side inside
+    ``foreachPartition`` (payloads never visit the driver), so the
+    directory must be visible to every executor — true in local mode
+    and on shared filesystems (NFS/FUSE); object stores want their
+    own committer instead."""
+    import os
+
+    os.makedirs(directory, exist_ok=True)
+
+    def write_part(rows):
+        for r in rows:
+            p = os.path.join(directory, f"shard-{r['shard_id']:06d}.tar")
+            with open(p, "wb") as f:
+                f.write(bytes(r["payload"]))
+
+    shards.select("shard_id", "payload").foreachPartition(write_part)
 
 
 def make_webdataset_payload(

@@ -77,3 +77,85 @@ class TestWebdatasetSamples:
             img = jpeg.parse_jpeg(bytes(r.parts["jpg"]))
             dc = ((i * 5 + k * 9) % 160) - 80
             assert set(img["pixels"].tolist()) == {128 + dc}
+
+
+class TestWriteWebdataset:
+    """r8 write side: write_webdataset re-shards samples into real
+    tar shards with deterministic md5-order assignment; reading them
+    back through the ingest path must reproduce the input exactly."""
+
+    def _samples(self, spark, n=23):
+        rows = [
+            (f"s{i}", {"txt": f"caption {i}".encode(),
+                       "bin": bytes([i % 251]) * (i % 7)})
+            for i in range(n)
+        ]
+        return rows, spark.createDataFrame(
+            rows, "sample_key string, parts map<string, binary>"
+        )
+
+    def test_round_trip_identity(self, spark):
+        rows, samples = self._samples(spark)
+        shards = webdataset.write_webdataset(samples, samples_per_shard=10)
+        back = webdataset.webdataset_samples(shards, id_col="shard_id")
+        got = {r.sample_key: dict(r.parts) for r in back.collect()}
+        want = {k: {e: bytes(b) for e, b in p.items()} for k, p in rows}
+        assert {k: {e: bytes(b) for e, b in p.items()}
+                for k, p in got.items()} == want
+
+    def test_shards_exactly_size_bounded(self, spark):
+        _, samples = self._samples(spark, n=23)
+        shards = webdataset.write_webdataset(samples, samples_per_shard=10)
+        sizes = {r.shard_id: r.n_samples for r in shards.collect()}
+        assert sizes == {0: 10, 1: 10, 2: 3}
+
+    def test_members_adjacent_and_ordered(self, spark):
+        import io
+        import tarfile
+
+        _, samples = self._samples(spark, n=12)
+        shards = webdataset.write_webdataset(
+            samples, samples_per_shard=100
+        ).collect()
+        assert len(shards) == 1
+        names = [
+            m.name
+            for m in tarfile.open(fileobj=io.BytesIO(bytes(shards[0].payload)))
+        ]
+        keys = [n.split(".", 1)[0] for n in names]
+        # every sample's members contiguous, extensions sorted
+        assert all(keys[i] == keys[i + 1] for i in range(0, len(keys), 2))
+        assert all(names[i].endswith(".bin") and names[i + 1].endswith(".txt")
+                   for i in range(0, len(names), 2))
+
+    def test_assignment_deterministic_and_seeded(self, spark):
+        _, samples = self._samples(spark)
+        a = {(r.shard_id, r.n_bytes)
+             for r in webdataset.write_webdataset(
+                 samples, samples_per_shard=10).collect()}
+        b = {(r.shard_id, r.n_bytes)
+             for r in webdataset.write_webdataset(
+                 samples, samples_per_shard=10).collect()}
+        assert a == b  # byte-reproducible (mtime 0, sorted members)
+        c = webdataset.write_webdataset(
+            samples, samples_per_shard=10, seed="epoch1"
+        ).collect()
+        # a different seed reshuffles: some shard's byte size changes
+        assert {(r.shard_id, r.n_bytes) for r in c} != a
+
+    def test_save_webdataset_files(self, spark, tmp_path):
+        import tarfile
+
+        rows, samples = self._samples(spark, n=8)
+        shards = webdataset.write_webdataset(samples, samples_per_shard=5)
+        webdataset.save_webdataset(shards, str(tmp_path))
+        files = sorted(p.name for p in tmp_path.iterdir())
+        assert files == ["shard-000000.tar", "shard-000001.tar"]
+        seen = {}
+        for p in sorted(tmp_path.iterdir()):
+            with tarfile.open(p) as tf:
+                for m in tf:
+                    key, ext = m.name.split(".", 1)
+                    seen.setdefault(key, {})[ext] = tf.extractfile(m).read()
+        want = {k: {e: bytes(b) for e, b in p.items()} for k, p in rows}
+        assert seen == want
