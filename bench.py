@@ -129,6 +129,10 @@ HEADLINE = [
     "webdataset_samples",       # tar shard walk + sample group + decode
     "embedding_project",        # pure-Column JL projection
     "html_lines_dedup",         # block-break extraction + line dedup
+    # round-8 additions
+    "pagerank_redistribute",    # PR with dangling-mass conservation
+    "robots_gate_compiled",     # literal-predicate codegen gate
+    "webdataset_roundtrip",     # write side: re-shard + read back
 ]
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100

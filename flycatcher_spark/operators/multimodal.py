@@ -425,6 +425,106 @@ def parse_image(payload: bytes) -> dict | None:
     return parse_pnm(payload)
 
 
+def sniff_format(payload: bytes) -> str | None:
+    """Classify a binary payload by magic bytes WITHOUT decoding it —
+    the decode-coverage instrument (r8): a pipeline can SEE what its
+    corpus contains (and what share its decoders cover) instead of
+    conflating "unsupported" with "corrupt". JPEGs are sub-classified
+    by a marker walk to the frame type, the distinction that decides
+    decodability (baseline/progressive decode here; arithmetic and
+    lossless do not).
+
+    Returns one of ``jpeg_baseline``, ``jpeg_progressive``,
+    ``jpeg_extended``, ``jpeg_arithmetic``, ``jpeg_lossless``,
+    ``jpeg_other``, ``png``, ``ppm``, ``pgm``, ``gif``, ``webp``,
+    ``bmp``, ``wav``, ``flac``, ``mp3``, ``ogg``, ``avi``, ``gzip``,
+    ``tar``, ``zip``, ``unknown`` — or ``None`` for null/empty.
+
+    Examples
+    --------
+        >>> from .jpeg import encode_jpeg, encode_jpeg_progressive
+        >>> blocks = [[[10] + [0] * 63]]
+        >>> sniff_format(encode_jpeg(8, 8, blocks))
+        'jpeg_baseline'
+        >>> sniff_format(encode_jpeg_progressive(8, 8, blocks))
+        'jpeg_progressive'
+        >>> sniff_format(b"\\x89PNG\\r\\n\\x1a\\n....")
+        'png'
+        >>> sniff_format(b"mystery bytes")
+        'unknown'
+    """
+    if payload is None or len(payload) == 0:
+        return None
+    b = bytes(payload[:512])
+    if b[:2] == b"\xff\xd8":
+        # marker walk to the SOF marker (the frame-type decider)
+        full = bytes(payload)
+        pos = 2
+        while pos + 4 <= len(full) and full[pos] == 0xFF:
+            m = full[pos + 1]
+            if m in (0xC0,):
+                return "jpeg_baseline"
+            if m == 0xC1:
+                return "jpeg_extended"
+            if m == 0xC2:
+                return "jpeg_progressive"
+            if m in (0xC3, 0xC7, 0xCB, 0xCF):
+                return "jpeg_lossless"
+            if m in (0xC9, 0xCA, 0xCD, 0xCE):
+                return "jpeg_arithmetic"
+            if m == 0xD9 or m == 0xDA:  # hit SOS/EOI without a SOF
+                break
+            pos += 2 + int.from_bytes(full[pos + 2 : pos + 4], "big")
+        return "jpeg_other"
+    if b[:8] == _PNG_SIG:
+        return "png"
+    if b[:2] == b"P6":
+        return "ppm"
+    if b[:2] == b"P5":
+        return "pgm"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        return "webp"
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "wav"
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        return "avi"
+    if b[:2] == b"BM":
+        return "bmp"
+    if b[:4] == b"fLaC":
+        return "flac"
+    if b[:3] == b"ID3" or b[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2"):
+        return "mp3"
+    if b[:4] == b"OggS":
+        return "ogg"
+    if b[:2] == b"\x1f\x8b":
+        return "gzip"
+    if b[:4] == b"PK\x03\x04":
+        return "zip"
+    if len(payload) > 262 and bytes(payload[257:262]) == b"ustar":
+        return "tar"
+    return "unknown"
+
+
+def payload_format(
+    df: DataFrame,
+    payload_col: str = "payload",
+    fmt_col: str = "payload_fmt",
+) -> DataFrame:
+    """Add a ``fmt_col`` column classifying each binary payload via
+    :func:`sniff_format` (Arrow-batched; reads only magic bytes plus,
+    for JPEG, the marker chain — no decode). Run it BEFORE a decode
+    stage to measure coverage: ``df.groupBy("payload_fmt").count()``
+    is the corpus's decode-coverage report."""
+
+    @pandas_udf("string")
+    def _sniff(payloads: pd.Series) -> pd.Series:
+        return pd.Series([sniff_format(p) for p in payloads])
+
+    return df.withColumn(fmt_col, _sniff(F.col(payload_col)))
+
+
 def parse_wav(payload: bytes) -> dict | None:
     """Parse a PCM WAV payload: RIFF/WAVE container walk, ``fmt ``
     chunk (must be PCM, 8/16-bit), ``data`` chunk → int samples.

@@ -1776,3 +1776,65 @@ class TestRandomProjection:
         out = df.select(similarity.random_projection("v", 2))
         plans.assert_no_shuffle(out)
         plans.assert_jvm_only(out)
+
+
+class TestSniffFormat:
+    """r8 decode-coverage instrument: magic-byte classification with
+    JPEG frame-type subdivision — no decoding."""
+
+    def test_all_fixture_formats(self):
+        from flycatcher_spark.operators.jpeg import (
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+        from flycatcher_spark.operators.flac import encode_flac
+
+        blocks = [[[10] + [0] * 63]]
+        assert multimodal.sniff_format(encode_jpeg(8, 8, blocks)) == (
+            "jpeg_baseline"
+        )
+        assert multimodal.sniff_format(
+            encode_jpeg_progressive(8, 8, blocks)
+        ) == "jpeg_progressive"
+        assert multimodal.sniff_format(encode_flac([1, 2, 3])) == "flac"
+        assert multimodal.sniff_format(b"\x89PNG\r\n\x1a\n1234") == "png"
+        assert multimodal.sniff_format(b"P6 1 1 255 x") == "ppm"
+        assert multimodal.sniff_format(b"P5 1 1 255 x") == "pgm"
+        assert multimodal.sniff_format(b"\x1f\x8b\x08rest") == "gzip"
+        assert multimodal.sniff_format(b"no magic here") == "unknown"
+        assert multimodal.sniff_format(None) is None
+        assert multimodal.sniff_format(b"") is None
+
+    def test_jpeg_frame_subtypes_by_marker_rewrite(self):
+        from flycatcher_spark.operators.jpeg import encode_jpeg
+
+        base = bytearray(encode_jpeg(8, 8, [[[10] + [0] * 63]]))
+        i = bytes(base).index(b"\xff\xc0")
+        for marker, want in [
+            (0xC1, "jpeg_extended"),
+            (0xC3, "jpeg_lossless"),
+            (0xC9, "jpeg_arithmetic"),
+        ]:
+            b = bytearray(base)
+            b[i + 1] = marker
+            assert multimodal.sniff_format(bytes(b)) == want
+
+    def test_riff_family_distinguished(self, spark):
+        docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+        wav = multimodal.make_wav_payload(docs).first()["payload"]
+        assert multimodal.sniff_format(wav) == "wav"
+        from flycatcher_spark.operators import video
+
+        avi = video.make_avi_payload(docs).first()["payload"]
+        assert multimodal.sniff_format(avi) == "avi"
+
+    def test_payload_format_column(self, spark):
+        from flycatcher_spark.operators import webdataset
+
+        docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+        shards = webdataset.make_webdataset_payload(docs)
+        got = {
+            r.doc_id: r.payload_fmt
+            for r in multimodal.payload_format(shards).collect()
+        }
+        assert got == {1: "tar", 2: "tar"}
