@@ -810,6 +810,7 @@ def encode_jpeg_progressive(
     quant: int | list[int] = 8,
     sampling: list[tuple[int, int]] | None = None,
     scans: list[dict] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Spec-conformant PROGRESSIVE (SOF2) writer over the same
     DCT-domain coefficient input as :func:`encode_jpeg` (fixture /
@@ -823,8 +824,11 @@ def encode_jpeg_progressive(
     first/refinement with EOB-run coding and buffered correction bits
     per T.81 G.1.2 — the bit-exact inverse of the progressive decode
     paths, which is what lets pytest pin progressive == baseline on
-    identical coefficients. Restart intervals are not emitted
-    (decode-side DRI support is exercised by the sequential tests).
+    identical coefficients. ``restart_interval`` (r8) emits a DRI
+    segment and RSTn markers every N MCUs in EVERY scan (N blocks in
+    non-interleaved scans, where the MCU is one block), flushing the
+    EOB run / correction-bit buffer and resetting DC predictors at
+    each boundary — exercising the decoder's progressive-DRI resets.
     """
     ncomp = len(comp_blocks)
     if sampling is None:
@@ -863,6 +867,8 @@ def encode_jpeg_progressive(
     out += seg(0xC2, sof)  # SOF2
     out += seg(0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + bytes(_DC_SYMS))
     out += seg(0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + bytes(_AC_SYMS))
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
 
     for sc in scans:
         sos = bytes([len(sc["comps"])])
@@ -873,53 +879,71 @@ def encode_jpeg_progressive(
         bw = _BitWriter()
         if sc["ss"] == 0:
             _enc_dc_scan(bw, sc, comp_blocks, sampling, mcus_x, mcus_y,
-                         comp_grid, block_at)
+                         comp_grid, block_at, restart_interval)
         else:
-            _enc_ac_scan(bw, sc, comp_grid, block_at)
+            _enc_ac_scan(bw, sc, comp_grid, block_at, restart_interval)
         bw.flush()
         out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
 
 
+def _emit_rst(bw, n_rst: int) -> None:
+    """Byte-align and emit the next RSTn marker (markers are appended
+    raw — never byte-stuffed)."""
+    bw.flush()
+    bw.out += bytes([0xFF, 0xD0 + (n_rst % 8)])
+
+
 def _enc_dc_scan(bw, sc, comp_blocks, sampling, mcus_x, mcus_y,
-                 comp_grid, block_at):
+                 comp_grid, block_at, dri=0):
     ah, al = sc["ah"], sc["al"]
 
-    def blocks_in_order():
+    def mcus_in_order():
+        """Yield one MCU's blocks at a time — the restart-interval
+        unit (a single block in non-interleaved scans)."""
         if len(sc["comps"]) > 1:  # interleaved MCU order
             for my in range(mcus_y):
                 for mx in range(mcus_x):
+                    group = []
                     for c in sc["comps"]:
                         h_, v_ = sampling[c]
                         for by in range(v_):
                             for bx in range(h_):
-                                yield c, block_at(
-                                    c, my * v_ + by, mx * h_ + bx
+                                group.append(
+                                    (c, block_at(c, my * v_ + by,
+                                                 mx * h_ + bx))
                                 )
+                    yield group
         else:
             c = sc["comps"][0]
             nby, nbx = comp_grid(c)
             for by in range(nby):
                 for bx in range(nbx):
-                    yield c, block_at(c, by, bx)
+                    yield [(c, block_at(c, by, bx))]
 
     pred = {c: 0 for c in sc["comps"]}
-    for c, blk in blocks_in_order():
-        if ah == 0:  # first scan: diffs of the point-transformed DC
-            v = blk[0] >> al  # arithmetic shift, like libjpeg
-            diff = v - pred[c]
-            pred[c] = v
-            size = _category(diff)
-            ln, code = _DC_CODES[size]
-            bw.write(code, ln)
-            if size:
-                bw.write(_enc_bits(diff, size), size)
-        else:  # refinement: the next lower magnitude bit
-            bw.write((blk[0] >> al) & 1, 1)
+    n_rst = 0
+    for m, group in enumerate(mcus_in_order()):
+        if dri and m and m % dri == 0:
+            _emit_rst(bw, n_rst)
+            n_rst += 1
+            pred = {c: 0 for c in sc["comps"]}
+        for c, blk in group:
+            if ah == 0:  # first scan: diffs of the point-transformed DC
+                v = blk[0] >> al  # arithmetic shift, like libjpeg
+                diff = v - pred[c]
+                pred[c] = v
+                size = _category(diff)
+                ln, code = _DC_CODES[size]
+                bw.write(code, ln)
+                if size:
+                    bw.write(_enc_bits(diff, size), size)
+            else:  # refinement: the next lower magnitude bit
+                bw.write((blk[0] >> al) & 1, 1)
 
 
-def _enc_ac_scan(bw, sc, comp_grid, block_at):
+def _enc_ac_scan(bw, sc, comp_grid, block_at, dri=0):
     """AC first/refinement scan with EOB-run coding (T.81 G.1.2.2-3,
     the jcphuff structure: EOBn emission is deferred until the run
     length is known; refinement correction bits that belong to a
@@ -941,8 +965,17 @@ def _enc_ac_scan(bw, sc, comp_grid, block_at):
             bw.write(b, 1)
         state["held"] = []
 
+    n_rst = 0
+    n_blk = 0
     for by in range(nby):
         for bx in range(nbx):
+            if dri and n_blk and n_blk % dri == 0:
+                # flush the pending EOB run + held correction bits
+                # INTO the closing segment, then restart
+                flush_eob()
+                _emit_rst(bw, n_rst)
+                n_rst += 1
+            n_blk += 1
             blk = block_at(c, by, bx)
             if ah == 0:  # AC first scan over point-transformed values
                 r = 0

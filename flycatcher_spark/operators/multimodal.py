@@ -1062,7 +1062,12 @@ def make_jpeg_payload(
                 dc = ((i * 7 + b * 13) % 160) - 80
                 blocks.append([dc] + [0] * 63)
             if i % 3 == 2:
-                out.append(encode_jpeg_progressive(8 * bx, 8 * by, [blocks]))
+                out.append(
+                    encode_jpeg_progressive(
+                        8 * bx, 8 * by, [blocks],
+                        restart_interval=2 if i % 5 == 0 else 0,
+                    )
+                )
             else:
                 out.append(
                     encode_jpeg(

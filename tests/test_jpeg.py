@@ -210,6 +210,29 @@ class TestProgressive:
         ]
         self._pin(24, 16, [self._blocks(6)], scans=scans)
 
+    def test_restart_markers_in_every_scan_kind(self):
+        # DRI in progressive scans: predictors, EOB runs and the
+        # correction-bit buffer must reset at each RSTn in DC
+        # first/refine AND AC first/refine scans
+        blocks = [self._blocks(24, density=0.1)]
+        base = parse_jpeg(encode_jpeg(48, 32, blocks))
+        for dri in (1, 2, 5):
+            prog = parse_jpeg(
+                encode_jpeg_progressive(48, 32, blocks,
+                                        restart_interval=dri)
+            )
+            assert np.array_equal(prog["pixels"], base["pixels"]), dri
+
+    def test_restart_markers_color_420(self):
+        comps = [self._blocks(16), self._blocks(4), self._blocks(4)]
+        s = [(2, 2), (1, 1), (1, 1)]
+        base = parse_jpeg(encode_jpeg(32, 32, comps, sampling=s))
+        prog = parse_jpeg(
+            encode_jpeg_progressive(32, 32, comps, sampling=s,
+                                    restart_interval=2)
+        )
+        assert np.array_equal(prog["pixels"], base["pixels"])
+
     def test_truncated_progressive(self):
         b = encode_jpeg_progressive(16, 8, [[_dc_block(10), _dc_block(20)]])
         assert parse_jpeg(b[: len(b) // 2]) is None
