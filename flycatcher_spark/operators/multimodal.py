@@ -264,20 +264,32 @@ def parse_pnm(payload: bytes) -> dict | None:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+#: Adam7 pass geometry: (row_start, col_start, row_inc, col_inc)
+_ADAM7 = [
+    (0, 0, 8, 8), (0, 4, 8, 8), (4, 0, 8, 4), (0, 2, 4, 4),
+    (2, 0, 4, 2), (0, 1, 2, 2), (1, 0, 2, 1),
+]
+
 
 def parse_png(payload: bytes) -> dict | None:
-    r"""Parse a non-interlaced 8-bit PNG payload with stdlib ``zlib``
-    alone: signature, chunk walk (IHDR/IDAT/IEND), inflate, then
-    per-scanline filter reversal (all five PNG filter types). Returns
-    the same dict shape as :func:`parse_pnm` (``fmt="png"``, flat
-    uint8 raster) or ``None`` for anything malformed — corrupt
+    r"""Parse a PNG payload with stdlib ``zlib`` alone: signature,
+    chunk walk (IHDR/PLTE/IDAT/IEND), inflate, per-scanline filter
+    reversal (all five PNG filter types), sample extraction, and —
+    r8 — Adam7 de-interlacing. Returns the same dict shape as
+    :func:`parse_pnm` (``fmt="png"``, flat raster, ``maxval`` set
+    from the bit depth) or ``None`` for anything malformed — corrupt
     payloads must yield a null row, never a stage failure.
 
-    Supported subset (returns ``None`` outside it): bit depth 8,
-    color types 0 (gray), 2 (RGB), 3 (palette — expanded to RGB via
-    the PLTE chunk), 4 (gray+alpha), 6 (RGBA), no interlacing. Chunk
-    CRCs are not validated (tolerant-reader stance: a flipped CRC
-    byte shouldn't discard a decodable raster).
+    Supported (r8 extends the r6 subset to the full static-PNG
+    matrix): bit depths 1/2/4 (gray + palette), 8 and 16 (all color
+    types); color types 0 (gray), 2 (RGB), 3 (palette — expanded to
+    RGB via PLTE), 4 (gray+alpha), 6 (RGBA); interlace 0 (sequential)
+    and 1 (Adam7 — each of the 7 reduced images unfiltered
+    independently, then scattered into the full raster). 16-bit
+    samples are big-endian and reported with ``maxval=65535``;
+    depth-d grayscale reports ``maxval = 2^d - 1``. Chunk CRCs are
+    not validated (tolerant-reader stance: a flipped CRC byte
+    shouldn't discard a decodable raster).
 
     Filter notes: None/Up are vectorized per scanline; Sub/Average/
     Paeth carry a sequential per-byte dependency and fall back to a
@@ -337,12 +349,16 @@ def parse_png(payload: bytes) -> dict | None:
     n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if color == 3 and plte is None:
         return None  # palette image without a PLTE chunk
+    valid_depths = {
+        0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+        4: (8, 16), 6: (8, 16),
+    }
     if (
         n_ch is None
-        or depth != 8
+        or depth not in valid_depths[color]
         or comp != 0
         or filt != 0
-        or interlace != 0
+        or interlace not in (0, 1)
         or width <= 0
         or height <= 0
     ):
@@ -351,45 +367,101 @@ def parse_png(payload: bytes) -> dict | None:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    stride = width * n_ch
-    if len(raw) != height * (stride + 1):
+
+    sample_dtype = np.uint16 if depth == 16 else np.uint8
+
+    def unfilter_pass(off: int, pw: int, ph: int):
+        """Reverse filters for one (sub-)image of ``pw`` x ``ph``
+        pixels starting at byte ``off`` of the inflated stream;
+        returns (rows-of-samples array, new offset) or None on a bad
+        filter byte. Filters operate on BYTES with the spec's bpp;
+        sample extraction (16-bit BE pairs / sub-byte unpacking)
+        happens after."""
+        spr = pw * n_ch  # samples per row
+        stride = (spr * depth + 7) // 8
+        bpp = max(1, (n_ch * depth + 7) // 8)
+        rows = np.empty((ph, spr), dtype=sample_dtype)
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(ph):
+            ft = raw[off]
+            off += 1
+            line = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=off
+            ).astype(np.int32)
+            off += stride
+            if ft == 0:
+                pass
+            elif ft == 1:  # Sub
+                for x in range(bpp, stride):
+                    line[x] = (line[x] + line[x - bpp]) & 0xFF
+            elif ft == 2:  # Up
+                line = (line + prev) & 0xFF
+            elif ft == 3:  # Average
+                for x in range(stride):
+                    a = int(line[x - bpp]) if x >= bpp else 0
+                    line[x] = (line[x] + ((a + int(prev[x])) >> 1)) & 0xFF
+            elif ft == 4:  # Paeth
+                for x in range(stride):
+                    a = int(line[x - bpp]) if x >= bpp else 0
+                    b = int(prev[x])
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = (
+                        a if (pa <= pb and pa <= pc)
+                        else (b if pb <= pc else c)
+                    )
+                    line[x] = (line[x] + pr) & 0xFF
+            else:
+                raise ValueError("bad filter byte")
+            b8 = line.astype(np.uint8)
+            if depth == 8:
+                rows[y] = b8[:spr]
+            elif depth == 16:
+                rows[y] = (
+                    b8[0::2].astype(np.uint16) << 8
+                ) | b8[1::2].astype(np.uint16)
+            else:  # 1/2/4-bit: MSB-first groups within each byte
+                bits = np.unpackbits(b8)
+                vals = bits.reshape(-1, depth) @ (
+                    1 << np.arange(depth - 1, -1, -1)
+                )
+                rows[y] = vals[:spr].astype(sample_dtype)
+            prev = line
+        return rows, off
+
+    def expected_bytes(pw: int, ph: int) -> int:
+        return ph * ((pw * n_ch * depth + 7) // 8 + 1) if pw and ph else 0
+
+    try:
+        if interlace == 0:
+            if len(raw) != expected_bytes(width, height):
+                return None
+            rows, _ = unfilter_pass(0, width, height)
+            img = rows.reshape(height, width, n_ch)
+        else:  # Adam7: 7 reduced images, scattered into the raster
+            passes = _ADAM7
+            dims = []
+            total = 0
+            for rs, cs, ri, ci in passes:
+                pw = max(0, -(-(width - cs) // ci))
+                ph = max(0, -(-(height - rs) // ri))
+                dims.append((pw, ph))
+                total += expected_bytes(pw, ph)
+            if len(raw) != total:
+                return None
+            img = np.zeros((height, width, n_ch), dtype=sample_dtype)
+            off = 0
+            for (rs, cs, ri, ci), (pw, ph) in zip(passes, dims):
+                if pw == 0 or ph == 0:
+                    continue
+                rows, off = unfilter_pass(off, pw, ph)
+                img[rs::ri, cs::ci, :] = rows.reshape(ph, pw, n_ch)
+    except ValueError:
         return None
-    img = np.empty((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    bpp = n_ch
-    off = 0
-    for y in range(height):
-        ft = raw[off]
-        off += 1
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=off
-        ).astype(np.int32)
-        off += stride
-        if ft == 0:
-            pass
-        elif ft == 1:  # Sub
-            for x in range(bpp, stride):
-                line[x] = (line[x] + line[x - bpp]) & 0xFF
-        elif ft == 2:  # Up
-            line = (line + prev) & 0xFF
-        elif ft == 3:  # Average
-            for x in range(stride):
-                a = int(line[x - bpp]) if x >= bpp else 0
-                line[x] = (line[x] + ((a + int(prev[x])) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            for x in range(stride):
-                a = int(line[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[x] = (line[x] + pr) & 0xFF
-        else:
-            return None
-        img[y] = line.astype(np.uint8)
-        prev = line
+
     flat = img.reshape(-1)
+    maxval = (1 << depth) - 1
     if color == 3:
         # palette indices -> RGB triples (out-of-range index = corrupt)
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
@@ -397,11 +469,12 @@ def parse_png(payload: bytes) -> dict | None:
             return None
         flat = pal[flat].reshape(-1)
         n_ch = 3
+        maxval = 255
     return {
         "fmt": "png",
         "width": width,
         "height": height,
-        "maxval": 255,
+        "maxval": maxval,
         "n_channels": n_ch,
         "pixels": flat,
     }
@@ -780,7 +853,9 @@ def make_png_payload(
     (and the decode path through inflate + filter reversal) differs.
     Scanlines alternate filter 0 (None) and filter 2 (Up) so the
     round trip genuinely exercises the filter-reversal code, not
-    just the chunk walk. ``color``: ``"rgb"`` (type 2) or ``"gray"``
+    just the chunk walk; every fourth payload (r8) stores the SAME
+    raster Adam7-INTERLACED, so the oracle also covers the 7-pass
+    de-interlace scatter. ``color``: ``"rgb"`` (type 2) or ``"gray"``
     (type 0).
 
     Examples
@@ -821,16 +896,30 @@ def make_png_payload(
                 .reshape(h, w * n_ch)
             )
             raw = bytearray()
-            prev = np.zeros(w * n_ch, dtype=np.uint8)
-            for y in range(h):
-                if y % 2 == 0:
-                    raw += b"\x00" + px[y].tobytes()
-                else:  # Up filter: store line - prev (mod 256)
-                    raw += b"\x02" + ((px[y] - prev) & 0xFF).astype(
-                        np.uint8
-                    ).tobytes()
-                prev = px[y]
-            ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+            if i % 4 == 3:
+                # Adam7 interlaced arm (r8): the SAME raster stored as
+                # 7 reduced images (filter 0) — decoded statistics,
+                # and therefore the oracle, are unchanged
+                interlace = 1
+                cube = px.reshape(h, w, n_ch)
+                for rs, cs, ri, ci in _ADAM7:
+                    sub = cube[rs::ri, cs::ci]
+                    if sub.shape[0] == 0 or sub.shape[1] == 0:
+                        continue
+                    for row in sub:
+                        raw += b"\x00" + row.astype(np.uint8).tobytes()
+            else:
+                interlace = 0
+                prev = np.zeros(w * n_ch, dtype=np.uint8)
+                for y in range(h):
+                    if y % 2 == 0:
+                        raw += b"\x00" + px[y].tobytes()
+                    else:  # Up filter: store line - prev (mod 256)
+                        raw += b"\x02" + ((px[y] - prev) & 0xFF).astype(
+                            np.uint8
+                        ).tobytes()
+                    prev = px[y]
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, interlace)
             out.append(
                 _PNG_SIG
                 + _chunk(b"IHDR", ihdr)

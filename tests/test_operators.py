@@ -1226,18 +1226,21 @@ class TestMultimodal:
         # signature but no chunks / no IDAT
         assert multimodal.parse_png(sig) is None
         assert multimodal.parse_png(sig + chunk(b"IHDR", good_ihdr)) is None
-        # 16-bit depth and interlaced are outside the supported subset
+        # depth/color combinations the spec forbids are rejected
+        bad_combo = struct.pack(">IIBBBBB", 2, 1, 4, 2, 0, 0, 0)  # 4-bit RGB
+        assert (
+            multimodal.parse_png(
+                sig + chunk(b"IHDR", bad_combo) + chunk(b"IDAT", good_idat)
+            )
+            is None
+        )
+        # 16-bit / interlaced headers whose IDAT is the wrong size
+        # are corrupt, not misdecoded (r8: both are now SUPPORTED
+        # when well-formed — see TestPngExtendedFormats)
         deep = struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0)
         assert (
             multimodal.parse_png(
                 sig + chunk(b"IHDR", deep) + chunk(b"IDAT", good_idat)
-            )
-            is None
-        )
-        adam7 = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 1)
-        assert (
-            multimodal.parse_png(
-                sig + chunk(b"IHDR", adam7) + chunk(b"IDAT", good_idat)
             )
             is None
         )
@@ -1838,3 +1841,113 @@ class TestSniffFormat:
             for r in multimodal.payload_format(shards).collect()
         }
         assert got == {1: "tar", 2: "tar"}
+
+
+class TestPngExtendedFormats:
+    """r8: Adam7 interlacing, 16-bit samples, and 1/2/4-bit depths —
+    the rest of the static-PNG matrix a real web corpus contains."""
+
+    @staticmethod
+    def _png(w, h, depth, color, interlace, raw, plte=None):
+        import struct
+        import zlib
+
+        def chunk(t, b):
+            return (struct.pack(">I", len(b)) + t + b
+                    + struct.pack(">I", zlib.crc32(t + b)))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    def test_16bit_gray_and_maxval(self):
+        import numpy as np
+
+        px = np.array([[300, 40000], [0, 65535]], dtype=np.uint16)
+        raw = b"".join(b"\x00" + row.astype(">u2").tobytes() for row in px)
+        m = multimodal.parse_png(self._png(2, 2, 16, 0, 0, raw))
+        assert m["maxval"] == 65535
+        assert list(m["pixels"]) == [300, 40000, 0, 65535]
+
+    def test_low_bit_depth_gray(self):
+        m = multimodal.parse_png(
+            self._png(5, 2, 4, 0, 0,
+                      b"\x00" + bytes([0x1F, 0x70, 0x90])
+                      + b"\x00" + bytes([0x33, 0x33, 0x30]))
+        )
+        assert m["maxval"] == 15
+        assert list(m["pixels"]) == [1, 15, 7, 0, 9, 3, 3, 3, 3, 3]
+
+    def test_1bit_palette(self):
+        plte = bytes([255, 0, 0, 0, 255, 0])
+        m = multimodal.parse_png(
+            self._png(9, 1, 1, 3, 0,
+                      b"\x00" + bytes([0b10110010, 0b10000000]),
+                      plte=plte)
+        )
+        want = []
+        for b in [1, 0, 1, 1, 0, 0, 1, 0, 1]:
+            want += [0, 255, 0] if b else [255, 0, 0]
+        assert m["n_channels"] == 3 and list(m["pixels"]) == want
+
+    @staticmethod
+    def _interlaced_raw(full, to_bytes):
+        raw = b""
+        for rs, cs, ri, ci in multimodal._ADAM7:
+            sub = full[rs::ri, cs::ci]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            for row in sub:
+                raw += b"\x00" + to_bytes(row)
+        return raw
+
+    def test_adam7_8bit_gray_matches_raster(self):
+        import numpy as np
+
+        W, H = 10, 7
+        full = ((np.arange(W * H).reshape(H, W) * 3 + 1) % 256).astype(
+            np.uint8
+        )
+        raw = self._interlaced_raw(full, lambda r: r.tobytes())
+        m = multimodal.parse_png(self._png(W, H, 8, 0, 1, raw))
+        assert np.array_equal(np.asarray(m["pixels"]).reshape(H, W), full)
+
+    def test_adam7_16bit_rgb(self):
+        import numpy as np
+
+        W, H = 5, 5
+        full = ((np.arange(W * H * 3).reshape(H, W, 3) * 1234) % 65536
+                ).astype(np.uint16)
+        raw = self._interlaced_raw(full, lambda r: r.astype(">u2").tobytes())
+        m = multimodal.parse_png(self._png(W, H, 16, 2, 1, raw))
+        assert m["maxval"] == 65535
+        assert np.array_equal(
+            np.asarray(m["pixels"]).reshape(H, W, 3), full
+        )
+
+    def test_adam7_fixture_arm_same_oracle_stats(self, spark):
+        # ids 3 and 7 hit the interlaced arm: decoded stats must equal
+        # the sequential arm's closed forms (same pixel formula)
+        import pyspark.sql.functions as F
+
+        df = spark.createDataFrame([(3,), (7,), (4,)], "doc_id long")
+        meta = multimodal.decode_image_meta(
+            multimodal.make_png_payload(df, color="rgb")
+        ).collect()
+        for m in meta:
+            i = m["doc_id"]
+            w, h = 4 + i % 13, 3 + i % 7
+            n = w * h * 3
+            import numpy as np
+
+            px = (i * 7 + np.arange(n) * 13) % 256
+            assert (m["width"], m["height"]) == (w, h)
+            assert m["mean_pixel"] == pytest.approx(px.mean(), abs=1e-6)
+
+    def test_adam7_wrong_length_is_corrupt(self):
+        m = multimodal.parse_png(
+            self._png(2, 1, 8, 0, 1, b"\x00" + bytes([1, 2]))
+        )
+        assert m is None
