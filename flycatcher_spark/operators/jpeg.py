@@ -5,8 +5,9 @@ the third real image format after PNM and PNG
 
 Scope (documented subset, honest about what it is):
 
-- baseline sequential DCT (SOF0), 8-bit precision, Huffman entropy
-  coding — the majority of web JPEGs;
+- baseline sequential DCT (SOF0) and 8-bit extended sequential
+  (SOF1 — the same decode path with looser table limits), Huffman
+  entropy coding — the majority of web JPEGs;
 - progressive DCT (SOF2, r8) — spectral selection and successive
   approximation per T.81 Annex G: DC first/refinement scans, AC
   first scans with EOB runs, and AC refinement scans with buffered
@@ -264,7 +265,11 @@ def parse_jpeg(payload: bytes) -> dict | None:
                     table = _huff_table(counts, symbols)
                     (huff_dc if cls == 0 else huff_ac)[tid] = table
                     i += 17 + n_sym
-            elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            elif marker in (0xC0, 0xC1, 0xC2):
+                # SOF0 baseline / SOF1 extended sequential (8-bit
+                # extended sequential is the baseline decode path with
+                # looser table limits; 12-bit rejected below) / SOF2
+                # progressive
                 if seg[0] != 8:
                     return None
                 progressive = marker == 0xC2
@@ -279,9 +284,9 @@ def parse_jpeg(payload: bytes) -> dict | None:
                     )
                 frame = (h, w, comps)
                 coefs = _alloc_coefs(h, w, comps)
-            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # non-baseline/progressive frames out of subset
+                return None  # lossless/differential/arithmetic out of subset
             elif marker == 0xDD:  # DRI
                 restart_interval = int.from_bytes(seg[:2], "big")
             elif marker == 0xDA:  # SOS

@@ -122,6 +122,18 @@ class TestRejection:
         b = encode_jpeg(8, 8, [[_dc_block(10)]])
         assert parse_jpeg(b[: len(b) // 2]) is None
 
+    def test_extended_sequential_sof1_decodes_as_baseline(self):
+        # SOF1 (8-bit extended sequential) is the baseline decode
+        # path with looser table limits: a relabeled stream is legal
+        # and must decode identically
+        b = bytearray(encode_jpeg(16, 8, [[_dc_block(10), _dc_block(-20)]]))
+        base = parse_jpeg(bytes(b))
+        i = bytes(b).index(b"\xff\xc0")
+        b[i + 1] = 0xC1
+        ext = parse_jpeg(bytes(b))
+        assert ext is not None
+        assert np.array_equal(ext["pixels"], base["pixels"])
+
     def test_arithmetic_coding_rejected(self):
         # rewrite SOF0 (0xC0) to SOF9 (0xC9, arithmetic sequential):
         # subset boundary

@@ -55,6 +55,11 @@ TRACKED = [
     # heaviest Arrow decode stage (AVI walk + sampled JPEG decode)
     "line_dedup",
     "video_frames",
+    # r8 additions: the iterative graph shape with the per-iteration
+    # dangling-mass aggregate, and the write loop (md5-order shard
+    # assignment + tar pack + ingest read-back)
+    "pagerank_redistribute",
+    "webdataset_roundtrip",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 ALPHA_REGRESSION = 0.35
