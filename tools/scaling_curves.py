@@ -3,7 +3,8 @@
 The 100 TB claims in SCALE.md are design arguments; this tool adds
 the measured side: each tracked query runs at sf0.001 / sf0.01 /
 sf0.1 under the frozen bench protocol (bench.py: untimed warm run at
-the target SF, median of 3 noop-sink runs, clearCache isolation) and
+the target SF, min over clean noop-sink runs across separated passes
+with the r8 external-load sentinel, storage isolation) and
 the large-end scaling exponent is recorded:
 
     alpha = log10( t(sf0.1) / t(sf0.01) )
@@ -89,7 +90,7 @@ def measure() -> dict:
         got = json.loads(line)["queries"]
         for q in TRACKED:
             times[q][sf] = got[q]
-    out = {"protocol": "bench.py warm+median-of-3 noop-sink", "queries": {}}
+    out = {"protocol": "bench.py warm + min-of-clean-runs noop-sink (r8 noise-proof)", "queries": {}}
     for q in TRACKED:
         t = times[q]
         out["queries"][q] = {
