@@ -1308,6 +1308,30 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (r8, operators/retrieval): five queries
+    (the first five tokens of docs 0-4) search the whole documents
+    corpus. Postings/doc-length/document-frequency tables build with
+    the TF-IDF shuffle shape; the query terms broadcast into the
+    postings join (the inverted-index probe); per-term contributions
+    use the Lucene-standard idf ln(1+(N-df+0.5)/(df+0.5)) with
+    k1=1.2, b=0.75, round to 9 and sum as DECIMAL(20,9); scores
+    round to 6 and top-10 per query rank by (score desc, doc_id).
+    DuckDB replays the entire computation — tokenization, statistics,
+    the exact IEEE expression tree, rounding points and ranking."""
+    from flycatcher_spark.operators import retrieval
+    from flycatcher_spark.operators.text import normalize_text, tokens
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = docs.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ", F.slice(tokens(normalize_text("text")), 1, 5)
+        ).alias("query"),
+    )
+    return retrieval.bm25_topk(docs, queries, k=10)
+
+
 def q_doc_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF document keywords: term frequency per doc × smoothed
     inverse document frequency, top-3 terms per document. Two
@@ -3573,7 +3597,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: driver-green age across the suite drops from r3 to r4 this round.
 _WINDOW_R8 = [
     "pagerank_redistribute", "webdataset_roundtrip",
-    "robots_gate_compiled", "format_stats",
+    "robots_gate_compiled", "format_stats", "bm25_search",
     "flac_decode", "jpeg_decode", "embedding_project",
     "pagerank_hosts", "webdataset_samples", "robots_gate",
     # r3-greens (stalest driver evidence in the suite)
@@ -3590,7 +3614,7 @@ _WINDOW_R8 = [
     "budget_mix", "validate_lineitem", "violation_counts",
     "q1_pricing_summary", "q3_top_revenue_orders", "q9_brand_revenue",
     "window_suite", "rollup_revenue", "set_ops_customers",
-    "median_stats", "token_counts", "stats_moments", "label_centroids",
+    "median_stats", "token_counts", "stats_moments",
 ]
 
 
@@ -3774,6 +3798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_unpivot": q_part_unpivot,
         "vocab_topk": q_vocab_topk,
         "doc_tfidf_top3": q_doc_tfidf_top3,
+        "bm25_search": q_bm25_search,
         "dsl_datetime_events": q_dsl_datetime_events,
         # -- rows-only by documented design (value evidence via oracle-checked
         # -- companions); minhash_pairs/simhash_pairs/leakage_safe_split_prod
@@ -7106,6 +7131,65 @@ def oracle_sql() -> dict[str, str]:
                    token, n
             FROM counts
             QUALIFY rank <= 50
+        """,
+        "bm25_search": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(
+                    CASE WHEN length(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0
+                         THEN CAST([] AS VARCHAR[])
+                         ELSE regexp_split_to_array(
+                             regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'),
+                                            '\s+', ' ', 'g'), ' ')
+                    END) AS term
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+            stats AS (
+                SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n_docs,
+                       CAST(SUM(dl.dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+                FROM dl
+            ),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            qt AS (
+                SELECT DISTINCT doc_id AS query_id, unnest(
+                    list_slice(
+                        CASE WHEN length(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0
+                             THEN CAST([] AS VARCHAR[])
+                             ELSE regexp_split_to_array(
+                                 regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'),
+                                                '\s+', ' ', 'g'), ' ')
+                        END, 1, 5)) AS term
+                FROM documents WHERE doc_id < 5
+            ),
+            contrib AS (
+                SELECT qt.query_id, tf.doc_id,
+                       CAST(ROUND(
+                           ln(CAST(1.0 AS DOUBLE)
+                              + (stats.n_docs - dfreq.df + CAST(0.5 AS DOUBLE))
+                                / (dfreq.df + CAST(0.5 AS DOUBLE)))
+                           * (tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                           / (tf.tf + CAST(1.2 AS DOUBLE)
+                              * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                                 + CAST(0.75 AS DOUBLE) * (dl.dl / stats.avgdl))),
+                           9) AS DECIMAL(20,9)) AS c
+                FROM tf
+                JOIN qt ON qt.term = tf.term
+                JOIN dfreq ON dfreq.term = tf.term
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN stats
+            ),
+            scored AS (
+                SELECT query_id, doc_id,
+                       ROUND(CAST(SUM(c) AS DOUBLE), 6) AS score
+                FROM contrib GROUP BY query_id, doc_id
+            )
+            SELECT query_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id, score
+            FROM scored
+            QUALIFY rank <= 10
         """,
         "doc_tfidf_top3": r"""
             WITH terms AS (
