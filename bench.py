@@ -133,6 +133,7 @@ HEADLINE = [
     "pagerank_redistribute",    # PR with dangling-mass conservation
     "robots_gate_compiled",     # literal-predicate codegen gate
     "webdataset_roundtrip",     # write side: re-shard + read back
+    "bm25_search",              # lexical retrieval: postings + probe
 ]
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
