@@ -1332,6 +1332,47 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_topk(docs, queries, k=10)
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (r8, retrieval.rrf_fuse): the same five
+    queries run BOTH rankers — BM25 over document text and exact
+    cosine over the documents' embeddings (vec_id == doc_id semijoin;
+    brute_force_topk with the engine-exact sql kernel, self-match
+    excluded) — and reciprocal-rank fusion (c=60) combines the two
+    top-20 lists into a top-10 per query. Per-system contributions
+    1/(60+rank) round to 9 and sum as DECIMAL(20,9), so DuckDB
+    replays the lexical ranking, the vector ranking AND the fusion
+    cell-for-cell."""
+    from flycatcher_spark.operators import retrieval, similarity
+    from flycatcher_spark.operators.text import normalize_text, tokens
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    em = _emb_double(spark, sf_dir)
+    corpus_vec = em.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    queries_text = docs.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ", F.slice(tokens(normalize_text("text")), 1, 5)
+        ).alias("query"),
+    )
+    queries_vec = em.filter(F.col("vec_id") < 5)
+    lex = retrieval.bm25_topk(docs, queries_text, k=20)
+    vec = similarity.brute_force_topk(
+        corpus_vec, queries_vec, k=20, id_col="vec_id",
+        vec_col="embedding",
+    )
+    return retrieval.rrf_fuse(
+        [
+            lex.select("query_id", "doc_id", "rank"),
+            vec.select(
+                "query_id", F.col("vec_id").alias("doc_id"), "rank"
+            ),
+        ],
+        k=10,
+    )
+
+
 def q_doc_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF document keywords: term frequency per doc × smoothed
     inverse document frequency, top-3 terms per document. Two
@@ -3598,6 +3639,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _WINDOW_R8 = [
     "pagerank_redistribute", "webdataset_roundtrip",
     "robots_gate_compiled", "format_stats", "bm25_search",
+    "hybrid_search",
     "flac_decode", "jpeg_decode", "embedding_project",
     "pagerank_hosts", "webdataset_samples", "robots_gate",
     # r3-greens (stalest driver evidence in the suite)
@@ -3614,7 +3656,7 @@ _WINDOW_R8 = [
     "budget_mix", "validate_lineitem", "violation_counts",
     "q1_pricing_summary", "q3_top_revenue_orders", "q9_brand_revenue",
     "window_suite", "rollup_revenue", "set_ops_customers",
-    "median_stats", "token_counts", "stats_moments",
+    "median_stats", "token_counts",
 ]
 
 
@@ -3799,6 +3841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "doc_tfidf_top3": q_doc_tfidf_top3,
         "bm25_search": q_bm25_search,
+        "hybrid_search": q_hybrid_search,
         "dsl_datetime_events": q_dsl_datetime_events,
         # -- rows-only by documented design (value evidence via oracle-checked
         # -- companions); minhash_pairs/simhash_pairs/leakage_safe_split_prod
@@ -7189,6 +7232,112 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
                    doc_id, score
             FROM scored
+            QUALIFY rank <= 10
+        """,
+        "hybrid_search": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(
+                    CASE WHEN length(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0
+                         THEN CAST([] AS VARCHAR[])
+                         ELSE regexp_split_to_array(
+                             regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'),
+                                            '\s+', ' ', 'g'), ' ')
+                    END) AS term
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+            stats AS (
+                SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n_docs,
+                       CAST(SUM(dl.dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+                FROM dl
+            ),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            qt AS (
+                SELECT DISTINCT doc_id AS query_id, unnest(
+                    list_slice(
+                        CASE WHEN length(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0
+                             THEN CAST([] AS VARCHAR[])
+                             ELSE regexp_split_to_array(
+                                 regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'),
+                                                '\s+', ' ', 'g'), ' ')
+                        END, 1, 5)) AS term
+                FROM documents WHERE doc_id < 5
+            ),
+            contrib AS (
+                SELECT qt.query_id, tf.doc_id,
+                       CAST(ROUND(
+                           ln(CAST(1.0 AS DOUBLE)
+                              + (stats.n_docs - dfreq.df + CAST(0.5 AS DOUBLE))
+                                / (dfreq.df + CAST(0.5 AS DOUBLE)))
+                           * (tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                           / (tf.tf + CAST(1.2 AS DOUBLE)
+                              * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                                 + CAST(0.75 AS DOUBLE) * (dl.dl / stats.avgdl))),
+                           9) AS DECIMAL(20,9)) AS c
+                FROM tf
+                JOIN qt ON qt.term = tf.term
+                JOIN dfreq ON dfreq.term = tf.term
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN stats
+            ),
+            lex_scored AS (
+                SELECT query_id, doc_id,
+                       ROUND(CAST(SUM(c) AS DOUBLE), 6) AS score
+                FROM contrib GROUP BY query_id, doc_id
+            ),
+            lex_rank AS (
+                SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, doc_id) AS rank
+                FROM lex_scored
+                QUALIFY rank <= 20
+            ),
+            e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                WHERE vec_id IN (SELECT doc_id FROM documents)
+            ),
+            qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 5),
+            sc AS (
+                SELECT qv.query_id, e.vec_id AS doc_id,
+                       round(CASE WHEN sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv.qv, qv.qv)) > 0
+                                  THEN list_dot_product(e.v, qv.qv)
+                                       / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv.qv, qv.qv)))
+                             END, 6) AS sim
+                FROM e CROSS JOIN qv
+                WHERE e.vec_id <> qv.query_id
+            ),
+            vec_rank AS (
+                SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, doc_id) AS rank
+                FROM sc
+                QUALIFY rank <= 20
+            ),
+            fused AS (
+                SELECT query_id, doc_id,
+                       CAST(ROUND(CAST(1.0 AS DOUBLE)
+                                  / (CAST(60.0 AS DOUBLE) + rank), 9)
+                            AS DECIMAL(20,9)) AS c
+                FROM lex_rank
+                UNION ALL
+                SELECT query_id, doc_id,
+                       CAST(ROUND(CAST(1.0 AS DOUBLE)
+                                  / (CAST(60.0 AS DOUBLE) + rank), 9)
+                            AS DECIMAL(20,9)) AS c
+                FROM vec_rank
+            ),
+            fscored AS (
+                SELECT query_id, doc_id,
+                       ROUND(CAST(SUM(c) AS DOUBLE), 9) AS rrf_score
+                FROM fused GROUP BY query_id, doc_id
+            )
+            SELECT query_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id, rrf_score
+            FROM fscored
             QUALIFY rank <= 10
         """,
         "doc_tfidf_top3": r"""

@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from .text import normalize_text, tokens
 
-__all__ = ["bm25_postings", "bm25_topk"]
+__all__ = ["bm25_postings", "bm25_topk", "rrf_fuse"]
 
 _CONTRIB_DECIMALS = 9
 _SCORE_DECIMALS = 6
@@ -179,5 +179,81 @@ def bm25_topk(
             F.col("rank").cast("bigint").alias("rank"),
             id_col,
             "score",
+        )
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    c: float = 60.0,
+    qid_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of any
+    number of per-query rankings — the standard way to combine a
+    lexical ranking (:func:`bm25_topk`) with a vector ranking
+    (``similarity.brute_force_topk`` / the ANN stack) into HYBRID
+    search, using only ranks (no score calibration between systems):
+
+        rrf(d) = sum over systems ranking d of 1 / (c + rank_d)
+
+    Returns ``(query_id, rank, doc_id, rrf_score)`` with the top-``k``
+    per query, ties broken by id. Per-system contributions round to 9
+    decimals and sum as DECIMAL(20,9) — order-invariant across any
+    number of systems, so results are partitioning-stable and a SQL
+    engine replays them (the ``hybrid_search`` oracle).
+
+    Each input needs columns ``(qid_col, id_col, rank_col)``; rename
+    before fusing when systems label ids differently. Scale shape:
+    one union of slim (query, id, contribution) rows, one aggregation,
+    one per-query window — rankings are top-k-bounded upstream, so
+    every side here is tiny relative to any corpus.
+
+    Examples
+    --------
+        >>> a = spark.createDataFrame(
+        ...     [(0, 10, 1), (0, 11, 2)], ["query_id", "doc_id", "rank"])
+        >>> b = spark.createDataFrame(
+        ...     [(0, 11, 1), (0, 12, 2)], ["query_id", "doc_id", "rank"])
+        >>> [(r["rank"], r.doc_id) for r in
+        ...  rrf_fuse([a, b], k=3).orderBy("rank").collect()]
+        [(1, 11), (2, 10), (3, 12)]
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            F.col(qid_col),
+            F.col(id_col),
+            F.round(
+                F.lit(1.0) / (F.lit(float(c)) + F.col(rank_col)),
+                _CONTRIB_DECIMALS,
+            )
+            .cast("decimal(20,9)")
+            .alias("__c"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    scored = u.groupBy(qid_col, id_col).agg(
+        F.round(
+            F.sum("__c").cast("double"), _CONTRIB_DECIMALS
+        ).alias("rrf_score")
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.desc("rrf_score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(
+            qid_col,
+            F.col("rank").cast("bigint").alias("rank"),
+            id_col,
+            "rrf_score",
         )
     )

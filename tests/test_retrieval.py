@@ -5,6 +5,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from flycatcher_spark import plans
 from flycatcher_spark.operators import retrieval
@@ -112,3 +113,72 @@ class TestBm25:
         q = spark.createDataFrame([(0, "fish")], ["query_id", "query"])
         rep = plans.plan_report(retrieval.bm25_topk(d, q, k=5))
         assert rep.broadcast_hash_joins >= 1
+
+
+class TestRrfFuse:
+    def test_known_fusion(self, spark):
+        a = spark.createDataFrame(
+            [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+            ["query_id", "doc_id", "rank"],
+        )
+        b = spark.createDataFrame(
+            [(0, 11, 1), (0, 13, 2)], ["query_id", "doc_id", "rank"]
+        )
+        got = {
+            r.doc_id: (r["rank"], r.rrf_score)
+            for r in retrieval.rrf_fuse([a, b], k=10).collect()
+        }
+        # independent arithmetic
+        want = {
+            10: round(round(1 / 61.0, 9), 9),
+            11: round(round(1 / 62.0, 9) + round(1 / 61.0, 9), 9),
+            12: round(round(1 / 63.0, 9), 9),
+            13: round(round(1 / 62.0, 9), 9),
+        }
+        assert {d: s for d, (_, s) in got.items()} == want
+        # 11 appears in both lists -> fused rank 1
+        assert got[11][0] == 1
+
+    def test_three_systems_order_invariant(self, spark):
+        rks = [
+            spark.createDataFrame([(0, i, 1), (0, i + 1, 2)],
+                                  ["query_id", "doc_id", "rank"])
+            for i in (10, 11, 12)
+        ]
+        x = {(r.doc_id, r.rrf_score)
+             for r in retrieval.rrf_fuse(rks, k=10).collect()}
+        y = {(r.doc_id, r.rrf_score)
+             for r in retrieval.rrf_fuse(rks[::-1], k=10).collect()}
+        assert x == y
+
+    def test_hybrid_composition(self, spark):
+        # lexical and vector rankers over a corpus where the rankers
+        # DISAGREE; fusion must prefer the doc both rank well
+        from flycatcher_spark.operators import similarity
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "alpha alpha beta"), (3, "gamma")],
+            ["doc_id", "text"],
+        )
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.8, 0.2]), (3, [0.9, 0.1]),
+             (9, [1.0, 0.05])],
+            "vec_id long, embedding array<double>",
+        )
+        q = spark.createDataFrame([(9, "alpha")], ["query_id", "query"])
+        lex = retrieval.bm25_topk(
+            docs, q, k=3
+        ).select("query_id", "doc_id", "rank")
+        vec = similarity.brute_force_topk(
+            emb.where("vec_id < 9"), emb.where("vec_id = 9"), k=3
+        ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+        fused = retrieval.rrf_fuse([lex, vec], k=3).collect()
+        assert fused[0].query_id == 9
+        # doc 1: lexically ranked (alpha beta) AND vector-near ->
+        # must beat doc 3 (vector-only) and appear in top 2
+        top2 = {r.doc_id for r in fused if r["rank"] <= 2}
+        assert 1 in top2
+
+    def test_empty_rankings_raise(self, spark):
+        with pytest.raises(ValueError, match="at least one"):
+            retrieval.rrf_fuse([])
