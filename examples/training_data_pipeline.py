@@ -335,6 +335,48 @@ def main() -> None:
     print("webdataset samples decoded:", decoded.count())
     decoded.select("sample_key", "caption", "width", "mean_pixel").show(3)
 
+    # 14. Re-shard the curated output (r8): the write side of the
+    #     WebDataset loop — deterministic md5-order assignment into
+    #     exactly size-bounded tar shards, samples adjacent,
+    #     byte-reproducible. write → read-back is the identity.
+    curated_samples = webdataset.webdataset_samples(shards).select(
+        "sample_key", "parts"
+    )
+    out_shards = webdataset.write_webdataset(
+        curated_samples, samples_per_shard=64
+    )
+    print(
+        "re-sharded:",
+        [(r.shard_id, r.n_samples) for r in
+         out_shards.select("shard_id", "n_samples")
+         .orderBy("shard_id").collect()],
+    )
+
+    # 15. Hybrid search over the corpus (r8): BM25 lexical top-k
+    #     fused with exact-cosine vector top-k by reciprocal-rank
+    #     fusion — rank-only combination, no score calibration.
+    from flycatcher_spark.operators import retrieval, similarity
+
+    corpus_vec = em.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    q_text = spark.createDataFrame(
+        [(0, "the model data"), (1, "quality filter")],
+        ["query_id", "query"],
+    )
+    q_vec = em.where("vec_id < 2")
+    lex = retrieval.bm25_topk(docs, q_text, k=20)
+    vec = similarity.brute_force_topk(corpus_vec, q_vec, k=20)
+    fused = retrieval.rrf_fuse(
+        [
+            lex.select("query_id", "doc_id", "rank"),
+            vec.select("query_id", F.col("vec_id").alias("doc_id"), "rank"),
+        ],
+        k=5,
+    )
+    print("hybrid search:")
+    fused.orderBy("query_id", "rank").show(10)
+
     spark.stop()
 
 
