@@ -3466,6 +3466,42 @@ def q_html_lines_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text_dedup", "n_lines", "n_removed")
 
 
+def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET write side (r8, warc.write_wet -> warc_records): every
+    document's text packs into Common-Crawl-layout WET shards
+    (gzip-member WARC conversion records, 100 per shard assigned by
+    the deterministic md5 order, a warcinfo record leading each
+    shard) and the existing WARC ingest reads them back. DuckDB
+    replays the shard assignment, the WITHIN-shard record indexes
+    (pos %% 100 + 1 — stronger than the webdataset oracle, which
+    checks membership only), every URI/body, the byte-exact
+    Content-Length, and the per-shard warcinfo rows."""
+    from flycatcher_spark.operators import warc as _warc
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    shards = _warc.write_wet(
+        pages, records_per_shard=100, gzip_mode="members"
+    )
+    back = _warc.warc_records(shards, id_col="shard_id")
+    return back.select(
+        "shard_id",
+        "rec_idx",
+        "rec_type",
+        "target_uri",
+        F.col("body").cast("string").alias("body_text"),
+        "content_length",
+    )
+
+
 def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset WRITE side (r8, webdataset.write_webdataset →
     webdataset_samples): every doc becomes one sample (closed-form
@@ -3639,7 +3675,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _WINDOW_R8 = [
     "pagerank_redistribute", "webdataset_roundtrip",
     "robots_gate_compiled", "format_stats", "bm25_search",
-    "hybrid_search",
+    "hybrid_search", "wet_roundtrip",
     "flac_decode", "jpeg_decode", "embedding_project",
     "pagerank_hosts", "webdataset_samples", "robots_gate",
     # r3-greens (stalest driver evidence in the suite)
@@ -3656,7 +3692,7 @@ _WINDOW_R8 = [
     "budget_mix", "validate_lineitem", "violation_counts",
     "q1_pricing_summary", "q3_top_revenue_orders", "q9_brand_revenue",
     "window_suite", "rollup_revenue", "set_ops_customers",
-    "median_stats", "token_counts",
+    "median_stats",
 ]
 
 
@@ -3688,6 +3724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_hosts": q_hits_hosts,
         "webdataset_samples": q_webdataset_samples,
         "webdataset_roundtrip": q_webdataset_roundtrip,
+        "wet_roundtrip": q_wet_roundtrip,
         "embedding_project": q_embedding_project,
         "html_lines_dedup": q_html_lines_dedup,
         # -- positions 14-19 (r6-new batch; see COVERAGE note). The r6 driver artifacts
@@ -4237,6 +4274,39 @@ def oracle_sql() -> dict[str, str]:
                                  THEN NULL ELSE 'unknown' END
                    END AS payload_fmt
             FROM documents
+        """,
+        "wet_roundtrip": """
+            WITH p AS (
+                SELECT 'http://' || source || '.example.com/p' || doc_id AS uri,
+                       text
+                FROM documents
+            ),
+            o AS (
+                SELECT uri, text,
+                       ROW_NUMBER() OVER (
+                           ORDER BY md5('wet:' || uri), uri) - 1 AS pos
+                FROM p
+            ),
+            conv AS (
+                SELECT CAST(pos // 100 AS BIGINT) AS shard_id,
+                       CAST(pos % 100 + 1 AS BIGINT) AS rec_idx,
+                       'conversion' AS rec_type,
+                       uri AS target_uri,
+                       text AS body_text,
+                       CAST(octet_length(encode(text)) AS BIGINT)
+                           AS content_length
+                FROM o
+            ),
+            info AS (
+                SELECT DISTINCT CAST(pos // 100 AS BIGINT) AS shard_id,
+                       CAST(0 AS BIGINT) AS rec_idx,
+                       'warcinfo' AS rec_type,
+                       CAST(NULL AS VARCHAR) AS target_uri,
+                       'software: flycatcher-wet' AS body_text,
+                       CAST(24 AS BIGINT) AS content_length
+                FROM o
+            )
+            SELECT * FROM conv UNION ALL SELECT * FROM info
         """,
         "webdataset_roundtrip": """
             WITH s AS (

@@ -28,7 +28,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
-__all__ = ["cdx_index", "parse_warc", "warc_records", "make_warc_payload"]
+__all__ = [
+    "cdx_index",
+    "parse_warc",
+    "warc_records",
+    "write_wet",
+    "make_warc_payload",
+]
 
 _GZIP_MAGIC = b"\x1f\x8b"
 
@@ -236,6 +242,101 @@ def cdx_index(
         canon.alias("url"),
         F.md5(F.col(body_col)).alias("digest"),
         F.length(F.col(body_col)).cast("long").alias("length"),
+    )
+
+
+def write_wet(
+    pages: DataFrame,
+    records_per_shard: int = 1000,
+    uri_col: str = "url",
+    text_col: str = "text",
+    date: str = "2024-01-01T00:00:00Z",
+    seed: str = "wet",
+    gzip_mode: str = "none",
+) -> DataFrame:
+    """WET write side (r8): pack extracted page text back into
+    WARC-format archives of ``conversion`` records — the Common Crawl
+    WET layout, closing the crawl loop (``warc_records`` →
+    ``web.html_to_text`` → curation → ``write_wet``). Output is one
+    row per shard: ``(shard_id, n_records, n_bytes, payload)``; each
+    shard holds a leading ``warcinfo`` record then exactly
+    ``records_per_shard`` conversion records (fewer in the last),
+    each with WARC-Target-URI, the fixed ``date`` (determinism —
+    pass the crawl timestamp), Content-Type: text/plain and a correct
+    Content-Length.
+
+    Shard assignment is the :func:`webdataset.write_webdataset`
+    discipline: a dense global position ordered by
+    ``md5(seed || ':' || uri)`` (sharded cumsum, no single-task
+    window), ``shard_id = pos // records_per_shard``, records written
+    in position order — any engine replays both the assignment AND
+    the within-shard record indexes (the ``wet_roundtrip`` oracle
+    does). ``gzip_mode``: ``"none"`` or ``"members"`` (one gzip
+    member per record, the Common Crawl layout — readable back by
+    :func:`warc_records`).
+
+    Page text shuffles exactly once (into its shard group); a shard's
+    bytes exist only inside its one pack task, so executor memory
+    bounds shard size, never corpus size.
+    """
+    import gzip as _gzip
+
+    from .quality import training_order
+
+    if gzip_mode not in ("none", "members"):
+        raise ValueError(f"unknown gzip_mode: {gzip_mode}")
+
+    ordered = training_order(
+        pages.select(uri_col, text_col), uri_col, seed=seed
+    )
+    with_shard = ordered.select(
+        F.col(uri_col).alias("uri"),
+        F.col(text_col).alias("text"),
+        "pos",
+        (F.col("pos") / F.lit(int(records_per_shard)))
+        .cast("long")
+        .alias("shard_id"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("shard_id", T.LongType()),
+            T.StructField("n_records", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _record(rtype: str, uri: str | None, body: bytes) -> bytes:
+        head = [b"WARC/1.0", b"WARC-Type: " + rtype.encode()]
+        if uri is not None:
+            head.append(b"WARC-Target-URI: " + uri.encode())
+        head.append(b"WARC-Date: " + date.encode())
+        head.append(b"Content-Type: text/plain")
+        head.append(b"Content-Length: %d" % len(body))
+        return b"\r\n".join(head) + b"\r\n\r\n" + body + b"\r\n\r\n"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pos")
+        recs = [_record("warcinfo", None, b"software: flycatcher-wet")]
+        for uri, text in zip(pdf["uri"], pdf["text"]):
+            recs.append(
+                _record("conversion", uri, ("" if text is None else text).encode())
+            )
+        if gzip_mode == "members":
+            payload = b"".join(_gzip.compress(r, mtime=0) for r in recs)
+        else:
+            payload = b"".join(recs)
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "n_records": [len(recs)],
+                "n_bytes": [len(payload)],
+                "payload": [payload],
+            }
+        )
+
+    return with_shard.groupBy("shard_id").applyInPandas(
+        pack, schema=out_schema
     )
 
 

@@ -142,3 +142,64 @@ class TestCdxIndex:
         recs = warc.warc_records(warc.make_warc_payload(df, gzip_mode="members"))
         keys = sorted(r.surt_key for r in warc.cdx_index(recs).collect())
         assert keys == ["com,example)/4/0", "com,example)/4/1"]
+
+
+class TestWriteWet:
+    """r8 write side: extracted text re-packed as Common-Crawl-layout
+    WET archives, read back by the same ingest."""
+
+    def _pages(self, spark, n=23):
+        rows = [(f"http://h{i % 4}.com/p{i}", f"text of page {i}")
+                for i in range(n)]
+        return rows, spark.createDataFrame(rows, ["url", "text"])
+
+    def test_round_trip_identity_both_gzip_modes(self, spark):
+        rows, pages = self._pages(spark)
+        for gz in ("none", "members"):
+            shards = warc.write_wet(pages, records_per_shard=10,
+                                    gzip_mode=gz)
+            back = warc.warc_records(shards, id_col="shard_id").collect()
+            conv = {r.target_uri: bytes(r.body).decode()
+                    for r in back if r.rec_type == "conversion"}
+            assert conv == dict(rows), gz
+            # every shard led by one warcinfo at rec_idx 0
+            info = [r for r in back if r.rec_type == "warcinfo"]
+            assert {r.shard_id for r in info} == {0, 1, 2}
+            assert all(r.rec_idx == 0 for r in info)
+
+    def test_shards_exactly_size_bounded(self, spark):
+        _, pages = self._pages(spark, n=23)
+        shards = warc.write_wet(pages, records_per_shard=10)
+        sizes = {r.shard_id: r.n_records for r in shards.collect()}
+        # +1 = the warcinfo record
+        assert sizes == {0: 11, 1: 11, 2: 4}
+
+    def test_byte_reproducible_and_seeded(self, spark):
+        _, pages = self._pages(spark)
+        a = {(r.shard_id, r.n_bytes)
+             for r in warc.write_wet(pages, records_per_shard=10).collect()}
+        b = {(r.shard_id, r.n_bytes)
+             for r in warc.write_wet(pages, records_per_shard=10).collect()}
+        assert a == b
+        c = {(r.shard_id, r.n_bytes)
+             for r in warc.write_wet(pages, records_per_shard=10,
+                                     seed="epoch1").collect()}
+        assert c != a
+
+    def test_content_length_is_bytes_not_chars(self, spark):
+        pages = spark.createDataFrame(
+            [("http://h.com/u", "café")], ["url", "text"]
+        )
+        back = warc.warc_records(
+            warc.write_wet(pages, records_per_shard=10),
+            id_col="shard_id",
+        ).collect()
+        conv = [r for r in back if r.rec_type == "conversion"][0]
+        assert conv.content_length == 5  # é is 2 bytes in UTF-8
+
+    def test_bad_gzip_mode_raises(self, spark):
+        _, pages = self._pages(spark, n=2)
+        import pytest
+
+        with pytest.raises(ValueError, match="gzip_mode"):
+            warc.write_wet(pages, gzip_mode="whole")
