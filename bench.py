@@ -134,6 +134,8 @@ HEADLINE = [
     "robots_gate_compiled",     # literal-predicate codegen gate
     "webdataset_roundtrip",     # write side: re-shard + read back
     "bm25_search",              # lexical retrieval: postings + probe
+    "hybrid_search",            # BM25 + cosine RRF fusion
+    "wet_roundtrip",            # WET write: pack + gzip + read back
 ]
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
