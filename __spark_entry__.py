@@ -3508,11 +3508,13 @@ def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     .txt caption + an id-length .bin member), the writer re-shards
     them into tar shards of exactly 100 samples assigned by the
     deterministic md5 order, and the ingest path reads the shards
-    back. DuckDB replays the assignment outright — pos =
-    row_number over md5('wds:'||key) ordering, shard = pos // 100 —
-    plus each sample's caption, member count and .bin length, so the
-    pack → tar → unpack loop AND the shard assignment are
-    value-checked cell-for-cell."""
+    back MEMBER BY MEMBER (tar_members, r8: member_idx). DuckDB
+    replays the assignment outright — pos = row_number over
+    md5('wds:'||key) ordering, shard = pos // 100 — AND the archive
+    layout: sample at within-shard position p stores its bin member
+    at index 2p and its txt member at 2p+1 (extensions sorted), so
+    the pack → tar → unpack loop, the shard assignment and the
+    within-shard ORDER are all value-checked cell-for-cell."""
     from flycatcher_spark.operators import webdataset
 
     docs = _read(spark, sf_dir, "documents").select("doc_id")
@@ -3534,13 +3536,16 @@ def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("parts"),
     )
     shards = webdataset.write_webdataset(samples, samples_per_shard=100)
-    back = webdataset.webdataset_samples(shards, id_col="shard_id")
-    return back.select(
+    members = webdataset.tar_members(shards, id_col="shard_id")
+    return members.select(
         "shard_id",
+        "member_idx",
         "sample_key",
-        F.element_at("parts", "txt").cast("string").alias("caption"),
-        F.col("n_members").alias("n_parts"),
-        F.length(F.element_at("parts", "bin")).cast("long").alias("bin_len"),
+        "ext",
+        F.col("n_bytes").alias("body_len"),
+        F.when(
+            F.col("ext") == "txt", F.col("member").cast("string")
+        ).alias("caption"),
     )
 
 
@@ -4322,10 +4327,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT CAST(pos // 100 AS BIGINT) AS shard_id,
+                   CAST(2 * (pos % 100) AS BIGINT) AS member_idx,
                    key AS sample_key,
-                   caption,
-                   CAST(2 AS BIGINT) AS n_parts,
-                   bin_len
+                   'bin' AS ext,
+                   bin_len AS body_len,
+                   CAST(NULL AS VARCHAR) AS caption
+            FROM p
+            UNION ALL
+            SELECT CAST(pos // 100 AS BIGINT),
+                   CAST(2 * (pos % 100) + 1 AS BIGINT),
+                   key,
+                   'txt',
+                   CAST(length(caption) AS BIGINT),
+                   caption
             FROM p
         """,
         "webdataset_samples": """

@@ -77,6 +77,7 @@ def _iter_members(payload: bytes):
 
 
 TAR_MEMBER_FIELDS = [
+    T.StructField("member_idx", T.LongType()),
     T.StructField("sample_key", T.StringType()),
     T.StructField("ext", T.StringType()),
     T.StructField("n_bytes", T.LongType()),
@@ -88,8 +89,11 @@ def tar_members(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
     """Explode a tar-shard binary column into one row per regular
-    member: ``(id_col, sample_key, ext, n_bytes, member)``.
-    Unreadable shards yield a single all-null member row."""
+    member: ``(id_col, member_idx, sample_key, ext, n_bytes,
+    member)`` — ``member_idx`` (r8) is the member's position in the
+    archive, so shard ORDER is checkable downstream (the
+    ``webdataset_roundtrip`` oracle replays it). Unreadable shards
+    yield a single all-null member row."""
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), *TAR_MEMBER_FIELDS]
     )
@@ -104,11 +108,11 @@ def tar_members(
                     members = None
                 if not members:
                     ids.append(i)
-                    rows.append((None, None, None, None))
+                    rows.append((None, None, None, None, None))
                     continue
-                for key, ext, body in members:
+                for j, (key, ext, body) in enumerate(members):
                     ids.append(i)
-                    rows.append((key, ext, len(body), body))
+                    rows.append((j, key, ext, len(body), body))
             out = pd.DataFrame(
                 rows, columns=[f.name for f in TAR_MEMBER_FIELDS]
             )
