@@ -2265,6 +2265,30 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode (r8, operators/gif): every doc gets a genuine
+    GIF89a — global color table, image descriptor, REAL LZW
+    compression (greedy string table, width bumps, clear resets),
+    every fourth payload Adam-style 4-pass INTERLACED and every
+    fifth animated (two frames; frame one decodes) — and parse_gif
+    genuinely LZW-decompresses and palette-expands inside the Arrow
+    stage. Palette colors and index raster are closed-form, so
+    DuckDB states dimensions and the raster mean outright."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id").repartition(spark.sparkContext.defaultParallelism)
+    with_payload = multimodal.make_gif_payload(docs)
+    meta = multimodal.decode_image_meta(with_payload, id_col="doc_id")
+    return meta.select(
+        "doc_id",
+        "fmt",
+        "width",
+        "height",
+        "maxval",
+        "n_channels",
+        "n_pixel_bytes",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    )
+
+
 def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode (r6): every document gets a deterministic PNG
     payload — true signature, IHDR/IDAT/IEND chunks with correct
@@ -3680,7 +3704,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _WINDOW_R8 = [
     "pagerank_redistribute", "webdataset_roundtrip",
     "robots_gate_compiled", "format_stats", "bm25_search",
-    "hybrid_search", "wet_roundtrip",
+    "hybrid_search", "wet_roundtrip", "gif_decode",
     "flac_decode", "jpeg_decode", "embedding_project",
     "pagerank_hosts", "webdataset_samples", "robots_gate",
     # r3-greens (stalest driver evidence in the suite)
@@ -3697,7 +3721,6 @@ _WINDOW_R8 = [
     "budget_mix", "validate_lineitem", "violation_counts",
     "q1_pricing_summary", "q3_top_revenue_orders", "q9_brand_revenue",
     "window_suite", "rollup_revenue", "set_ops_customers",
-    "median_stats",
 ]
 
 
@@ -3737,6 +3760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- no driver-green yet — they stay in the window rather than
         # -- rotating out on local evidence alone.
         "png_decode": q_png_decode,
+        "gif_decode": q_gif_decode,
         "langid_profiles": q_langid_profiles,
         "warc_records": q_warc_records,
         "robots_gate": q_robots_gate,
@@ -6920,6 +6944,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 AS BIGINT) AS n_channels,
                    CAST(w * h * 3 AS BIGINT) AS n_pixel_bytes,
                    round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS mean_pixel
+            FROM px
+            GROUP BY doc_id, w, h
+        """,
+        "gif_decode": """
+            WITH d AS (
+                SELECT doc_id,
+                       4 + doc_id % 13 AS w,
+                       3 + doc_id % 7 AS h
+                FROM documents
+            ),
+            px AS (
+                SELECT doc_id, w, h,
+                       (doc_id * 5 + i * 11) % 8 AS j
+                FROM d, LATERAL (SELECT unnest(range(0, w * h)) AS i)
+            )
+            SELECT doc_id,
+                   'gif' AS fmt,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(255 AS BIGINT) AS maxval,
+                   CAST(3 AS BIGINT) AS n_channels,
+                   CAST(3 * w * h AS BIGINT) AS n_pixel_bytes,
+                   round(CAST(SUM((j * 37) % 256 + (j * 59) % 256
+                              + (j * 83) % 256) AS DOUBLE)
+                         / (3 * w * h), 6) AS mean_pixel
             FROM px
             GROUP BY doc_id, w, h
         """,

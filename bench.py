@@ -136,6 +136,7 @@ HEADLINE = [
     "bm25_search",              # lexical retrieval: postings + probe
     "hybrid_search",            # BM25 + cosine RRF fusion
     "wet_roundtrip",            # WET write: pack + gzip + read back
+    "gif_decode",               # real GIF LZW decode
 ]
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100

@@ -482,8 +482,9 @@ def parse_png(payload: bytes) -> dict | None:
 
 def parse_image(payload: bytes) -> dict | None:
     """Dispatch on magic bytes: PNG signature → :func:`parse_png`,
-    ``FFD8`` → :func:`jpeg.parse_jpeg`, ``P5``/``P6`` →
-    :func:`parse_pnm`, anything else → ``None``. The decode stages
+    ``FFD8`` → :func:`jpeg.parse_jpeg`, ``GIF8`` →
+    :func:`gif.parse_gif` (r8), ``P5``/``P6`` → :func:`parse_pnm`,
+    anything else → ``None``. The decode stages
     (:func:`decode_image_meta`, :func:`image_pixel_embedding`) parse
     through this, so one corpus can mix formats row-by-row."""
     if payload is None or len(payload) < 2:
@@ -495,6 +496,10 @@ def parse_image(payload: bytes) -> dict | None:
         from .jpeg import parse_jpeg
 
         return parse_jpeg(payload)
+    if head[:4] == b"GIF8":
+        from .gif import parse_gif
+
+        return parse_gif(payload)
     return parse_pnm(payload)
 
 
@@ -925,6 +930,48 @@ def make_png_payload(
                 + _chunk(b"IHDR", ihdr)
                 + _chunk(b"IDAT", zlib.compress(bytes(raw)))
                 + _chunk(b"IEND", b"")
+            )
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, _build(F.col(id_col)))
+
+
+def make_gif_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Build a deterministic REAL GIF per row (fixture/oracle
+    generator, r8): the PNM dimension formulas (``w = 4 + id % 13``,
+    ``h = 3 + id % 7``), an 8-color palette
+    ``pal[j] = ((j*37)%256, (j*59)%256, (j*83)%256)``, and palette
+    index ``(id*5 + i*11) % 8`` for pixel ``i`` — so DuckDB states
+    every decoded statistic while :func:`gif.parse_gif` genuinely
+    LZW-decompresses its way there. Every fourth payload is
+    INTERLACED (same decoded raster — the 4-pass row order is a
+    storage concern) and every fifth carries a second identical
+    frame (the animation walk; decode returns frame one)."""
+    from .gif import encode_gif
+
+    pal = [((j * 37) % 256, (j * 59) % 256, (j * 83) % 256)
+           for j in range(8)]
+
+    @pandas_udf("binary")
+    def _build(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if i is None:
+                out.append(None)
+                continue
+            i = int(i)
+            w, h = 4 + i % 13, 3 + i % 7
+            idx = [(i * 5 + k * 11) % 8 for k in range(w * h)]
+            out.append(
+                encode_gif(
+                    w, h, idx, pal,
+                    interlaced=(i % 4 == 3),
+                    animated_copies=2 if i % 5 == 0 else 1,
+                )
             )
         return pd.Series(out)
 
