@@ -38,6 +38,7 @@ from flycatcher_spark.operators import (
     graph,
     langid,
     multimodal,
+    pdf,
     quality,
     similarity,
     stats,
@@ -2289,6 +2290,25 @@ def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PDF text extraction (r9, operators/pdf): every doc gets a
+    genuine PDF 1.4 — catalog, page tree (nested /Pages every 7th
+    id), per-page content streams (FlateDecode for even ids, a
+    two-stream /Contents array every 5th, an incremental-update xref
+    chain every 3rd), show ops cycling Tj / kerned-TJ / hex-string /
+    octal-escape forms — and parse_pdf genuinely walks the xref,
+    inflates, and replays the BT/ET text operators inside the Arrow
+    stage. The planted two-line-per-page text is closed-form, so
+    DuckDB states the extracted text outright."""
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    with_payload = pdf.make_pdf_payload(docs)
+    return pdf.extract_pdf_text(with_payload, id_col="doc_id")
+
+
 def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode (r6): every document gets a deterministic PNG
     payload — true signature, IHDR/IDAT/IEND chunks with correct
@@ -3761,6 +3781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rotating out on local evidence alone.
         "png_decode": q_png_decode,
         "gif_decode": q_gif_decode,
+        "pdf_extract": q_pdf_extract,
         "langid_profiles": q_langid_profiles,
         "warc_records": q_warc_records,
         "robots_gate": q_robots_gate,
@@ -6971,6 +6992,29 @@ def oracle_sql() -> dict[str, str]:
                          / (3 * w * h), 6) AS mean_pixel
             FROM px
             GROUP BY doc_id, w, h
+        """,
+        "pdf_extract": """
+            WITH d AS (
+                SELECT doc_id, 1 + doc_id % 3 AS np FROM documents
+            ),
+            pg AS (
+                SELECT doc_id, np, p,
+                       'Doc ' || doc_id || ' page ' || p || chr(10) ||
+                       'body ' || (doc_id * 7 + p) % 97 || ' (pdf)'
+                           AS ptext
+                FROM d, LATERAL (SELECT unnest(range(0, np)) AS p)
+            ),
+            agg AS (
+                SELECT doc_id, np,
+                       string_agg(ptext, chr(10) ORDER BY p) AS text
+                FROM pg
+                GROUP BY doc_id, np
+            )
+            SELECT doc_id,
+                   CAST(np AS BIGINT) AS n_pages,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   text
+            FROM agg
         """,
         "png_decode": """
             WITH d AS (

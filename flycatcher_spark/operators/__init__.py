@@ -49,6 +49,10 @@ reference surface — see SURVEY.md §7.1 step 7).
 - :mod:`.warc` — WARC (ISO 28500) crawl-archive record parsing:
   plain/gzip/gzip-member inputs, Arrow ``mapInPandas`` record
   fan-out, deterministic oracle fixtures.
+- :mod:`.pdf` — stdlib-only PDF text extraction: classic xref
+  chains (incl. incremental updates), COS object parser, page-tree
+  walk, FlateDecode, BT/ET text operators; plus a spec-conformant
+  fixture writer.
 - :mod:`.quality` — corpus curation: Gopher-style rule gates, linear
   classifier scoring, unigram-LM surprise, per-domain caps,
   temperature mixture sampling, deterministic training order,
@@ -67,6 +71,7 @@ from . import (
     jpeg,
     langid,
     multimodal,
+    pdf,
     quality,
     range_join,
     similarity,
@@ -92,6 +97,7 @@ __all__ = [
     "jpeg",
     "langid",
     "multimodal",
+    "pdf",
     "quality",
     "range_join",
     "similarity",

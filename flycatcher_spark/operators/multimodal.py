@@ -515,8 +515,9 @@ def sniff_format(payload: bytes) -> str | None:
     Returns one of ``jpeg_baseline``, ``jpeg_progressive``,
     ``jpeg_extended``, ``jpeg_arithmetic``, ``jpeg_lossless``,
     ``jpeg_other``, ``png``, ``ppm``, ``pgm``, ``gif``, ``webp``,
-    ``bmp``, ``wav``, ``flac``, ``mp3``, ``ogg``, ``avi``, ``gzip``,
-    ``tar``, ``zip``, ``unknown`` — or ``None`` for null/empty.
+    ``bmp``, ``wav``, ``flac``, ``pdf``, ``mp3``, ``ogg``, ``avi``,
+    ``gzip``, ``tar``, ``zip``, ``unknown`` — or ``None`` for
+    null/empty.
 
     Examples
     --------
@@ -572,6 +573,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "bmp"
     if b[:4] == b"fLaC":
         return "flac"
+    if b[:5] == b"%PDF-":
+        return "pdf"
     if b[:3] == b"ID3" or b[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2"):
         return "mp3"
     if b[:4] == b"OggS":
