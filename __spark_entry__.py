@@ -2697,6 +2697,34 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_word_symbol_counts(docs, _BPE_MERGES)
 
 
+# Frozen BYTE-LEVEL tokenizer artifact (r9): 30 merges learned once
+# from the sf0.01 pre-token table (operators/bpe.learn_merges_bytes
+# — GPT-2-style regex pre-tokenization + byte-unicode alphabet, so
+# the pairs are exactly merges.txt symbols, 'Ġ' = leading space).
+_BPE_BYTES_MERGES: list[tuple[str, str]] = [
+    ("Ġ", "s"), ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("Ġ", "c"), ("a", "s"),
+    ("Ġ", "b"), ("Ġ", "v"), ("a", "r"), ("p", "ar"), ("Ġ", "f"),
+    ("Ġ", "a"), ("Ġ", "t"), ("j", "o"), ("jo", "in"), ("as", "h"),
+    ("h", "ash"), ("Ġ", "join"), ("s", "t"), ("r", "ow"),
+    ("at", "c"), ("atc", "h"), ("a", "n"), ("c", "an"),
+    ("lu", "m"), ("lum", "n"),
+]
+
+
+def q_bpe_bytes_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level (GPT-2-style) frozen-tokenizer application,
+    oracle-checked: per-doc token counts under _BPE_BYTES_MERGES via
+    the engine-portable path (bpe.bpe_bytes_symbol_counts) — NUL
+    sentinel + lookahead-free regex pre-tokenization, then the
+    hex-pair double-spaced replace chain. The Arrow kernel
+    (bpe.bpe_bytes_token_count, true lookahead pattern) is pinned
+    equal to this path in tests/test_bpe_bytes.py; the oracle replays
+    pre-tokenization AND merge application cell-for-cell."""
+    docs = _read(spark, sf_dir, "documents")
+    return bpe.bpe_bytes_symbol_counts(docs, _BPE_BYTES_MERGES)
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity bucketing: head/middle/tail thirds by
     unigram-LM surprise with exact interpolated-percentile thresholds
@@ -3836,6 +3864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_pruned_join": q_bloom_pruned_join,
         "span_dedup": q_span_dedup,
         "bpe_apply": q_bpe_apply,
+        "bpe_bytes_apply": q_bpe_bytes_apply,
         "payload_embed_knn": q_payload_embed_knn,
         "semantic_dedup": q_semantic_dedup,
         "incremental_semantic_dedup": q_incremental_semantic_dedup,
@@ -4041,6 +4070,51 @@ def _bpe_replace_chain_sql() -> str:
     for a, b in _BPE_MERGES:
         expr = f"replace({expr}, ' {a}  {b} ', ' {a}{b} ')"
     return expr
+
+
+def _bpe_bytes_replace_chain_sql() -> str:
+    """DuckDB expression applying _BPE_BYTES_MERGES over hex-pair
+    symbols (one symbol = one UTF-8 byte = two hex chars;
+    ``hex(encode(w))`` is identical in Spark and DuckDB, uppercase in
+    both) with the same double-spaced replace chain — see
+    bpe.bpe_bytes_symbol_counts."""
+    from flycatcher_spark.operators.bpe import _symbols_to_hex
+
+    expr = "' ' || rtrim(regexp_replace(hex(encode(w)), '(..)', '\\1  ', 'g')) || ' '"
+    for a, b in _BPE_BYTES_MERGES:
+        ha, hb = _symbols_to_hex(a), _symbols_to_hex(b)
+        expr = f"replace({expr}, ' {ha}  {hb} ', ' {ha}{hb} ')"
+    return expr
+
+
+def _gpt2_pretokens_ctes_sql(source: str = "documents") -> str:
+    """CTE chain replaying bpe.pretokens in DuckDB: strip NULs,
+    insert the NUL sentinel before each whitespace run's last
+    character, split on it, and regexp_extract_all the lookahead-free
+    GPT-2 pattern per segment (RE2-safe; the whitespace class is
+    spelled out so RE2 and Java agree). Yields CTE ``w`` =
+    (doc_id, w) pre-token rows."""
+    from flycatcher_spark.operators.bpe import (
+        GPT2_SPLIT_PORTABLE,
+        _SENTINEL_PATTERN,
+    )
+
+    p0 = GPT2_SPLIT_PORTABLE.replace("'", "''")
+    sent = _SENTINEL_PATTERN.replace("'", "''")
+    return f"""
+            t AS (
+                SELECT doc_id,
+                       string_split(
+                           regexp_replace(replace(text, chr(0), ''),
+                                          '{sent}', '\\1' || chr(0) || '\\2', 'g'),
+                           chr(0)) AS segs
+                FROM {source}
+            ),
+            seg AS (SELECT doc_id, unnest(segs) AS seg FROM t),
+            w AS (
+                SELECT doc_id, unnest(regexp_extract_all(seg, '{p0}')) AS w
+                FROM seg
+            )"""
 
 
 def _kmeans_cte(k: int = 8, n_iter: int = 2) -> str:
@@ -5498,6 +5572,18 @@ def oracle_sql() -> dict[str, str]:
             sym AS (
                 SELECT doc_id, """ + _bpe_replace_chain_sql() + r""" AS s
                 FROM words
+            )
+            -- double-space invariant: k symbols -> exactly 2k spaces
+            SELECT doc_id,
+                   CAST(SUM((length(s) - length(replace(s, ' ', ''))) / 2) AS BIGINT) AS n_bpe
+            FROM sym
+            GROUP BY doc_id
+        """,
+        "bpe_bytes_apply": r"""
+            WITH """ + _gpt2_pretokens_ctes_sql() + r""",
+            sym AS (
+                SELECT doc_id, """ + _bpe_bytes_replace_chain_sql() + r""" AS s
+                FROM w
             )
             -- double-space invariant: k symbols -> exactly 2k spaces
             SELECT doc_id,

@@ -19,6 +19,13 @@ way production tokenizer training actually scales:
 The first training iteration (adjacent-pair counts over the word
 table) is plain SQL — the oracle checks it cell-for-cell; the
 iterative loop and the application are pinned by known-answer tests.
+
+Two tokenizer families share this structure: the word-internal
+character-level BPE (top of the module) and the production-faithful
+**byte-level BPE** (GPT-2 family — regex pre-tokenization, 256-byte
+alphabet in the byte-unicode rendering; see the byte-level section
+below), whose applied segmentation the driver's oracle also replays
+end-to-end via the hex-pair replace chain.
 """
 
 from __future__ import annotations
@@ -83,6 +90,17 @@ def learn_merges(
     freq: dict[tuple[str, ...], int] = {
         tuple(r["word"]): r["cnt"] for r in word_counts_df.collect()
     }
+    return _learn_merges_from_freq(freq, n_merges)
+
+
+def _learn_merges_from_freq(
+    freq: dict[tuple[str, ...], int],
+    n_merges: int,
+) -> list[tuple[str, str]]:
+    """Shared merge-learning loop over a symbol-sequence frequency
+    table — used by both the character-level (:func:`learn_merges`)
+    and byte-level (:func:`learn_merges_bytes`) trainers. The symbol
+    alphabet is whatever the caller split words into."""
     merges: list[tuple[str, str]] = []
     for _ in range(int(n_merges)):
         pair_n: dict[tuple[str, str], int] = {}
@@ -133,12 +151,13 @@ def load_merges(path: str) -> list[tuple[str, str]]:
     can be applied to the corpus — real pipelines apply a fixed
     public tokenizer far more often than they train one.
 
-    Note on symbol space: the format is consumed verbatim, but this
-    module's pre-tokenization is whitespace words lowered to
-    character symbols — merge files built over other alphabets (e.g.
-    GPT-2's byte-to-unicode symbols with the ``Ġ`` space marker)
-    parse fine yet will rarely match; pair them with the matching
-    pre-tokenizer.
+    Note on symbol space: the format is consumed verbatim — pair the
+    file with the matching kernels. Word-internal character merges
+    feed :func:`bpe_token_count` / :func:`bpe_encode`; GPT-2-family
+    byte-level files (byte-to-unicode symbols, ``Ġ`` space marker)
+    feed :func:`bpe_bytes_token_count` / :func:`bpe_bytes_encode` /
+    :func:`bpe_bytes_encode_ids`, whose regex pre-tokenizer and byte
+    alphabet match how those files were trained.
     """
     merges: list[tuple[str, str]] = []
     with open(path, encoding="utf-8") as f:
@@ -382,3 +401,362 @@ def bpe_encode(
         return pd.Series(out)
 
     return _enc(F.lower(normalize_text(c)))
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE (GPT-2 style): regex pre-tokenization + byte alphabet
+# ---------------------------------------------------------------------------
+#
+# Production LLM tokenizers (GPT-2 family and descendants) are
+# byte-level: the text is first split by a published regex
+# pre-tokenizer, each pre-token becomes its UTF-8 bytes, and merges
+# are learned/applied over a 256-symbol byte alphabet rendered as
+# printable unicode characters (the well-known ``bytes_to_unicode``
+# table: ' ' -> 'Ġ', '\n' -> 'Ċ', ...). This section adds that exact
+# pipeline on the same three-tier structure as the word-level code
+# above: one corpus shuffle for pre-token counts, bounded driver-side
+# merge learning, map-only Arrow application — plus an
+# engine-portable twin (hex-pair replace chain) so the driver's
+# DuckDB oracle can replay the applied segmentation cell-for-cell.
+#
+# Whitespace fidelity note: the three regex engines involved disagree
+# on ``\s`` (Python `regex` = full Unicode, Java = ASCII+\x0B, RE2 =
+# ASCII without \x0B), so every pattern here spells the whitespace
+# class explicitly as ``[ \t\n\x0B\f\r]`` (Java's set). Unicode
+# spaces (NBSP etc.) therefore land in the "other" category — they
+# are not \s to Java or RE2 either, so all engines agree.
+
+_WS = r" \t\n\x0B\f\r"
+
+#: The GPT-2 pre-tokenizer pattern (public: the GPT-2 release's
+#: ``encoder.py``), with ``\s``/``\S`` spelled out per the note
+#: above. Needs lookahead -> Python `regex` / Java only.
+GPT2_SPLIT_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    rf"| ?\p{{L}}+| ?\p{{N}}+| ?[^{_WS}\p{{L}}\p{{N}}]+"
+    rf"|[{_WS}]+(?![^{_WS}])|[{_WS}]+"
+)
+
+#: Lookahead-free variant, safe for RE2 (DuckDB) and Java alike.
+#: On its own it differs from GPT2_SPLIT_PATTERN only at whitespace
+#: runs of length >= 2 followed by non-whitespace: the true pattern
+#: splits the run before its last character (which then prefixes the
+#: next token if it is a plain space), while this one swallows the
+#: whole run. :data:`_SENTINEL_PATTERN` pre-inserts a NUL between the
+#: run's last two characters, restoring exact equivalence — pinned
+#: against the true pattern by tests/test_bpe_bytes.py (fixtures +
+#: hypothesis).
+GPT2_SPLIT_PORTABLE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    rf"| ?\p{{L}}+| ?\p{{N}}+| ?[^{_WS}\p{{L}}\p{{N}}]+"
+    rf"|[{_WS}]+"
+)
+
+#: Matches the last two whitespace characters of a run that is
+#: followed by non-whitespace; replacement "$1\x00$2" splits there.
+_SENTINEL_PATTERN = rf"([{_WS}])([{_WS}][^{_WS}])"
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's byte -> printable-unicode table (public knowledge,
+    from the GPT-2 release): printable latin bytes map to themselves,
+    the rest to U+0100.. in order. A bijection over all 256 bytes, so
+    any byte string round-trips."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+_B2U = bytes_to_unicode()
+_U2B = {u: b for b, u in _B2U.items()}
+
+
+def unicode_to_bytes() -> dict[str, int]:
+    """Inverse of :func:`bytes_to_unicode`."""
+    return dict(_U2B)
+
+
+def _to_byte_symbols(pre_token: str) -> str:
+    """Pre-token -> byte-level symbol string (one char per UTF-8
+    byte, in the GPT-2 rendering: ``" low"`` -> ``"Ġlow"``)."""
+    return "".join(_B2U[b] for b in pre_token.encode("utf-8"))
+
+
+def _symbols_to_hex(symbols: str) -> str:
+    """Byte-unicode symbol string -> uppercase hex of the underlying
+    bytes (``"Ġl"`` -> ``"206C"``) — the symbol space the portable
+    replace chain works in (both Spark and DuckDB can ``hex(encode())``
+    a string identically)."""
+    return bytes(_U2B[ch] for ch in symbols).hex().upper()
+
+
+def gpt2_pretokenize(text: str) -> list[str]:
+    """Reference pre-tokenizer: the true GPT-2 pattern via the
+    `regex` module. NUL bytes are stripped first (they are the
+    sentinel of the portable path; documented deviation — NUL never
+    appears in real text corpora)."""
+    import regex
+
+    pat = getattr(gpt2_pretokenize, "_pat", None)
+    if pat is None:
+        pat = regex.compile(GPT2_SPLIT_PATTERN)
+        gpt2_pretokenize._pat = pat
+    return pat.findall(text.replace("\x00", ""))
+
+
+def pretokens(text: Column | str) -> Column:
+    """GPT-2 pre-tokens as ``array<string>``, computed entirely
+    JVM-side (whole-stage codegen, no Python): strip NULs, insert a
+    NUL sentinel before each whitespace run's last character
+    (:data:`_SENTINEL_PATTERN`), split on the sentinel, and run the
+    lookahead-free pattern per segment. Tests pin this equal to
+    :func:`gpt2_pretokenize` on fixtures, fuzzed strings, and the
+    documents corpus."""
+    c = F.col(text) if isinstance(text, str) else text
+    stripped = F.replace(c, F.lit("\x00"), F.lit(""))
+    marked = F.regexp_replace(stripped, _SENTINEL_PATTERN, "$1\x00$2")
+    segs = F.split(marked, "\x00")
+    return F.flatten(
+        F.transform(
+            segs,
+            lambda s: F.regexp_extract_all(
+                s, F.lit(GPT2_SPLIT_PORTABLE), F.lit(0)
+            ),
+        )
+    )
+
+
+def byte_word_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_vocab_words: int = 100_000,
+) -> DataFrame:
+    """Distinct pre-tokens with corpus counts, capped at the most
+    frequent ``max_vocab_words`` (count desc, token asc). The
+    corpus-scale stage of byte-level training: one shuffle with
+    map-side partial aggregation; pre-tokens keep case and their
+    leading space (GPT-2 does not normalize)."""
+    toks = docs.select(F.explode(pretokens(text_col)).alias("word"))
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.orderBy(F.desc("cnt"), F.asc("word")).limit(
+        int(max_vocab_words)
+    )
+
+
+def learn_merges_bytes(
+    word_counts_df: DataFrame,
+    n_merges: int = 100,
+) -> list[tuple[str, str]]:
+    """Learn byte-level merges from the (bounded, collected)
+    pre-token frequency table. Each pre-token becomes its UTF-8
+    bytes in the GPT-2 byte-unicode rendering, then the classic
+    merge loop runs over that symbol space — so the returned pairs
+    are exactly what a GPT-2-family ``merges.txt`` holds
+    (:func:`save_merges` / :func:`load_merges` interoperate)."""
+    freq: dict[tuple[str, ...], int] = {}
+    for r in word_counts_df.collect():
+        key = tuple(_to_byte_symbols(r["word"]))
+        freq[key] = freq.get(key, 0) + r["cnt"]
+    return _learn_merges_from_freq(freq, n_merges)
+
+
+def byte_vocab_from_merges(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Piece -> id table in the GPT-2 convention for byte-level
+    tokenizers: ids 0..255 for the full byte alphabet (in
+    byte-value order, rendered via :func:`bytes_to_unicode`), then
+    one id per merge product in rank order."""
+    vocab = {_B2U[b]: b for b in range(256)}
+    nxt = 256
+    for a, b in merges:
+        piece = a + b
+        if piece not in vocab:
+            vocab[piece] = nxt
+            nxt += 1
+    return vocab
+
+
+def _make_byte_encoder(merges: list[tuple[str, str]]):
+    """Per-pre-token byte-level encoder closure: pre-token -> list of
+    byte-unicode pieces under the greedy lowest-rank loop. Built on
+    module-level tables captured BY VALUE so executors never import
+    this package."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    encode_symbols = _make_encoder(ranks)
+    b2u = dict(_B2U)
+
+    def encode_pre_token(tok: str) -> list[str]:
+        symbols = "".join(b2u[b] for b in tok.encode("utf-8"))
+        return encode_symbols(symbols)
+
+    return encode_pre_token
+
+
+def bpe_bytes_token_count(
+    text: Column | str,
+    merges: list[tuple[str, str]],
+) -> Column:
+    """Per-row byte-level BPE token count under the learned merges —
+    Arrow-batched, map-only; the pre-tokenizer regex and merge ranks
+    ride in the closure. Pinned equal to the portable
+    :func:`bpe_bytes_symbol_counts` twin by tests.
+
+    Examples
+    --------
+        >>> df = spark.createDataFrame([(1, "low low")], ["doc_id", "text"])
+        >>> m = [("l", "o"), ("lo", "w"), ("Ġ", "low")]
+        >>> df.select(bpe_bytes_token_count("text", m).alias("n")).collect()
+        [Row(n=2)]
+    """
+    encode_pre_token = _make_byte_encoder(merges)
+    split_pattern = GPT2_SPLIT_PATTERN
+    c = F.col(text) if isinstance(text, str) else text
+
+    @pandas_udf("long")
+    def _count(texts: pd.Series) -> pd.Series:
+        import regex
+
+        pat = regex.compile(split_pattern)
+        out = []
+        cache: dict[str, int] = {}
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            total = 0
+            for w in pat.findall(t.replace("\x00", "")):
+                hit = cache.get(w)
+                if hit is None:
+                    hit = len(encode_pre_token(w))
+                    cache[w] = hit
+                total += hit
+            out.append(total)
+        return pd.Series(out, dtype="object")
+
+    return _count(c)
+
+
+def bpe_bytes_encode(
+    text: Column | str,
+    merges: list[tuple[str, str]],
+) -> Column:
+    """Per-row byte-level BPE pieces (``array<string>``, byte-unicode
+    rendering — GPT-2's vocab key space)."""
+    encode_pre_token = _make_byte_encoder(merges)
+    split_pattern = GPT2_SPLIT_PATTERN
+    c = F.col(text) if isinstance(text, str) else text
+
+    @pandas_udf("array<string>")
+    def _enc(texts: pd.Series) -> pd.Series:
+        import regex
+
+        pat = regex.compile(split_pattern)
+        out = []
+        cache: dict[str, list[str]] = {}
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            pieces: list[str] = []
+            for w in pat.findall(t.replace("\x00", "")):
+                hit = cache.get(w)
+                if hit is None:
+                    hit = encode_pre_token(w)
+                    cache[w] = hit
+                pieces.extend(hit)
+            out.append(pieces)
+        return pd.Series(out)
+
+    return _enc(c)
+
+
+def bpe_bytes_encode_ids(
+    text: Column | str,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    unk_id: int | None = None,
+) -> Column:
+    """Per-row byte-level token ids (``array<long>``) under a frozen
+    GPT-2-family tokenizer: ``merges.txt`` drives the segmentation,
+    ``vocab.json`` assigns ids (byte-unicode piece keys). Unknown
+    pieces become ``unk_id`` (null elements when unset) — with a
+    GPT-2-convention vocab (:func:`byte_vocab_from_merges`) every
+    piece resolves, by construction of the byte alphabet."""
+    encode_pre_token = _make_byte_encoder(merges)
+    split_pattern = GPT2_SPLIT_PATTERN
+    c = F.col(text) if isinstance(text, str) else text
+
+    @pandas_udf("array<long>")
+    def _ids(texts: pd.Series) -> pd.Series:
+        import regex
+
+        pat = regex.compile(split_pattern)
+        out = []
+        cache: dict[str, list] = {}
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            ids: list = []
+            for w in pat.findall(t.replace("\x00", "")):
+                hit = cache.get(w)
+                if hit is None:
+                    hit = [
+                        vocab.get(p, unk_id) for p in encode_pre_token(w)
+                    ]
+                    cache[w] = hit
+                ids.extend(hit)
+            out.append(ids)
+        return pd.Series(out)
+
+    return _ids(c)
+
+
+def bpe_bytes_symbol_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc byte-level BPE token counts via an engine-portable
+    plan — the oracle-parity twin of :func:`bpe_bytes_token_count`.
+
+    Pre-tokenization is the sentinel + lookahead-free pattern of
+    :func:`pretokens`; each pre-token then becomes the uppercase hex
+    of its UTF-8 bytes (``hex(encode(tok))`` — identical in Spark and
+    DuckDB), so one SYMBOL = one HEX PAIR and the word-level module's
+    double-spaced replace-chain trick applies unchanged: two spaces
+    between symbols, one at each end, each merge is one exact string
+    replace, token count = spaces / 2 (see
+    :func:`bpe_word_symbol_counts` for why double spacing makes each
+    replace a true merge-all pass). Everything stays JVM-side."""
+    words = docs.select(
+        F.col(id_col),
+        F.explode(pretokens(text_col)).alias("__w"),
+    )
+    spaced = F.concat(
+        F.lit(" "),
+        F.rtrim(F.regexp_replace(F.hex(F.encode(F.col("__w"), "utf-8")), "(..)", "$1  ")),
+        F.lit(" "),
+    )
+    for a, b in merges:
+        ha, hb = _symbols_to_hex(a), _symbols_to_hex(b)
+        spaced = F.replace(spaced, F.lit(f" {ha}  {hb} "), F.lit(f" {ha}{hb} "))
+    n_sym = (
+        F.length(spaced)
+        - F.length(F.replace(spaced, F.lit(" "), F.lit("")))
+    ) / 2
+    return (
+        words.select(id_col, n_sym.cast("long").alias("__n"))
+        .groupBy(id_col)
+        .agg(F.sum("__n").cast("long").alias("n_bpe"))
+    )
