@@ -2290,6 +2290,36 @@ def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED GIF sampled-frame decode (r9, gif.parse_gif_frames
+    via multimodal.gif_frames): every doc gets a four-frame GIF89a —
+    NETSCAPE loop extension, per-frame Graphic Control Extensions —
+    sampled at every_n=2, and the decoder genuinely LZW-decodes and
+    COMPOSES the logical screen: frame 0 persists (disposal keep)
+    under frame 2's 2x2 transparent-patterned overlay, frame 1's
+    restore-previous inset must vanish (and, being unsampled, is
+    never LZW-decoded), and frame 3 sits past the sampling window
+    (never decoded). The planted palette arithmetic makes each
+    composed raster mean closed-form, so DuckDB states the sampled
+    frame table — indices, delays, dimensions, means — outright."""
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    with_payload = multimodal.make_animated_gif_payload(docs)
+    out = multimodal.gif_frames(with_payload, every_n=2)
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        "n_frames_total",
+        "delay_cs",
+        "width",
+        "height",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    )
+
+
 def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PDF text extraction (r9, operators/pdf): every doc gets a
     genuine PDF 1.4 — catalog, page tree (nested /Pages every 7th
@@ -3018,20 +3048,20 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_robots_gate_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The robots_gate fixture through the COMPILED path (r8,
-    web.robots_gate(impl="compiled")): the curated rule table is
-    collected once and re-expressed as literal Column predicates —
-    prefix rules as startswith, wildcard/anchored rules as
-    literal-pattern rlike, precedence resolved at compile time into
-    a WHEN chain — so the gate is join-free, shuffle-free and fully
-    codegen-able. Same oracle verdicts as robots_gate; pytest
-    additionally asserts the compiled plan carries no rule join and
-    no pattern column."""
+    """The robots_gate fixture through the COMPILED path (r8; raw
+    fast path r9, web.robots_gate(impl="compiled")): the RAW robots
+    corpus is collected once (one narrow job — parse + RFC 9309
+    group selection run driver-side, no Arrow parse stage, no window)
+    and re-expressed as literal Column predicates — prefix rules as
+    startswith, wildcard/anchored rules as literal-pattern rlike,
+    precedence resolved at compile time into a WHEN chain — so the
+    gate is join-free, shuffle-free and fully codegen-able. Same
+    oracle verdicts as robots_gate; pytest additionally asserts the
+    compiled plan carries no rule join and no pattern column."""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
-    robots = docs.select(
+    rules = docs.select(
         F.concat(F.col("source"), F.lit(".example.com")).alias("host")
     ).distinct().withColumn("robots_txt", F.lit(_ROBOTS_TXT))
-    rules = web.robots_rules(robots, agent="flycatcher")
     v = F.col("doc_id") % 5
     path = (
         F.when(v == 0, F.concat(F.lit("/public/"), F.col("doc_id")))
@@ -3046,9 +3076,9 @@ def q_robots_gate_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("https://"), F.col("source"), F.lit(".example.com"), path
         ).alias("url"),
     )
-    return web.robots_gate(urls, rules, impl="compiled").select(
-        "doc_id", "url", "allowed"
-    )
+    return web.robots_gate(
+        urls, rules, impl="compiled", agent="flycatcher"
+    ).select("doc_id", "url", "allowed")
 
 
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3809,6 +3839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rotating out on local evidence alone.
         "png_decode": q_png_decode,
         "gif_decode": q_gif_decode,
+        "gif_frames": q_gif_frames,
         "pdf_extract": q_pdf_extract,
         "langid_profiles": q_langid_profiles,
         "warc_records": q_warc_records,
@@ -7078,6 +7109,42 @@ def oracle_sql() -> dict[str, str]:
                          / (3 * w * h), 6) AS mean_pixel
             FROM px
             GROUP BY doc_id, w, h
+        """,
+        "gif_frames": """
+            WITH d AS (
+                SELECT doc_id,
+                       4 + doc_id % 13 AS w,
+                       3 + doc_id % 7 AS h
+                FROM documents
+            ),
+            fr AS (
+                SELECT doc_id, w, h, f
+                FROM d, LATERAL (SELECT unnest([0, 2]) AS f)
+            ),
+            px AS (
+                -- frame 0: the planted full-screen raster; frame 2's
+                -- composed canvas replaces exactly cells k=0 and k=w
+                -- (the opaque half of the 2x2 overlay) with color
+                -- 1 + doc_id % 7 — frame 1 was restore-previous'd away
+                SELECT doc_id, w, h, f,
+                       CASE WHEN f = 2 AND (k = 0 OR k = w)
+                            THEN 1 + doc_id % 7
+                            ELSE (doc_id * 5 + k * 11) % 8
+                       END AS j
+                FROM fr, LATERAL (SELECT unnest(range(0, w * h)) AS k)
+            )
+            SELECT doc_id,
+                   CAST(f AS BIGINT) AS frame_idx,
+                   CAST(4 AS BIGINT) AS n_frames_total,
+                   CAST(CASE WHEN f = 0 THEN 10 + doc_id % 5
+                             ELSE 30 END AS BIGINT) AS delay_cs,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   round(CAST(SUM((j * 37) % 256 + (j * 59) % 256
+                              + (j * 83) % 256) AS DOUBLE)
+                         / (3 * w * h), 6) AS mean_pixel
+            FROM px
+            GROUP BY doc_id, w, h, f
         """,
         "pdf_extract": """
             WITH d AS (

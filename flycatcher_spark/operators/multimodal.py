@@ -981,6 +981,148 @@ def make_gif_payload(
     return df.withColumn(payload_col, _build(F.col(id_col)))
 
 
+GIF_FRAME_FIELDS = [
+    T.StructField("frame_idx", T.LongType()),
+    T.StructField("n_frames_total", T.LongType()),
+    T.StructField("delay_cs", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("mean_pixel", T.DoubleType()),
+]
+
+
+def gif_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n: int = 1,
+) -> DataFrame:
+    """Animated-GIF sampled-frame decode over a binary column (r9,
+    :func:`gif.parse_gif_frames`): one row per sampled frame
+    (``frame_idx % every_n == 0``) carrying the frame's GCE delay and
+    the COMPOSED logical-screen raster stats — disposal methods
+    (keep / restore-background / restore-previous) and transparency
+    genuinely applied. Frames past the last sampled index are never
+    LZW-decoded, and unsampled restore-previous frames skip decode
+    entirely (their pixels are erased before any sampled frame sees
+    them). Same Arrow ``mapInPandas`` contract as
+    :func:`video.video_frames`: map-only, payloads stay on
+    executors, undecodable payloads yield one all-null row."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    from .gif import parse_gif_frames
+
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), *GIF_FRAME_FIELDS]
+    )
+
+    def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids = []
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                meta = parse_gif_frames(p, every_n=every_n)
+                if meta is None:
+                    ids.append(i)
+                    rows.append((None,) * 6)
+                    continue
+                for fr in meta["frames"]:
+                    px = fr["pixels"]
+                    ids.append(i)
+                    rows.append(
+                        (
+                            fr["frame_idx"],
+                            meta["n_frames"],
+                            fr["delay_cs"],
+                            meta["screen_width"],
+                            meta["screen_height"],
+                            float(px.mean()) if px.size else None,
+                        )
+                    )
+            out = pd.DataFrame(
+                rows, columns=[f.name for f in GIF_FRAME_FIELDS]
+            )
+            out.insert(0, id_col, pd.Series(ids, dtype="object"))
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(
+        process, schema=out_schema
+    )
+
+
+def make_animated_gif_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Build a deterministic REAL animated GIF per row (fixture/
+    oracle generator, r9): screen ``w = 4 + id % 13`` by
+    ``h = 3 + id % 7``, the 8-color gif palette, background index 0
+    (black), NETSCAPE loop extension, and FOUR frames chosen so
+    every disposal mode matters at ``every_n=2`` sampling:
+
+    - frame 0 (sampled): full-screen, index ``(id*5 + k*11) % 8``,
+      disposal KEEP, delay ``10 + id % 5``;
+    - frame 1: an inset rect of constant index 7 with disposal
+      RESTORE-PREVIOUS — its pixels must vanish from frame 2's
+      canvas (and being unsampled, the decoder skips its LZW
+      entirely);
+    - frame 2 (sampled): a 2x2 rect at the origin, index
+      ``1 + id % 7`` where ``(2*row + col)`` is even and TRANSPARENT
+      (index 0 via the GCE flag) elsewhere — so the composed canvas
+      is frame 0's raster with exactly cells k=0 and k=w replaced;
+      delay 30, disposal restore-background;
+    - frame 3: full-screen index 0 — past the last sampled frame,
+      never decoded.
+
+    Every composed statistic is closed-form, so DuckDB states the
+    sampled frame table outright while :func:`gif.parse_gif_frames`
+    genuinely LZW-decodes and composes its way there."""
+    from .gif import encode_gif_animation
+
+    pal = [((j * 37) % 256, (j * 59) % 256, (j * 83) % 256)
+           for j in range(8)]
+
+    @pandas_udf("binary")
+    def _build(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if i is None:
+                out.append(None)
+                continue
+            i = int(i)
+            w, h = 4 + i % 13, 3 + i % 7
+            c = 1 + i % 7
+            frames = [
+                dict(
+                    width=w, height=h,
+                    indices=[(i * 5 + k * 11) % 8 for k in range(w * h)],
+                    disposal=1, delay_cs=10 + i % 5,
+                ),
+                dict(
+                    left=1, top=1, width=w - 2, height=h - 2,
+                    indices=[7] * ((w - 2) * (h - 2)),
+                    disposal=3, delay_cs=20,
+                ),
+                dict(
+                    width=2, height=2,
+                    indices=[
+                        c if (2 * r + col) % 2 == 0 else 0
+                        for r in range(2) for col in range(2)
+                    ],
+                    transparent_index=0, disposal=2, delay_cs=30,
+                ),
+                dict(
+                    width=w, height=h, indices=[0] * (w * h),
+                    delay_cs=40,
+                ),
+            ]
+            out.append(encode_gif_animation(w, h, frames, pal))
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, _build(F.col(id_col)))
+
+
 def make_wav_payload(
     df: DataFrame,
     id_col: str = "doc_id",

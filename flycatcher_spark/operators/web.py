@@ -468,10 +468,11 @@ def robots_rules(
     )
 
 
-def _compile_rules(rules: DataFrame):
-    """Compile a :func:`robots_rules` table into a closure
+def _rules_predicate(by_host: dict[str, list[tuple[bool, str]]]):
+    """Shared backend of the compiled robots gate: turn per-host
+    ``(allow, pattern)`` rule lists into a closure
     ``(host_col, path_col) -> allowed Column`` of pure literal
-    predicates (the ``robots_gate(impl="compiled")`` backend).
+    predicates.
 
     Precedence is resolved AT COMPILE TIME: each host's rules sort by
     (pattern length desc, allow-first), so the first matching WHEN
@@ -481,15 +482,11 @@ def _compile_rules(rules: DataFrame):
     inside whole-stage codegen; the rest compile to ``rlike`` with a
     LITERAL pattern, which codegen compiles once per query instead of
     per row."""
-    rows = rules.select("host", "allow", "pattern").collect()
-    if len({r.host for r in rows}) > 1000:
+    if len(by_host) > 1000:
         raise ValueError(
             "compiled robots gate is for curated rule sets "
             "(<= 1000 hosts); use impl='dynamic' for per-host crawl rules"
         )
-    by_host: dict[str, list] = {}
-    for r in rows:
-        by_host.setdefault(r.host, []).append(r)
 
     def predicate(host_col, path_col):
         case = None
@@ -497,15 +494,14 @@ def _compile_rules(rules: DataFrame):
             cond = None
             ordered = sorted(
                 by_host[h],
-                key=lambda r: (-len(r.pattern), -int(bool(r.allow))),
+                key=lambda r: (-len(r[1]), -int(bool(r[0]))),
             )
-            for r in ordered:
-                pat = r.pattern
+            for allow, pat in ordered:
                 if "*" not in pat and not pat.endswith("$"):
                     m = path_col.startswith(pat)
                 else:
                     m = path_col.rlike(_pattern_regex(pat))
-                verdict = F.lit(bool(r.allow))
+                verdict = F.lit(bool(allow))
                 cond = (
                     F.when(m, verdict)
                     if cond is None
@@ -528,11 +524,61 @@ def _compile_rules(rules: DataFrame):
     return predicate
 
 
+def _compile_rules(rules: DataFrame):
+    """Compile a pre-parsed :func:`robots_rules` table into the
+    compiled-gate predicate closure. One bounded collect — but note
+    the collect runs the ``robots_rules`` lineage (Arrow parse +
+    group-selection window); when the raw robots corpus is at hand,
+    :func:`compile_robots` skips that job entirely."""
+    rows = rules.select("host", "allow", "pattern").collect()
+    by_host: dict[str, list[tuple[bool, str]]] = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append((bool(r.allow), r.pattern))
+    return _rules_predicate(by_host)
+
+
+def compile_robots(
+    robots_df: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+):
+    """Compile RAW robots.txt bodies straight into the compiled-gate
+    predicate (r9): ONE narrow collect of ``(host, robots_txt)``
+    — no Arrow parse stage, no group-selection window, no second
+    job — then :func:`parse_robots` + RFC 9309 group selection run
+    driver-side over the (bounded, <=1000-host by contract) corpus.
+    Group selection matches :func:`robots_rules` exactly: the
+    agent's own group when it has any rules, else ``*``; groups
+    never merge."""
+    agent_l = agent.lower()
+    rows = robots_df.select(
+        F.col(host_col).alias("host"), F.col(robots_col).alias("txt")
+    ).collect()
+    if len({r.host for r in rows}) > 1000:
+        raise ValueError(
+            "compiled robots gate is for curated rule sets "
+            "(<= 1000 hosts); use impl='dynamic' for per-host crawl rules"
+        )
+    by_host: dict[str, list[tuple[bool, str]]] = {}
+    for r in rows:
+        parsed = parse_robots(r.txt) if r.txt is not None else []
+        exact = [
+            (allow, pat) for a, allow, pat in parsed if a == agent_l
+        ]
+        star = [(allow, pat) for a, allow, pat in parsed if a == "*"]
+        picked = exact if exact else star
+        if picked:
+            by_host.setdefault(r.host, []).extend(picked)
+    return _rules_predicate(by_host)
+
+
 def robots_gate(
     urls: DataFrame,
     rules: DataFrame,
     url_col: str = "url",
     impl: str = "dynamic",
+    agent: str = "*",
 ) -> DataFrame:
     """Crawl-permission gate: applies each URL's host's
     :func:`robots_rules` with RFC 9309 precedence — among matching
@@ -550,24 +596,37 @@ def robots_gate(
       acceptable because rules-per-host is single digits, and the
       right path when the rule table is itself data (per-host
       robots refreshed by the crawl).
-    - ``impl="compiled"`` (r8): for the common curated-fixed-ruleset
-      case — collects the (bounded, by definition) rule table once
-      and compiles it into literal Column predicates: plain prefix
-      rules become ``startswith`` and wildcard/anchored rules become
-      literal-pattern ``rlike`` (compiled once by codegen, not per
-      row), chained in precedence order inside a per-host CASE. No
-      join, no shuffle, no pattern column — the whole gate stays in
-      WholeStageCodegen. Refuses rule tables over 1000 hosts (use
-      the dynamic path there).
+    - ``impl="compiled"`` (r8; raw-robots fast path r9): for the
+      common curated-fixed-ruleset case — collects the (bounded, by
+      definition) rule set once and compiles it into literal Column
+      predicates: plain prefix rules become ``startswith`` and
+      wildcard/anchored rules become literal-pattern ``rlike``
+      (compiled once by codegen, not per row), chained in precedence
+      order inside a per-host CASE. No join, no shuffle, no pattern
+      column — the whole gate stays in WholeStageCodegen. Pass the
+      RAW robots table (``host``, ``robots_txt``) plus ``agent`` and
+      the parse/group-selection runs driver-side inside the one
+      collect (no Arrow parse job at all); a pre-parsed
+      :func:`robots_rules` table also works but re-runs its lineage
+      on the collect. Refuses rule sets over 1000 hosts (use the
+      dynamic path there).
     """
     if impl not in ("dynamic", "compiled"):
         raise ValueError("impl must be 'dynamic' or 'compiled'")
     host = host_of(canonical_url(F.col(url_col)))
     path = F.regexp_extract(canonical_url(F.col(url_col)), _URL_RE, 3)
     if impl == "compiled":
-        return urls.withColumn(
-            "allowed", _compile_rules(rules)(host, path)
+        # A RAW robots table (host + robots_txt, no parsed pattern
+        # column) compiles driver-side in one narrow collect —
+        # no Arrow parse job; a pre-parsed robots_rules table still
+        # works but pays its lineage on the collect.
+        raw = "pattern" not in rules.columns and "robots_txt" in rules.columns
+        pred = (
+            compile_robots(rules, agent=agent)
+            if raw
+            else _compile_rules(rules)
         )
+        return urls.withColumn("allowed", pred(host, path))
     with_hp = urls.withColumn("__host", host).withColumn("__path", path)
     joined = with_hp.join(
         rules.withColumnRenamed("host", "__host"), "__host", "left"

@@ -265,6 +265,85 @@ class TestRobots:
         # prefix rule compiled to StartsWith, not a regex
         assert "StartsWith" in plan
 
+    def test_compiled_raw_robots_equals_dynamic(self, spark):
+        # r9: the raw-robots fast path (driver-side parse inside one
+        # narrow collect — no Arrow parse job, no group-selection
+        # window) must match the dynamic path verdict-for-verdict,
+        # including RFC 9309 group selection: an exact-agent group
+        # suppresses '*' for that host.
+        robots = spark.createDataFrame(
+            [
+                ("h.com",
+                 "User-agent: bot\nDisallow: /only-bot\n"
+                 "User-agent: *\nDisallow: /p\nAllow: /p/ok\n"
+                 "Disallow: /t/*.log\nAllow: /t/keep.log$\n"),
+                ("i.com", "User-agent: *\nDisallow: /\nAllow: /pub\n"),
+                ("j.com", None),
+            ],
+            "host string, robots_txt string",
+        )
+        urls = spark.createDataFrame(
+            [
+                (1, "https://h.com/q"),
+                (2, "https://h.com/p/x"),
+                (3, "https://h.com/p/ok/x"),
+                (4, "https://h.com/t/a.log"),
+                (5, "https://h.com/t/keep.log"),
+                (6, "https://h.com/only-bot/x"),
+                (7, "https://i.com/secret"),
+                (8, "https://i.com/pub/x"),
+                (9, "https://j.com/x"),
+            ],
+            ["id", "url"],
+        )
+        for agent in ("*", "bot"):
+            dyn = {
+                r["id"]: r["allowed"]
+                for r in web.robots_gate(
+                    urls, web.robots_rules(robots, agent=agent)
+                ).collect()
+            }
+            comp = {
+                r["id"]: r["allowed"]
+                for r in web.robots_gate(
+                    urls, robots, impl="compiled", agent=agent
+                ).collect()
+            }
+            assert comp == dyn, agent
+        # the exact-agent group wins outright for 'bot': its group has
+        # no /p rule, so /p/x is allowed while '*' sees it disallowed
+        bot = {
+            r["id"]: r["allowed"]
+            for r in web.robots_gate(
+                urls, robots, impl="compiled", agent="bot"
+            ).collect()
+        }
+        assert bot[2] is True and bot[6] is False
+
+    def test_compiled_raw_plan_is_join_and_shuffle_free(self, spark):
+        robots = spark.createDataFrame(
+            [("h.com", "User-agent: *\nDisallow: /p\nDisallow: /t/*.log\n")],
+            ["host", "robots_txt"],
+        )
+        urls = spark.createDataFrame(
+            [(1, "https://h.com/p/x")], ["id", "url"]
+        )
+        gated = web.robots_gate(urls, robots, impl="compiled")
+        plan = gated._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+        assert "Exchange" not in plan
+        assert "StartsWith" in plan
+
+    def test_compiled_refuses_oversized_raw_robots(self, spark):
+        robots = spark.createDataFrame(
+            [(f"h{i}.com", "User-agent: *\nDisallow: /x\n")
+             for i in range(1001)],
+            ["host", "robots_txt"],
+        )
+        urls = spark.createDataFrame([(1, "https://h0.com/x")], ["id", "url"])
+        with pytest.raises(ValueError, match="curated"):
+            web.robots_gate(urls, robots, impl="compiled")
+
     def test_compiled_refuses_oversized_rule_tables(self, spark):
         rules = spark.createDataFrame(
             [(f"h{i}.com", False, "/x") for i in range(1001)],

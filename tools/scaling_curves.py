@@ -61,6 +61,16 @@ TRACKED = [
     # assignment + tar pack + ingest read-back)
     "pagerank_redistribute",
     "webdataset_roundtrip",
+    # r9 additions (VERDICT r8 #4/#7): the retrieval stack's two new
+    # shuffle-heavy shapes, BOTH robots-gate implementations (the
+    # dynamic-vs-compiled pair IS the measured crossover record the
+    # r8 verdict asked for), and the two new decode/tokenize stages
+    "bm25_search",
+    "hybrid_search",
+    "robots_gate",
+    "robots_gate_compiled",
+    "pdf_extract",
+    "bpe_bytes_apply",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 ALPHA_REGRESSION = 0.35
