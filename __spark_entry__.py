@@ -3770,35 +3770,41 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, SF_SMOKE)
 
 
-#: r8 driver window (the first 50 entries of queries()). Policy:
-#: new-this-round first (3), then every query whose implementation or
-#: oracle changed this round (6: LPC rotation in flac_decode,
-#: progressive arm in jpeg_decode, the division fix in
-#: embedding_project, the teleport-literal oracle fix in
-#: pagerank_hosts, the key-split fix under webdataset_samples, the
-#: pattern column under robots_gate), then the OLDEST driver-greens:
-#: all 16 remaining r3-greens and the 25 stalest r4-greens — the max
-#: driver-green age across the suite drops from r3 to r4 this round.
-_WINDOW_R8 = [
-    "pagerank_redistribute", "webdataset_roundtrip",
-    "robots_gate_compiled", "format_stats", "bm25_search",
-    "hybrid_search", "wet_roundtrip", "gif_decode",
-    "flac_decode", "jpeg_decode", "embedding_project",
-    "pagerank_hosts", "webdataset_samples", "robots_gate",
-    # r3-greens (stalest driver evidence in the suite)
-    "knn_topk", "skew_salted_counts", "table_profile",
-    "multimodal_meta", "frame_sample", "events_gapfill", "doc_chunks",
-    "events_daily_delta", "nearest_centroid", "neardup_components",
-    "chunk_packing", "events_moving_avg", "part_unpivot", "vocab_topk",
-    "doc_tfidf_top3", "dsl_datetime_events",
-    # oldest r4-greens
-    "decontam_report", "incremental_dedup_exact",
-    "incremental_minhash_dedup", "bloom_pruned_join", "span_dedup",
-    "bpe_apply", "payload_embed_knn", "semantic_dedup",
-    "incremental_semantic_dedup", "embedding_neardup", "ccnet_buckets",
-    "budget_mix", "validate_lineitem", "violation_counts",
-    "q1_pricing_summary", "q3_top_revenue_orders", "q9_brand_revenue",
-    "window_suite", "rollup_revenue", "set_ops_customers",
+#: r9 driver window (the first 50 entries of queries()). Policy:
+#: new-this-round first (3: animated-GIF composition, PDF text
+#: extraction, byte-level BPE), then every query whose implementation
+#: changed this round (2: robots_gate_compiled moved to the raw
+#: driver-side compile; gif_decode's walk refactored onto the shared
+#: _walk_gif), then the OLDEST driver-greens by (last-green round,
+#: registration order): all 14 remaining r4-greens (the DSL/validator
+#: family and the two r4 TPC-H queries) and the 31 stalest r5-greens
+#: — the max driver-green age across the suite drops from r4 to r5
+#: this round. Ages computed from the CORRECTNESS_r0*.json artifacts
+#: (tools note: the r8 verdict's task #6 list was off — q12/pivot/
+#: array_ops etc. were re-greened in r7's window, the true stalest
+#: are the r4 DSL family below).
+_WINDOW_R9 = [
+    "gif_frames", "pdf_extract", "bpe_bytes_apply",
+    "robots_gate_compiled", "gif_decode",
+    # r4-greens (stalest driver evidence in the suite)
+    "median_stats", "token_counts", "stats_moments", "label_centroids",
+    "validate_strict_agg", "dsl_string_ops", "dsl_math_ops",
+    "dsl_datetime_ops", "dsl_membership", "validate_fill_nulls",
+    "dsl_between_closures", "validate_defaults", "q4_order_priority",
+    "q5_region_revenue",
+    # oldest r5-greens (registration order)
+    "ivf_rerank_topk", "image_decode", "wav_decode",
+    "semantic_decontam", "kmeans_clusters", "kmeans_semantic_dedup",
+    "bigram_surprise", "unicode_normalize", "q6_forecast_revenue",
+    "q10_returned_customers", "q13_order_count_distribution",
+    "q14_promo_revenue_ratio", "q18_large_orders",
+    "q19_disjunctive_revenue", "q2_min_acctbal_supplier",
+    "q7_nation_volume", "q8_market_share", "q20_promo_heavy_suppliers",
+    "q16_supplier_counts", "q17_small_qty_revenue",
+    "q21_sole_late_supplier", "q22_dormant_customers",
+    "q15_top_supplier", "q11_important_parts", "cube_revenue",
+    "percentile_suite", "distinct_stats", "name_editdist_pairs",
+    "orders_no_lineitems", "gopher_quality", "classifier_quality",
 ]
 
 
@@ -3808,12 +3814,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering policy, documented in COVERAGE.md: queries new this
     round first, then queries whose oracle/impl changed this round,
     then a rotation of the OLDEST previously-green queries (see
-    ``_WINDOW_R8``). Everything passes the full local replica
+    ``_WINDOW_R9``). Everything passes the full local replica
     (tools/check_oracle.py) regardless of position.
     """
     base = {
         # == r7 WINDOW (kept in registration order below; the actual
-        # == r8 prefix is imposed by _WINDOW_R8 at the end) ==
+        # == r9 prefix is imposed by _WINDOW_R9 at the end) ==
         # -- positions 1-6: new r7 (cross-doc line dedup, crawl-graph
         # -- PageRank, link extraction/resolution, CDX indexing,
         # -- sitemap frontier parsing, audio STFT features)
@@ -4005,7 +4011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "minhash_dedup_ids": q_minhash_dedup_ids,
     }
-    ordered = {k: base[k] for k in _WINDOW_R8}
+    ordered = {k: base[k] for k in _WINDOW_R9}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
     return ordered
 
