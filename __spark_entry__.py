@@ -2322,14 +2322,19 @@ def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PDF text extraction (r9, operators/pdf): every doc gets a
-    genuine PDF 1.4 — catalog, page tree (nested /Pages every 7th
-    id), per-page content streams (FlateDecode for even ids, a
-    two-stream /Contents array every 5th, an incremental-update xref
-    chain every 3rd), show ops cycling Tj / kerned-TJ / hex-string /
-    octal-escape forms — and parse_pdf genuinely walks the xref,
+    genuine PDF — catalog, page tree (nested /Pages every 7th id),
+    per-page content streams (FlateDecode for even ids, a two-stream
+    /Contents array every 5th, an incremental-update xref chain every
+    3rd), show ops cycling Tj / kerned-TJ / hex-string / octal-escape
+    forms. Every ODD id is PDF 1.5: a real cross-reference STREAM
+    (/W-sized big-endian fields, FlateDecode, PNG-Up / TIFF
+    predictors on ids 5/7 mod 8, two-range /Index), with ids 1,3
+    mod 8 packing the document objects into an /ObjStm and odd
+    multiples of 3 chaining a classic section over the stream base —
+    and parse_pdf genuinely walks whichever container it gets,
     inflates, and replays the BT/ET text operators inside the Arrow
-    stage. The planted two-line-per-page text is closed-form, so
-    DuckDB states the extracted text outright."""
+    stage. The planted two-line-per-page text is closed-form and
+    container-independent, so DuckDB states it outright."""
     docs = (
         _read(spark, sf_dir, "documents")
         .select("doc_id")

@@ -7,11 +7,14 @@ way back to closed-form text the oracle can state outright).
 
 Scope (documented subset, honest about what it is):
 
-- header check, classic cross-reference TABLES (``xref`` sections,
-  ``/Prev`` chains from incremental updates — newer entries win);
-  PDFs whose startxref points at a cross-reference STREAM (PDF 1.5
-  object streams) return ``None`` honestly, as do encrypted PDFs
-  (``/Encrypt`` in any trailer);
+- header check; classic cross-reference TABLES (``xref`` sections,
+  ``/Prev`` chains from incremental updates — newer entries win) AND
+  PDF 1.5 cross-reference STREAMS (r9: /Type /XRef with /W field
+  widths, /Index subsections, FlateDecode + PNG/TIFF predictors),
+  mixed freely in one /Prev chain, hybrid files' /XRefStm included;
+  object STREAMS (/Type /ObjStm — type-2 entries resolve through the
+  decoded pair table, one inflate per ObjStm). Encrypted PDFs
+  (``/Encrypt`` in any trailer) return ``None`` honestly;
 - a real COS object parser: dictionaries, arrays, names, numbers,
   booleans/null, indirect references, literal strings (balanced
   nested parens, all escape sequences incl. octal and
@@ -229,14 +232,196 @@ class _Lexer:
 
 
 # ---------------------------------------------------------------------------
+# stream decoding (filters + predictors), shared by the document walk
+# and the xref-stream bootstrap
+# ---------------------------------------------------------------------------
+def _unpredict(data: bytes, parms: dict) -> bytes:
+    """Undo a /DecodeParms predictor over decompressed stream bytes:
+    1 = none, 2 = TIFF horizontal differencing (8-bit subset), >= 10 =
+    the PNG row filters (each row is a filter-type byte + Columns
+    sample bytes; the writer's declared value 10-15 only sets the
+    family — the per-row byte picks the actual filter)."""
+    pred = int(parms.get("/Predictor", 1))
+    if pred == 1:
+        return data
+    colors = int(parms.get("/Colors", 1))
+    bpc = int(parms.get("/BitsPerComponent", 8))
+    cols = int(parms.get("/Columns", 1))
+    if bpc != 8:
+        raise ValueError("predictor bpc subset is 8")
+    bpp = max(1, colors * bpc // 8)
+    rowlen = (cols * colors * bpc + 7) // 8
+    if pred == 2:  # TIFF differencing
+        out = bytearray(data)
+        for r in range(0, len(out) - rowlen + 1, rowlen):
+            for j in range(bpp, rowlen):
+                out[r + j] = (out[r + j] + out[r + j - bpp]) & 0xFF
+        return bytes(out)
+    if pred < 10:
+        raise ValueError(f"unsupported predictor {pred}")
+    out = bytearray()
+    prev = bytearray(rowlen)
+    pos = 0
+    while pos + 1 + rowlen <= len(data) + 1 and pos < len(data):
+        ft = data[pos]
+        pos += 1
+        row = bytearray(data[pos : pos + rowlen])
+        if len(row) < rowlen:
+            raise ValueError("short predictor row")
+        pos += rowlen
+        if ft == 1:  # Sub
+            for j in range(bpp, rowlen):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(rowlen):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(rowlen):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + (left + prev[j]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(rowlen):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
+                else:
+                    pr = c
+                row[j] = (row[j] + pr) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _decode_stream(sdict: dict, data: bytes, resolve) -> bytes:
+    """Apply a stream's /Filter chain (+ per-filter /DecodeParms) to
+    its raw bytes. FlateDecode only — anything else raises (the whole
+    payload then honestly returns None)."""
+    filt = resolve(sdict.get("/Filter"))
+    if filt is None:
+        return data
+    filters = filt if isinstance(filt, list) else [filt]
+    parms = resolve(sdict.get("/DecodeParms"))
+    if parms is None:
+        parms_list: list = [None] * len(filters)
+    elif isinstance(parms, list):
+        parms_list = list(parms) + [None] * (len(filters) - len(parms))
+    else:
+        parms_list = [parms] + [None] * (len(filters) - 1)
+    for f, pa in zip(filters, parms_list):
+        f = resolve(f)
+        pa = resolve(pa)
+        if f == "/FlateDecode":
+            data = zlib.decompress(data)
+            if isinstance(pa, dict):
+                data = _unpredict(
+                    data, {k: resolve(v) for k, v in pa.items()}
+                )
+        else:
+            raise ValueError(f"unsupported filter {f}")
+    return data
+
+
+# ---------------------------------------------------------------------------
 # document walk
 # ---------------------------------------------------------------------------
+_XREF_ENTRY_RE = re.compile(rb"\s*(\d+)\s+(\d+)\s*[\r\n]+")
+
+
+def _parse_classic_section(buf: bytes, pos: int, offsets: dict) -> dict:
+    """One classic ``xref`` table section + its trailer dict; entries
+    setdefault into ``offsets`` (the chain walks newest → oldest, so
+    first seen wins)."""
+    cur = pos + 4
+    while True:
+        m = _XREF_ENTRY_RE.match(buf, cur)
+        if not m:
+            break
+        first, count = int(m.group(1)), int(m.group(2))
+        cur = m.end()
+        for i in range(count):
+            ent = buf[cur : cur + 20]
+            if ent[17:18] == b"n":
+                offsets.setdefault(first + i, ("c", int(ent[:10])))
+            cur += 20
+    m = re.compile(rb"\s*trailer\s*").match(buf, cur)
+    if not m:
+        raise ValueError("missing trailer")
+    return _Lexer(buf, m.end()).parse()
+
+
+def _parse_xref_stream_at(buf: bytes, pos: int, offsets: dict) -> dict:
+    """A PDF 1.5 cross-reference STREAM (ISO 32000 §7.5.8): an
+    indirect stream object whose dict doubles as the trailer. Fields
+    per entry are /W-sized big-endian ints over the decoded bytes
+    (FlateDecode + optional PNG/TIFF predictor): type 0 = free,
+    type 1 = (offset, gen), type 2 = (object-stream number, index
+    within it). /Index defaults to [0 /Size]. Dict values must be
+    direct (the spec forbids indirect refs here — there is no xref to
+    resolve them through yet)."""
+    m = _OBJ_RE.match(buf, pos)
+    if not m:
+        raise ValueError("startxref points at no object")
+    lex = _Lexer(buf, m.end())
+    sdict = lex.parse()
+    if not isinstance(sdict, dict) or sdict.get("/Type") != "/XRef":
+        raise ValueError("not a cross-reference stream")
+    lex._skip_ws()
+    if buf[lex.pos : lex.pos + 6] != b"stream":
+        raise ValueError("xref stream without stream data")
+    p = lex.pos + 6
+    if buf[p : p + 2] == b"\r\n":
+        p += 2
+    elif buf[p : p + 1] == b"\n":
+        p += 1
+    length = sdict.get("/Length")
+    if not isinstance(length, int):
+        raise ValueError("xref stream /Length must be direct")
+    data = _decode_stream(sdict, buf[p : p + length], lambda v: v)
+    w = sdict.get("/W")
+    if not (isinstance(w, list) and len(w) == 3):
+        raise ValueError("bad /W")
+    w1, w2, w3 = (int(x) for x in w)
+    size = int(sdict.get("/Size", 0))
+    index = sdict.get("/Index") or [0, size]
+    ent_len = w1 + w2 + w3
+    cur = 0
+    for k in range(0, len(index), 2):
+        first, count = int(index[k]), int(index[k + 1])
+        for i in range(count):
+            ent = data[cur : cur + ent_len]
+            if len(ent) < ent_len:
+                raise ValueError("xref stream data short")
+            cur += ent_len
+            etype = (
+                int.from_bytes(ent[:w1], "big") if w1 else 1
+            )  # w1=0 -> type 1 default per spec
+            f2 = int.from_bytes(ent[w1 : w1 + w2], "big")
+            f3 = int.from_bytes(ent[w1 + w2 :], "big")
+            num = first + i
+            if etype == 1:
+                offsets.setdefault(num, ("c", f2))
+            elif etype == 2:
+                offsets.setdefault(num, ("s", f2, f3))
+            # type 0 (free) and unknown types: no entry
+    return sdict
+
+
 def _parse_xref_chain(buf: bytes, start: int):
-    """Walk the classic xref-table chain from ``startxref``; returns
-    (offsets: {obj_num: byte_offset}, merged trailer dict) with
-    NEWER sections winning (incremental updates prepend the chain).
-    Raises ValueError on a cross-reference stream (out of subset)."""
-    offsets: dict[int, int] = {}
+    """Walk the cross-reference chain from ``startxref`` — classic
+    ``xref`` tables AND PDF 1.5 cross-reference streams, mixed freely
+    via ``/Prev`` (hybrid files' ``/XRefStm`` side streams included).
+    Returns (offsets: {obj_num: ("c", byte_offset) | ("s", objstm_num,
+    idx)}, merged trailer dict) with NEWER sections winning
+    (incremental updates prepend the chain)."""
+    offsets: dict[int, tuple] = {}
     trailer: dict = {}
     seen: set[int] = set()
     pos = start
@@ -246,26 +431,16 @@ def _parse_xref_chain(buf: bytes, start: int):
         seen.add(pos)
         lex = _Lexer(buf, pos)
         lex._skip_ws()
-        if buf[lex.pos : lex.pos + 4] != b"xref":
-            raise ValueError("cross-reference stream (unsupported subset)")
-        cur = lex.pos + 4
-        while True:
-            m = re.compile(rb"\s*(\d+)\s+(\d+)\s*[\r\n]+").match(buf, cur)
-            if not m:
-                break
-            first, count = int(m.group(1)), int(m.group(2))
-            cur = m.end()
-            for i in range(count):
-                ent = buf[cur : cur + 20]
-                if ent[17:18] == b"n":
-                    num = first + i
-                    if num not in offsets:  # first seen = newest wins
-                        offsets[num] = int(ent[:10])
-                cur += 20
-        m = re.compile(rb"\s*trailer\s*").match(buf, cur)
-        if not m:
-            raise ValueError("missing trailer")
-        tdict = _Lexer(buf, m.end()).parse()
+        if buf[lex.pos : lex.pos + 4] == b"xref":
+            tdict = _parse_classic_section(buf, lex.pos, offsets)
+            # hybrid-reference file: the classic trailer points at a
+            # side xref STREAM carrying the entries hidden from
+            # table-only readers (ISO 32000 §7.5.8.4); the table's own
+            # entries were setdefault'd first, so they keep precedence
+            if "/XRefStm" in tdict:
+                _parse_xref_stream_at(buf, int(tdict["/XRefStm"]), offsets)
+        else:
+            tdict = _parse_xref_stream_at(buf, lex.pos, offsets)
         for k, v in tdict.items():
             trailer.setdefault(k, v)
         if "/Prev" in tdict:
@@ -279,10 +454,11 @@ _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
 
 class _Doc:
-    def __init__(self, buf: bytes, offsets: dict[int, int]):
+    def __init__(self, buf: bytes, offsets: dict[int, tuple]):
         self.buf = buf
         self.offsets = offsets
         self._cache: dict[int, object] = {}
+        self._objstm_cache: dict[int, tuple[list, bytes, int]] = {}
 
     def resolve(self, v):
         while isinstance(v, _Ref):
@@ -292,9 +468,14 @@ class _Doc:
     def get(self, num: int):
         if num in self._cache:
             return self._cache[num]
-        off = self.offsets.get(num)
-        if off is None:
+        ent = self.offsets.get(num)
+        if ent is None:
             return None
+        if ent[0] == "s":
+            val = self._objstm_member(ent[1], ent[2], num)
+            self._cache[num] = val
+            return val
+        off = ent[1]
         m = _OBJ_RE.match(self.buf, off)
         if not m or int(m.group(1)) != num:
             raise ValueError(f"object {num} not at xref offset")
@@ -313,22 +494,46 @@ class _Doc:
         self._cache[num] = val
         return val
 
+    def _objstm_member(self, stm_num: int, idx: int, want: int):
+        """Object inside an object STREAM (ISO 32000 §7.5.7, /Type
+        /ObjStm): the decoded stream opens with /N (objnum, offset)
+        integer pairs, then the bodies start at /First. Members are
+        direct values (no obj/endobj wrapper, never streams). The
+        decoded stream + pair table cache per ObjStm, so N members
+        cost one inflate."""
+        cached = self._objstm_cache.get(stm_num)
+        if cached is None:
+            stm = self.get(stm_num)
+            if not (isinstance(stm, tuple) and stm[0] == "stream"):
+                raise ValueError("ObjStm entry points at a non-stream")
+            _, sdict, _ = stm
+            if sdict.get("/Type") != "/ObjStm":
+                raise ValueError("ObjStm entry points at a non-ObjStm")
+            data = self.stream_bytes(stm)
+            n = int(self.resolve(sdict.get("/N")))
+            first = int(self.resolve(sdict.get("/First")))
+            lex = _Lexer(data)
+            pairs = []
+            for _ in range(n):
+                onum = lex.parse()
+                ooff = lex.parse()
+                pairs.append((int(onum), int(ooff)))
+            cached = (pairs, data, first)
+            self._objstm_cache[stm_num] = cached
+        pairs, data, first = cached
+        if not 0 <= idx < len(pairs):
+            raise ValueError("ObjStm index out of range")
+        onum, ooff = pairs[idx]
+        if onum != want:
+            raise ValueError("ObjStm pair table disagrees with xref")
+        return _Lexer(data, first + ooff).parse()
+
     def stream_bytes(self, v) -> bytes:
         v = self.resolve(v)
         if not (isinstance(v, tuple) and v[0] == "stream"):
             raise ValueError("expected stream")
         _, sdict, data = v
-        filt = self.resolve(sdict.get("/Filter"))
-        if filt is None:
-            return data
-        filters = filt if isinstance(filt, list) else [filt]
-        for f in filters:
-            f = self.resolve(f)
-            if f == "/FlateDecode":
-                data = zlib.decompress(data)
-            else:
-                raise ValueError(f"unsupported filter {f}")
-        return data
+        return _decode_stream(sdict, data, self.resolve)
 
 
 def _walk_pages(doc: _Doc, node, out: list, depth: int = 0) -> None:
@@ -405,7 +610,8 @@ def _page_text(content: bytes) -> str:
 def parse_pdf(payload: bytes) -> dict | None:
     """Extract text from a PDF payload. Returns ``{"n_pages", "text",
     "n_chars"}`` or ``None`` for non-PDF / corrupt / encrypted /
-    out-of-subset (xref-stream, exotic filter) payloads.
+    out-of-subset (exotic filter) payloads. Both cross-reference
+    flavors are real: classic tables and PDF 1.5 xref/object streams.
 
     Examples
     --------
@@ -501,19 +707,34 @@ def encode_pdf(
     split_contents: bool = False,
     incremental_title: str | None = None,
     encrypt_marker: bool = False,
+    xref_stream: bool = False,
+    objstm: bool = False,
+    xref_predictor: int | None = None,
 ) -> bytes:
-    """Spec-conformant PDF 1.4 writer: catalog, page tree (optionally
+    """Spec-conformant PDF writer: catalog, page tree (optionally
     one nested /Pages level per page via ``nest_kids``), a Type1 font,
     one content stream per page (``split_contents`` halves it into a
     two-element /Contents array), BT/ET text objects positioned with
     Td line moves, show ops cycled per line by ``variant`` (see
-    :func:`_show_ops`), a correct classic xref table and trailer.
-    ``compress`` deflates content streams (/FlateDecode).
-    ``incremental_title`` appends a real incremental update (new
-    /Info object + second xref section with /Prev).
-    ``encrypt_marker`` plants /Encrypt in the trailer (fixture for the
-    honest-None path; no actual RC4/AES machinery)."""
+    :func:`_show_ops`). ``compress`` deflates content streams
+    (/FlateDecode). ``incremental_title`` appends a real incremental
+    update (new /Info object + second classic xref section with
+    /Prev — with ``xref_stream`` that makes a MIXED table→stream
+    chain). ``encrypt_marker`` plants /Encrypt in the trailer
+    (fixture for the honest-None path; no actual RC4/AES machinery).
+
+    r9, the PDF 1.5 side: ``xref_stream`` replaces the classic table
+    with a real cross-reference STREAM (/Type /XRef, /W [1 4 2],
+    big-endian fields, always FlateDecode; ``xref_predictor`` wraps
+    it in a PNG Up (12) or TIFF (2) predictor with /DecodeParms and a
+    two-range /Index). ``objstm`` additionally packs every non-stream
+    object into a /Type /ObjStm object STREAM referenced by type-2
+    xref entries (implies ``xref_stream`` — classic tables cannot
+    express type 2)."""
+    if objstm:
+        xref_stream = True
     objs: dict[int, bytes] = {}
+    stream_nums: set[int] = set()
     next_num = 1
 
     def add(body: bytes) -> int:
@@ -529,10 +750,12 @@ def encode_pdf(
             extra = b" /Filter /FlateDecode"
         else:
             extra = b""
-        return add(
+        num = add(
             b"<< /Length %d%s >>\nstream\n%s\nendstream"
             % (len(data), extra, data)
         )
+        stream_nums.add(num)
+        return num
 
     cat_num = add(b"")  # placeholder; filled after pages exist
     pages_num = add(b"")
@@ -583,26 +806,128 @@ def encode_pdf(
         % (b" ".join(b"%d 0 R" % r for r in kid_refs), len(pages))
     )
 
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets: dict[int, int] = {}
-    for num in sorted(objs):
-        offsets[num] = len(out)
-        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
-    xref_pos = len(out)
-    out += b"xref\n0 %d\n" % (next_num)
-    out += b"0000000000 65535 f \n"
-    for num in sorted(objs):
-        out += b"%010d 00000 n \n" % offsets[num]
     enc = b" /Encrypt 9999 0 R" if encrypt_marker else b""
-    out += (
-        b"trailer\n<< /Size %d /Root %d 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
-        % (next_num, cat_num, enc, xref_pos)
-    )
+    version = b"1.5" if xref_stream else b"1.4"
+    out = bytearray(b"%PDF-" + version + b"\n%\xe2\xe3\xcf\xd3\n")
+    entries: dict[int, tuple] = {}  # num -> ("c", off) | ("s", stm, idx)
+
+    packed_nums: list[int] = []
+    if objstm:
+        packed_nums = [n for n in sorted(objs) if n not in stream_nums]
+        offs: list[tuple[int, int]] = []
+        bodies: list[bytes] = []
+        cur = 0
+        for n in packed_nums:
+            b = objs[n] + b"\n"
+            offs.append((n, cur))
+            bodies.append(b)
+            cur += len(b)
+        header = (
+            " ".join(f"{n} {o}" for n, o in offs).encode() + b"\n"
+        )
+        stm_data = header + b"".join(bodies)
+        first = len(header)
+        payload = zlib.compress(stm_data) if compress else stm_data
+        filt = b" /Filter /FlateDecode" if compress else b""
+        objstm_num = next_num
+        next_num += 1
+        objs[objstm_num] = (
+            b"<< /Type /ObjStm /N %d /First %d /Length %d%s >>"
+            b"\nstream\n%s\nendstream"
+            % (len(offs), first, len(payload), filt, payload)
+        )
+        stream_nums.add(objstm_num)
+        for idx, (n, _) in enumerate(offs):
+            entries[n] = ("s", objstm_num, idx)
+
+    for num in sorted(objs):
+        if num in packed_nums:
+            continue  # lives inside the ObjStm
+        entries[num] = ("c", len(out))
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+
+    if xref_stream:
+        xref_num = next_num
+        next_num += 1
+        xref_pos = len(out)
+        entries[xref_num] = ("c", xref_pos)
+        size = next_num
+        rows = []
+        for n in range(size):
+            e = entries.get(n)
+            if e is None:
+                rows.append((0, 0, 65535))  # free
+            elif e[0] == "c":
+                rows.append((1, e[1], 0))
+            else:
+                rows.append((2, e[1], e[2]))
+        raw = b"".join(
+            bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+            for t, f2, f3 in rows
+        )
+        parms = b""
+        index = b""
+        if xref_predictor == 2:  # TIFF horizontal differencing, bpp=1
+            body = bytearray()
+            for r in range(0, len(raw), 7):
+                row = raw[r : r + 7]
+                body += bytes(
+                    [row[0]]
+                    + [(row[j] - row[j - 1]) & 0xFF for j in range(1, 7)]
+                )
+            raw = bytes(body)
+            parms = b" /DecodeParms << /Predictor 2 /Columns 7 >>"
+        elif xref_predictor is not None and xref_predictor >= 10:
+            body = bytearray()
+            prevrow = bytes(7)
+            for r in range(0, len(raw), 7):
+                row = raw[r : r + 7]
+                body += bytes([2]) + bytes(  # PNG Up
+                    (row[j] - prevrow[j]) & 0xFF for j in range(7)
+                )
+                prevrow = row
+            raw = bytes(body)
+            parms = (
+                b" /DecodeParms << /Predictor %d /Columns 7 >>"
+                % xref_predictor
+            )
+            # exercise multi-range /Index parsing while we're here
+            mid = size // 2
+            index = b" /Index [0 %d %d %d]" % (mid, mid, size - mid)
+        payload = zlib.compress(raw)
+        out += (
+            b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2]%s%s"
+            b" /Root %d 0 R%s /Filter /FlateDecode /Length %d >>"
+            b"\nstream\n%s\nendstream\nendobj\n"
+            % (
+                xref_num,
+                size,
+                index,
+                parms,
+                cat_num,
+                enc,
+                len(payload),
+                payload,
+            )
+        )
+        out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
+    else:
+        xref_pos = len(out)
+        out += b"xref\n0 %d\n" % (next_num)
+        out += b"0000000000 65535 f \n"
+        for num in sorted(objs):
+            out += b"%010d 00000 n \n" % entries[num][1]
+        out += (
+            b"trailer\n<< /Size %d /Root %d 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+            % (next_num, cat_num, enc, xref_pos)
+        )
 
     if incremental_title is not None:
         # a REAL incremental update: append an /Info object and a
-        # second xref section chaining back via /Prev — the extractor
-        # must follow the chain (newest first) to find every object
+        # second CLASSIC xref section chaining back via /Prev — the
+        # extractor must follow the chain (newest first) to find
+        # every object; over an xref_stream base this exercises the
+        # mixed table -> stream chain
         info_num = next_num
         info_off = len(out)
         out += (
@@ -676,9 +1001,15 @@ def make_pdf_payload(
     (parens exercise literal-string escaping) — with the show-op
     variant cycled by id+page+line, content streams deflated for even
     ids, a two-stream /Contents split every 5th id, a nested page
-    tree every 7th, and a real incremental update every 3rd — so
-    DuckDB states the extracted text outright while
-    :func:`parse_pdf` genuinely inflates and walks its way there."""
+    tree every 7th, and a real incremental update every 3rd. Every
+    ODD id stores its cross-references as a PDF 1.5 xref STREAM (r9):
+    ids 1,3 mod 8 additionally pack the document objects into an
+    /ObjStm, id 5 mod 8 wraps the xref stream in the PNG Up
+    predictor, id 7 mod 8 in TIFF differencing, and odd multiples of
+    3 chain a classic incremental section over the stream base (the
+    mixed-chain walk). The text is identical across containers, so
+    DuckDB states it outright while :func:`parse_pdf` genuinely
+    inflates and walks whichever flavor it gets."""
 
     @pandas_udf("binary")
     def _build(ids: pd.Series) -> pd.Series:
@@ -700,6 +1031,11 @@ def make_pdf_payload(
                     nest_kids=(i % 7 == 0),
                     split_contents=(i % 5 == 0),
                     incremental_title=(f"rev{i}" if i % 3 == 0 else None),
+                    xref_stream=(i % 2 == 1),
+                    objstm=(i % 8 in (1, 3)),
+                    xref_predictor=(
+                        12 if i % 8 == 5 else (2 if i % 8 == 7 else None)
+                    ),
                 )
             )
         return pd.Series(out)

@@ -150,9 +150,9 @@ class TestHonestNone:
     def test_encrypted_marker(self):
         assert parse_pdf(encode_pdf([["x"]], encrypt_marker=True)) is None
 
-    def test_xref_stream_unsupported(self):
-        # splice the startxref target onto an object (what a PDF 1.5
-        # xref STREAM looks like to the chain walker) → honest None
+    def test_startxref_at_garbage(self):
+        # startxref into the middle of the header: neither a classic
+        # table nor a parseable XRef stream object → honest None
         body = bytearray(encode_pdf([["x"]]))
         pos = body.rindex(b"startxref")
         end = body.index(b"\n%%EOF", pos)
@@ -226,3 +226,164 @@ class TestSparkPlumbing:
         docs = spark.range(0, 10).withColumnRenamed("id", "doc_id")
         out = extract_pdf_text(make_pdf_payload(docs))
         plans.assert_no_shuffle(out)
+
+
+# ---------------------------------------------------------------------------
+# r9: PDF 1.5 — cross-reference streams, object streams, predictors
+# ---------------------------------------------------------------------------
+from flycatcher_spark.operators.pdf import _unpredict  # noqa: E402
+
+PAGES_15 = [["Doc 9 page 0", "body 63 (pdf)"], ["Doc 9 page 1", "body 70 (pdf)"]]
+WANT_15 = "Doc 9 page 0\nbody 63 (pdf)\nDoc 9 page 1\nbody 70 (pdf)"
+
+
+class TestXrefStreams:
+    @pytest.mark.parametrize("objstm", [False, True])
+    @pytest.mark.parametrize("pred", [None, 2, 12, 15])
+    @pytest.mark.parametrize("compress", [False, True])
+    def test_round_trip_matrix(self, objstm, pred, compress):
+        body = encode_pdf(
+            PAGES_15,
+            compress=compress,
+            xref_stream=True,
+            objstm=objstm,
+            xref_predictor=pred,
+        )
+        assert body.startswith(b"%PDF-1.5")
+        m = parse_pdf(body)
+        assert m is not None and m["n_pages"] == 2
+        assert m["text"] == WANT_15
+
+    def test_objstm_members_resolved_through_pair_table(self):
+        # the catalog, pages node, page dicts and font all live inside
+        # the ObjStm — only content streams + ObjStm + XRef stream are
+        # standalone objects in the file body
+        body = encode_pdf(PAGES_15, objstm=True, compress=True)
+        import re as _re
+        standalone = _re.findall(rb"(\d+) 0 obj", body)
+        # 2 content streams + 1 ObjStm + 1 XRef stream
+        assert len(standalone) == 4
+        assert b"/ObjStm" in body
+        assert parse_pdf(body)["text"] == WANT_15
+
+    def test_mixed_chain_classic_over_stream_base(self):
+        # incremental classic section whose /Prev points at the XRef
+        # STREAM: the walker must switch flavors mid-chain
+        body = encode_pdf(
+            PAGES_15, xref_stream=True, objstm=True,
+            incremental_title="rev9",
+        )
+        assert b"trailer" in body and b"/Type /XRef" in body
+        m = parse_pdf(body)
+        assert m is not None and m["text"] == WANT_15
+
+    def test_hybrid_xrefstm_side_stream(self):
+        # hand-built hybrid-reference shape: startxref -> a classic
+        # table with NO entries whose trailer carries /XRefStm pointing
+        # at the real xref stream (ISO 32000 §7.5.8.4)
+        base = encode_pdf(PAGES_15, xref_stream=True)
+        pos = base.rindex(b"startxref")
+        stream_pos = int(base[pos:].split()[1])
+        hybrid = bytearray(base)
+        classic_at = len(hybrid)
+        hybrid += (
+            b"xref\n0 1\n0000000000 65535 f \n"
+            b"trailer\n<< /Size 99 /Root 1 0 R /XRefStm %d >>\n"
+            b"startxref\n%d\n%%%%EOF\n" % (stream_pos, classic_at)
+        )
+        m = parse_pdf(bytes(hybrid))
+        assert m is not None and m["text"] == WANT_15
+
+    def test_corrupt_predictor_row_is_honest_none(self):
+        body = bytearray(encode_pdf(PAGES_15, xref_stream=True,
+                                    xref_predictor=12))
+        # corrupt the xref stream's deflate payload (the stream that
+        # follows the /Type /XRef dict)
+        i = body.index(b"stream\n", body.index(b"/Type /XRef")) + 7
+        body[i + 3] ^= 0xFF
+        assert parse_pdf(bytes(body)) is None
+
+    def test_indirect_length_in_xref_stream_rejected(self):
+        body = encode_pdf(PAGES_15, xref_stream=True)
+        # /Length N -> /Length 5 0 R inside the XRef dict only
+        i = body.rindex(b"/Type /XRef")
+        j = body.index(b"/Length ", i)
+        k = body.index(b" >>", j)
+        patched = body[:j] + b"/Length 5 0 R" + body[k:]
+        assert parse_pdf(patched) is None
+
+    def test_fixture_rotates_both_flavors(self):
+        import pandas as pd  # noqa: F401
+        from flycatcher_spark.operators.pdf import make_pdf_payload  # noqa: F401
+        # pure-python check of the arm selection logic via encode_pdf:
+        # odd ids are 1.5, even ids classic — both decode to the same
+        # closed-form text
+        for i in (4, 5):
+            pages = [
+                [f"Doc {i} page {p}", f"body {(i * 7 + p) % 97} (pdf)"]
+                for p in range(1 + i % 3)
+            ]
+            body = encode_pdf(
+                pages, compress=(i % 2 == 0), variant=i,
+                xref_stream=(i % 2 == 1), objstm=(i % 8 in (1, 3)),
+                xref_predictor=12 if i % 8 == 5 else None,
+            )
+            flavor = b"/Type /XRef" in body
+            assert flavor == (i % 2 == 1)
+            got = parse_pdf(body)["text"]
+            assert got == "\n".join("\n".join(p) for p in pages)
+
+
+class TestUnpredict:
+    def _png_filter(self, rows, ft, bpp=1):
+        # independent FORWARD filter per PNG spec; _unpredict must undo
+        out = bytearray()
+        prev = bytes(len(rows[0]))
+        for row in rows:
+            enc = bytearray()
+            for j, x in enumerate(row):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c)
+                enc.append((x - pred) & 0xFF)
+            out += bytes([ft]) + bytes(enc)
+            prev = row
+        return bytes(out)
+
+    @pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+    def test_all_png_filters_inverted(self, ft):
+        rows = [bytes([(r * 31 + c * 7) % 256 for c in range(6)])
+                for r in range(5)]
+        data = self._png_filter(rows, ft)
+        got = _unpredict(data, {"/Predictor": 12, "/Columns": 6})
+        assert got == b"".join(rows)
+
+    def test_tiff_differencing_inverted(self):
+        rows = [bytes([(r * 13 + c * 5) % 256 for c in range(4)])
+                for r in range(3)]
+        enc = bytearray()
+        for row in rows:
+            enc += bytes([row[0]] + [(row[j] - row[j - 1]) & 0xFF
+                                     for j in range(1, 4)])
+        got = _unpredict(bytes(enc), {"/Predictor": 2, "/Columns": 4})
+        assert got == b"".join(rows)
+
+    def test_bad_filter_type_raises(self):
+        with pytest.raises(ValueError):
+            _unpredict(b"\x09abcd", {"/Predictor": 12, "/Columns": 4})
+
+    def test_none_predictor_passthrough(self):
+        assert _unpredict(b"xyz", {"/Predictor": 1}) == b"xyz"
