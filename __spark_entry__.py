@@ -3009,6 +3009,40 @@ def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_http_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP-layer decode of WARC response records (r9,
+    warc.parse_http_response via warc.http_responses) — the stage a
+    WET pipeline runs between warc_records and html_to_text: every
+    doc becomes a WARC archive of three REAL HTTP messages (identity
+    utf-8, chunked latin-1 with a chunk extension + trailer field +
+    Location header, and the Common Crawl double of chunked OVER
+    gzip content-encoding with the ISO-8859-1 default charset) and
+    the parser genuinely splits status/headers, de-chunks, gunzips
+    and charset-decodes inside the Arrow stage. Status, content
+    type, charset, payload byte counts and decoded text are all
+    closed-form, so DuckDB states the whole table outright."""
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    archives = warc.make_http_warc_payload(docs)
+    recs = warc.warc_records(archives)
+    out = warc.http_responses(
+        recs, passthrough=["rec_idx", "target_uri"]
+    )
+    return out.select(
+        "doc_id",
+        "rec_idx",
+        "target_uri",
+        "status",
+        "content_type",
+        "charset",
+        "n_payload_bytes",
+        "text",
+    )
+
+
 _ROBOTS_TXT = (
     "User-agent: evilbot\n"
     "Disallow: /\n"
@@ -3776,20 +3810,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: r9 driver window (the first 50 entries of queries()). Policy:
-#: new-this-round first (3: animated-GIF composition, PDF text
-#: extraction, byte-level BPE), then every query whose implementation
-#: changed this round (2: robots_gate_compiled moved to the raw
-#: driver-side compile; gif_decode's walk refactored onto the shared
-#: _walk_gif), then the OLDEST driver-greens by (last-green round,
-#: registration order): all 14 remaining r4-greens (the DSL/validator
-#: family and the two r4 TPC-H queries) and the 31 stalest r5-greens
-#: — the max driver-green age across the suite drops from r4 to r5
-#: this round. Ages computed from the CORRECTNESS_r0*.json artifacts
-#: (tools note: the r8 verdict's task #6 list was off — q12/pivot/
-#: array_ops etc. were re-greened in r7's window, the true stalest
-#: are the r4 DSL family below).
+#: new-this-round first (4: animated-GIF composition, PDF text
+#: extraction, byte-level BPE, HTTP-layer decode), then every query
+#: whose implementation changed this round (2: robots_gate_compiled
+#: moved to the raw driver-side compile; gif_decode's walk refactored
+#: onto the shared _walk_gif), then the OLDEST driver-greens by
+#: (last-green round, registration order): all 14 remaining r4-greens
+#: (the DSL/validator family and the two r4 TPC-H queries) and the 30
+#: stalest r5-greens — the max driver-green age across the suite
+#: drops from r4 to r5 this round. Ages computed from the
+#: CORRECTNESS_r0*.json artifacts (tools note: the r8 verdict's task
+#: #6 list was off — q12/pivot/array_ops etc. were re-greened in r7's
+#: window, the true stalest are the r4 DSL family below).
 _WINDOW_R9 = [
-    "gif_frames", "pdf_extract", "bpe_bytes_apply",
+    "gif_frames", "pdf_extract", "bpe_bytes_apply", "http_payloads",
     "robots_gate_compiled", "gif_decode",
     # r4-greens (stalest driver evidence in the suite)
     "median_stats", "token_counts", "stats_moments", "label_centroids",
@@ -3809,7 +3843,7 @@ _WINDOW_R9 = [
     "q21_sole_late_supplier", "q22_dormant_customers",
     "q15_top_supplier", "q11_important_parts", "cube_revenue",
     "percentile_suite", "distinct_stats", "name_editdist_pairs",
-    "orders_no_lineitems", "gopher_quality", "classifier_quality",
+    "orders_no_lineitems", "gopher_quality",
 ]
 
 
@@ -3854,6 +3888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": q_pdf_extract,
         "langid_profiles": q_langid_profiles,
         "warc_records": q_warc_records,
+        "http_payloads": q_http_payloads,
         "robots_gate": q_robots_gate,
         "robots_gate_compiled": q_robots_gate_compiled,
         "html_extract": q_html_extract,
@@ -4859,6 +4894,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(body) AS BIGINT) AS content_length,
                    md5(body) AS body_md5
             FROM allr
+        """,
+        "http_payloads": """
+            WITH d AS (SELECT doc_id FROM documents),
+            r AS (
+                SELECT doc_id, j,
+                       'Doc ' || doc_id || ' rec ' || j || ' n '
+                           || (doc_id * 11 + j) % 89
+                           || CASE WHEN j < 2 THEN ' é' ELSE '' END
+                           AS text
+                FROM d, LATERAL (SELECT unnest(range(0, 3)) AS j)
+            )
+            SELECT doc_id,
+                   CAST(j AS BIGINT) AS rec_idx,
+                   'http://example.com/' || doc_id || '/' || j
+                       AS target_uri,
+                   CAST(CASE j WHEN 0 THEN 200 WHEN 1 THEN 301
+                               ELSE 404 END AS BIGINT) AS status,
+                   CASE j WHEN 2 THEN 'text/plain'
+                          ELSE 'text/html' END AS content_type,
+                   CASE j WHEN 0 THEN 'utf-8' WHEN 1 THEN 'latin-1'
+                          ELSE 'iso-8859-1' END AS charset,
+                   -- payload bytes: utf-8 rec 0 counts é as 2 bytes
+                   -- (strlen = bytes of DuckDB's utf-8 storage);
+                   -- latin-1/ascii recs count characters
+                   CAST(CASE WHEN j = 0 THEN strlen(text)
+                             ELSE length(text) END AS BIGINT)
+                       AS n_payload_bytes,
+                   text
+            FROM r
         """,
         "langid_profiles": r"""
             WITH d AS (

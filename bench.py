@@ -137,6 +137,10 @@ HEADLINE = [
     "hybrid_search",            # BM25 + cosine RRF fusion
     "wet_roundtrip",            # WET write: pack + gzip + read back
     "gif_decode",               # real GIF LZW decode
+    # round-9 additions
+    "gif_frames",               # animated GIF compose + sampled decode
+    "pdf_extract",              # PDF xref walk + inflate + text ops
+    "bpe_bytes_apply",          # byte-level BPE apply (GPT-2 pre-tok)
 ]
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
@@ -226,11 +230,22 @@ def main() -> None:
     ext_thresh = float(os.environ.get("SPARK_GRAFT_BENCH_EXT_CORES", "1.5"))
     merge_path = os.environ.get("SPARK_GRAFT_BENCH_MERGE", "")
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
-    headline = (
-        [q for q in HEADLINE if q in set(only.split(","))]
-        if only
-        else HEADLINE
-    )
+    if only:
+        # resolve against the FULL queries() registry (HEADLINE order
+        # first) so tools/scaling_curves.py can track queries before
+        # or regardless of their headline promotion
+        import __spark_entry__ as entry_mod
+
+        wanted = set(only.split(","))
+        registry = list(entry_mod.queries())
+        headline = [q for q in HEADLINE if q in wanted] + [
+            q for q in registry if q in wanted and q not in HEADLINE
+        ]
+        missing = wanted - set(headline)
+        if missing:
+            raise SystemExit(f"unknown bench queries: {sorted(missing)}")
+    else:
+        headline = HEADLINE
 
     from pyspark.sql import SparkSession
 

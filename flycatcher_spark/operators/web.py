@@ -481,21 +481,35 @@ def _rules_predicate(by_host: dict[str, list[tuple[bool, str]]]):
     real robots rules) compile to ``startswith`` — a plain string op
     inside whole-stage codegen; the rest compile to ``rlike`` with a
     LITERAL pattern, which codegen compiles once per query instead of
-    per row."""
+    per row.
+
+    Dispatch is by RULESET, not by host (r9): hosts whose ordered
+    rule lists are identical — the normal case for a curated policy —
+    share ONE WHEN arm guarded by ``isin(hosts...)``, which Catalyst
+    converts to an InSet hash lookup. Per-row cost is therefore
+    O(distinct rulesets x rules), not O(hosts x rules): a measured
+    50-host single-policy sweep showed the naive per-host chain
+    losing to the dynamic join ~3.5x at every row count, while the
+    grouped form is the one that wins at scale
+    (robots_crossover.json)."""
     if len(by_host) > 1000:
         raise ValueError(
             "compiled robots gate is for curated rule sets "
             "(<= 1000 hosts); use impl='dynamic' for per-host crawl rules"
         )
+    groups: dict[tuple, list[str]] = {}
+    for h in sorted(by_host):
+        ordered = tuple(
+            sorted(by_host[h], key=lambda r: (-len(r[1]), -int(bool(r[0]))))
+        )
+        groups.setdefault(ordered, []).append(h)
 
     def predicate(host_col, path_col):
         case = None
-        for h in sorted(by_host):
+        for ordered, hosts in sorted(
+            groups.items(), key=lambda kv: kv[1][0]
+        ):
             cond = None
-            ordered = sorted(
-                by_host[h],
-                key=lambda r: (-len(r[1]), -int(bool(r[0]))),
-            )
             for allow, pat in ordered:
                 if "*" not in pat and not pat.endswith("$"):
                     m = path_col.startswith(pat)
@@ -512,10 +526,15 @@ def _rules_predicate(by_host: dict[str, list[tuple[bool, str]]]):
                 if cond is not None
                 else F.lit(True)
             )
+            guard = (
+                host_col == F.lit(hosts[0])
+                if len(hosts) == 1
+                else host_col.isin(*hosts)
+            )
             case = (
-                F.when(host_col == F.lit(h), hostly)
+                F.when(guard, hostly)
                 if case is None
-                else case.when(host_col == F.lit(h), hostly)
+                else case.when(guard, hostly)
             )
         if case is None:
             return F.lit(True)
@@ -626,7 +645,20 @@ def robots_gate(
             if raw
             else _compile_rules(rules)
         )
-        return urls.withColumn("allowed", pred(host, path))
+        # materialize host/path ONCE: the CASE references plain
+        # attributes, so the regex-heavy canonical_url/extract chain
+        # is not re-evaluated inside every (conditionally-evaluated,
+        # hence CSE-exempt) WHEN branch; CollapseProject keeps the
+        # split because the aliases are non-cheap and multiply
+        # referenced
+        return (
+            urls.withColumn("__host", host)
+            .withColumn("__path", path)
+            .withColumn(
+                "allowed", pred(F.col("__host"), F.col("__path"))
+            )
+            .drop("__host", "__path")
+        )
     with_hp = urls.withColumn("__host", host).withColumn("__path", path)
     joined = with_hp.join(
         rules.withColumnRenamed("host", "__host"), "__host", "left"

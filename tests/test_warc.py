@@ -203,3 +203,176 @@ class TestWriteWet:
 
         with pytest.raises(ValueError, match="gzip_mode"):
             warc.write_wet(pages, gzip_mode="whole")
+
+
+# ---------------------------------------------------------------------------
+# r9: HTTP-layer decode of response record bodies
+# ---------------------------------------------------------------------------
+class TestParseHttpResponse:
+    def _chunked(self, payload: bytes, ext: bool = True) -> bytes:
+        cut = min(5, len(payload))
+        first, rest = payload[:cut], payload[cut:]
+        out = (b"%x" % len(first)) + (b";ext=1" if ext else b"") + b"\r\n"
+        out += first + b"\r\n"
+        if rest:
+            out += b"%x\r\n" % len(rest) + rest + b"\r\n"
+        return out + b"0\r\nX-Trailer: t\r\n\r\n"
+
+    def test_identity_status_headers_charset(self):
+        m = warc.parse_http_response(
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=utf-8\r\n"
+            b"Server: x\r\n\r\n" + "café".encode("utf-8")
+        )
+        assert (m["status"], m["reason"]) == (200, "OK")
+        assert m["content_type"] == "text/html"
+        assert m["charset"] == "utf-8"
+        assert m["text"] == "café"
+        assert m["headers"]["server"] == "x"
+
+    def test_chunked_with_extension_and_trailer(self):
+        body = b"hello, chunked world"
+        m = warc.parse_http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            + self._chunked(body)
+        )
+        assert m["payload"] == body
+        assert m["headers"]["transfer-encoding"] == "chunked"
+
+    def test_chunked_single_chunk_immediate_end(self):
+        m = warc.parse_http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"3\r\nabc\r\n0\r\n\r\n"
+        )
+        assert m["payload"] == b"abc"
+
+    def test_gzip_and_xgzip(self):
+        for label in (b"gzip", b"x-gzip"):
+            m = warc.parse_http_response(
+                b"HTTP/1.1 200 OK\r\nContent-Encoding: " + label
+                + b"\r\n\r\n" + gzip.compress(b"zipped", mtime=0)
+            )
+            assert m["payload"] == b"zipped"
+
+    def test_deflate_both_forms(self):
+        import zlib
+
+        zl = zlib.compress(b"zlib-wrapped")
+        m = warc.parse_http_response(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + zl
+        )
+        assert m["payload"] == b"zlib-wrapped"
+        c = zlib.compressobj(wbits=-15)
+        raw = c.compress(b"raw-deflate") + c.flush()
+        m = warc.parse_http_response(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + raw
+        )
+        assert m["payload"] == b"raw-deflate"
+
+    def test_chunked_over_gzip_common_crawl_double(self):
+        m = warc.parse_http_response(
+            b"HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n"
+            b"Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n\r\n"
+            + self._chunked(gzip.compress(b"double decoded", mtime=0))
+        )
+        assert (m["status"], m["text"]) == (404, "double decoded")
+        assert m["charset"] == "iso-8859-1"  # HTTP default
+
+    def test_obs_fold_continuation(self):
+        m = warc.parse_http_response(
+            b"HTTP/1.0 200 OK\r\nX-Long: part one\r\n\tpart two\r\n\r\nx"
+        )
+        assert m["headers"]["x-long"] == "part one part two"
+
+    def test_quoted_and_unknown_charsets(self):
+        m = warc.parse_http_response(
+            b'HTTP/1.1 200 OK\r\nContent-Type: text/html; charset="latin-1"\r\n\r\n\xe9'
+        )
+        assert m["charset"] == "latin-1" and m["text"] == "\xe9"
+        m = warc.parse_http_response(
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=bogus\r\n\r\n\xe9"
+        )
+        assert m["charset"] == "iso-8859-1" and m["text"] == "\xe9"
+
+    def test_reason_optional(self):
+        m = warc.parse_http_response(b"HTTP/1.1 204\r\n\r\n")
+        assert (m["status"], m["reason"], m["payload"]) == (204, "", b"")
+
+    def test_honest_none_matrix(self):
+        p = warc.parse_http_response
+        assert p(None) is None
+        assert p(b"") is None
+        assert p(b"not http at all") is None
+        assert p(b"HTTP/2 200\r\n\r\nx") is None  # subset is 1.x
+        # bad chunk size token
+        assert p(b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\nx") is None
+        # truncated chunk
+        assert p(b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nff\r\nshort") is None
+        # unknown transfer/content encodings
+        assert p(b"HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip\r\n\r\nx") is None
+        assert p(b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nx") is None
+        # corrupt gzip
+        assert p(b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnotgz") is None
+        # header line without a colon
+        assert p(b"HTTP/1.1 200 OK\r\nbadline\r\n\r\nx") is None
+
+
+class TestHttpResponsesStage:
+    def test_fixture_closed_form(self, spark):
+        docs = spark.createDataFrame(
+            [(i,) for i in range(12)], "doc_id long"
+        )
+        recs = warc.warc_records(warc.make_http_warc_payload(docs))
+        out = warc.http_responses(
+            recs, passthrough=["rec_idx", "target_uri"]
+        ).collect()
+        assert len(out) == 36
+        for r in out:
+            i, j = r.doc_id, r.rec_idx
+            want = f"Doc {i} rec {j} n {(i * 11 + j) % 89}" + (
+                " é" if j < 2 else ""
+            )
+            assert r.text == want, (i, j)
+            assert r.status == [200, 301, 404][j]
+            assert r.charset == ["utf-8", "latin-1", "iso-8859-1"][j]
+            assert r.content_type == (
+                "text/plain" if j == 2 else "text/html"
+            )
+            assert r.target_uri == f"http://example.com/{i}/{j}"
+            assert r.n_payload_bytes == len(
+                want.encode("utf-8" if j == 0 else "latin-1")
+            )
+
+    def test_malformed_body_yields_null_columns(self, spark):
+        df = spark.createDataFrame(
+            [(1, b"not an http message"), (2, None)],
+            "doc_id long, body binary",
+        )
+        rows = warc.http_responses(df).collect()
+        assert len(rows) == 2
+        assert all(r.status is None and r.text is None for r in rows)
+
+    def test_stage_is_map_only(self, spark):
+        docs = spark.createDataFrame([(1,)], "doc_id long")
+        out = warc.http_responses(
+            warc.warc_records(warc.make_http_warc_payload(docs))
+        )
+        rep = plans.plan_report(out)
+        assert rep.n_shuffles == 0
+
+    def test_composes_into_html_to_text(self, spark):
+        # the real WET flow: HTTP decode -> html_to_text over `text`
+        from pyspark.sql import functions as F
+
+        from flycatcher_spark.operators import web
+
+        df = spark.createDataFrame(
+            [(1, b"HTTP/1.1 200 OK\r\n"
+                 b"Content-Type: text/html; charset=utf-8\r\n\r\n"
+                 b"<html><body><p>hello <b>crawl</b></p></body></html>")],
+            "doc_id long, body binary",
+        )
+        out = warc.http_responses(df).select(
+            "doc_id", web.html_to_text(F.col("text")).alias("t")
+        ).first()
+        assert out.t == "hello crawl"
