@@ -3643,6 +3643,55 @@ def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT write side (r9, warc.write_wat -> warc_records ->
+    warc.wat_metadata): per-page crawl metadata (status, Content-Type
+    header, title, outgoing links) packs into Common-Crawl-layout WAT
+    shards — WARC `metadata` records whose bodies are the envelope
+    JSON, 100 per shard in the deterministic md5 order behind a
+    warcinfo record — and the existing WARC ingest plus the pure-
+    Column from_json reader extract every field back. DuckDB replays
+    the shard assignment, within-shard record indexes, and every
+    status/title/link-list value; warcinfo rows ride along as
+    all-null metadata (framing still length-checked by parse_warc)."""
+    from flycatcher_spark.operators import warc as _warc
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    pages = docs.select(
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com/w"),
+            F.col("doc_id").cast("string"),
+        ).alias("uri"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(200))
+        .when(F.col("doc_id") % 3 == 1, F.lit(301))
+        .otherwise(F.lit(404))
+        .cast("long")
+        .alias("status"),
+        F.lit("text/html").alias("content_type"),
+        F.concat(F.lit("Doc "), F.col("doc_id")).alias("title"),
+        F.transform(
+            F.sequence(F.lit(0), F.col("doc_id") % 3),
+            lambda k: F.concat(
+                F.lit("http://l/"), F.col("doc_id"), F.lit("/"), k
+            ),
+        ).alias("links"),
+    )
+    shards = _warc.write_wat(pages, records_per_shard=100)
+    back = _warc.warc_records(shards, id_col="shard_id")
+    meta = _warc.wat_metadata(back)
+    return meta.select(
+        "shard_id",
+        "rec_idx",
+        "rec_type",
+        "target_uri",
+        "status",
+        "resp_content_type",
+        "title",
+        F.size("links").cast("long").alias("n_links"),
+        F.get(F.col("links"), 0).alias("first_link"),
+    )
+
+
 def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset WRITE side (r8, webdataset.write_webdataset →
     webdataset_samples): every doc becomes one sample (closed-form
@@ -3810,13 +3859,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: r9 driver window (the first 50 entries of queries()). Policy:
-#: new-this-round first (4: animated-GIF composition, PDF text
-#: extraction, byte-level BPE, HTTP-layer decode), then every query
-#: whose implementation changed this round (2: robots_gate_compiled
-#: moved to the raw driver-side compile; gif_decode's walk refactored
-#: onto the shared _walk_gif), then the OLDEST driver-greens by
+#: new-this-round first (5: animated-GIF composition, PDF text
+#: extraction, byte-level BPE, HTTP-layer decode, WAT write side),
+#: then every query whose implementation changed this round (2:
+#: robots_gate_compiled moved to the raw driver-side compile + the
+#: grouped/materialized predicate; gif_decode's walk refactored onto
+#: the shared _walk_gif), then the OLDEST driver-greens by
 #: (last-green round, registration order): all 14 remaining r4-greens
-#: (the DSL/validator family and the two r4 TPC-H queries) and the 30
+#: (the DSL/validator family and the two r4 TPC-H queries) and the 29
 #: stalest r5-greens — the max driver-green age across the suite
 #: drops from r4 to r5 this round. Ages computed from the
 #: CORRECTNESS_r0*.json artifacts (tools note: the r8 verdict's task
@@ -3824,7 +3874,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: window, the true stalest are the r4 DSL family below).
 _WINDOW_R9 = [
     "gif_frames", "pdf_extract", "bpe_bytes_apply", "http_payloads",
-    "robots_gate_compiled", "gif_decode",
+    "wat_roundtrip", "robots_gate_compiled", "gif_decode",
     # r4-greens (stalest driver evidence in the suite)
     "median_stats", "token_counts", "stats_moments", "label_centroids",
     "validate_strict_agg", "dsl_string_ops", "dsl_math_ops",
@@ -3843,7 +3893,7 @@ _WINDOW_R9 = [
     "q21_sole_late_supplier", "q22_dormant_customers",
     "q15_top_supplier", "q11_important_parts", "cube_revenue",
     "percentile_suite", "distinct_stats", "name_editdist_pairs",
-    "orders_no_lineitems", "gopher_quality",
+    "orders_no_lineitems",
 ]
 
 
@@ -3889,6 +3939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_profiles": q_langid_profiles,
         "warc_records": q_warc_records,
         "http_payloads": q_http_payloads,
+        "wat_roundtrip": q_wat_roundtrip,
         "robots_gate": q_robots_gate,
         "robots_gate_compiled": q_robots_gate_compiled,
         "html_extract": q_html_extract,
@@ -4508,6 +4559,50 @@ def oracle_sql() -> dict[str, str]:
                 FROM o
             )
             SELECT * FROM conv UNION ALL SELECT * FROM info
+        """,
+        "wat_roundtrip": """
+            WITH p AS (
+                SELECT doc_id,
+                       'http://' || source || '.example.com/w' || doc_id
+                           AS uri,
+                       CASE CAST(doc_id % 3 AS INT)
+                            WHEN 0 THEN 200 WHEN 1 THEN 301
+                            ELSE 404 END AS status,
+                       'Doc ' || doc_id AS title,
+                       -- sequence(0, doc_id % 3) is inclusive
+                       1 + doc_id % 3 AS n_links
+                FROM documents
+            ),
+            o AS (
+                SELECT *, ROW_NUMBER() OVER (
+                           ORDER BY md5('wat:' || uri), uri) - 1 AS pos
+                FROM p
+            ),
+            meta AS (
+                SELECT CAST(pos // 100 AS BIGINT) AS shard_id,
+                       CAST(pos % 100 + 1 AS BIGINT) AS rec_idx,
+                       'metadata' AS rec_type,
+                       uri AS target_uri,
+                       CAST(status AS BIGINT) AS status,
+                       'text/html' AS resp_content_type,
+                       title,
+                       CAST(n_links AS BIGINT) AS n_links,
+                       'http://l/' || doc_id || '/0' AS first_link
+                FROM o
+            ),
+            info AS (
+                SELECT DISTINCT CAST(pos // 100 AS BIGINT) AS shard_id,
+                       CAST(0 AS BIGINT) AS rec_idx,
+                       'warcinfo' AS rec_type,
+                       CAST(NULL AS VARCHAR) AS target_uri,
+                       CAST(NULL AS BIGINT) AS status,
+                       CAST(NULL AS VARCHAR) AS resp_content_type,
+                       CAST(NULL AS VARCHAR) AS title,
+                       CAST(NULL AS BIGINT) AS n_links,
+                       CAST(NULL AS VARCHAR) AS first_link
+                FROM o
+            )
+            SELECT * FROM meta UNION ALL SELECT * FROM info
         """,
         "webdataset_roundtrip": """
             WITH s AS (

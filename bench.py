@@ -141,6 +141,8 @@ HEADLINE = [
     "gif_frames",               # animated GIF compose + sampled decode
     "pdf_extract",              # PDF xref walk + inflate + text ops
     "bpe_bytes_apply",          # byte-level BPE apply (GPT-2 pre-tok)
+    "http_payloads",            # HTTP envelope strip: chunked + gzip
+    "wat_roundtrip",            # WAT write: envelope JSON + read back
 ]
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
