@@ -601,14 +601,41 @@ def _make_byte_encoder(merges: list[tuple[str, str]]):
     return encode_pre_token
 
 
+def _special_splitter(special_tokens):
+    """Build a driver-side splitter spec for ATOMIC special tokens
+    (``<|endoftext|>`` et al., r9): returns the alternation pattern
+    (longest-first so overlapping literals resolve the way HF /
+    tiktoken do) or None. Specials are matched BEFORE the GPT-2
+    pre-tokenizer runs — BPE merges never cross them, and the
+    literals never reach the byte alphabet."""
+    if not special_tokens:
+        return None
+    import re as _re
+
+    toks = sorted(special_tokens, key=len, reverse=True)
+    return "(" + "|".join(_re.escape(t) for t in toks) + ")"
+
+
+def _segments(text: str, spec_re) -> list[tuple[str, bool]]:
+    """Split text into (segment, is_special) runs; plain segments
+    still carry their original whitespace for the pre-tokenizer."""
+    if spec_re is None:
+        return [(text, False)]
+    parts = spec_re.split(text)
+    return [(p, i % 2 == 1) for i, p in enumerate(parts) if p]
+
+
 def bpe_bytes_token_count(
     text: Column | str,
     merges: list[tuple[str, str]],
+    special_tokens: list[str] | None = None,
 ) -> Column:
     """Per-row byte-level BPE token count under the learned merges —
     Arrow-batched, map-only; the pre-tokenizer regex and merge ranks
-    ride in the closure. Pinned equal to the portable
-    :func:`bpe_bytes_symbol_counts` twin by tests.
+    ride in the closure. ``special_tokens`` (r9) are atomic: matched
+    longest-first before pre-tokenization, each counting exactly one
+    token, with merges never crossing the boundary. Pinned equal to
+    the portable :func:`bpe_bytes_symbol_counts` twin by tests.
 
     Examples
     --------
@@ -619,13 +646,17 @@ def bpe_bytes_token_count(
     """
     encode_pre_token = _make_byte_encoder(merges)
     split_pattern = GPT2_SPLIT_PATTERN
+    spec_pattern = _special_splitter(special_tokens)
     c = F.col(text) if isinstance(text, str) else text
 
     @pandas_udf("long")
     def _count(texts: pd.Series) -> pd.Series:
+        import re as _re
+
         import regex
 
         pat = regex.compile(split_pattern)
+        spec = _re.compile(spec_pattern) if spec_pattern else None
         out = []
         cache: dict[str, int] = {}
         for t in texts:
@@ -633,12 +664,16 @@ def bpe_bytes_token_count(
                 out.append(None)
                 continue
             total = 0
-            for w in pat.findall(t.replace("\x00", "")):
-                hit = cache.get(w)
-                if hit is None:
-                    hit = len(encode_pre_token(w))
-                    cache[w] = hit
-                total += hit
+            for seg, is_special in _segments(t, spec):
+                if is_special:
+                    total += 1
+                    continue
+                for w in pat.findall(seg.replace("\x00", "")):
+                    hit = cache.get(w)
+                    if hit is None:
+                        hit = len(encode_pre_token(w))
+                        cache[w] = hit
+                    total += hit
             out.append(total)
         return pd.Series(out, dtype="object")
 
@@ -648,18 +683,24 @@ def bpe_bytes_token_count(
 def bpe_bytes_encode(
     text: Column | str,
     merges: list[tuple[str, str]],
+    special_tokens: list[str] | None = None,
 ) -> Column:
     """Per-row byte-level BPE pieces (``array<string>``, byte-unicode
-    rendering — GPT-2's vocab key space)."""
+    rendering — GPT-2's vocab key space). ``special_tokens`` (r9)
+    surface as their own literal pieces, atomic and merge-proof."""
     encode_pre_token = _make_byte_encoder(merges)
     split_pattern = GPT2_SPLIT_PATTERN
+    spec_pattern = _special_splitter(special_tokens)
     c = F.col(text) if isinstance(text, str) else text
 
     @pandas_udf("array<string>")
     def _enc(texts: pd.Series) -> pd.Series:
+        import re as _re
+
         import regex
 
         pat = regex.compile(split_pattern)
+        spec = _re.compile(spec_pattern) if spec_pattern else None
         out = []
         cache: dict[str, list[str]] = {}
         for t in texts:
@@ -667,12 +708,16 @@ def bpe_bytes_encode(
                 out.append(None)
                 continue
             pieces: list[str] = []
-            for w in pat.findall(t.replace("\x00", "")):
-                hit = cache.get(w)
-                if hit is None:
-                    hit = encode_pre_token(w)
-                    cache[w] = hit
-                pieces.extend(hit)
+            for seg, is_special in _segments(t, spec):
+                if is_special:
+                    pieces.append(seg)
+                    continue
+                for w in pat.findall(seg.replace("\x00", "")):
+                    hit = cache.get(w)
+                    if hit is None:
+                        hit = encode_pre_token(w)
+                        cache[w] = hit
+                    pieces.extend(hit)
             out.append(pieces)
         return pd.Series(out)
 
@@ -684,22 +729,31 @@ def bpe_bytes_encode_ids(
     merges: list[tuple[str, str]],
     vocab: dict[str, int],
     unk_id: int | None = None,
+    special_tokens: dict[str, int] | None = None,
 ) -> Column:
     """Per-row byte-level token ids (``array<long>``) under a frozen
     GPT-2-family tokenizer: ``merges.txt`` drives the segmentation,
     ``vocab.json`` assigns ids (byte-unicode piece keys). Unknown
     pieces become ``unk_id`` (null elements when unset) — with a
     GPT-2-convention vocab (:func:`byte_vocab_from_merges`) every
-    piece resolves, by construction of the byte alphabet."""
+    piece resolves, by construction of the byte alphabet.
+    ``special_tokens`` (r9) maps atomic literals straight to their
+    ids (``{"<|endoftext|>": 50256}``), matched longest-first before
+    pre-tokenization so no merge ever crosses a document boundary."""
     encode_pre_token = _make_byte_encoder(merges)
     split_pattern = GPT2_SPLIT_PATTERN
+    spec_pattern = _special_splitter(special_tokens)
+    spec_ids = dict(special_tokens or {})
     c = F.col(text) if isinstance(text, str) else text
 
     @pandas_udf("array<long>")
     def _ids(texts: pd.Series) -> pd.Series:
+        import re as _re
+
         import regex
 
         pat = regex.compile(split_pattern)
+        spec = _re.compile(spec_pattern) if spec_pattern else None
         out = []
         cache: dict[str, list] = {}
         for t in texts:
@@ -707,14 +761,19 @@ def bpe_bytes_encode_ids(
                 out.append(None)
                 continue
             ids: list = []
-            for w in pat.findall(t.replace("\x00", "")):
-                hit = cache.get(w)
-                if hit is None:
-                    hit = [
-                        vocab.get(p, unk_id) for p in encode_pre_token(w)
-                    ]
-                    cache[w] = hit
-                ids.extend(hit)
+            for seg, is_special in _segments(t, spec):
+                if is_special:
+                    ids.append(spec_ids[seg])
+                    continue
+                for w in pat.findall(seg.replace("\x00", "")):
+                    hit = cache.get(w)
+                    if hit is None:
+                        hit = [
+                            vocab.get(p, unk_id)
+                            for p in encode_pre_token(w)
+                        ]
+                        cache[w] = hit
+                    ids.extend(hit)
             out.append(ids)
         return pd.Series(out)
 

@@ -302,3 +302,82 @@ class TestPipelineIntegration:
             docs, "src", "doc_id", F.col("n_tok"), 100, budgets={"a": 2}
         )
         assert out.count() >= 1
+
+
+class TestSpecialTokens:
+    """r9: atomic special tokens — matched longest-first before the
+    pre-tokenizer, never merged across, mapped straight to ids."""
+
+    MERGES = [("l", "o"), ("lo", "w"), ("Ġ", "low")]
+    EOT = "<|endoftext|>"
+
+    def test_special_is_atomic_piece(self, spark):
+        df = spark.createDataFrame(
+            [(1, f"low{self.EOT} low")], ["doc_id", "text"]
+        )
+        row = df.select(
+            bpe.bpe_bytes_encode(
+                "text", self.MERGES, special_tokens=[self.EOT]
+            ).alias("p")
+        ).first()
+        assert row.p == ["low", self.EOT, "Ġlow"]
+
+    def test_without_registration_special_is_plain_text(self, spark):
+        df = spark.createDataFrame(
+            [(1, f"low{self.EOT}low")], ["doc_id", "text"]
+        )
+        row = df.select(
+            bpe.bpe_bytes_encode("text", self.MERGES).alias("p")
+        ).first()
+        # the literal is just characters: < | e n d ... tokenized
+        assert self.EOT not in row.p and len(row.p) > 3
+
+    def test_merges_never_cross_boundary(self, spark):
+        # "l" + EOT + "ow": without the boundary "low" could merge
+        df = spark.createDataFrame(
+            [(1, f"l{self.EOT}ow")], ["doc_id", "text"]
+        )
+        row = df.select(
+            bpe.bpe_bytes_encode(
+                "text", self.MERGES, special_tokens=[self.EOT]
+            ).alias("p")
+        ).first()
+        assert self.EOT in row.p and "low" not in row.p
+
+    def test_ids_map_directly(self, spark):
+        vocab = bpe.byte_vocab_from_merges(self.MERGES)
+        df = spark.createDataFrame(
+            [(1, f"low{self.EOT} low{self.EOT}")], ["doc_id", "text"]
+        )
+        row = df.select(
+            bpe.bpe_bytes_encode_ids(
+                "text", self.MERGES, vocab,
+                special_tokens={self.EOT: 50256},
+            ).alias("ids")
+        ).first()
+        assert row.ids.count(50256) == 2
+        assert row.ids[1] == 50256 and row.ids[-1] == 50256
+
+    def test_count_matches_pieces(self, spark):
+        df = spark.createDataFrame(
+            [(1, f"{self.EOT}low low{self.EOT}wol")], ["doc_id", "text"]
+        )
+        got = df.select(
+            bpe.bpe_bytes_token_count(
+                "text", self.MERGES, special_tokens=[self.EOT]
+            ).alias("n"),
+            bpe.bpe_bytes_encode(
+                "text", self.MERGES, special_tokens=[self.EOT]
+            ).alias("p"),
+        ).first()
+        assert got.n == len(got.p)
+
+    def test_longest_first_overlap(self, spark):
+        a, b = "<|eot|>", "<|eot|><|eot|>"
+        df = spark.createDataFrame([(1, b)], ["doc_id", "text"])
+        row = df.select(
+            bpe.bpe_bytes_encode(
+                "text", self.MERGES, special_tokens=[a, b]
+            ).alias("p")
+        ).first()
+        assert row.p == [b]  # the longer literal wins
