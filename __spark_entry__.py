@@ -2320,6 +2320,63 @@ def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode (r9, operators/tiff): every doc gets a
+    genuine baseline TIFF whose PIXELS rotate by id%3 (grayscale /
+    RGB / 8-color palette, all closed-form) while the CONTAINER
+    rotates independently — compression none / real PackBits / real
+    early-change MSB-first LZW, horizontal-differencing predictor on
+    even ids, big-endian every 5th, independent two-row strips every
+    4th — and parse_tiff genuinely walks the IFD and decompresses
+    inside the Arrow stage. DuckDB states dimensions and the raster
+    mean outright; the container axes cannot change them, which is
+    exactly the check."""
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    with_payload = multimodal.make_tiff_payload(docs)
+    meta = multimodal.decode_image_meta(with_payload, id_col="doc_id")
+    return meta.select(
+        "doc_id",
+        "fmt",
+        "width",
+        "height",
+        "maxval",
+        "n_channels",
+        "n_pixel_bytes",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    )
+
+
+def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode (r9, operators/bmp): id%3 rotates 24-bit
+    BI_RGB (bottom-up BGR rows with 4-byte padding), 8-bit
+    palettized, and 8-bit RLE8 whose run-structured indices exercise
+    the real run-length compressor; top-down rows every 7th non-RLE
+    id. parse_bmp genuinely un-pads, re-orders and RLE-decodes inside
+    the Arrow stage; every raster statistic is closed-form for
+    DuckDB."""
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    with_payload = multimodal.make_bmp_payload(docs)
+    meta = multimodal.decode_image_meta(with_payload, id_col="doc_id")
+    return meta.select(
+        "doc_id",
+        "fmt",
+        "width",
+        "height",
+        "maxval",
+        "n_channels",
+        "n_pixel_bytes",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    )
+
+
 def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PDF text extraction (r9, operators/pdf): every doc gets a
     genuine PDF — catalog, page tree (nested /Pages every 7th id),
@@ -3859,22 +3916,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: r9 driver window (the first 50 entries of queries()). Policy:
-#: new-this-round first (5: animated-GIF composition, PDF text
-#: extraction, byte-level BPE, HTTP-layer decode, WAT write side),
-#: then every query whose implementation changed this round (2:
-#: robots_gate_compiled moved to the raw driver-side compile + the
-#: grouped/materialized predicate; gif_decode's walk refactored onto
-#: the shared _walk_gif), then the OLDEST driver-greens by
-#: (last-green round, registration order): all 14 remaining r4-greens
-#: (the DSL/validator family and the two r4 TPC-H queries) and the 29
-#: stalest r5-greens — the max driver-green age across the suite
-#: drops from r4 to r5 this round. Ages computed from the
-#: CORRECTNESS_r0*.json artifacts (tools note: the r8 verdict's task
-#: #6 list was off — q12/pivot/array_ops etc. were re-greened in r7's
-#: window, the true stalest are the r4 DSL family below).
+#: new-this-round first (7: animated-GIF composition, PDF text
+#: extraction, byte-level BPE, HTTP-layer decode, WAT write side,
+#: TIFF decode, BMP decode), then every query whose implementation
+#: changed this round (2: robots_gate_compiled moved to the raw
+#: driver-side compile + the grouped/materialized predicate;
+#: gif_decode's walk refactored onto the shared _walk_gif), then the
+#: OLDEST driver-greens by (last-green round, registration order):
+#: all 14 remaining r4-greens (the DSL/validator family and the two
+#: r4 TPC-H queries) and the 27 stalest r5-greens — the max
+#: driver-green age across the suite drops from r4 to r5 this round.
+#: Ages computed from the CORRECTNESS_r0*.json artifacts (tools note:
+#: the r8 verdict's task #6 list was off — q12/pivot/array_ops etc.
+#: were re-greened in r7's window, the true stalest are the r4 DSL
+#: family below).
 _WINDOW_R9 = [
     "gif_frames", "pdf_extract", "bpe_bytes_apply", "http_payloads",
-    "wat_roundtrip", "robots_gate_compiled", "gif_decode",
+    "wat_roundtrip", "tiff_decode", "bmp_decode",
+    "robots_gate_compiled", "gif_decode",
     # r4-greens (stalest driver evidence in the suite)
     "median_stats", "token_counts", "stats_moments", "label_centroids",
     "validate_strict_agg", "dsl_string_ops", "dsl_math_ops",
@@ -3893,7 +3952,6 @@ _WINDOW_R9 = [
     "q21_sole_late_supplier", "q22_dormant_customers",
     "q15_top_supplier", "q11_important_parts", "cube_revenue",
     "percentile_suite", "distinct_stats", "name_editdist_pairs",
-    "orders_no_lineitems",
 ]
 
 
@@ -3935,6 +3993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_decode": q_png_decode,
         "gif_decode": q_gif_decode,
         "gif_frames": q_gif_frames,
+        "tiff_decode": q_tiff_decode,
+        "bmp_decode": q_bmp_decode,
         "pdf_extract": q_pdf_extract,
         "langid_profiles": q_langid_profiles,
         "warc_records": q_warc_records,
@@ -7315,6 +7375,81 @@ def oracle_sql() -> dict[str, str]:
                          / (3 * w * h), 6) AS mean_pixel
             FROM px
             GROUP BY doc_id, w, h, f
+        """,
+        "tiff_decode": """
+            WITH d AS (
+                SELECT doc_id,
+                       4 + doc_id % 13 AS w,
+                       3 + doc_id % 7 AS h,
+                       CAST(doc_id % 3 AS INT) AS arm
+                FROM documents
+            ),
+            px AS (
+                -- arm 0 gray: one value per pixel; arm 1 rgb: one per
+                -- channel sample; arm 2 palette: the 3-channel SUM per
+                -- pixel (denominator handles the 3x)
+                SELECT doc_id, w, h, arm,
+                       CASE arm
+                           WHEN 0 THEN (doc_id * 13 + k * 7) % 256
+                           WHEN 1 THEN (doc_id * 7 + k * 13) % 256
+                           ELSE ((doc_id*5 + k*11) % 8 * 37) % 256
+                              + ((doc_id*5 + k*11) % 8 * 59) % 256
+                              + ((doc_id*5 + k*11) % 8 * 83) % 256
+                       END AS v
+                FROM d, LATERAL (SELECT unnest(range(0,
+                     CASE WHEN arm = 1 THEN 3 * w * h
+                          ELSE w * h END)) AS k)
+            )
+            SELECT doc_id,
+                   'tiff' AS fmt,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(255 AS BIGINT) AS maxval,
+                   CAST(CASE WHEN arm = 0 THEN 1 ELSE 3 END AS BIGINT)
+                       AS n_channels,
+                   CAST(CASE WHEN arm = 0 THEN w * h
+                             ELSE 3 * w * h END AS BIGINT)
+                       AS n_pixel_bytes,
+                   round(CAST(SUM(v) AS DOUBLE)
+                         / (CASE WHEN arm = 0 THEN w * h
+                                 ELSE 3 * w * h END), 6) AS mean_pixel
+            FROM px
+            GROUP BY doc_id, w, h, arm
+        """,
+        "bmp_decode": """
+            WITH d AS (
+                SELECT doc_id,
+                       4 + doc_id % 13 AS w,
+                       3 + doc_id % 7 AS h,
+                       CAST(doc_id % 3 AS INT) AS arm
+                FROM documents
+            ),
+            px AS (
+                SELECT doc_id, w, h, arm,
+                       CASE arm
+                           WHEN 0 THEN (doc_id * 7 + k * 13) % 256
+                           WHEN 1 THEN ((doc_id*5 + k*11) % 8 * 37) % 256
+                              + ((doc_id*5 + k*11) % 8 * 59) % 256
+                              + ((doc_id*5 + k*11) % 8 * 83) % 256
+                           ELSE ((k // 4 + doc_id) % 8 * 37) % 256
+                              + ((k // 4 + doc_id) % 8 * 59) % 256
+                              + ((k // 4 + doc_id) % 8 * 83) % 256
+                       END AS v
+                FROM d, LATERAL (SELECT unnest(range(0,
+                     CASE WHEN arm = 0 THEN 3 * w * h
+                          ELSE w * h END)) AS k)
+            )
+            SELECT doc_id,
+                   'bmp' AS fmt,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(255 AS BIGINT) AS maxval,
+                   CAST(3 AS BIGINT) AS n_channels,
+                   CAST(3 * w * h AS BIGINT) AS n_pixel_bytes,
+                   round(CAST(SUM(v) AS DOUBLE) / (3 * w * h), 6)
+                       AS mean_pixel
+            FROM px
+            GROUP BY doc_id, w, h, arm
         """,
         "pdf_extract": """
             WITH d AS (

@@ -143,6 +143,8 @@ HEADLINE = [
     "bpe_bytes_apply",          # byte-level BPE apply (GPT-2 pre-tok)
     "http_payloads",            # HTTP envelope strip: chunked + gzip
     "wat_roundtrip",            # WAT write: envelope JSON + read back
+    "tiff_decode",              # real TIFF decode (LZW + PackBits)
+    "bmp_decode",               # real BMP decode (RLE8 + padding)
 ]
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100

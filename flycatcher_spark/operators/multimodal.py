@@ -483,10 +483,12 @@ def parse_png(payload: bytes) -> dict | None:
 def parse_image(payload: bytes) -> dict | None:
     """Dispatch on magic bytes: PNG signature → :func:`parse_png`,
     ``FFD8`` → :func:`jpeg.parse_jpeg`, ``GIF8`` →
-    :func:`gif.parse_gif` (r8), ``P5``/``P6`` → :func:`parse_pnm`,
-    anything else → ``None``. The decode stages
-    (:func:`decode_image_meta`, :func:`image_pixel_embedding`) parse
-    through this, so one corpus can mix formats row-by-row."""
+    :func:`gif.parse_gif` (r8), ``II*``/``MM*`` →
+    :func:`tiff.parse_tiff` (r9), ``BM`` → :func:`bmp.parse_bmp`
+    (r9), ``P5``/``P6`` → :func:`parse_pnm`, anything else →
+    ``None``. The decode stages (:func:`decode_image_meta`,
+    :func:`image_pixel_embedding`) parse through this, so one corpus
+    can mix formats row-by-row."""
     if payload is None or len(payload) < 2:
         return None
     head = bytes(payload[:8])
@@ -500,6 +502,14 @@ def parse_image(payload: bytes) -> dict | None:
         from .gif import parse_gif
 
         return parse_gif(payload)
+    if head[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import parse_tiff
+
+        return parse_tiff(payload)
+    if head[:2] == b"BM":
+        from .bmp import parse_bmp
+
+        return parse_bmp(payload)
     return parse_pnm(payload)
 
 
@@ -515,9 +525,9 @@ def sniff_format(payload: bytes) -> str | None:
     Returns one of ``jpeg_baseline``, ``jpeg_progressive``,
     ``jpeg_extended``, ``jpeg_arithmetic``, ``jpeg_lossless``,
     ``jpeg_other``, ``png``, ``ppm``, ``pgm``, ``gif``, ``webp``,
-    ``bmp``, ``wav``, ``flac``, ``pdf``, ``mp3``, ``ogg``, ``avi``,
-    ``gzip``, ``tar``, ``zip``, ``unknown`` — or ``None`` for
-    null/empty.
+    ``bmp``, ``tiff``, ``wav``, ``flac``, ``pdf``, ``mp3``, ``ogg``,
+    ``avi``, ``gzip``, ``tar``, ``zip``, ``unknown`` — or ``None``
+    for null/empty.
 
     Examples
     --------
@@ -571,6 +581,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "avi"
     if b[:2] == b"BM":
         return "bmp"
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if b[:4] == b"fLaC":
         return "flac"
     if b[:5] == b"%PDF-":
@@ -1354,6 +1366,118 @@ def make_jpeg_payload(
                     encode_jpeg(
                         8 * bx, 8 * by, [blocks],
                         restart_interval=2 if i % 5 == 0 else 0,
+                    )
+                )
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, _build(F.col(id_col)))
+
+
+def make_tiff_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Build a deterministic REAL TIFF per row (fixture/oracle
+    generator, r9): the PNM dimension formulas, photometric rotating
+    by ``id % 3`` — grayscale ``(id*13 + k*7) % 256``, RGB
+    ``(id*7 + k*13) % 256``, 8-color palette with index
+    ``(id*5 + k*11) % 8`` — while the CONTAINER axes rotate
+    independently of the pixels (compression none/PackBits/LZW by
+    ``(id // 3) % 3``, horizontal predictor on even ids, big-endian
+    every 5th, two-row strips every 4th), so DuckDB states every
+    decoded statistic while :func:`tiff.parse_tiff` genuinely
+    decompresses whichever layout it gets."""
+    from .tiff import encode_tiff
+
+    pal = [((j * 37) % 256, (j * 59) % 256, (j * 83) % 256)
+           for j in range(8)]
+
+    @pandas_udf("binary")
+    def _build(ids: pd.Series) -> pd.Series:
+        comps = ["none", "packbits", "lzw"]
+        out = []
+        for i in ids:
+            if i is None:
+                out.append(None)
+                continue
+            i = int(i)
+            w, h = 4 + i % 13, 3 + i % 7
+            arm = i % 3
+            if arm == 0:
+                phot, px = "gray", [(i * 13 + k * 7) % 256
+                                    for k in range(w * h)]
+            elif arm == 1:
+                phot, px = "rgb", [(i * 7 + k * 13) % 256
+                                   for k in range(w * h * 3)]
+            else:
+                phot, px = "palette", [(i * 5 + k * 11) % 8
+                                       for k in range(w * h)]
+            out.append(
+                encode_tiff(
+                    w, h, px, phot,
+                    palette=pal if phot == "palette" else None,
+                    compression=comps[(i // 3) % 3],
+                    predictor=(i % 2 == 0),
+                    rows_per_strip=2 if i % 4 == 0 else None,
+                    byte_order=">" if i % 5 == 0 else "<",
+                )
+            )
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, _build(F.col(id_col)))
+
+
+def make_bmp_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Build a deterministic REAL BMP per row (fixture/oracle
+    generator, r9): ``id % 3`` rotates 24-bit BI_RGB (pixel
+    ``(id*7 + k*13) % 256``), 8-bit palettized (index
+    ``(id*5 + k*11) % 8``), and 8-bit RLE8 whose index
+    ``(k//4 + id) % 8`` forms genuine runs for the compressor;
+    non-RLE payloads go top-down every 7th id (same decoded raster —
+    row order is a storage concern)."""
+    from .bmp import encode_bmp
+
+    pal = [((j * 37) % 256, (j * 59) % 256, (j * 83) % 256)
+           for j in range(8)]
+
+    @pandas_udf("binary")
+    def _build(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if i is None:
+                out.append(None)
+                continue
+            i = int(i)
+            w, h = 4 + i % 13, 3 + i % 7
+            arm = i % 3
+            td = i % 7 == 0
+            if arm == 0:
+                out.append(
+                    encode_bmp(
+                        w, h,
+                        [(i * 7 + k * 13) % 256 for k in range(w * h * 3)],
+                        top_down=td,
+                    )
+                )
+            elif arm == 1:
+                out.append(
+                    encode_bmp(
+                        w, h,
+                        [(i * 5 + k * 11) % 8 for k in range(w * h)],
+                        bpp=8, palette=pal, top_down=td,
+                    )
+                )
+            else:
+                out.append(
+                    encode_bmp(
+                        w, h,
+                        [(k // 4 + i) % 8 for k in range(w * h)],
+                        bpp=8, palette=pal, rle=True,
                     )
                 )
         return pd.Series(out)
