@@ -53,6 +53,14 @@ reference surface — see SURVEY.md §7.1 step 7).
   chains (incl. incremental updates), COS object parser, page-tree
   walk, FlateDecode, BT/ET text operators; plus a spec-conformant
   fixture writer.
+- :mod:`.gif` — GIF87a/89a decode with a real LZW codec, 4-pass
+  interlace, and animated-frame composition (GCE disposal and
+  transparency); plus a spec-conformant animated writer.
+- :mod:`.tiff` — baseline TIFF decode: IFD walk (both byte orders),
+  PackBits + early-change MSB-first LZW, predictor, multi-strip,
+  palettes; plus a real fixture writer.
+- :mod:`.bmp` — BMP decode: 24-bit padded BGR, 8-bit palettes, real
+  RLE8 with all four escapes; plus a real fixture writer.
 - :mod:`.quality` — corpus curation: Gopher-style rule gates, linear
   classifier scoring, unigram-LM surprise, per-domain caps,
   temperature mixture sampling, deterministic training order,
@@ -62,11 +70,13 @@ reference surface — see SURVEY.md §7.1 step 7).
 from . import (
     asof,
     audio,
+    bmp,
     bpe,
     cluster,
     decontam,
     dedup,
     flac,
+    gif,
     graph,
     jpeg,
     langid,
@@ -78,6 +88,7 @@ from . import (
     skew,
     stats,
     text,
+    tiff,
     versioning,
     video,
     webdataset,
@@ -88,11 +99,13 @@ from . import (
 __all__ = [
     "asof",
     "audio",
+    "bmp",
     "bpe",
     "cluster",
     "decontam",
     "dedup",
     "flac",
+    "gif",
     "graph",
     "jpeg",
     "langid",
@@ -104,6 +117,7 @@ __all__ = [
     "skew",
     "stats",
     "text",
+    "tiff",
     "versioning",
     "video",
     "webdataset",
