@@ -1,12 +1,13 @@
 """Web-crawl ingest pipeline: sitemap frontier → WARC archives →
-records → CDX index → robots gate → HTML→text extraction → link
-graph + PageRank prior → URL dedup → boilerplate line dedup →
-language ID → quality gates.
+records → CDX index → HTTP-layer decode → robots gate → HTML→text
+extraction → link graph + PageRank prior → URL dedup → boilerplate
+line dedup → language ID → quality gates → WET + WAT write-back.
 
-The web-family showcase (r6 + r7): everything between "a directory of
+The web-family showcase (r6-r9): everything between "a directory of
 crawl archives" and "documents ready for the curation pipeline"
-(examples/training_data_pipeline.py picks up from there). Every stage
-is a DataFrame transformation; archive payload bytes never leave the
+(examples/training_data_pipeline.py picks up from there), closing
+with the Common Crawl triple's write side. Every stage is a
+DataFrame transformation; archive payload bytes never leave the
 executors, rule/profile side tables broadcast, and the link graph is
 ranked without ranks ever visiting the driver.
 
@@ -58,6 +59,20 @@ def main() -> None:
     # 1b. CDX capture index (r7): the lookup artifact shipped next to
     #    the WARCs — SURT key, timestamp, canonical URL, digest.
     warc.cdx_index(records).orderBy("surt_key").show(3, truncate=False)
+
+    # 1c. HTTP-layer decode (r9): real crawl WARCs carry raw HTTP
+    #    messages in their response blocks — status line, headers,
+    #    chunked framing, gzip content-encoding. http_responses
+    #    strips the envelope in the same map-only Arrow shape
+    #    (passthrough columns avoid any join back to the archive
+    #    scan); a charset-correct text column comes out the other
+    #    side ready for html_to_text.
+    http_archives = warc.make_http_warc_payload(docs.select("doc_id"))
+    http_recs = warc.warc_records(http_archives)
+    decoded = warc.http_responses(
+        http_recs, passthrough=["rec_idx", "target_uri"]
+    )
+    decoded.groupBy("status").count().orderBy("status").show()
 
     # 2. Keep response records; attach a crawl URL per record.
     pages = (
@@ -157,6 +172,33 @@ def main() -> None:
     print("ready for curation:", ready.count())
     ready.select("page_id", "url", "lang_pred", "n_chars").show(
         5, truncate=60
+    )
+
+    # 7. Close the loop (r8/r9): the curated corpus ships back out in
+    #    the Common Crawl triple — WET shards carry the extracted
+    #    text, WAT shards the per-page metadata (status, title,
+    #    outgoing links for the next crawl's frontier). Both use the
+    #    same deterministic md5-order sharding; page data shuffles
+    #    exactly once, into its shard's single pack task.
+    wet = warc.write_wet(
+        ready.select("url", "text"), records_per_shard=100,
+        gzip_mode="members",
+    )
+    wat = warc.write_wat(
+        ready.select(
+            F.col("url").alias("uri"),
+            F.lit(200).cast("long").alias("status"),
+            F.lit("text/html").alias("content_type"),
+            F.substring("text", 1, 30).alias("title"),
+            F.array(F.lit("https://hub.example.com/x")).alias("links"),
+        ),
+        records_per_shard=100,
+    )
+    print(
+        "WET shards:", wet.count(), "WAT shards:", wat.count(),
+        "| WAT reads back:",
+        warc.wat_metadata(warc.warc_records(wat, id_col="shard_id"))
+        .where("rec_type = 'metadata'").count(), "records",
     )
 
     spark.stop()

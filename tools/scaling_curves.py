@@ -71,6 +71,11 @@ TRACKED = [
     "robots_gate_compiled",
     "pdf_extract",
     "bpe_bytes_apply",
+    # late-r9 additions: the WAT pack-and-read-back shuffle shape and
+    # the HTTP envelope-strip hot path (tiff/bmp decode share
+    # video_frames' tracked Arrow-decode shape and are not duplicated)
+    "wat_roundtrip",
+    "http_payloads",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 ALPHA_REGRESSION = 0.35
