@@ -2377,6 +2377,36 @@ def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified video/animation frame sampling (r9,
+    multimodal.media_frames): even docs carry MJPEG AVIs, odd docs
+    four-frame animated GIFs, and ONE Arrow stage dispatches by
+    magic — AVI frames JPEG-decode (sampled only), GIF frames
+    COMPOSE per GIF89a — so a mixed 100 TB media corpus needs no
+    pre-split. The oracle is the union of the two dedicated decode
+    oracles keyed by doc parity, proving the dispatch changes
+    nothing about either decode path."""
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    avi = video.make_avi_payload(docs.where(F.col("doc_id") % 2 == 0))
+    gif_p = multimodal.make_animated_gif_payload(
+        docs.where(F.col("doc_id") % 2 == 1)
+    )
+    out = multimodal.media_frames(avi.unionByName(gif_p), every_n=2)
+    return out.select(
+        "doc_id",
+        "fmt",
+        "frame_idx",
+        "n_frames_total",
+        "width",
+        "height",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    )
+
+
 def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PDF text extraction (r9, operators/pdf): every doc gets a
     genuine PDF — catalog, page tree (nested /Pages every 7th id),
@@ -3916,15 +3946,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: r9 driver window (the first 50 entries of queries()). Policy:
-#: new-this-round first (7: animated-GIF composition, PDF text
+#: new-this-round first (8: animated-GIF composition, PDF text
 #: extraction, byte-level BPE, HTTP-layer decode, WAT write side,
-#: TIFF decode, BMP decode), then every query whose implementation
+#: TIFF decode, BMP decode, unified media_frames dispatch), then
+#: every query whose implementation
 #: changed this round (2: robots_gate_compiled moved to the raw
 #: driver-side compile + the grouped/materialized predicate;
 #: gif_decode's walk refactored onto the shared _walk_gif), then the
 #: OLDEST driver-greens by (last-green round, registration order):
 #: all 14 remaining r4-greens (the DSL/validator family and the two
-#: r4 TPC-H queries) and the 27 stalest r5-greens — the max
+#: r4 TPC-H queries) and the 26 stalest r5-greens — the max
 #: driver-green age across the suite drops from r4 to r5 this round.
 #: Ages computed from the CORRECTNESS_r0*.json artifacts (tools note:
 #: the r8 verdict's task #6 list was off — q12/pivot/array_ops etc.
@@ -3932,7 +3963,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: family below).
 _WINDOW_R9 = [
     "gif_frames", "pdf_extract", "bpe_bytes_apply", "http_payloads",
-    "wat_roundtrip", "tiff_decode", "bmp_decode",
+    "wat_roundtrip", "tiff_decode", "bmp_decode", "media_frames",
     "robots_gate_compiled", "gif_decode",
     # r4-greens (stalest driver evidence in the suite)
     "median_stats", "token_counts", "stats_moments", "label_centroids",
@@ -3951,7 +3982,7 @@ _WINDOW_R9 = [
     "q16_supplier_counts", "q17_small_qty_revenue",
     "q21_sole_late_supplier", "q22_dormant_customers",
     "q15_top_supplier", "q11_important_parts", "cube_revenue",
-    "percentile_suite", "distinct_stats", "name_editdist_pairs",
+    "percentile_suite", "distinct_stats",
 ]
 
 
@@ -3995,6 +4026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_frames": q_gif_frames,
         "tiff_decode": q_tiff_decode,
         "bmp_decode": q_bmp_decode,
+        "media_frames": q_media_frames,
         "pdf_extract": q_pdf_extract,
         "langid_profiles": q_langid_profiles,
         "warc_records": q_warc_records,
@@ -7450,6 +7482,63 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_pixel
             FROM px
             GROUP BY doc_id, w, h, arm
+        """,
+        "media_frames": """
+            WITH av AS (
+                SELECT doc_id, 4 + doc_id % 5 AS n FROM documents
+                WHERE doc_id % 2 = 0
+            ),
+            avf AS (
+                SELECT av.doc_id, av.n, fi
+                FROM av, LATERAL (SELECT unnest(range(0, av.n)) AS fi)
+                WHERE fi % 2 = 0
+            ),
+            avb AS (
+                SELECT f.doc_id, f.n, f.fi,
+                       ((f.doc_id * 11 + f.fi * 17 + j * 23) % 160) - 80
+                           AS dc
+                FROM avf f, LATERAL (SELECT unnest(range(0, 2)) AS j)
+            ),
+            avi_rows AS (
+                SELECT doc_id, 'avi' AS fmt,
+                       fi AS frame_idx,
+                       CAST(n AS BIGINT) AS n_frames_total,
+                       CAST(16 AS BIGINT) AS width,
+                       CAST(8 AS BIGINT) AS height,
+                       round(CAST(sum(128 + dc) AS DOUBLE) / count(*), 6)
+                           AS mean_pixel
+                FROM avb
+                GROUP BY doc_id, n, fi
+            ),
+            gd AS (
+                SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+                FROM documents WHERE doc_id % 2 = 1
+            ),
+            gfr AS (
+                SELECT doc_id, w, h, f
+                FROM gd, LATERAL (SELECT unnest([0, 2]) AS f)
+            ),
+            gpx AS (
+                SELECT doc_id, w, h, f,
+                       CASE WHEN f = 2 AND (k = 0 OR k = w)
+                            THEN 1 + doc_id % 7
+                            ELSE (doc_id * 5 + k * 11) % 8
+                       END AS j
+                FROM gfr, LATERAL (SELECT unnest(range(0, w * h)) AS k)
+            ),
+            gif_rows AS (
+                SELECT doc_id, 'gif' AS fmt,
+                       CAST(f AS BIGINT) AS frame_idx,
+                       CAST(4 AS BIGINT) AS n_frames_total,
+                       CAST(w AS BIGINT) AS width,
+                       CAST(h AS BIGINT) AS height,
+                       round(CAST(SUM((j * 37) % 256 + (j * 59) % 256
+                                  + (j * 83) % 256) AS DOUBLE)
+                             / (3 * w * h), 6) AS mean_pixel
+                FROM gpx
+                GROUP BY doc_id, w, h, f
+            )
+            SELECT * FROM avi_rows UNION ALL SELECT * FROM gif_rows
         """,
         "pdf_extract": """
             WITH d AS (

@@ -1062,6 +1062,106 @@ def gif_frames(
     )
 
 
+MEDIA_FRAME_FIELDS = [
+    T.StructField("fmt", T.StringType()),
+    T.StructField("frame_idx", T.LongType()),
+    T.StructField("n_frames_total", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("mean_pixel", T.DoubleType()),
+]
+
+
+def media_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n: int = 1,
+) -> DataFrame:
+    """Unified sampled-frame decode over a MIXED video/animation
+    corpus (r9): one Arrow ``mapInPandas`` stage dispatches each
+    payload by magic — MJPEG-AVI through :func:`video.video_frames`'
+    kernel (only sampled frames JPEG-decode), animated GIF through
+    :func:`gif.parse_gif_frames` (composed canvases; unsampled
+    restore-previous frames and frames past the window never
+    LZW-decode) — and emits one row per sampled frame with the
+    format tag. A corpus mixing both formats row-by-row needs no
+    pre-split, no union, no second scan. Undecodable payloads yield
+    one all-null row."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    from .gif import parse_gif_frames
+    from .jpeg import parse_jpeg
+    from .video import parse_avi_frames
+
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), *MEDIA_FRAME_FIELDS]
+    )
+
+    def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, rows = [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                head = b"" if p is None else bytes(p[:12])
+                if head[:4] == b"RIFF" and head[8:12] == b"AVI ":
+                    frames = parse_avi_frames(p)
+                    if frames is None:
+                        ids.append(i)
+                        rows.append((None,) * 6)
+                        continue
+                    for fi in range(0, len(frames), every_n):
+                        img = parse_jpeg(frames[fi])
+                        ids.append(i)
+                        if img is None:
+                            rows.append(
+                                ("avi", fi, len(frames), None, None, None)
+                            )
+                        else:
+                            px = img["pixels"]
+                            rows.append(
+                                (
+                                    "avi",
+                                    fi,
+                                    len(frames),
+                                    img["width"],
+                                    img["height"],
+                                    float(px.mean()) if px.size else None,
+                                )
+                            )
+                    continue
+                meta = (
+                    parse_gif_frames(p, every_n=every_n)
+                    if head[:4] == b"GIF8"
+                    else None
+                )
+                if meta is None:
+                    ids.append(i)
+                    rows.append((None,) * 6)
+                    continue
+                for fr in meta["frames"]:
+                    px = fr["pixels"]
+                    ids.append(i)
+                    rows.append(
+                        (
+                            "gif",
+                            fr["frame_idx"],
+                            meta["n_frames"],
+                            meta["screen_width"],
+                            meta["screen_height"],
+                            float(px.mean()) if px.size else None,
+                        )
+                    )
+            out = pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_FRAME_FIELDS]
+            )
+            out.insert(0, id_col, pd.Series(ids, dtype="object"))
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(
+        process, schema=out_schema
+    )
+
+
 def make_animated_gif_payload(
     df: DataFrame,
     id_col: str = "doc_id",

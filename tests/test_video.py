@@ -85,3 +85,66 @@ class TestVideoFrames:
         df = spark.createDataFrame([(1, None)], "doc_id long, payload binary")
         with pytest.raises(ValueError):
             video_frames(df, every_n=0)
+
+
+class TestMediaFrames:
+    """r9: unified AVI/GIF sampled-frame dispatch in one Arrow stage."""
+
+    def test_mixed_corpus_single_stage(self, spark):
+        from flycatcher_spark.operators import multimodal, video
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(8)], "doc_id long"
+        )
+        avi = video.make_avi_payload(docs.where("doc_id % 2 = 0"))
+        gif = multimodal.make_animated_gif_payload(
+            docs.where("doc_id % 2 = 1")
+        )
+        out = multimodal.media_frames(
+            avi.unionByName(gif), every_n=2
+        ).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert set(by_doc) == set(range(8))
+        for i, rs in by_doc.items():
+            fmts = {r.fmt for r in rs}
+            assert fmts == ({"avi"} if i % 2 == 0 else {"gif"}), i
+            assert all(r.frame_idx % 2 == 0 for r in rs)
+            assert all(r.mean_pixel is not None for r in rs)
+
+    def test_matches_dedicated_operators(self, spark):
+        from flycatcher_spark.operators import multimodal, video
+
+        docs = spark.createDataFrame([(3,), (4,)], "doc_id long")
+        avi = video.make_avi_payload(docs)
+        unified = {
+            (r.doc_id, r.frame_idx): (r.width, r.height, r.mean_pixel)
+            for r in multimodal.media_frames(avi, every_n=2).collect()
+        }
+        dedicated = {
+            (r.doc_id, r.frame_idx): (r.width, r.height, r.mean_pixel)
+            for r in video.video_frames(avi, every_n=2).collect()
+        }
+        assert unified == dedicated
+        gif = multimodal.make_animated_gif_payload(docs)
+        u2 = {
+            (r.doc_id, r.frame_idx): (r.width, r.height, r.mean_pixel)
+            for r in multimodal.media_frames(gif, every_n=2).collect()
+        }
+        d2 = {
+            (r.doc_id, r.frame_idx): (r.width, r.height, r.mean_pixel)
+            for r in multimodal.gif_frames(gif, every_n=2).collect()
+        }
+        assert u2 == d2
+
+    def test_undecodable_payload_null_row(self, spark):
+        from flycatcher_spark.operators import multimodal
+
+        df = spark.createDataFrame(
+            [(1, None), (2, b"neither avi nor gif")],
+            "doc_id long, payload binary",
+        )
+        rows = multimodal.media_frames(df).collect()
+        assert len(rows) == 2
+        assert all(r.fmt is None and r.frame_idx is None for r in rows)
