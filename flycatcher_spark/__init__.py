@@ -34,9 +34,9 @@ from .fields import (
     Integer,
     String,
 )
-from .validators import col
+from .validators import FieldRef, col
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "Boolean",
@@ -45,6 +45,7 @@ __all__ = [
     "Field",
     "FieldBase",
     "FieldInfo",
+    "FieldRef",
     "Float",
     "Integer",
     "Schema",

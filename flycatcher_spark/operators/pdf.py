@@ -350,6 +350,12 @@ def _parse_classic_section(buf: bytes, pos: int, offsets: dict) -> dict:
             ent = buf[cur : cur + 20]
             if ent[17:18] == b"n":
                 offsets.setdefault(first + i, ("c", int(ent[:10])))
+            elif ent[17:18] == b"f":
+                # free entries shadow too: the chain walks newest →
+                # oldest, so an object freed by an incremental update
+                # must NOT be resurrected from an older section
+                # (ISO 32000 §7.5.4 — the newest entry wins, n or f)
+                offsets.setdefault(first + i, None)
             cur += 20
     m = re.compile(rb"\s*trailer\s*").match(buf, cur)
     if not m:
@@ -410,7 +416,11 @@ def _parse_xref_stream_at(buf: bytes, pos: int, offsets: dict) -> dict:
                 offsets.setdefault(num, ("c", f2))
             elif etype == 2:
                 offsets.setdefault(num, ("s", f2, f3))
-            # type 0 (free) and unknown types: no entry
+            elif etype == 0:
+                # free: shadow older in-use entries (newest wins)
+                offsets.setdefault(num, None)
+            # unknown types: no entry (spec says treat as type 1-ish
+            # null; absent is the tolerant reading)
     return sdict
 
 
@@ -503,6 +513,15 @@ class _Doc:
         cost one inflate."""
         cached = self._objstm_cache.get(stm_num)
         if cached is None:
+            # cycle guard: the container itself must be a regular
+            # (type-1) object. A crafted xref mapping an ObjStm's own
+            # number to a type-2 entry (itself, or a mutual cycle)
+            # would otherwise recurse get → _objstm_member → get
+            # until RecursionError and crash the Spark task instead
+            # of yielding the documented null row.
+            cont = self.offsets.get(stm_num)
+            if cont is not None and cont[0] == "s":
+                raise ValueError("ObjStm container has a type-2 xref entry")
             stm = self.get(stm_num)
             if not (isinstance(stm, tuple) and stm[0] == "stream"):
                 raise ValueError("ObjStm entry points at a non-stream")
@@ -656,7 +675,15 @@ def parse_pdf(payload: bytes) -> dict | None:
             page_texts.append(_page_text(raw))
         text = "\n".join(page_texts)
         return {"n_pages": len(pages), "text": text, "n_chars": len(text)}
-    except (ValueError, KeyError, IndexError, TypeError, zlib.error, OverflowError):
+    except (
+        ValueError,
+        KeyError,
+        IndexError,
+        TypeError,
+        zlib.error,
+        OverflowError,
+        RecursionError,  # backstop: pathological nesting in crafted files
+    ):
         return None
 
 

@@ -43,11 +43,45 @@ __all__ = [
 
 _GZIP_MAGIC = b"\x1f\x8b"
 
+#: Decompression output cap applied to every untrusted gzip/deflate
+#: payload in this module (WARC member streams and HTTP bodies). A
+#: compression bomb — kilobytes of input expanding to gigabytes —
+#: would otherwise fill executor memory and OOM the worker; past the
+#: cap the tolerant-reader stance applies and the payload reads as
+#: corrupt (None). 64 MiB comfortably covers real crawl records
+#: (Common Crawl caps fetches at ~1 MiB) while bounding the blast
+#: radius of a crafted record to well under a task's memory budget.
+MAX_DECODED_BYTES = 64 * 1024 * 1024
 
-def _gunzip_members(buf: bytes) -> bytes | None:
+_INFLATE_CHUNK = 1 << 20
+
+
+def _bounded_inflate(d, data: bytes, out: bytearray, cap: int) -> bool:
+    """Stream ``data`` through decompressobj ``d`` into ``out``,
+    never letting ``out`` grow past ``cap``. Returns False when the
+    cap would be exceeded (bomb), True otherwise. Raises zlib.error
+    on corrupt input (the caller's contract for bad data)."""
+    tail = data
+    while tail and not d.eof:
+        chunk = d.decompress(tail, _INFLATE_CHUNK)
+        out += chunk
+        if len(out) > cap:
+            return False
+        new_tail = d.unconsumed_tail
+        if not chunk and new_tail == tail:
+            break  # no progress: stop rather than spin
+        tail = new_tail
+    out += d.flush()
+    return len(out) <= cap
+
+
+def _gunzip_members(
+    buf: bytes, cap: int = MAX_DECODED_BYTES
+) -> bytes | None:
     """Decompress a concatenation of gzip members (the Common Crawl
     layout: one member per record). Returns None on a corrupt
-    stream."""
+    stream or when total decoded output exceeds ``cap`` (bomb
+    guard — see MAX_DECODED_BYTES)."""
     import zlib
 
     out = bytearray()
@@ -55,7 +89,8 @@ def _gunzip_members(buf: bytes) -> bytes | None:
     while pos < len(buf):
         d = zlib.decompressobj(wbits=31)
         try:
-            out += d.decompress(buf[pos:])
+            if not _bounded_inflate(d, buf[pos:], out, cap):
+                return None
         except zlib.error:
             return None
         if not d.eof:
@@ -64,6 +99,23 @@ def _gunzip_members(buf: bytes) -> bytes | None:
         if consumed <= 0:
             return None
         pos += consumed
+    return bytes(out)
+
+
+def _inflate_capped(
+    data: bytes, wbits: int, cap: int = MAX_DECODED_BYTES
+) -> bytes | None:
+    """One-shot bounded zlib.decompress replacement: bytes, or None
+    when the output exceeds ``cap``. Raises zlib.error on corrupt or
+    truncated input (so deflate-flavor fallbacks still work)."""
+    import zlib
+
+    d = zlib.decompressobj(wbits=wbits)
+    out = bytearray()
+    if not _bounded_inflate(d, data, out, cap):
+        return None
+    if not d.eof:
+        raise zlib.error("truncated stream")
     return bytes(out)
 
 
@@ -259,13 +311,15 @@ def parse_http_response(body: bytes) -> dict | None:
             return None
         ce = headers.get("content-encoding", "").lower().strip()
         if ce in ("gzip", "x-gzip"):
-            payload = zlib.decompress(payload, wbits=31)
+            payload = _inflate_capped(payload, wbits=31)
         elif ce == "deflate":
             try:
-                payload = zlib.decompress(payload)
+                payload = _inflate_capped(payload, wbits=15)
             except zlib.error:  # raw deflate, the common server bug
-                payload = zlib.decompress(payload, wbits=-15)
+                payload = _inflate_capped(payload, wbits=-15)
         elif ce not in ("", "identity"):
+            return None
+        if payload is None:  # decompression bomb: over MAX_DECODED_BYTES
             return None
         ctype = headers.get("content-type", "")
         cm = re.search(r"charset=\"?([A-Za-z0-9_.:\-]+)", ctype)
@@ -642,7 +696,16 @@ def write_wat(
                     "Payload-Metadata": {
                         "HTTP-Response-Metadata": {
                             "Response-Message": {
-                                "Status": str(int(status))
+                                # status is nullable: a null must
+                                # become a null Status field (the read
+                                # side's .cast("long") mirrors it back
+                                # to null), not a TypeError that fails
+                                # the whole applyInPandas task
+                                "Status": (
+                                    None
+                                    if pd.isna(status)
+                                    else str(int(status))
+                                )
                             },
                             "Headers": {"Content-Type": ctype},
                             "HTML-Metadata": {

@@ -387,3 +387,115 @@ class TestUnpredict:
 
     def test_none_predictor_passthrough(self):
         assert _unpredict(b"xyz", {"/Predictor": 1}) == b"xyz"
+
+
+class TestCraftedHostility:
+    """ADVICE r9: crafted/corrupt files must yield the documented
+    null row, never crash the Spark task."""
+
+    @staticmethod
+    def _xref_stream_pdf(rows: list[bytes], size: int, root: int) -> bytes:
+        """Minimal hand-built PDF 1.5 file: one xref STREAM at a known
+        offset carrying ``rows`` (W = [1 4 2] entries)."""
+        header = b"%PDF-1.5\n"
+        data = zlib.compress(b"".join(rows))
+        stm = (
+            b"1 0 obj\n<< /Type /XRef /W [1 4 2] /Size %d /Root %d 0 R "
+            b"/Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+            % (size, root, len(data), data)
+        )
+        return (
+            header + stm
+            + b"startxref\n%d\n%%%%EOF\n" % len(header)
+        )
+
+    @staticmethod
+    def _row(etype: int, f2: int, f3: int) -> bytes:
+        return bytes([etype]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+
+    def test_objstm_self_cycle_is_honest_none(self):
+        # xref maps object 3 (the ObjStm container) to a type-2 entry
+        # INSIDE ITSELF; resolving /Root (2 0 R, also inside ObjStm 3)
+        # walks get -> _objstm_member -> get(3) -> _objstm_member ...
+        # Unguarded this recurses to RecursionError and kills the task.
+        body = self._xref_stream_pdf(
+            [
+                self._row(0, 0, 65535),
+                self._row(1, 9, 0),      # obj 1 = the xref stream itself
+                self._row(2, 3, 0),      # obj 2 lives in ObjStm 3
+                self._row(2, 3, 1),      # obj 3 "lives in" ObjStm 3 (cycle!)
+            ],
+            size=4,
+            root=2,
+        )
+        assert parse_pdf(body) is None
+
+    def test_mutual_objstm_cycle_is_honest_none(self):
+        # two ObjStms that each claim to contain the other
+        body = self._xref_stream_pdf(
+            [
+                self._row(0, 0, 65535),
+                self._row(1, 9, 0),
+                self._row(2, 3, 0),      # root inside ObjStm 3
+                self._row(2, 4, 0),      # ObjStm 3 inside ObjStm 4
+                self._row(2, 3, 1),      # ObjStm 4 inside ObjStm 3
+            ],
+            size=5,
+            root=2,
+        )
+        assert parse_pdf(body) is None
+
+    def test_incremental_free_shadows_older_entry(self):
+        # an object FREED by a newer incremental section must not be
+        # resurrected from the older section (ISO 32000 §7.5.4: the
+        # newest entry wins, in-use or free). Freeing the page's
+        # content stream turns its text into "" (resolve -> None).
+        base = encode_pdf([["hello world"]])
+        assert parse_pdf(base)["text"] == "hello world"
+        import re as _re
+
+        # the content stream is the object whose body holds BT/ET
+        m = _re.search(rb"(\d+) 0 obj\n<<[^>]*/Length[^>]*>>\nstream", base)
+        content_num = int(m.group(1))
+        old_start = int(base[base.rindex(b"startxref"):].split()[1])
+        size = int(_re.search(rb"/Size (\d+)", base).group(1))
+        root = int(_re.search(rb"/Root (\d+) 0 R", base).group(1))
+        new_pos = len(base)
+        body = base + (
+            b"xref\n%d 1\n0000000000 00001 f \n"
+            b"trailer\n<< /Size %d /Root %d 0 R /Prev %d >>\n"
+            b"startxref\n%d\n%%%%EOF\n"
+            % (content_num, size, root, old_start, new_pos)
+        )
+        m2 = parse_pdf(body)
+        assert m2 is not None
+        assert m2["n_pages"] == 1
+        assert m2["text"] == ""  # freed, not resurrected
+
+    def test_xref_stream_free_shadows_older_entry(self):
+        # same shadowing rule through the PDF 1.5 flavor: a newer xref
+        # STREAM section re-marks the content object as free (type 0)
+        base = encode_pdf([["hello world"]], xref_stream=True)
+        assert parse_pdf(base)["text"] == "hello world"
+        import re as _re
+
+        m = _re.search(
+            rb"(\d+) 0 obj\n<< /Length \d+ >>\nstream\n.*?BT",
+            base, _re.S,
+        )
+        content_num = int(m.group(1))
+        old_start = int(base[base.rindex(b"startxref"):].split()[1])
+        size = int(_re.search(rb"/Size (\d+)", base).group(1))
+        root = int(_re.search(rb"/Root (\d+) 0 R", base).group(1))
+        new_pos = len(base)
+        data = zlib.compress(self._row(0, 0, 65535))
+        patch = (
+            b"90 0 obj\n<< /Type /XRef /W [1 4 2] /Size %d /Root %d 0 R "
+            b"/Prev %d /Index [%d 1] /Filter /FlateDecode /Length %d >>\n"
+            b"stream\n%s\nendstream\nendobj\n"
+            % (size, root, old_start, content_num, len(data), data)
+        )
+        body = base + patch + b"startxref\n%d\n%%%%EOF\n" % new_pos
+        m2 = parse_pdf(body)
+        assert m2 is not None
+        assert m2["text"] == ""

@@ -197,3 +197,22 @@ class TestSparkSchema:
 
             class S(Schema):
                 x: int = Integer()
+
+
+class TestPackageSurface:
+    """Root-export parity with the reference package.
+
+    Reference ``src/flycatcher/__init__.py:14-26`` exports ``FieldRef``
+    ("Internal (for advanced use)") and pins ``__version__ = "0.2.0"``.
+    """
+
+    def test_fieldref_importable_from_root(self):
+        from flycatcher_spark import FieldRef
+
+        ref = FieldRef("x")
+        assert (ref > 1) is not None  # operator chain builds an AST node
+
+    def test_version_matches_reference(self):
+        import flycatcher_spark
+
+        assert flycatcher_spark.__version__ == "0.2.0"

@@ -496,3 +496,99 @@ class TestWriteWat:
         # upstream writer/reader Arrow kernels, no BatchEvalPython
         assert "BatchEvalPython" not in plan
         assert plans.plan_report(out) is not None
+
+
+class TestDecompressionBombGuard:
+    """ADVICE r9: untrusted gzip/deflate must be output-capped —
+    a small compression bomb must read as corrupt (None), not expand
+    fully in executor memory."""
+
+    def test_gunzip_members_cap(self):
+        import zlib
+
+        bomb = zlib.compress(b"\x00" * 100_000)
+        # wrap as a proper gzip member
+        import gzip as _gzip
+
+        member = _gzip.compress(b"\x00" * 100_000, mtime=0)
+        assert warc._gunzip_members(member, cap=50_000) is None
+        assert warc._gunzip_members(member, cap=200_000) == b"\x00" * 100_000
+        del bomb
+
+    def test_gunzip_members_cap_is_total_across_members(self):
+        import gzip as _gzip
+
+        member = _gzip.compress(b"\x00" * 60_000, mtime=0)
+        assert warc._gunzip_members(member * 2, cap=100_000) is None
+        assert (
+            warc._gunzip_members(member * 2, cap=200_000)
+            == b"\x00" * 120_000
+        )
+
+    def test_inflate_capped_zlib_and_raw(self):
+        import zlib
+
+        data = b"a" * 10_000
+        assert warc._inflate_capped(zlib.compress(data), 15, cap=5_000) is None
+        assert warc._inflate_capped(zlib.compress(data), 15, cap=20_000) == data
+        raw = zlib.compressobj(wbits=-15)
+        rawdata = raw.compress(data) + raw.flush()
+        assert warc._inflate_capped(rawdata, -15, cap=20_000) == data
+
+    def test_http_gzip_bomb_is_honest_none(self):
+        # a real over-cap bomb through the public HTTP path: ~65 MiB
+        # of zeros gzips to ~64 KiB; parse_http_response must return
+        # None instead of materializing it
+        import gzip as _gzip
+
+        bomb = _gzip.compress(b"\x00" * (warc.MAX_DECODED_BYTES + (1 << 20)), mtime=0)
+        assert len(bomb) < 1 << 20
+        resp = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: gzip\r\n\r\n" + bomb
+        )
+        assert warc.parse_http_response(resp) is None
+
+    def test_http_small_gzip_still_decodes(self):
+        import gzip as _gzip
+
+        body = _gzip.compress(b"<html>ok</html>", mtime=0)
+        resp = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: gzip\r\n\r\n" + body
+        )
+        out = warc.parse_http_response(resp)
+        assert out is not None and out["payload"] == b"<html>ok</html>"
+
+
+class TestWatNullStatus:
+    def test_null_status_row_survives(self, spark):
+        # a page with a NULL status must pack as a null Status field
+        # (and read back as null through the .cast('long')), not
+        # TypeError the whole applyInPandas task
+        from pyspark.sql import functions as F
+
+        pages = spark.range(3).select(
+            F.concat(F.lit("http://h/"), F.col("id")).alias("uri"),
+            F.when(F.col("id") == 1, F.lit(None))
+            .otherwise(F.lit(200))
+            .cast("long")
+            .alias("status"),
+            F.lit("text/html").alias("content_type"),
+            F.concat(F.lit("T"), F.col("id")).alias("title"),
+            F.array(F.lit("http://l/x")).alias("links"),
+        )
+        shards = warc.write_wat(pages, records_per_shard=10)
+        back = warc.wat_metadata(
+            warc.warc_records(shards, id_col="shard_id")
+        )
+        rows = {
+            r.target_uri: r.status
+            for r in back.collect()
+            if r.rec_type == "metadata"
+        }
+        assert rows == {
+            "http://h/0": 200,
+            "http://h/1": None,
+            "http://h/2": 200,
+        }
