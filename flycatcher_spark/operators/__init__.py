@@ -61,6 +61,10 @@ reference surface — see SURVEY.md §7.1 step 7).
   palettes; plus a real fixture writer.
 - :mod:`.bmp` — BMP decode: 24-bit padded BGR, 8-bit palettes, real
   RLE8 with all four escapes; plus a real fixture writer.
+- :mod:`.webp` — lossless WebP (VP8L) decode, literal-only subset:
+  real prefix-code machinery (simple + code-length-coded normal
+  codes), LSB-first bitstream, RIFF walk; plus a real frequency-
+  based encoder. Transforms/LZ77/color-cache return None honestly.
 - :mod:`.quality` — corpus curation: Gopher-style rule gates, linear
   classifier scoring, unigram-LM surprise, per-domain caps,
   temperature mixture sampling, deterministic training order,
@@ -92,6 +96,7 @@ from . import (
     versioning,
     video,
     webdataset,
+    webp,
     warc,
     web,
 )
@@ -121,6 +126,7 @@ __all__ = [
     "versioning",
     "video",
     "webdataset",
+    "webp",
     "warc",
     "web",
 ]

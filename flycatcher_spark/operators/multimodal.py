@@ -485,8 +485,9 @@ def parse_image(payload: bytes) -> dict | None:
     ``FFD8`` → :func:`jpeg.parse_jpeg`, ``GIF8`` →
     :func:`gif.parse_gif` (r8), ``II*``/``MM*`` →
     :func:`tiff.parse_tiff` (r9), ``BM`` → :func:`bmp.parse_bmp`
-    (r9), ``P5``/``P6`` → :func:`parse_pnm`, anything else →
-    ``None``. The decode stages (:func:`decode_image_meta`,
+    (r9), ``RIFF..WEBP`` → :func:`webp.parse_webp` (r10, lossless
+    literal-only subset), ``P5``/``P6`` → :func:`parse_pnm`,
+    anything else → ``None``. The decode stages (:func:`decode_image_meta`,
     :func:`image_pixel_embedding`) parse through this, so one corpus
     can mix formats row-by-row."""
     if payload is None or len(payload) < 2:
@@ -510,6 +511,10 @@ def parse_image(payload: bytes) -> dict | None:
         from .bmp import parse_bmp
 
         return parse_bmp(payload)
+    if head[:4] == b"RIFF" and bytes(payload[8:12]) == b"WEBP":
+        from .webp import parse_webp
+
+        return parse_webp(payload)
     return parse_pnm(payload)
 
 
@@ -1580,6 +1585,49 @@ def make_bmp_payload(
                         bpp=8, palette=pal, rle=True,
                     )
                 )
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, _build(F.col(id_col)))
+
+
+def make_webp_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Build a deterministic REAL lossless WebP per row
+    (fixture/oracle generator, r10): the PNM dimension formulas
+    (``w = 4 + id % 13``, ``h = 3 + id % 7``) with ``id % 2``
+    rotating RGB/RGBA and ``id % 3`` rotating the pixel formula so
+    every prefix-code shape in :func:`webp.encode_webp` is genuinely
+    exercised — arm 0: ``(id*7 + k*13) % 256`` (dense alphabet →
+    normal codes through the code-length code), arm 1:
+    ``200 * ((id + k) % 2)`` (two symbols → simple codes), arm 2:
+    constant ``id % 256`` (single-symbol zero-bit codes). All three
+    formulas are closed-form, so DuckDB value-checks the decoded
+    dimensions and raster mean."""
+    from .webp import encode_webp
+
+    @pandas_udf("binary")
+    def _build(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if i is None:
+                out.append(None)
+                continue
+            i = int(i)
+            w, h = 4 + i % 13, 3 + i % 7
+            ch = 3 + (i % 2)
+            n = w * h * ch
+            arm = i % 3
+            k = np.arange(n, dtype=np.int64)
+            if arm == 0:
+                px = (i * 7 + k * 13) % 256
+            elif arm == 1:
+                px = 200 * ((i + k) % 2)
+            else:
+                px = np.full(n, i % 256, dtype=np.int64)
+            out.append(encode_webp(px, w, h, ch))
         return pd.Series(out)
 
     return df.withColumn(payload_col, _build(F.col(id_col)))

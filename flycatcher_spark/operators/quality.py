@@ -701,6 +701,7 @@ def leakage_safe_split(
     dst_col: str = "doc_id_b",
     train_pct: int = 90,
     seed: str = "split0",
+    broadcast_max_rows: int = 5_000_000,
 ) -> DataFrame:
     """Train/validation split where near-duplicates can never
     straddle the boundary — the leakage guard every eval pipeline
@@ -717,9 +718,14 @@ def leakage_safe_split(
     partitioning produce the identical split, and a new ``seed``
     produces a fresh (still leakage-safe) split.
 
-    Scale: the component table is pairs-sized (tiny next to the
-    corpus) and broadcast into one map-side join; the corpus is
-    touched once.
+    Scale: the component table is pairs-sized (normally tiny next to
+    the corpus), so the join is map-side broadcast — but only under a
+    measured gate: the table is already materialized (checkpointed)
+    by ``connected_components``, so one cheap count decides. Past
+    ``broadcast_max_rows`` (a boilerplate-heavy corpus can put a large
+    fraction of all docs into components) the hint is DROPPED and the
+    plain shuffled join runs, letting AQE pick the strategy from
+    runtime sizes instead of a forced broadcast OOMing the driver.
 
     Returns ``(id_col, component, split)``.
 
@@ -737,9 +743,14 @@ def leakage_safe_split(
     from .dedup import connected_components
 
     comp = connected_components(pairs, src_col=src_col, dst_col=dst_col)
-    out = docs.select(F.col(id_col)).join(
-        F.broadcast(comp.withColumnRenamed("node", id_col)), id_col, "left"
-    )
+    comp = comp.withColumnRenamed("node", id_col)
+    # size-gated broadcast: comp is checkpointed by
+    # connected_components, so this count re-reads the materialized
+    # table (no recompute). Small → map-side join; big → unhinted
+    # join, AQE decides from runtime stats.
+    if comp.count() <= broadcast_max_rows:
+        comp = F.broadcast(comp)
+    out = docs.select(F.col(id_col)).join(comp, id_col, "left")
     comp_id = F.coalesce(F.col("component"), F.col(id_col))
     bucket = md5_bucket(
         F.concat_ws(":", F.lit(seed), comp_id.cast("string")), 100

@@ -1,0 +1,521 @@
+"""WebP (VP8L lossless) decoding with the standard library only —
+the seventh real image format behind :func:`multimodal.parse_image`'s
+magic-byte dispatch (``sniff_format`` has labeled ``webp`` payloads
+since r8; now the lossless flavor decodes).
+
+Scope (documented subset, honest about what it is):
+
+- RIFF container with a ``VP8L`` chunk (simple lossless files);
+- the VP8L literal-only bitstream: 14-bit dimensions, LSB-first bit
+  packing, the full prefix-code machinery — simple two/one-symbol
+  codes AND normal codes transmitted through the 19-symbol
+  code-length code (with the 16/17/18 repeat operators and the
+  ``kCodeLengthCodeOrder`` transmission order), canonical code
+  assignment, and per-pixel green/red/blue/alpha symbol streams;
+- NOT in the subset, all returning ``None`` honestly: transforms
+  (predictor/color/subtract-green/palette), color cache, meta prefix
+  codes (entropy-image segmentation), LZ77 backward references, the
+  lossy ``VP8 `` flavor, and ``VP8X`` extended containers.
+
+Why this boundary: the r9 blocker for WebP was the 120-entry LZ77
+distance-to-neighbor remap table, which cannot be re-derived from
+first principles and could not be verified offline — a
+recalled-from-memory copy would silently mis-decode real files
+(SCALE.md, r9). That table is consulted ONLY when decoding LZ77
+distance codes, so a literal-only subset needs none of it: every
+construct used here (header layout, prefix-code headers, canonical
+assignment, repeat operators) is structural spec machinery whose
+correctness the round trip genuinely pins. The fixture encoder
+(:func:`encode_webp`) is a real writer of the same subset — actual
+frequency-based Huffman code construction with the balanced-complete
+fallback, real code-length-code emission with zero-run operators —
+so round-trip tests pin real parsing, not a parser testing itself
+against canned bytes (the GIF/TIFF/BMP/PDF discipline). Real-world
+files that use transforms/LZ77/color-cache are sniffed and counted
+by ``format_stats``, never silently mis-decoded.
+
+Bit conventions (RFC 9649 — the WebP spec): the byte stream is read
+LSB-first; prefix-code bits are the exception, read starting from the
+most significant bit of the code (the DEFLATE convention — RFC 9649
+§3.7.1 "in reverse order"). Canonical codes follow the DEFLATE
+construction (RFC 1951 §3.2.2). Two-symbol simple codes assign code
+0/1 in transmitted symbol order; the encoder always transmits them in
+ascending symbol order, which makes transmitted order and canonical
+order coincide.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["parse_webp", "encode_webp"]
+
+#: transmission order of the code-length code's own lengths
+#: (RFC 9649 §3.7.1.2, identical to libwebp's kCodeLengthCodeOrder)
+_CODE_LENGTH_ORDER = (
+    17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15
+)
+
+_GREEN_ALPHABET = 256 + 24  # literals + length codes (no color cache)
+_ARGB_ALPHABET = 256
+_DIST_ALPHABET = 40
+_MAX_CODE_LEN = 15
+_MAX_CL_LEN = 7  # code-length-code lengths are 3-bit fields
+
+
+class _BitReader:
+    """LSB-first bit reader over the VP8L stream."""
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.pos = 0  # bit position
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            p = self.pos + i
+            byte = p >> 3
+            if byte >= len(self.buf):
+                raise ValueError("VP8L bitstream truncated")
+            v |= ((self.buf[byte] >> (p & 7)) & 1) << i
+        self.pos += n
+        return v
+
+    def read_bit(self) -> int:
+        p = self.pos
+        byte = p >> 3
+        if byte >= len(self.buf):
+            raise ValueError("VP8L bitstream truncated")
+        self.pos += 1
+        return (self.buf[byte] >> (p & 7)) & 1
+
+
+class _BitWriter:
+    """LSB-first bit writer (mirror of :class:`_BitReader`)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.bit = 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n):
+            if self.bit == 0:
+                self.out.append(0)
+            if (value >> i) & 1:
+                self.out[-1] |= 1 << self.bit
+            self.bit = (self.bit + 1) & 7
+
+    def write_code(self, code: int, length: int) -> None:
+        """Prefix-code bits go MSB-of-code first (RFC 9649 §3.7.1)."""
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def bytes(self) -> bytes:
+        return bytes(self.out)
+
+
+# ---------------------------------------------------------------------------
+# canonical prefix codes (RFC 1951 §3.2.2 construction)
+# ---------------------------------------------------------------------------
+def _codes_from_lengths(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical assignment. Raises on an
+    over-subscribed or incomplete code (single-symbol codes are the
+    caller's special case and never reach here)."""
+    max_len = max(lengths)
+    bl_count = [0] * (max_len + 1)
+    for ln in lengths:
+        if ln:
+            bl_count[ln] += 1
+    # completeness check (Kraft equality)
+    kraft = sum(bl_count[ln] << (max_len - ln) for ln in range(1, max_len + 1))
+    if kraft != (1 << max_len):
+        raise ValueError("prefix code not complete")
+    next_code = [0] * (max_len + 2)
+    code = 0
+    for ln in range(1, max_len + 1):
+        code = (code + bl_count[ln - 1]) << 1
+        next_code[ln] = code
+    out: dict[int, tuple[int, int]] = {}
+    for sym, ln in enumerate(lengths):
+        if ln:
+            out[sym] = (next_code[ln], ln)
+            next_code[ln] += 1
+    return out
+
+
+class _PrefixCode:
+    """Decoder-side code: walk one bit at a time, MSB-of-code first."""
+
+    __slots__ = ("table", "const")
+
+    def __init__(self, lengths: list[int] | None, const: int | None = None):
+        self.const = const
+        if const is not None:
+            self.table = None
+            return
+        codes = _codes_from_lengths(lengths)
+        self.table = {(ln, code): sym for sym, (code, ln) in codes.items()}
+
+    def decode(self, br: _BitReader) -> int:
+        if self.const is not None:
+            return self.const  # zero-bit code (single-symbol simple)
+        acc = 0
+        for ln in range(1, _MAX_CODE_LEN + 1):
+            acc = (acc << 1) | br.read_bit()
+            sym = self.table.get((ln, acc))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid prefix code in stream")
+
+
+def _huffman_lengths(freqs: dict[int, int], max_len: int) -> dict[int, int]:
+    """Code lengths from symbol frequencies: real Huffman, with a
+    balanced complete code as fallback if the optimal tree is deeper
+    than ``max_len`` (possible with skewed counts; the balanced code
+    is always valid and the subset favors simplicity over the last
+    few bits of density)."""
+    import heapq
+
+    syms = sorted(freqs)
+    if len(syms) == 1:
+        return {syms[0]: 0}  # caller emits a single-symbol simple code
+    heap = [(f, i, (s,)) for i, (s, f) in enumerate(sorted(freqs.items()))]
+    heapq.heapify(heap)
+    depth: dict[int, int] = {s: 0 for s in syms}
+    i = len(heap)
+    while len(heap) > 1:
+        f1, _, g1 = heapq.heappop(heap)
+        f2, _, g2 = heapq.heappop(heap)
+        for s in g1 + g2:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, i, g1 + g2))
+        i += 1
+    if max(depth.values()) <= max_len:
+        return depth
+    # balanced complete code: a symbols at L-1, rest at L
+    n = len(syms)
+    bits = (n - 1).bit_length()
+    n_short = (1 << bits) - n
+    return {
+        s: (bits - 1 if j < n_short else bits) for j, s in enumerate(syms)
+    }
+
+
+# ---------------------------------------------------------------------------
+# prefix-code headers (RFC 9649 §3.7.1.1–3.7.1.2)
+# ---------------------------------------------------------------------------
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
+    if br.read_bit():  # simple code
+        num_symbols = br.read_bit() + 1
+        first_8bit = br.read_bit()
+        s0 = br.read(8 if first_8bit else 1)
+        if num_symbols == 1:
+            if s0 >= alphabet_size:
+                raise ValueError("simple-code symbol out of range")
+            return _PrefixCode(None, const=s0)
+        s1 = br.read(8)
+        if s0 >= alphabet_size or s1 >= alphabet_size or s0 == s1:
+            raise ValueError("bad simple-code symbols")
+        lengths = [0] * alphabet_size
+        lengths[s0] = lengths[s1] = 1
+        return _PrefixCode(lengths)
+    # normal code: lengths arrive through the code-length code
+    num_cl = br.read(4) + 4
+    if num_cl > len(_CODE_LENGTH_ORDER):
+        raise ValueError("bad code-length count")
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_CODE_LENGTH_ORDER[i]] = br.read(3)
+    if sum(cl_lengths) == 0:
+        raise ValueError("empty code-length code")
+    cl_code = _PrefixCode(cl_lengths)
+    if br.read_bit():  # explicit max_symbol cap
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev_len = 8
+    i = 0
+    while i < alphabet_size:
+        if max_symbol == 0:
+            break  # remaining symbols keep length 0
+        max_symbol -= 1
+        s = cl_code.decode(br)
+        if s < 16:
+            lengths[i] = s
+            i += 1
+            if s:
+                prev_len = s
+        elif s == 16:  # repeat previous non-zero length 3-6 times
+            rep = 3 + br.read(2)
+            if i + rep > alphabet_size:
+                raise ValueError("length repeat overflows alphabet")
+            for _ in range(rep):
+                lengths[i] = prev_len
+                i += 1
+        elif s == 17:  # short zero run 3-10
+            i += 3 + br.read(3)
+        else:  # 18: long zero run 11-138
+            i += 11 + br.read(7)
+    if i > alphabet_size:
+        raise ValueError("length run overflows alphabet")
+    nonzero = [s for s, ln in enumerate(lengths) if ln]
+    if len(nonzero) == 1:
+        return _PrefixCode(None, const=nonzero[0])
+    return _PrefixCode(lengths)
+
+
+def _write_prefix_code(
+    bw: _BitWriter, lengths: dict[int, int], alphabet_size: int
+) -> None:
+    """Emit one prefix-code header for ``lengths`` (symbol -> length;
+    a single entry means the zero-bit single-symbol code)."""
+    syms = sorted(lengths)
+    if len(syms) <= 2 and all(s <= 255 for s in syms):
+        # simple code (ascending symbol order: transmitted order ==
+        # canonical order, so both decoder conventions agree)
+        bw.write(1, 1)
+        bw.write(len(syms) - 1, 1)
+        s0 = syms[0]
+        if s0 <= 1:
+            bw.write(0, 1)  # 1-bit first symbol
+            bw.write(s0, 1)
+        else:
+            bw.write(1, 1)
+            bw.write(s0, 8)
+        if len(syms) == 2:
+            bw.write(syms[1], 8)
+        return
+    bw.write(0, 1)  # normal code
+    # RLE the per-symbol lengths into code-length symbols
+    full = [lengths.get(s, 0) for s in range(alphabet_size)]
+    # trailing zeros are dropped and the explicit max_symbol cap
+    # (written below) tells the decoder how many code-length symbols
+    # to read — the spec's trimmed-length mechanism
+    last = max(s for s, ln in enumerate(full) if ln)
+    cl_stream: list[tuple[int, int, int]] = []  # (symbol, extra, nbits)
+    i = 0
+    while i <= last:
+        if full[i] == 0:
+            j = i
+            while j <= last and full[j] == 0:
+                j += 1
+            run = j - i
+            while run >= 3:
+                if run >= 11:
+                    r = min(run, 138)
+                    cl_stream.append((18, r - 11, 7))
+                else:
+                    r = min(run, 10)
+                    cl_stream.append((17, r - 3, 3))
+                run -= r
+            for _ in range(run):
+                cl_stream.append((0, 0, 0))
+            i = j
+        else:
+            cl_stream.append((full[i], 0, 0))
+            i += 1
+    while len(cl_stream) < 2:  # max_symbol cap floor is 2; pad with 0s
+        cl_stream.append((0, 0, 0))
+    # code-length code from the cl-symbol frequencies
+    cl_freq: dict[int, int] = {}
+    for s, _, _ in cl_stream:
+        cl_freq[s] = cl_freq.get(s, 0) + 1
+    cl_lengths = _huffman_lengths(cl_freq, _MAX_CL_LEN)
+    if len(cl_lengths) == 1:
+        # the cl code needs >= 2 symbols to be a complete 1-bit code;
+        # pad with an unused symbol (smallest absent one)
+        pad = next(s for s in range(19) if s not in cl_lengths)
+        only = next(iter(cl_lengths))
+        cl_lengths = {only: 1, pad: 1}
+    cl_codes = _codes_from_lengths(
+        [cl_lengths.get(s, 0) for s in range(19)]
+    )
+    # transmit cl lengths in _CODE_LENGTH_ORDER, covering every
+    # nonzero entry (minimum 4 per spec)
+    num_cl = max(
+        4,
+        1 + max(
+            (i for i, s in enumerate(_CODE_LENGTH_ORDER) if s in cl_lengths),
+            default=0,
+        ),
+    )
+    bw.write(num_cl - 4, 4)
+    for i in range(num_cl):
+        bw.write(cl_lengths.get(_CODE_LENGTH_ORDER[i], 0), 3)
+    # explicit max_symbol = number of code-length symbols transmitted
+    # (each decoder iteration consumes one, literal or repeat op)
+    bw.write(1, 1)
+    k = len(cl_stream) - 2
+    length_nbits = 2
+    while (1 << length_nbits) <= k:
+        length_nbits += 2
+    bw.write((length_nbits - 2) // 2, 3)
+    bw.write(k, length_nbits)
+    for s, extra, nbits in cl_stream:
+        code, ln = cl_codes[s]
+        bw.write_code(code, ln)
+        if nbits:
+            bw.write(extra, nbits)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+def parse_webp(payload: bytes) -> dict | None:
+    r"""Decode a lossless WebP payload (the literal-only VP8L subset
+    — see the module docstring). Returns the
+    :func:`multimodal.parse_png` dict shape — ``fmt`` (``"webp"``),
+    ``width``/``height``, ``maxval`` (255), ``n_channels`` (3, or 4
+    when the header's alpha hint is set), flat ``pixels`` — or
+    ``None`` for malformed payloads and for spec features outside
+    the subset (transforms, color cache, meta prefix, LZ77, lossy
+    VP8, VP8X).
+
+    Examples
+    --------
+        >>> import numpy as np
+        >>> px = np.arange(2 * 2 * 3, dtype=np.uint8)
+        >>> m = parse_webp(encode_webp(px, 2, 2, 3))
+        >>> (m["fmt"], m["width"], m["height"], list(m["pixels"]))
+        ('webp', 2, 2, [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11])
+        >>> parse_webp(b"RIFF....WEBPVP8 ") is None   # lossy: not in subset
+        True
+    """
+    try:
+        if payload is None or len(payload) < 21:
+            return None
+        buf = bytes(payload)
+        if buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
+            return None
+        # chunk walk (plain container: VP8L should be first; tolerate
+        # leading metadata chunks but reject VP8X/VP8 flavors)
+        pos = 12
+        data = None
+        while pos + 8 <= len(buf):
+            tag = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            body = buf[pos + 8 : pos + 8 + size]
+            if len(body) < size:
+                return None
+            if tag == b"VP8L":
+                data = body
+                break
+            if tag in (b"VP8 ", b"VP8X"):
+                return None  # lossy / extended: not in the subset
+            pos += 8 + size + (size & 1)
+        if data is None or not data or data[0] != 0x2F:
+            return None
+        br = _BitReader(data[1:])
+        width = br.read(14) + 1
+        height = br.read(14) + 1
+        alpha_hint = br.read_bit()
+        if br.read(3) != 0:
+            return None  # version must be 0
+        if br.read_bit():
+            return None  # transform present: not in the subset
+        if br.read_bit():
+            return None  # color cache: not in the subset
+        if br.read_bit():
+            return None  # meta prefix codes: not in the subset
+        green = _read_prefix_code(br, _GREEN_ALPHABET)
+        red = _read_prefix_code(br, _ARGB_ALPHABET)
+        blue = _read_prefix_code(br, _ARGB_ALPHABET)
+        alpha = _read_prefix_code(br, _ARGB_ALPHABET)
+        _read_prefix_code(br, _DIST_ALPHABET)  # distance code (unused)
+        npx = width * height
+        out = np.empty((npx, 4), dtype=np.uint8)
+        for i in range(npx):
+            g = green.decode(br)
+            if g >= 256:
+                return None  # LZ77 length code: not in the subset
+            out[i, 1] = g
+            out[i, 0] = red.decode(br)
+            out[i, 2] = blue.decode(br)
+            out[i, 3] = alpha.decode(br)
+        n_ch = 4 if alpha_hint else 3
+        flat = out[:, :n_ch].reshape(-1).astype(np.int64)
+        return {
+            "fmt": "webp",
+            "width": width,
+            "height": height,
+            "maxval": 255,
+            "n_channels": n_ch,
+            "pixels": flat,
+        }
+    except (ValueError, IndexError, struct.error, OverflowError):
+        return None
+
+
+# ---------------------------------------------------------------------------
+# encode (fixture/oracle generator — same discipline as encode_gif /
+# encode_bmp: a real writer of the documented subset)
+# ---------------------------------------------------------------------------
+def encode_webp(pixels, width: int, height: int, channels: int = 3) -> bytes:
+    """Encode an RGB(A) raster as a real lossless WebP (literal-only
+    VP8L): per-channel frequency-based prefix codes, genuine
+    code-length-code headers, LSB-first bit packing, RIFF container.
+    ``pixels`` is the flat row-major raster (``width * height *
+    channels`` values, 0-255); ``channels`` is 3 (alpha hint clear,
+    constant-255 alpha coded as a zero-bit single-symbol code) or 4.
+    """
+    if channels not in (3, 4):
+        raise ValueError("channels must be 3 or 4")
+    arr = np.asarray(pixels, dtype=np.int64).reshape(
+        height * width, channels
+    )
+    if arr.min() < 0 or arr.max() > 255:
+        raise ValueError("samples must be 0-255")
+    r = arr[:, 0]
+    g = arr[:, 1]
+    b = arr[:, 2]
+    a = arr[:, 3] if channels == 4 else np.full(len(arr), 255, np.int64)
+
+    bw = _BitWriter()
+    bw.write(width - 1, 14)
+    bw.write(height - 1, 14)
+    bw.write(1 if channels == 4 else 0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix
+
+    def lengths_of(vals: np.ndarray) -> dict[int, int]:
+        uniq, counts = np.unique(vals, return_counts=True)
+        return _huffman_lengths(
+            {int(s): int(c) for s, c in zip(uniq, counts)}, _MAX_CODE_LEN
+        )
+
+    planes = [
+        (lengths_of(g), _GREEN_ALPHABET, g),
+        (lengths_of(r), _ARGB_ALPHABET, r),
+        (lengths_of(b), _ARGB_ALPHABET, b),
+        (lengths_of(a), _ARGB_ALPHABET, a),
+    ]
+    codes = []
+    for lens, alphabet, _vals in planes:
+        _write_prefix_code(bw, lens, alphabet)
+        if len(lens) == 1:
+            codes.append(None)  # zero-bit code: nothing per pixel
+        else:
+            full = [0] * alphabet
+            for s, ln in lens.items():
+                full[s] = ln
+            codes.append(_codes_from_lengths(full))
+    _write_prefix_code(bw, {0: 0}, _DIST_ALPHABET)  # unused distance code
+
+    for i in range(len(arr)):
+        for (lens, _alpha, vals), table in zip(planes, codes):
+            if table is not None:
+                code, ln = table[int(vals[i])]
+                bw.write_code(code, ln)
+
+    body = b"\x2f" + bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff

@@ -722,3 +722,23 @@ class TestLeakageSafeSplit:
             out2.alias("b"), "doc_id"
         ).where("a.split <> b.split").count()
         assert diff > 0  # new seed reshuffles the assignment
+
+    def test_broadcast_gate_paths_identical(self, spark):
+        # r9 verdict: the component-table broadcast must be
+        # size-gated. Both sides of the gate must produce the exact
+        # same split, and the over-threshold path must not carry a
+        # forced broadcast hint in its plan.
+        docs = spark.createDataFrame([(i,) for i in range(50)], ["doc_id"])
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 9), (10, 11)], ["doc_id_a", "doc_id_b"]
+        )
+        small = quality.leakage_safe_split(docs, pairs)
+        big = quality.leakage_safe_split(docs, pairs, broadcast_max_rows=0)
+        a = sorted(map(tuple, small.collect()))
+        b = sorted(map(tuple, big.collect()))
+        assert a == b
+        assert "BroadcastHashJoin" in small._jdf.queryExecution().executedPlan().toString()
+        # the ungated plan may still broadcast (AQE's call at runtime)
+        # but the LOGICAL plan must not force it
+        assert "UnresolvedHint" not in big._jdf.queryExecution().logical().toString()
+        assert "ResolvedHint" not in big._jdf.queryExecution().optimizedPlan().toString()

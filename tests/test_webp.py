@@ -1,0 +1,220 @@
+"""operators/webp — lossless WebP (VP8L) decode, literal-only
+subset: RIFF walk, LSB-first bitstream, simple + code-length-coded
+normal prefix codes, canonical assignment, zero-bit single-symbol
+codes. The encoder is a real frequency-based writer, so round trips
+pin real parsing (the GIF/TIFF/BMP/PDF fixture discipline)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from flycatcher_spark.operators import multimodal
+from flycatcher_spark.operators.webp import (
+    _BitReader,
+    _BitWriter,
+    _codes_from_lengths,
+    _huffman_lengths,
+    encode_webp,
+    parse_webp,
+)
+
+
+class TestBitIO:
+    def test_lsb_first_roundtrip(self):
+        bw = _BitWriter()
+        vals = [(5, 3), (0, 1), (16383, 14), (1, 1), (170, 8)]
+        for v, n in vals:
+            bw.write(v, n)
+        br = _BitReader(bw.bytes())
+        assert [br.read(n) for _, n in vals] == [v for v, _ in vals]
+
+    def test_code_bits_msb_first(self):
+        # write_code emits MSB-of-code first (the DEFLATE convention)
+        bw = _BitWriter()
+        bw.write_code(0b101, 3)
+        br = _BitReader(bw.bytes())
+        assert [br.read_bit() for _ in range(3)] == [1, 0, 1]
+
+    def test_truncated_read_raises(self):
+        br = _BitReader(b"\xff")
+        br.read(8)
+        with pytest.raises(ValueError):
+            br.read_bit()
+
+
+class TestCanonicalCodes:
+    def test_deflate_example(self):
+        # RFC 1951 §3.2.2 worked example: lengths (3,3,3,3,3,2,4,4)
+        codes = _codes_from_lengths([3, 3, 3, 3, 3, 2, 4, 4])
+        assert codes[5] == (0b00, 2)
+        assert codes[0] == (0b010, 3)
+        assert codes[6] == (0b1110, 4)
+        assert codes[7] == (0b1111, 4)
+
+    def test_incomplete_rejected(self):
+        with pytest.raises(ValueError):
+            _codes_from_lengths([2, 2, 2])  # Kraft sum 3/4 < 1
+
+    def test_oversubscribed_rejected(self):
+        with pytest.raises(ValueError):
+            _codes_from_lengths([1, 1, 1])
+
+    def test_huffman_lengths_kraft_equality(self):
+        freqs = {i: (i % 7) + 1 for i in range(40)}
+        lens = _huffman_lengths(freqs, 15)
+        assert sum(2 ** -l for l in lens.values()) == pytest.approx(1.0)
+
+    def test_depth_limit_fallback_is_complete(self):
+        # fibonacci frequencies force depth > limit in pure Huffman
+        fib = [1, 1]
+        while len(fib) < 24:
+            fib.append(fib[-1] + fib[-2])
+        lens = _huffman_lengths(dict(enumerate(fib)), 7)
+        assert max(lens.values()) <= 7
+        assert sum(2 ** -l for l in lens.values()) == pytest.approx(1.0)
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("channels", [3, 4])
+    def test_dense_alphabet_normal_codes(self, channels):
+        w, h = 17, 9
+        px = (np.arange(w * h * channels, dtype=np.int64) * 13 + 5) % 256
+        m = parse_webp(encode_webp(px, w, h, channels))
+        assert (m["fmt"], m["width"], m["height"], m["n_channels"]) == (
+            "webp", w, h, channels,
+        )
+        assert m["maxval"] == 255
+        assert list(m["pixels"]) == list(px)
+
+    def test_two_symbol_simple_codes(self):
+        w, h = 8, 6
+        px = 200 * (np.arange(w * h * 3) % 2)
+        m = parse_webp(encode_webp(px, w, h, 3))
+        assert list(m["pixels"]) == list(px)
+
+    def test_constant_zero_bit_codes(self):
+        # every channel constant: all five codes are single-symbol
+        # (zero bits per pixel) — the whole raster costs only headers
+        w, h = 30, 20
+        px = np.full(w * h * 4, 77)
+        buf = encode_webp(px, w, h, 4)
+        assert len(buf) < 80  # headers only, no per-pixel bits
+        m = parse_webp(buf)
+        assert m["n_channels"] == 4 and set(m["pixels"]) == {77}
+
+    def test_one_pixel_and_single_column(self):
+        for w, h in ((1, 1), (1, 13), (13, 1)):
+            px = (np.arange(w * h * 3) * 31) % 256
+            m = parse_webp(encode_webp(px, w, h, 3))
+            assert (m["width"], m["height"]) == (w, h)
+            assert list(m["pixels"]) == list(px)
+
+    def test_sparse_alphabet_long_zero_runs(self):
+        # symbols spread across the range exercise the 17/18 repeat
+        # operators in the code-length stream
+        w, h = 11, 7
+        px = np.random.default_rng(3).choice(
+            [0, 3, 9, 64, 255], size=w * h * 3
+        )
+        m = parse_webp(encode_webp(px, w, h, 3))
+        assert list(m["pixels"]) == list(px)
+
+    def test_matrix(self):
+        rng = np.random.default_rng(0)
+        for trial in range(40):
+            w = int(rng.integers(1, 50))
+            h = int(rng.integers(1, 30))
+            ch = int(rng.choice([3, 4]))
+            px = rng.integers(0, 256, w * h * ch)
+            m = parse_webp(encode_webp(px, w, h, ch))
+            assert m is not None
+            assert (m["width"], m["height"], m["n_channels"]) == (w, h, ch)
+            assert list(m["pixels"]) == [int(x) for x in px]
+
+
+class TestHonestNone:
+    def test_rejections(self):
+        assert parse_webp(None) is None
+        assert parse_webp(b"") is None
+        assert parse_webp(b"RIFF\x00\x00\x00\x00WAVEfmt ") is None
+        # lossy flavor and extended container: out of subset
+        assert parse_webp(
+            b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00\x00\x00\x00\x00"
+        ) is None
+        assert parse_webp(
+            b"RIFF\x10\x00\x00\x00WEBPVP8X\x04\x00\x00\x00\x00\x00\x00\x00"
+        ) is None
+
+    def test_bad_signature_byte(self):
+        buf = bytearray(encode_webp(np.zeros(12), 2, 2, 3))
+        i = buf.index(b"VP8L") + 8
+        buf[i] = 0x30  # not 0x2F
+        assert parse_webp(bytes(buf)) is None
+
+    def test_transform_bit_is_out_of_subset(self):
+        # flip the first post-header bit (transform present)
+        buf = bytearray(encode_webp(np.zeros(12), 2, 2, 3))
+        i = buf.index(b"VP8L") + 8 + 1  # past the 0x2F signature
+        # header = 14+14+1+3 = 32 bits; transform bit = bit 32 -> byte 4 bit 0
+        buf[i + 4] |= 0x01
+        assert parse_webp(bytes(buf)) is None
+
+    def test_truncation_never_crashes(self):
+        full = encode_webp((np.arange(600) * 7) % 256, 10, 20, 3)
+        for k in range(0, len(full) - 1, 3):
+            assert parse_webp(full[:k]) is None
+
+    def test_bitflips_never_crash(self):
+        full = encode_webp((np.arange(300) * 11) % 256, 10, 10, 3)
+        for pos in range(12, len(full), 2):
+            mut = bytearray(full)
+            mut[pos] ^= 0x55
+            parse_webp(bytes(mut))  # any outcome but an exception
+
+    def test_writer_guards(self):
+        with pytest.raises(ValueError):
+            encode_webp([0, 0, 0], 1, 1, 2)
+        with pytest.raises(ValueError):
+            encode_webp([300, 0, 0], 1, 1, 3)
+
+
+class TestSparkIntegration:
+    def test_fixture_closed_form(self, spark):
+        docs = spark.createDataFrame(
+            [(i,) for i in range(24)], "doc_id long"
+        )
+        meta = multimodal.decode_image_meta(
+            multimodal.make_webp_payload(docs)
+        ).collect()
+        assert len(meta) == 24
+        for r in meta:
+            i = r.doc_id
+            w, h, ch = 4 + i % 13, 3 + i % 7, 3 + (i % 2)
+            n = w * h * ch
+            assert (r.fmt, r.width, r.height, r.n_channels) == (
+                "webp", w, h, ch,
+            )
+            k = np.arange(n)
+            arm = i % 3
+            if arm == 0:
+                want = float(((i * 7 + k * 13) % 256).mean())
+            elif arm == 1:
+                want = float((200 * ((i + k) % 2)).mean())
+            else:
+                want = float(i % 256)
+            assert r.mean_pixel == pytest.approx(want, abs=1e-9)
+
+    def test_dispatch_and_sniffer(self, spark):
+        buf = encode_webp(np.zeros(12), 2, 2, 3)
+        assert multimodal.sniff_format(buf) == "webp"
+        assert multimodal.parse_image(buf)["fmt"] == "webp"
+
+    def test_map_only_plan(self, spark):
+        docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+        out = multimodal.decode_image_meta(multimodal.make_webp_payload(docs))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # decode is map-only
+        assert "BatchEvalPython" not in plan  # Arrow stages only
