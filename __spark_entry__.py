@@ -4019,44 +4019,45 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, SF_SMOKE)
 
 
-#: r9 driver window (the first 50 entries of queries()). Policy:
-#: new-this-round first (8: animated-GIF composition, PDF text
-#: extraction, byte-level BPE, HTTP-layer decode, WAT write side,
-#: TIFF decode, BMP decode, unified media_frames dispatch), then
-#: every query whose implementation
-#: changed this round (2: robots_gate_compiled moved to the raw
-#: driver-side compile + the grouped/materialized predicate;
-#: gif_decode's walk refactored onto the shared _walk_gif), then the
-#: OLDEST driver-greens by (last-green round, registration order):
-#: all 14 remaining r4-greens (the DSL/validator family and the two
-#: r4 TPC-H queries) and the 26 stalest r5-greens — the max
-#: driver-green age across the suite drops from r4 to r5 this round.
-#: Ages computed from the CORRECTNESS_r0*.json artifacts (tools note:
-#: the r8 verdict's task #6 list was off — q12/pivot/array_ops etc.
-#: were re-greened in r7's window, the true stalest are the r4 DSL
-#: family below).
-_WINDOW_R9 = [
-    "gif_frames", "pdf_extract", "bpe_bytes_apply", "http_payloads",
-    "wat_roundtrip", "tiff_decode", "bmp_decode", "media_frames",
-    "robots_gate_compiled", "gif_decode",
-    # r4-greens (stalest driver evidence in the suite)
-    "median_stats", "token_counts", "stats_moments", "label_centroids",
-    "validate_strict_agg", "dsl_string_ops", "dsl_math_ops",
-    "dsl_datetime_ops", "dsl_membership", "validate_fill_nulls",
-    "dsl_between_closures", "validate_defaults", "q4_order_priority",
-    "q5_region_revenue",
-    # oldest r5-greens (registration order)
-    "ivf_rerank_topk", "image_decode", "wav_decode",
-    "semantic_decontam", "kmeans_clusters", "kmeans_semantic_dedup",
-    "bigram_surprise", "unicode_normalize", "q6_forecast_revenue",
-    "q10_returned_customers", "q13_order_count_distribution",
-    "q14_promo_revenue_ratio", "q18_large_orders",
-    "q19_disjunctive_revenue", "q2_min_acctbal_supplier",
-    "q7_nation_volume", "q8_market_share", "q20_promo_heavy_suppliers",
-    "q16_supplier_counts", "q17_small_qty_revenue",
-    "q21_sole_late_supplier", "q22_dormant_customers",
-    "q15_top_supplier", "q11_important_parts", "cube_revenue",
-    "percentile_suite", "distinct_stats",
+#: r10 window (r9 verdict #1): exactly 50 entries — the 51-entry bug
+#: that silently dropped distinct_stats from the r9 cut is now pinned
+#: by tools/gate.py's window-contract check. Composition, per the
+#: documented policy (new first, then changed, then oldest greens):
+#: distinct_stats leads (it sat at r9 position 51 and missed the
+#: driver), then the 2 queries new this round (webp_decode — the
+#: lossless-WebP r9 descope closed; pq_rerank_topk — the PQ family's
+#: oracle-checkable arm), then leakage_safe_split (impl changed: the
+#: component broadcast is now size-gated) and the 6 queries that had
+#: NEVER been in a driver window (ann_recall, lsh_topk, ivf_topk,
+#: pq_topk, minhash_dedup_ids, leakage_safe_split_prod — rows-only by
+#: documented design, now finally getting driver row evidence), then
+#: the 18 remaining r5-greens (the true stalest tier, ages computed
+#: from the CORRECTNESS_r0*.json artifacts — the r9 verdict's list
+#: from memory was wrong again; the real r5 tier is the curation/
+#: report family below), then the oldest r7-greens in artifact order
+#: to fill to 50. Max driver-green age after this round: r7.
+_WINDOW_R10 = [
+    "distinct_stats",
+    # new this round
+    "webp_decode", "pq_rerank_topk",
+    # changed this round + never-driver-checked (rows-only by design)
+    "leakage_safe_split", "ann_recall", "lsh_topk", "ivf_topk",
+    "pq_topk", "minhash_dedup_ids", "leakage_safe_split_prod",
+    # remaining r5-greens (stalest driver evidence in the suite)
+    "bpe_pair_counts", "classifier_quality", "corpus_divergence",
+    "corpus_report", "curated_corpus", "domain_cap", "dsir_sample",
+    "events_daily", "gopher_quality", "mixture_sample",
+    "name_editdist_pairs", "orders_no_lineitems", "pack_sequences",
+    "training_order", "unigram_surprise", "validate_embeddings",
+    "validate_event_props", "verbatim_overlap",
+    # oldest r7-greens (artifact order)
+    "array_ops", "audio_features", "blocklist_filter", "cdx_index",
+    "corpus_diff", "corpus_select", "dedup_exact",
+    "dedup_exact_normalized", "deterministic_split", "doc_repetition",
+    "embedding_quantize", "events_asof_join", "events_hourly_rollup",
+    "events_json_props", "events_range_join", "events_session_window",
+    "events_sessions", "events_user_top3", "extract_links",
+    "hits_hosts", "host_cap", "html_extract",
 ]
 
 
@@ -4066,7 +4067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering policy, documented in COVERAGE.md: queries new this
     round first, then queries whose oracle/impl changed this round,
     then a rotation of the OLDEST previously-green queries (see
-    ``_WINDOW_R9``). Everything passes the full local replica
+    ``_WINDOW_R10``). Everything passes the full local replica
     (tools/check_oracle.py) regardless of position.
     """
     base = {
@@ -4273,7 +4274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "minhash_dedup_ids": q_minhash_dedup_ids,
     }
-    ordered = {k: base[k] for k in _WINDOW_R9}
+    ordered = {k: base[k] for k in _WINDOW_R10}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
     return ordered
 

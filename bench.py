@@ -145,6 +145,9 @@ HEADLINE = [
     "wat_roundtrip",            # WAT write: envelope JSON + read back
     "tiff_decode",              # real TIFF decode (LZW + PackBits)
     "bmp_decode",               # real BMP decode (RLE8 + padding)
+    # round-10 additions
+    "webp_decode",              # real lossless WebP (VP8L literal)
+    "pq_rerank_topk",           # PQ ADC + full-width exact rerank
 ]
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100

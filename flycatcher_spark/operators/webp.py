@@ -415,8 +415,17 @@ def parse_webp(payload: bytes) -> dict | None:
         alpha_hint = br.read_bit()
         if br.read(3) != 0:
             return None  # version must be 0
-        if br.read_bit():
-            return None  # transform present: not in the subset
+        # transform chain: ONLY the subtract-green transform is in
+        # the subset — it is pure arithmetic (add green back to red/
+        # blue mod 256, RFC 9649 §3.5.3), carries no data and no
+        # lookup tables, so it is verifiable offline; predictor(0),
+        # color(1) and palette(3) transforms return None honestly.
+        subtract_green = False
+        while br.read_bit():
+            ttype = br.read(2)
+            if ttype != 2 or subtract_green:  # 2 = subtract green
+                return None  # out-of-subset transform (or duplicate)
+            subtract_green = True
         if br.read_bit():
             return None  # color cache: not in the subset
         if br.read_bit():
@@ -436,6 +445,15 @@ def parse_webp(payload: bytes) -> dict | None:
             out[i, 0] = red.decode(br)
             out[i, 2] = blue.decode(br)
             out[i, 3] = alpha.decode(br)
+        if subtract_green:
+            # inverse transform: red/blue had green subtracted mod 256
+            g_col = out[:, 1].astype(np.int64)
+            out[:, 0] = ((out[:, 0].astype(np.int64) + g_col) & 0xFF).astype(
+                np.uint8
+            )
+            out[:, 2] = ((out[:, 2].astype(np.int64) + g_col) & 0xFF).astype(
+                np.uint8
+            )
         n_ch = 4 if alpha_hint else 3
         flat = out[:, :n_ch].reshape(-1).astype(np.int64)
         return {
@@ -454,13 +472,23 @@ def parse_webp(payload: bytes) -> dict | None:
 # encode (fixture/oracle generator — same discipline as encode_gif /
 # encode_bmp: a real writer of the documented subset)
 # ---------------------------------------------------------------------------
-def encode_webp(pixels, width: int, height: int, channels: int = 3) -> bytes:
+def encode_webp(
+    pixels,
+    width: int,
+    height: int,
+    channels: int = 3,
+    subtract_green: bool = False,
+) -> bytes:
     """Encode an RGB(A) raster as a real lossless WebP (literal-only
     VP8L): per-channel frequency-based prefix codes, genuine
     code-length-code headers, LSB-first bit packing, RIFF container.
     ``pixels`` is the flat row-major raster (``width * height *
     channels`` values, 0-255); ``channels`` is 3 (alpha hint clear,
     constant-255 alpha coded as a zero-bit single-symbol code) or 4.
+    ``subtract_green`` emits the subtract-green transform (the one
+    transform in the decode subset): red/blue are stored minus green
+    mod 256 — the form libwebp's lossless encoder emits almost
+    always, so covering it meaningfully widens real-file decode.
     """
     if channels not in (3, 4):
         raise ValueError("channels must be 3 or 4")
@@ -473,13 +501,19 @@ def encode_webp(pixels, width: int, height: int, channels: int = 3) -> bytes:
     g = arr[:, 1]
     b = arr[:, 2]
     a = arr[:, 3] if channels == 4 else np.full(len(arr), 255, np.int64)
+    if subtract_green:
+        r = (r - g) & 0xFF
+        b = (b - g) & 0xFF
 
     bw = _BitWriter()
     bw.write(width - 1, 14)
     bw.write(height - 1, 14)
     bw.write(1 if channels == 4 else 0, 1)  # alpha hint
     bw.write(0, 3)  # version
-    bw.write(0, 1)  # no transforms
+    if subtract_green:
+        bw.write(1, 1)  # one transform follows
+        bw.write(2, 2)  # type 2 = subtract green (no payload)
+    bw.write(0, 1)  # end of transform chain
     bw.write(0, 1)  # no color cache
     bw.write(0, 1)  # no meta prefix
 

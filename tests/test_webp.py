@@ -122,6 +122,32 @@ class TestRoundTrip:
         m = parse_webp(encode_webp(px, w, h, 3))
         assert list(m["pixels"]) == list(px)
 
+    @pytest.mark.parametrize("channels", [3, 4])
+    def test_subtract_green_transform(self, channels):
+        # the one in-subset transform (pure arithmetic, no tables):
+        # red/blue stored minus green mod 256, decoder adds it back
+        w, h = 13, 8
+        rng = np.random.default_rng(5)
+        px = rng.integers(0, 256, w * h * channels)
+        buf = encode_webp(px, w, h, channels, subtract_green=True)
+        m = parse_webp(buf)
+        assert list(m["pixels"]) == [int(x) for x in px]
+        # and the stream genuinely differs from the untransformed one
+        assert buf != encode_webp(px, w, h, channels)
+
+    def test_other_transform_types_rejected(self):
+        # rewrite the subtract-green type bits (2) to predictor (0):
+        # out-of-subset transforms must be honest None, not mis-decode
+        base = encode_webp(np.zeros(12, dtype=np.int64), 2, 2, 3,
+                           subtract_green=True)
+        i = base.index(b"VP8L") + 8 + 1  # past the 0x2F signature
+        # header is 32 bits; transform-present bit is bit 32 (byte 4
+        # bit 0), the 2-bit type sits at bits 33-34 (LSB-first)
+        mut = bytearray(base)
+        assert mut[i + 4] & 0x01  # transform-present set
+        mut[i + 4] &= ~0x06       # type 2 -> type 0
+        assert parse_webp(bytes(mut)) is None
+
     def test_matrix(self):
         rng = np.random.default_rng(0)
         for trial in range(40):

@@ -84,8 +84,66 @@ def check_bench_regressions(bench_stdout: str) -> list[str]:
     return bad
 
 
+def check_window_contract() -> list[str]:
+    """Driver-window contract (r9 verdict #1): ``_WINDOW_R9`` held 51
+    entries for a 50-slot window, so its entry 51 (distinct_stats)
+    silently missed the driver cut and its staleness never refreshed.
+    Pin the contract for every future window: the newest
+    ``_WINDOW_R{N}`` must have exactly 50 unique registered names and
+    must equal the first-50 prefix of ``queries()`` (what the driver
+    actually evaluates). Returns problem strings (empty = OK)."""
+    import re
+
+    problems: list[str] = []
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as e
+
+    wins = sorted(
+        (int(m.group(1)), name)
+        for name in dir(e)
+        for m in [re.fullmatch(r"_WINDOW_R(\d+)", name)]
+        if m
+    )
+    if not wins:
+        return ["no _WINDOW_R{N} attribute found"]
+    _, name = wins[-1]
+    win = getattr(e, name)
+    if len(win) != 50:
+        problems.append(f"{name} has {len(win)} entries, want exactly 50")
+    if len(set(win)) != len(win):
+        problems.append(f"{name} has duplicate entries")
+    registry = e.queries()
+    missing = [k for k in win if k not in registry]
+    if missing:
+        problems.append(f"{name} names unregistered queries: {missing}")
+    prefix = list(registry)[: len(win)]
+    if prefix != list(win):
+        problems.append(
+            f"queries() prefix does not equal {name} "
+            f"(first mismatch at position "
+            f"{next(i for i, (a, b) in enumerate(zip(prefix, win)) if a != b)})"
+        )
+    return problems
+
+
+#: the driver tail-captures ~2 KB of bench stdout; r8's record was
+#: unparseable because the JSON line overflowed it. 66 queries print
+#: ~1.65 KB, so the budget gates BEFORE the next ~14 queries overflow
+#: it again (r9 verdict #7). Over budget -> shorten keys or move
+#: per-query detail into bench_detail.json.
+BENCH_LINE_BUDGET = 1900
+
+
 def main() -> int:
     failures = []
+    window_problems = check_window_contract()
+    if window_problems:
+        for p in window_problems:
+            print(f"=== window-contract: {p}")
+        print("=== window-contract: FAILED", flush=True)
+        failures.append("window-contract")
+    else:
+        print("=== window-contract: OK (50-entry prefix pinned)", flush=True)
     if importlib.util.find_spec("ruff"):
         if not _run("ruff-check", [sys.executable, "-m", "ruff", "check", "."]):
             failures.append("ruff-check")
@@ -127,6 +185,27 @@ def main() -> int:
         if rc != 0:
             failures.append("bench-smoke")
         else:
+            line = next(
+                (
+                    ln
+                    for ln in proc.stdout.strip().splitlines()
+                    if ln.startswith("{")
+                ),
+                "",
+            )
+            if len(line) > BENCH_LINE_BUDGET:
+                print(
+                    f"=== bench-line-budget: FAILED {len(line)}B > "
+                    f"{BENCH_LINE_BUDGET}B (driver tail-captures ~2KB)",
+                    flush=True,
+                )
+                failures.append("bench-line-budget")
+            else:
+                print(
+                    f"=== bench-line-budget: OK ({len(line)}B of "
+                    f"{BENCH_LINE_BUDGET}B)",
+                    flush=True,
+                )
             regs = check_bench_regressions(proc.stdout)
             if regs:
                 print(f"=== bench-regression: FAILED {regs}", flush=True)
