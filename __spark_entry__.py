@@ -2515,8 +2515,14 @@ def q_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal-only subset never reads a distance code (see
     operators/webp.py module docstring). Dimension and pixel formulas
     are closed-form, so DuckDB value-checks header fields AND the
-    raster mean."""
-    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    raster mean.
+
+    The slim id column repartitions before payload synthesis: the
+    fixture parquet is a single row group, which would otherwise
+    serialize the whole Arrow encode+decode stage onto one core —
+    production archives arrive in thousands of input splits and
+    never need this. The shuffle moves 8-byte ids only."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id").repartition(32)
     with_payload = multimodal.make_webp_payload(docs)
     meta = multimodal.decode_image_meta(with_payload, id_col="doc_id")
     return meta.select(

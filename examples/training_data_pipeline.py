@@ -335,6 +335,18 @@ def main() -> None:
     print("webdataset samples decoded:", decoded.count())
     decoded.select("sample_key", "caption", "width", "mean_pixel").show(3)
 
+    # 13b. Mixed-format corpora need no pre-split: the same decode
+    #      stage dispatches by magic bytes — here lossless WebP (r10,
+    #      VP8L literal subset) rides next to the PNG/JPEG rows.
+    webp_meta = multimodal.decode_image_meta(
+        multimodal.make_webp_payload(docs.select("doc_id").limit(50))
+    )
+    print(
+        "webp decoded:",
+        webp_meta.where(F.col("fmt") == "webp").count(),
+        "of 50",
+    )
+
     # 14. Re-shard the curated output (r8): the write side of the
     #     WebDataset loop — deterministic md5-order assignment into
     #     exactly size-bounded tar shards, samples adjacent,

@@ -93,27 +93,87 @@ class _BitReader:
 
 
 class _BitWriter:
-    """LSB-first bit writer (mirror of :class:`_BitReader`)."""
+    """LSB-first bit writer (mirror of :class:`_BitReader`), buffered:
+    writes accumulate as (value, length, msb_first) triples and one
+    vectorized expansion + ``np.packbits`` renders the stream — the
+    per-bit Python loop was the encoder's hot spot (headers dominate
+    on fixture-scale rasters)."""
 
     def __init__(self) -> None:
-        self.out = bytearray()
-        self.bit = 0
+        self.vals: list[int] = []
+        self.lens: list[int] = []
+        self.msb: list[int] = []
 
     def write(self, value: int, n: int) -> None:
-        for i in range(n):
-            if self.bit == 0:
-                self.out.append(0)
-            if (value >> i) & 1:
-                self.out[-1] |= 1 << self.bit
-            self.bit = (self.bit + 1) & 7
+        if n:
+            self.vals.append(value)
+            self.lens.append(n)
+            self.msb.append(0)
 
     def write_code(self, code: int, length: int) -> None:
         """Prefix-code bits go MSB-of-code first (RFC 9649 §3.7.1)."""
-        for i in range(length - 1, -1, -1):
-            self.write((code >> i) & 1, 1)
+        if length:
+            self.vals.append(code)
+            self.lens.append(length)
+            self.msb.append(1)
+
+    def write_codes_bulk(self, codes: np.ndarray, lengths: np.ndarray) -> None:
+        """Append whole symbol streams (MSB-first each) in one go."""
+        self.vals.extend(codes.tolist())
+        self.lens.extend(lengths.tolist())
+        self.msb.extend([1] * len(codes))
+
+    def bit_array(self) -> np.ndarray:
+        """Render to a 0/1 uint8 array (stream bit order)."""
+        if not self.vals:
+            return np.zeros(0, dtype=np.uint8)
+        vals = np.asarray(self.vals, dtype=np.int64)
+        lens = np.asarray(self.lens, dtype=np.int64)
+        msb = np.asarray(self.msb, dtype=bool)
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        out = np.zeros(int(starts[-1] + lens[-1]), dtype=np.uint8)
+        for k in range(int(lens.max())):
+            sel = lens > k
+            shift = np.where(msb[sel], lens[sel] - 1 - k, k)
+            out[starts[sel] + k] = (vals[sel] >> shift) & 1
+        return out
 
     def bytes(self) -> bytes:
-        return bytes(self.out)
+        return np.packbits(self.bit_array(), bitorder="little").tobytes()
+
+
+class _BitCursor:
+    """Decode-side bit reader over a pre-unpacked bit list — same
+    contract as :class:`_BitReader` but ~3x faster in the per-pixel
+    walk (plain list indexing, no per-bit method dispatch on bytes).
+    Reads past the end raise ValueError (truncated stream)."""
+
+    __slots__ = ("bits", "pos")
+
+    def __init__(self, buf: bytes) -> None:
+        self.bits = np.unpackbits(
+            np.frombuffer(buf, dtype=np.uint8), bitorder="little"
+        ).tolist()
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        b = self.bits
+        p = self.pos
+        if p + n > len(b):
+            raise ValueError("VP8L bitstream truncated")
+        v = 0
+        for i in range(n):
+            v |= b[p + i] << i
+        self.pos = p + n
+        return v
+
+    def read_bit(self) -> int:
+        p = self.pos
+        if p >= len(self.bits):
+            raise ValueError("VP8L bitstream truncated")
+        self.pos = p + 1
+        return self.bits[p]
 
 
 # ---------------------------------------------------------------------------
@@ -409,7 +469,7 @@ def parse_webp(payload: bytes) -> dict | None:
             pos += 8 + size + (size & 1)
         if data is None or not data or data[0] != 0x2F:
             return None
-        br = _BitReader(data[1:])
+        br = _BitCursor(data[1:])
         width = br.read(14) + 1
         height = br.read(14) + 1
         alpha_hint = br.read_bit()
@@ -436,15 +496,42 @@ def parse_webp(payload: bytes) -> dict | None:
         alpha = _read_prefix_code(br, _ARGB_ALPHABET)
         _read_prefix_code(br, _DIST_ALPHABET)  # distance code (unused)
         npx = width * height
-        out = np.empty((npx, 4), dtype=np.uint8)
-        for i in range(npx):
-            g = green.decode(br)
-            if g >= 256:
+        # hot loop: inline the bit walk over the cursor's plain list
+        # (locals only — per-pixel method dispatch costs ~3x here)
+        bits = br.bits
+        p = br.pos
+        nbits = len(bits)
+        chans = [
+            (c.const, c.table) for c in (green, red, blue, alpha)
+        ]
+        vals: list[list[int]] = [[], [], [], []]
+        for _ in range(npx):
+            for ci in range(4):
+                const, table = chans[ci]
+                if const is not None:
+                    vals[ci].append(const)
+                    continue
+                acc = 0
+                ln = 0
+                while True:
+                    if p >= nbits:
+                        raise ValueError("VP8L bitstream truncated")
+                    acc = (acc << 1) | bits[p]
+                    p += 1
+                    ln += 1
+                    sym = table.get((ln, acc))
+                    if sym is not None:
+                        break
+                    if ln > _MAX_CODE_LEN:
+                        raise ValueError("invalid prefix code in stream")
+                vals[ci].append(sym)
+            if vals[0][-1] >= 256:
                 return None  # LZ77 length code: not in the subset
-            out[i, 1] = g
-            out[i, 0] = red.decode(br)
-            out[i, 2] = blue.decode(br)
-            out[i, 3] = alpha.decode(br)
+        out = np.empty((npx, 4), dtype=np.uint8)
+        out[:, 1] = vals[0]  # green
+        out[:, 0] = vals[1]  # red
+        out[:, 2] = vals[2]  # blue
+        out[:, 3] = vals[3]  # alpha
         if subtract_green:
             # inverse transform: red/blue had green subtracted mod 256
             g_col = out[:, 1].astype(np.int64)
@@ -529,24 +616,34 @@ def encode_webp(
         (lengths_of(b), _ARGB_ALPHABET, b),
         (lengths_of(a), _ARGB_ALPHABET, a),
     ]
-    codes = []
-    for lens, alphabet, _vals in planes:
+    code_cols = []
+    len_cols = []
+    n = len(arr)
+    for lens, alphabet, vals in planes:
         _write_prefix_code(bw, lens, alphabet)
-        if len(lens) == 1:
-            codes.append(None)  # zero-bit code: nothing per pixel
+        if len(lens) == 1:  # zero-bit code: nothing per pixel
+            code_cols.append(np.zeros(n, dtype=np.int64))
+            len_cols.append(np.zeros(n, dtype=np.int64))
         else:
             full = [0] * alphabet
             for s, ln in lens.items():
                 full[s] = ln
-            codes.append(_codes_from_lengths(full))
+            table = _codes_from_lengths(full)
+            code_lut = np.zeros(256, dtype=np.int64)
+            len_lut = np.zeros(256, dtype=np.int64)
+            for s, (code, ln) in table.items():
+                code_lut[s] = code
+                len_lut[s] = ln
+            code_cols.append(code_lut[vals])
+            len_cols.append(len_lut[vals])
     _write_prefix_code(bw, {0: 0}, _DIST_ALPHABET)  # unused distance code
 
-    for i in range(len(arr)):
-        for (lens, _alpha, vals), table in zip(planes, codes):
-            if table is not None:
-                code, ln = table[int(vals[i])]
-                bw.write_code(code, ln)
-
+    # pixel-stream emission: per-pixel channel order is g,r,b,a
+    # (column interleave); the buffered writer renders headers +
+    # pixels in ONE vectorized expansion + packbits.
+    code_seq = np.stack(code_cols, axis=1).reshape(-1)
+    len_seq = np.stack(len_cols, axis=1).reshape(-1)
+    bw.write_codes_bulk(code_seq, len_seq)
     body = b"\x2f" + bw.bytes()
     chunk = b"VP8L" + struct.pack("<I", len(body)) + body
     if len(body) & 1:

@@ -76,6 +76,12 @@ TRACKED = [
     # video_frames' tracked Arrow-decode shape and are not duplicated)
     "wat_roundtrip",
     "http_payloads",
+    # r10 additions (VERDICT r9 #2/#6): the mixed video/animation
+    # dispatch stage, the full-recall LSH split whose component
+    # broadcast is now size-gated, and the new VP8L decode stage
+    "media_frames",
+    "leakage_safe_split",
+    "webp_decode",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 ALPHA_REGRESSION = 0.35
