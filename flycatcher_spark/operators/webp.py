@@ -12,8 +12,10 @@ Scope (documented subset, honest about what it is):
   code-length code (with the 16/17/18 repeat operators and the
   ``kCodeLengthCodeOrder`` transmission order), canonical code
   assignment, and per-pixel green/red/blue/alpha symbol streams;
-- NOT in the subset, all returning ``None`` honestly: transforms
-  (predictor/color/subtract-green/palette), color cache, meta prefix
+- the subtract-green transform (the one transform that is pure
+  arithmetic — no lookup tables — and therefore verifiable offline);
+- NOT in the subset, all returning ``None`` honestly: the other
+  transforms (predictor/color/palette), color cache, meta prefix
   codes (entropy-image segmentation), LZ77 backward references, the
   lossy ``VP8 `` flavor, and ``VP8X`` extended containers.
 
