@@ -2537,6 +2537,32 @@ def q_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_webp_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED lossless WebP through the unified media_frames
+    dispatch (r10): every document gets a deterministic VP8X/ANIM/
+    ANMF container (multimodal.make_webp_anim_payload — full-canvas
+    frame 0, a sub-rect frame 1, and on odd ids a top-row frame 2,
+    all opaque literal-only VP8L), and media_frames composes each
+    canvas state (blend/dispose per ANMF flags) inside the Arrow
+    stage — the same stage that handles AVI and GIF, so the webp arm
+    of the r9 unified dispatch is value-checked here: DuckDB states
+    every composed canvas's RGBA mean in closed form (the overwrite
+    sequence is a 3-way CASE on cell position). Id repartition for
+    the single-row-group fixture, as in webp_decode."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    with_payload = multimodal.make_webp_anim_payload(docs)
+    out = multimodal.media_frames(with_payload, id_col="doc_id", every_n=1)
+    return out.select(
+        "doc_id",
+        "fmt",
+        "frame_idx",
+        "n_frames_total",
+        "width",
+        "height",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    )
+
+
 def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode (r5): deterministic 16-bit PCM WAV payloads
     (multimodal.make_wav_payload — interleaved sample i is
@@ -4044,8 +4070,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: to fill to 50. Max driver-green age after this round: r7.
 _WINDOW_R10 = [
     "distinct_stats",
-    # new this round
-    "webp_decode", "pq_rerank_topk",
+    # new this round (webp_frames landed late-r10: the animated-WebP
+    # arm of media_frames, which re-enters the window as
+    # changed-this-round; the two newest r7-green fillers host_cap +
+    # html_extract rotate back out to hold the 50-slot contract)
+    "webp_decode", "pq_rerank_topk", "webp_frames", "media_frames",
     # changed this round + never-driver-checked (rows-only by design)
     "leakage_safe_split", "ann_recall", "lsh_topk", "ivf_topk",
     "pq_topk", "minhash_dedup_ids", "leakage_safe_split_prod",
@@ -4063,7 +4092,7 @@ _WINDOW_R10 = [
     "embedding_quantize", "events_asof_join", "events_hourly_rollup",
     "events_json_props", "events_range_join", "events_session_window",
     "events_sessions", "events_user_top3", "extract_links",
-    "hits_hosts", "host_cap", "html_extract",
+    "hits_hosts",
 ]
 
 
@@ -4184,6 +4213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_rerank_topk": q_pq_rerank_topk,
         # -- r10-new: lossless WebP decode (r9 descope closed)
         "webp_decode": q_webp_decode,
+        "webp_frames": q_webp_frames,
         "image_decode": q_image_decode,
         "wav_decode": q_wav_decode,
         "semantic_decontam": q_semantic_decontam,
@@ -7666,6 +7696,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS n_chars,
                    text
             FROM agg
+        """,
+        "webp_frames": """
+            WITH d AS (
+                SELECT doc_id,
+                       4 + doc_id % 13 AS w,
+                       3 + doc_id % 7 AS h,
+                       2 + doc_id % 2 AS nf
+                FROM documents
+            ),
+            fr AS (
+                SELECT d.doc_id, d.w, d.h, d.nf, f.f
+                FROM d, LATERAL (SELECT unnest(range(0, d.nf)) AS f) f
+            ),
+            val AS (
+                SELECT fr.doc_id, fr.w, fr.h, fr.nf, fr.f,
+                       CASE
+                           WHEN fr.f >= 2 AND (i // (fr.w * 3)) = 0
+                               THEN (fr.doc_id * 3 + (((i // 3) % fr.w) * 3 + i % 3) * 17) % 256
+                           WHEN fr.f >= 1 AND (i // (fr.w * 3)) = 2 AND ((i // 3) % fr.w) >= 2
+                               THEN (fr.doc_id * 5 + ((((i // 3) % fr.w) - 2) * 3 + i % 3) * 11) % 256
+                           ELSE (fr.doc_id * 7 + i * 13) % 256
+                       END AS v
+                FROM fr, LATERAL (SELECT unnest(range(0, fr.w * fr.h * 3)) AS i)
+            )
+            SELECT doc_id,
+                   'webp' AS fmt,
+                   CAST(f AS BIGINT) AS frame_idx,
+                   CAST(nf AS BIGINT) AS n_frames_total,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   round((CAST(sum(v) AS DOUBLE) + 255.0 * w * h) / (4 * w * h), 6) AS mean_pixel
+            FROM val
+            GROUP BY doc_id, w, h, nf, f
         """,
         "webp_decode": """
             WITH d AS (

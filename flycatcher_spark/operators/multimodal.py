@@ -1089,15 +1089,20 @@ def media_frames(
     kernel (only sampled frames JPEG-decode), animated GIF through
     :func:`gif.parse_gif_frames` (composed canvases; unsampled
     restore-previous frames and frames past the window never
-    LZW-decode) — and emits one row per sampled frame with the
-    format tag. A corpus mixing both formats row-by-row needs no
-    pre-split, no union, no second scan. Undecodable payloads yield
-    one all-null row."""
+    LZW-decode), and — r10 — animated lossless WebP through
+    :func:`webp.parse_webp_frames` (VP8X/ANIM/ANMF composition with
+    blend/dispose semantics; frames past the window never
+    entropy-decode; stills ride as one-frame animations; WebP means
+    are over the RGBA canvas) — and emits one row per sampled frame
+    with the format tag. A corpus mixing the formats row-by-row
+    needs no pre-split, no union, no second scan. Undecodable
+    payloads yield one all-null row."""
     if every_n < 1:
         raise ValueError("every_n must be >= 1")
     from .gif import parse_gif_frames
     from .jpeg import parse_jpeg
     from .video import parse_avi_frames
+    from .webp import parse_webp_frames
 
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), *MEDIA_FRAME_FIELDS]
@@ -1108,6 +1113,26 @@ def media_frames(
             ids, rows = [], []
             for i, p in zip(pdf[id_col], pdf[payload_col]):
                 head = b"" if p is None else bytes(p[:12])
+                if head[:4] == b"RIFF" and head[8:12] == b"WEBP":
+                    meta = parse_webp_frames(p, every_n=every_n)
+                    if meta is None:
+                        ids.append(i)
+                        rows.append((None,) * 6)
+                        continue
+                    for fr in meta["frames"]:
+                        px = fr["pixels"]
+                        ids.append(i)
+                        rows.append(
+                            (
+                                "webp",
+                                fr["frame_idx"],
+                                meta["n_frames"],
+                                meta["canvas_width"],
+                                meta["canvas_height"],
+                                float(px.mean()) if px.size else None,
+                            )
+                        )
+                    continue
                 if head[:4] == b"RIFF" and head[8:12] == b"AVI ":
                     frames = parse_avi_frames(p)
                     if frames is None:
@@ -1628,6 +1653,58 @@ def make_webp_payload(
             else:
                 px = np.full(n, i % 256, dtype=np.int64)
             out.append(encode_webp(px, w, h, ch))
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, _build(F.col(id_col)))
+
+
+def make_webp_anim_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Build a deterministic ANIMATED lossless WebP per row
+    (fixture/oracle generator, r10): canvas ``W = 4 + id % 13``,
+    ``H = 3 + id % 7``; frame 0 paints the full canvas with
+    ``(id*7 + k*13) % 256`` (k over W*H*3 RGB positions), frame 1
+    overwrites the row ``y = 2`` from ``x = 2`` with
+    ``(id*5 + k*11) % 256``, and every other id adds frame 2
+    overwriting the TOP row with ``(id*3 + k*17) % 256``. All frames
+    are opaque (alpha-blend of opaque == overwrite), offsets are
+    even as the ANMF container requires, and every composed canvas
+    state is a closed form DuckDB can state outright."""
+    from .webp import encode_webp_animation
+
+    @pandas_udf("binary")
+    def _build(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if i is None:
+                out.append(None)
+                continue
+            i = int(i)
+            w, h = 4 + i % 13, 3 + i % 7
+            frames = [
+                dict(
+                    x=0, y=0, width=w, height=h, channels=3,
+                    pixels=((i * 7 + np.arange(w * h * 3) * 13) % 256),
+                    duration_ms=40,
+                ),
+                dict(
+                    x=2, y=2, width=w - 2, height=1, channels=3,
+                    pixels=((i * 5 + np.arange((w - 2) * 3) * 11) % 256),
+                    duration_ms=50,
+                ),
+            ]
+            if i % 2 == 1:
+                frames.append(
+                    dict(
+                        x=0, y=0, width=w, height=1, channels=3,
+                        pixels=((i * 3 + np.arange(w * 3) * 17) % 256),
+                        duration_ms=60,
+                    )
+                )
+            out.append(encode_webp_animation(w, h, frames))
         return pd.Series(out)
 
     return df.withColumn(payload_col, _build(F.col(id_col)))

@@ -52,7 +52,12 @@ import struct
 
 import numpy as np
 
-__all__ = ["parse_webp", "encode_webp"]
+__all__ = [
+    "parse_webp",
+    "encode_webp",
+    "parse_webp_frames",
+    "encode_webp_animation",
+]
 
 #: transmission order of the code-length code's own lengths
 #: (RFC 9649 §3.7.1.2, identical to libwebp's kCodeLengthCodeOrder)
@@ -427,6 +432,102 @@ def _write_prefix_code(
 # ---------------------------------------------------------------------------
 # decode
 # ---------------------------------------------------------------------------
+def _decode_vp8l_body(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode one VP8L bitstream (the ``VP8L`` chunk body, signature
+    byte included) to ``(width, height, alpha_hint, rgba)`` where
+    ``rgba`` is an ``(npx, 4)`` uint8 array in row-major pixel order.
+    Raises ValueError for malformed streams and for spec features
+    outside the literal-only subset."""
+    if not data or data[0] != 0x2F:
+        raise ValueError("not a VP8L stream")
+    br = _BitCursor(data[1:])
+    width = br.read(14) + 1
+    height = br.read(14) + 1
+    alpha_hint = br.read_bit()
+    if br.read(3) != 0:
+        raise ValueError("VP8L version must be 0")
+    # transform chain: ONLY the subtract-green transform is in
+    # the subset — it is pure arithmetic (add green back to red/
+    # blue mod 256, RFC 9649 §3.5.3), carries no data and no
+    # lookup tables, so it is verifiable offline; predictor(0),
+    # color(1) and palette(3) transforms raise honestly.
+    subtract_green = False
+    while br.read_bit():
+        ttype = br.read(2)
+        if ttype != 2 or subtract_green:  # 2 = subtract green
+            raise ValueError("out-of-subset transform")
+        subtract_green = True
+    if br.read_bit():
+        raise ValueError("color cache: not in the subset")
+    if br.read_bit():
+        raise ValueError("meta prefix codes: not in the subset")
+    green = _read_prefix_code(br, _GREEN_ALPHABET)
+    red = _read_prefix_code(br, _ARGB_ALPHABET)
+    blue = _read_prefix_code(br, _ARGB_ALPHABET)
+    alpha = _read_prefix_code(br, _ARGB_ALPHABET)
+    _read_prefix_code(br, _DIST_ALPHABET)  # distance code (unused)
+    npx = width * height
+    # hot loop: inline the bit walk over the cursor's plain list
+    # (locals only — per-pixel method dispatch costs ~3x here)
+    bits = br.bits
+    p = br.pos
+    nbits = len(bits)
+    chans = [
+        (c.const, c.table) for c in (green, red, blue, alpha)
+    ]
+    vals: list[list[int]] = [[], [], [], []]
+    for _ in range(npx):
+        for ci in range(4):
+            const, table = chans[ci]
+            if const is not None:
+                vals[ci].append(const)
+                continue
+            acc = 0
+            ln = 0
+            while True:
+                if p >= nbits:
+                    raise ValueError("VP8L bitstream truncated")
+                acc = (acc << 1) | bits[p]
+                p += 1
+                ln += 1
+                sym = table.get((ln, acc))
+                if sym is not None:
+                    break
+                if ln > _MAX_CODE_LEN:
+                    raise ValueError("invalid prefix code in stream")
+            vals[ci].append(sym)
+        if vals[0][-1] >= 256:
+            raise ValueError("LZ77 length code: not in the subset")
+    out = np.empty((npx, 4), dtype=np.uint8)
+    out[:, 1] = vals[0]  # green
+    out[:, 0] = vals[1]  # red
+    out[:, 2] = vals[2]  # blue
+    out[:, 3] = vals[3]  # alpha
+    if subtract_green:
+        # inverse transform: red/blue had green subtracted mod 256
+        g_col = out[:, 1].astype(np.int64)
+        out[:, 0] = ((out[:, 0].astype(np.int64) + g_col) & 0xFF).astype(
+            np.uint8
+        )
+        out[:, 2] = ((out[:, 2].astype(np.int64) + g_col) & 0xFF).astype(
+            np.uint8
+        )
+    return width, height, alpha_hint, out
+
+
+def _walk_riff(buf: bytes):
+    """Yield ``(tag, body)`` for each top-level RIFF sub-chunk."""
+    pos = 12
+    while pos + 8 <= len(buf):
+        tag = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated RIFF chunk")
+        yield tag, body
+        pos += 8 + size + (size & 1)
+
+
 def parse_webp(payload: bytes) -> dict | None:
     r"""Decode a lossless WebP payload (the literal-only VP8L subset
     — see the module docstring). Returns the
@@ -435,7 +536,8 @@ def parse_webp(payload: bytes) -> dict | None:
     when the header's alpha hint is set), flat ``pixels`` — or
     ``None`` for malformed payloads and for spec features outside
     the subset (transforms, color cache, meta prefix, LZ77, lossy
-    VP8, VP8X).
+    VP8, VP8X stills; for ANIMATED lossless files see
+    :func:`parse_webp_frames`).
 
     Examples
     --------
@@ -455,94 +557,16 @@ def parse_webp(payload: bytes) -> dict | None:
             return None
         # chunk walk (plain container: VP8L should be first; tolerate
         # leading metadata chunks but reject VP8X/VP8 flavors)
-        pos = 12
         data = None
-        while pos + 8 <= len(buf):
-            tag = buf[pos : pos + 4]
-            (size,) = struct.unpack_from("<I", buf, pos + 4)
-            body = buf[pos + 8 : pos + 8 + size]
-            if len(body) < size:
-                return None
+        for tag, body in _walk_riff(buf):
             if tag == b"VP8L":
                 data = body
                 break
             if tag in (b"VP8 ", b"VP8X"):
                 return None  # lossy / extended: not in the subset
-            pos += 8 + size + (size & 1)
-        if data is None or not data or data[0] != 0x2F:
+        if data is None:
             return None
-        br = _BitCursor(data[1:])
-        width = br.read(14) + 1
-        height = br.read(14) + 1
-        alpha_hint = br.read_bit()
-        if br.read(3) != 0:
-            return None  # version must be 0
-        # transform chain: ONLY the subtract-green transform is in
-        # the subset — it is pure arithmetic (add green back to red/
-        # blue mod 256, RFC 9649 §3.5.3), carries no data and no
-        # lookup tables, so it is verifiable offline; predictor(0),
-        # color(1) and palette(3) transforms return None honestly.
-        subtract_green = False
-        while br.read_bit():
-            ttype = br.read(2)
-            if ttype != 2 or subtract_green:  # 2 = subtract green
-                return None  # out-of-subset transform (or duplicate)
-            subtract_green = True
-        if br.read_bit():
-            return None  # color cache: not in the subset
-        if br.read_bit():
-            return None  # meta prefix codes: not in the subset
-        green = _read_prefix_code(br, _GREEN_ALPHABET)
-        red = _read_prefix_code(br, _ARGB_ALPHABET)
-        blue = _read_prefix_code(br, _ARGB_ALPHABET)
-        alpha = _read_prefix_code(br, _ARGB_ALPHABET)
-        _read_prefix_code(br, _DIST_ALPHABET)  # distance code (unused)
-        npx = width * height
-        # hot loop: inline the bit walk over the cursor's plain list
-        # (locals only — per-pixel method dispatch costs ~3x here)
-        bits = br.bits
-        p = br.pos
-        nbits = len(bits)
-        chans = [
-            (c.const, c.table) for c in (green, red, blue, alpha)
-        ]
-        vals: list[list[int]] = [[], [], [], []]
-        for _ in range(npx):
-            for ci in range(4):
-                const, table = chans[ci]
-                if const is not None:
-                    vals[ci].append(const)
-                    continue
-                acc = 0
-                ln = 0
-                while True:
-                    if p >= nbits:
-                        raise ValueError("VP8L bitstream truncated")
-                    acc = (acc << 1) | bits[p]
-                    p += 1
-                    ln += 1
-                    sym = table.get((ln, acc))
-                    if sym is not None:
-                        break
-                    if ln > _MAX_CODE_LEN:
-                        raise ValueError("invalid prefix code in stream")
-                vals[ci].append(sym)
-            if vals[0][-1] >= 256:
-                return None  # LZ77 length code: not in the subset
-        out = np.empty((npx, 4), dtype=np.uint8)
-        out[:, 1] = vals[0]  # green
-        out[:, 0] = vals[1]  # red
-        out[:, 2] = vals[2]  # blue
-        out[:, 3] = vals[3]  # alpha
-        if subtract_green:
-            # inverse transform: red/blue had green subtracted mod 256
-            g_col = out[:, 1].astype(np.int64)
-            out[:, 0] = ((out[:, 0].astype(np.int64) + g_col) & 0xFF).astype(
-                np.uint8
-            )
-            out[:, 2] = ((out[:, 2].astype(np.int64) + g_col) & 0xFF).astype(
-                np.uint8
-            )
+        width, height, alpha_hint, out = _decode_vp8l_body(data)
         n_ch = 4 if alpha_hint else 3
         flat = out[:, :n_ch].reshape(-1).astype(np.int64)
         return {
@@ -561,6 +585,26 @@ def parse_webp(payload: bytes) -> dict | None:
 # encode (fixture/oracle generator — same discipline as encode_gif /
 # encode_bmp: a real writer of the documented subset)
 # ---------------------------------------------------------------------------
+def _encode_vp8l_body(
+    pixels,
+    width: int,
+    height: int,
+    channels: int = 3,
+    subtract_green: bool = False,
+) -> bytes:
+    """Build one VP8L bitstream (signature byte + bits) for an RGB(A)
+    raster — the shared engine behind :func:`encode_webp` (still
+    images) and :func:`encode_webp_animation` (per-ANMF frames)."""
+    if channels not in (3, 4):
+        raise ValueError("channels must be 3 or 4")
+    arr = np.asarray(pixels, dtype=np.int64).reshape(
+        height * width, channels
+    )
+    if arr.min() < 0 or arr.max() > 255:
+        raise ValueError("samples must be 0-255")
+    return _encode_vp8l_from_arr(arr, width, height, channels, subtract_green)
+
+
 def encode_webp(
     pixels,
     width: int,
@@ -579,13 +623,17 @@ def encode_webp(
     mod 256 — the form libwebp's lossless encoder emits almost
     always, so covering it meaningfully widens real-file decode.
     """
-    if channels not in (3, 4):
-        raise ValueError("channels must be 3 or 4")
-    arr = np.asarray(pixels, dtype=np.int64).reshape(
-        height * width, channels
-    )
-    if arr.min() < 0 or arr.max() > 255:
-        raise ValueError("samples must be 0-255")
+    body = _encode_vp8l_body(pixels, width, height, channels, subtract_green)
+    return _riff(_chunk(b"VP8L", body))
+
+
+def _encode_vp8l_from_arr(
+    arr: np.ndarray,
+    width: int,
+    height: int,
+    channels: int,
+    subtract_green: bool,
+) -> bytes:
     r = arr[:, 0]
     g = arr[:, 1]
     b = arr[:, 2]
@@ -646,9 +694,264 @@ def encode_webp(
     code_seq = np.stack(code_cols, axis=1).reshape(-1)
     len_seq = np.stack(len_cols, axis=1).reshape(-1)
     bw.write_codes_bulk(code_seq, len_seq)
-    body = b"\x2f" + bw.bytes()
-    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    return b"\x2f" + bw.bytes()
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    """One RIFF sub-chunk with the mandatory even-size padding."""
+    out = tag + struct.pack("<I", len(body)) + body
     if len(body) & 1:
-        chunk += b"\x00"
-    riff = b"WEBP" + chunk
+        out += b"\x00"
+    return out
+
+
+def _riff(chunks: bytes) -> bytes:
+    riff = b"WEBP" + chunks
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+# ---------------------------------------------------------------------------
+# animated WebP (VP8X container, ANIM/ANMF chunks — RFC 9649 extended
+# file format) over lossless literal-only frames
+# ---------------------------------------------------------------------------
+#: VP8X feature-flags byte, Animation bit. Decode NEVER reads these
+#: flags — frames are detected by ANMF chunk presence, so a
+#: mis-remembered bit cannot mis-decode real files; the writer sets it
+#: for third-party-reader conformance only.
+_VP8X_ANIM_FLAG = 0x02
+
+
+def _u24(v: int) -> bytes:
+    return struct.pack("<I", v)[:3]
+
+
+def _r24(b: bytes, off: int) -> int:
+    return b[off] | (b[off + 1] << 8) | (b[off + 2] << 16)
+
+
+def encode_webp_animation(
+    canvas_width: int,
+    canvas_height: int,
+    frames: list[dict],
+    loop_count: int = 0,
+    background: tuple[int, int, int, int] = (255, 255, 255, 255),
+) -> bytes:
+    """Encode an animated lossless WebP: ``VP8X`` + ``ANIM`` + one
+    ``ANMF`` per frame, each frame a literal-only VP8L bitstream
+    (:func:`_encode_vp8l_body`). Each ``frames`` entry:
+
+    - ``x``, ``y`` — frame offset on the canvas (MUST be even: the
+      container stores offsets divided by 2);
+    - ``width``, ``height``, ``pixels`` — the frame raster (flat,
+      RGBA when ``channels=4`` in the entry, else RGB);
+    - ``duration_ms`` (default 100);
+    - ``blend`` (default True) — alpha-blend onto the canvas; False
+      overwrites the rect;
+    - ``dispose`` (default False) — True restores the frame rect to
+      the background color after display.
+
+    ``background`` is the ANIM background color (stored B,G,R,A per
+    spec §"ANIM chunk"). The ANMF flags byte packs disposal in bit 0
+    and blending in bit 1 (1 = do NOT blend)."""
+    chunks = []
+    for f in frames:
+        if f["x"] % 2 or f["y"] % 2:
+            raise ValueError("ANMF frame offsets must be even")
+        if f["x"] + f["width"] > canvas_width or (
+            f["y"] + f["height"] > canvas_height
+        ):
+            raise ValueError("frame exceeds canvas")
+        ch = int(f.get("channels", 4 if len(f["pixels"]) == f["width"] * f["height"] * 4 else 3))
+        body = _encode_vp8l_body(
+            f["pixels"], f["width"], f["height"], channels=ch
+        )
+        flags = (1 if f.get("dispose", False) else 0) | (
+            0 if f.get("blend", True) else 2
+        )
+        anmf = (
+            _u24(f["x"] // 2)
+            + _u24(f["y"] // 2)
+            + _u24(f["width"] - 1)
+            + _u24(f["height"] - 1)
+            + _u24(int(f.get("duration_ms", 100)))
+            + bytes([flags])
+            + _chunk(b"VP8L", body)
+        )
+        chunks.append(_chunk(b"ANMF", anmf))
+    b, g, r, a = (
+        background[2],
+        background[1],
+        background[0],
+        background[3],
+    )
+    anim = bytes([b, g, r, a]) + struct.pack("<H", loop_count)
+    vp8x = (
+        bytes([_VP8X_ANIM_FLAG, 0, 0, 0])
+        + _u24(canvas_width - 1)
+        + _u24(canvas_height - 1)
+    )
+    return _riff(
+        _chunk(b"VP8X", vp8x) + _chunk(b"ANIM", anim) + b"".join(chunks)
+    )
+
+
+def parse_webp_frames(payload: bytes, every_n: int = 1) -> dict | None:
+    """Animated-WebP sampled-frame decode (r10, the GIF discipline
+    applied to the VP8X/ANIM/ANMF container): compose the canvas
+    through the frame sequence — alpha-blend or overwrite per the
+    ANMF blending bit, dispose-to-background per the disposal bit —
+    and snapshot the composed canvas at every ``every_n``-th frame.
+
+    Frame payloads must be lossless literal-only VP8L (the decode
+    subset); lossy ANMF frames (``VP8 ``/``ALPH``) return ``None``
+    honestly. Frames PAST the last sampled index never entropy-decode
+    (the structural ANMF walk still counts them). The canvas
+    initializes to the ANIM background color — the literal spec
+    reading, same choice as the GIF arm (renderers compositing onto
+    page content treat it as transparent instead).
+
+    A still lossless file (plain ``VP8L`` container, no ANMF)
+    parses as a single-frame animation on its own canvas, so one
+    media corpus can mix stills and animations row-by-row.
+
+    Returns ``{"fmt": "webp", "canvas_width", "canvas_height",
+    "n_frames", "frames": [{"frame_idx", "duration_ms", "dispose",
+    "pixels"}, ...]}`` with full-canvas RGBA pixel arrays (flat,
+    int64), or ``None`` for non-WebP / corrupt / out-of-subset
+    payloads.
+
+    Examples
+    --------
+        >>> buf = encode_webp_animation(2, 2, [
+        ...     dict(x=0, y=0, width=2, height=2,
+        ...          pixels=[9, 8, 7] * 4, channels=3),
+        ...     dict(x=0, y=0, width=2, height=2,
+        ...          pixels=[1, 2, 3] * 4, channels=3, duration_ms=40),
+        ... ])
+        >>> m = parse_webp_frames(buf)
+        >>> (m["n_frames"], list(m["frames"][1]["pixels"][:4]))
+        (2, [1, 2, 3, 255])
+    """
+    if payload is None or every_n < 1:
+        return None
+    try:
+        buf = bytes(payload)
+        if len(buf) < 21 or buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
+            return None
+        anmf = []
+        vp8x = None
+        anim = None
+        still = None
+        for tag, body in _walk_riff(buf):
+            if tag == b"ANMF":
+                anmf.append(body)
+            elif tag == b"VP8X":
+                vp8x = body
+            elif tag == b"ANIM":
+                anim = body
+            elif tag == b"VP8L" and still is None:
+                still = body
+            elif tag in (b"VP8 ", b"ALPH"):
+                return None  # lossy flavor: not in the subset
+        if not anmf:
+            # still image: a one-frame animation on its own canvas
+            if still is None:
+                return None
+            w, h, _hint, rgba = _decode_vp8l_body(still)
+            return {
+                "fmt": "webp",
+                "canvas_width": w,
+                "canvas_height": h,
+                "n_frames": 1,
+                "frames": [
+                    {
+                        "frame_idx": 0,
+                        "duration_ms": 0,
+                        "dispose": False,
+                        "pixels": rgba.reshape(-1).astype(np.int64),
+                    }
+                ],
+            }
+        if vp8x is None or len(vp8x) < 10:
+            return None
+        cw = _r24(vp8x, 4) + 1
+        chh = _r24(vp8x, 7) + 1
+        if anim is None or len(anim) < 6:
+            return None
+        bg = np.array(
+            [anim[2], anim[1], anim[0], anim[3]], dtype=np.uint8
+        )  # stored B,G,R,A
+        canvas = np.tile(bg, (chh, cw, 1)).reshape(chh, cw, 4)
+        n_frames = len(anmf)
+        last_sampled = ((n_frames - 1) // every_n) * every_n
+        out_frames = []
+        for idx, body in enumerate(anmf):
+            if idx > last_sampled:
+                break  # frames past the window never entropy-decode
+            if len(body) < 16:
+                return None
+            fx = _r24(body, 0) * 2
+            fy = _r24(body, 3) * 2
+            fw = _r24(body, 6) + 1
+            fh = _r24(body, 9) + 1
+            dur = _r24(body, 12)
+            flags = body[15]
+            dispose = bool(flags & 1)
+            no_blend = bool(flags & 2)
+            # frame data sub-chunks start at offset 16
+            sub = body[16:]
+            frame_data = None
+            pos = 0
+            while pos + 8 <= len(sub):
+                tag = sub[pos : pos + 4]
+                (size,) = struct.unpack_from("<I", sub, pos + 4)
+                cbody = sub[pos + 8 : pos + 8 + size]
+                if len(cbody) < size:
+                    return None
+                if tag == b"VP8L":
+                    frame_data = cbody
+                    break
+                if tag in (b"VP8 ", b"ALPH"):
+                    return None  # lossy frame: not in the subset
+                pos += 8 + size + (size & 1)
+            if frame_data is None:
+                return None
+            w, h, _hint, rgba = _decode_vp8l_body(frame_data)
+            if (w, h) != (fw, fh) or fx + fw > cw or fy + fh > chh:
+                return None
+            rect = rgba.reshape(h, w, 4)
+            window = canvas[fy : fy + fh, fx : fx + fw]
+            if no_blend:
+                window[:] = rect
+            else:
+                # src-over alpha blending in integer arithmetic
+                # (RFC 9649: blend = src + dst * (1 - src_alpha))
+                sa = rect[:, :, 3:4].astype(np.int64)
+                da = window[:, :, 3:4].astype(np.int64)
+                oa = sa + da * (255 - sa) // 255
+                num = rect[:, :, :3].astype(np.int64) * sa * 255 + (
+                    window[:, :, :3].astype(np.int64) * da * (255 - sa)
+                )
+                safe = np.maximum(oa, 1)
+                window[:, :, :3] = (num // (safe * 255)).astype(np.uint8)
+                window[:, :, 3:4] = oa.astype(np.uint8)
+            if idx % every_n == 0:
+                out_frames.append(
+                    {
+                        "frame_idx": idx,
+                        "duration_ms": dur,
+                        "dispose": dispose,
+                        "pixels": canvas.reshape(-1).astype(np.int64),
+                    }
+                )
+            if dispose:
+                canvas[fy : fy + fh, fx : fx + fw] = bg
+        return {
+            "fmt": "webp",
+            "canvas_width": cw,
+            "canvas_height": chh,
+            "n_frames": n_frames,
+            "frames": out_frames,
+        }
+    except (ValueError, IndexError, struct.error, OverflowError):
+        return None

@@ -244,3 +244,210 @@ class TestSparkIntegration:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # decode is map-only
         assert "BatchEvalPython" not in plan  # Arrow stages only
+
+
+class TestAnimation:
+    """VP8X/ANIM/ANMF composition (r10): blend/dispose semantics,
+    even-offset container rule, sampling-aware decode, still-image
+    passthrough."""
+
+    def _anim(self, frames, w=4, h=4, **kw):
+        from flycatcher_spark.operators.webp import (
+            encode_webp_animation,
+            parse_webp_frames,
+        )
+
+        return parse_webp_frames(encode_webp_animation(w, h, frames, **kw))
+
+    def test_overwrite_composition_and_metadata(self):
+        m = self._anim(
+            [
+                dict(x=0, y=0, width=4, height=4, channels=3,
+                     pixels=[10, 20, 30] * 16, duration_ms=40),
+                dict(x=2, y=2, width=2, height=2, channels=3,
+                     pixels=[1, 2, 3] * 4, duration_ms=70),
+            ]
+        )
+        assert (m["canvas_width"], m["canvas_height"], m["n_frames"]) == (
+            4, 4, 2,
+        )
+        f0 = np.array(m["frames"][0]["pixels"]).reshape(4, 4, 4)
+        f1 = np.array(m["frames"][1]["pixels"]).reshape(4, 4, 4)
+        assert (f0[:, :, :3] == [10, 20, 30]).all()
+        assert (f0[:, :, 3] == 255).all()
+        assert (f1[2:, 2:, :3] == [1, 2, 3]).all()
+        assert (f1[:2, :, :3] == [10, 20, 30]).all()
+        assert m["frames"][1]["duration_ms"] == 70
+
+    def test_alpha_blend_integer_src_over(self):
+        # 50%-alpha gray over opaque gray: exact integer src-over
+        m = self._anim(
+            [
+                dict(x=0, y=0, width=4, height=4, channels=3,
+                     pixels=[100] * 48),
+                dict(x=0, y=0, width=4, height=4, channels=4,
+                     pixels=[200, 200, 200, 128] * 16),
+            ]
+        )
+        f1 = np.array(m["frames"][1]["pixels"]).reshape(4, 4, 4)
+        # oa = 128 + 255*(127)/255 = 255; rgb = (200*128*255 +
+        # 100*255*127) / (255*255) = 150 (integer floor)
+        assert (f1[:, :, :3] == 150).all()
+        assert (f1[:, :, 3] == 255).all()
+
+    def test_no_blend_overwrites_including_alpha(self):
+        m = self._anim(
+            [
+                dict(x=0, y=0, width=4, height=4, channels=3,
+                     pixels=[100] * 48),
+                dict(x=0, y=0, width=4, height=4, channels=4,
+                     pixels=[200, 200, 200, 128] * 16, blend=False),
+            ]
+        )
+        f1 = np.array(m["frames"][1]["pixels"]).reshape(4, 4, 4)
+        assert (f1[:, :, :3] == 200).all() and (f1[:, :, 3] == 128).all()
+
+    def test_dispose_restores_background_rect(self):
+        m = self._anim(
+            [
+                dict(x=0, y=0, width=4, height=4, channels=3,
+                     pixels=[5] * 48, dispose=True),
+                dict(x=0, y=0, width=2, height=2, channels=3,
+                     pixels=[7] * 12),
+            ],
+            background=(9, 11, 13, 255),
+        )
+        f1 = np.array(m["frames"][1]["pixels"]).reshape(4, 4, 4)
+        assert (f1[:2, :2, :3] == 7).all()          # new frame rect
+        assert (f1[2:, 2:, :3] == [9, 11, 13]).all()  # disposed to bg
+
+    def test_sampling_skips_past_window(self):
+        frames = [
+            dict(x=0, y=0, width=2, height=2, channels=3, pixels=[i] * 12)
+            for i in range(5)
+        ]
+        from flycatcher_spark.operators.webp import (
+            encode_webp_animation,
+            parse_webp_frames,
+        )
+
+        buf = encode_webp_animation(2, 2, frames)
+        m = parse_webp_frames(buf, every_n=2)
+        assert [f["frame_idx"] for f in m["frames"]] == [0, 2, 4]
+        assert m["n_frames"] == 5
+        # frames PAST the last sampled index never entropy-decode:
+        # corrupt the LAST frame's VP8L body of a 4-frame file and
+        # sample every 3 — only frames 0..3? no: last sampled = 3,
+        # so corrupt a 5th frame instead
+        buf2 = encode_webp_animation(2, 2, frames)
+        i = buf2.rindex(b"VP8L")
+        mut = bytearray(buf2)
+        mut[i + 10] ^= 0xFF  # corrupt frame 4's bitstream
+        m2 = parse_webp_frames(bytes(mut), every_n=3)
+        assert m2 is not None  # frame 4 beyond last sampled idx 3
+        assert [f["frame_idx"] for f in m2["frames"]] == [0, 3]
+
+    def test_still_image_is_one_frame(self):
+        from flycatcher_spark.operators.webp import parse_webp_frames
+
+        st = parse_webp_frames(encode_webp([7, 8, 9] * 4, 2, 2, 3))
+        assert st["n_frames"] == 1
+        assert list(st["frames"][0]["pixels"][:4]) == [7, 8, 9, 255]
+
+    def test_odd_offset_rejected_by_writer(self):
+        from flycatcher_spark.operators.webp import encode_webp_animation
+
+        with pytest.raises(ValueError):
+            encode_webp_animation(
+                4, 4,
+                [dict(x=1, y=0, width=2, height=2, channels=3,
+                      pixels=[0] * 12)],
+            )
+
+    def test_lossy_frame_is_honest_none(self):
+        from flycatcher_spark.operators.webp import (
+            encode_webp_animation,
+            parse_webp_frames,
+        )
+
+        buf = encode_webp_animation(
+            2, 2,
+            [dict(x=0, y=0, width=2, height=2, channels=3,
+                  pixels=[0] * 12)],
+        )
+        mut = buf.replace(b"VP8L", b"VP8 ", 1)
+        assert parse_webp_frames(mut) is None
+
+    def test_truncation_never_crashes(self):
+        from flycatcher_spark.operators.webp import (
+            encode_webp_animation,
+            parse_webp_frames,
+        )
+
+        full = encode_webp_animation(
+            4, 4,
+            [
+                dict(x=0, y=0, width=4, height=4, channels=3,
+                     pixels=list(range(48))),
+                dict(x=2, y=2, width=2, height=2, channels=4,
+                     pixels=[1, 2, 3, 200] * 4),
+            ],
+        )
+        for k in range(0, len(full) - 1, 3):
+            parse_webp_frames(full[:k])  # None or partial, never raise
+
+
+class TestMediaFramesWebpArm:
+    def test_mixed_corpus_dispatch(self, spark):
+        # one corpus mixing animated WebP (even ids) and animated GIF
+        # (odd ids) through the SAME media_frames stage
+        from pyspark.sql import functions as F
+
+        docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+        webp_rows = multimodal.media_frames(
+            multimodal.make_webp_anim_payload(
+                docs.where(F.col("doc_id") % 2 == 0)
+            )
+        )
+        gif_rows = multimodal.media_frames(
+            multimodal.make_gif_payload(docs.where(F.col("doc_id") % 2 == 1))
+        )
+        mixed = multimodal.media_frames(
+            multimodal.make_webp_anim_payload(
+                docs.where(F.col("doc_id") % 2 == 0)
+            ).unionByName(
+                multimodal.make_gif_payload(
+                    docs.where(F.col("doc_id") % 2 == 1)
+                )
+            )
+        )
+        a = sorted(map(tuple, webp_rows.collect() + gif_rows.collect()))
+        b = sorted(map(tuple, mixed.collect()))
+        assert a == b
+        fmts = {r.fmt for r in mixed.collect()}
+        assert fmts == {"webp", "gif"}
+
+    def test_webp_arm_closed_form(self, spark):
+        docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+        rows = multimodal.media_frames(
+            multimodal.make_webp_anim_payload(docs)
+        ).collect()
+        for r in rows:
+            i = r.doc_id
+            w, h = 4 + i % 13, 3 + i % 7
+            nf = 2 + i % 2
+            assert (r.fmt, r.width, r.height, r.n_frames_total) == (
+                "webp", w, h, nf,
+            )
+            k = np.arange(w * h * 3)
+            canvas = ((i * 7 + k * 13) % 256).reshape(h, w, 3)
+            if r.frame_idx >= 1:
+                canvas[2, 2:] = (
+                    (i * 5 + np.arange((w - 2) * 3) * 11) % 256
+                ).reshape(w - 2, 3)
+            if r.frame_idx >= 2:
+                canvas[0] = ((i * 3 + np.arange(w * 3) * 17) % 256).reshape(
+                    w, 3
+                )
+            want = (canvas.sum() + 255 * w * h) / (4 * w * h)
+            assert r.mean_pixel == pytest.approx(want, abs=1e-9)
