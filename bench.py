@@ -148,6 +148,7 @@ HEADLINE = [
     # round-10 additions
     "webp_decode",              # real lossless WebP (VP8L literal)
     "pq_rerank_topk",           # PQ ADC + full-width exact rerank
+    "webp_frames",              # animated WebP canvas composition
 ]
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100

@@ -529,8 +529,9 @@ def sniff_format(payload: bytes) -> str | None:
 
     Returns one of ``jpeg_baseline``, ``jpeg_progressive``,
     ``jpeg_extended``, ``jpeg_arithmetic``, ``jpeg_lossless``,
-    ``jpeg_other``, ``png``, ``ppm``, ``pgm``, ``gif``, ``webp``,
-    ``bmp``, ``tiff``, ``wav``, ``flac``, ``pdf``, ``mp3``, ``ogg``,
+    ``jpeg_other``, ``png``, ``ppm``, ``pgm``, ``gif``,
+    ``webp_lossless``, ``webp_lossy``, ``webp_animated``,
+    ``webp_other``, ``bmp``, ``tiff``, ``wav``, ``flac``, ``pdf``, ``mp3``, ``ogg``,
     ``avi``, ``gzip``, ``tar``, ``zip``, ``unknown`` — or ``None``
     for null/empty.
 
@@ -579,7 +580,36 @@ def sniff_format(payload: bytes) -> str | None:
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
     if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
-        return "webp"
+        # sub-classify to the decodability decider (the JPEG frame-
+        # type discipline, r10): lossless stills and lossless
+        # animations decode here; lossy VP8 does not. The walk is
+        # structural (chunk tags only — never VP8X flag bits).
+        full = bytes(payload)
+        has_l = has_lossy = has_anmf = False
+        pos = 12
+        while pos + 8 <= len(full):
+            tag = full[pos : pos + 4]
+            size = int.from_bytes(full[pos + 4 : pos + 8], "little")
+            if tag == b"VP8L":
+                has_l = True
+            elif tag in (b"VP8 ", b"ALPH"):
+                has_lossy = True
+            elif tag == b"ANMF":
+                has_anmf = True
+                # peek the frame payload's first sub-chunk tag
+                sub = full[pos + 8 + 16 : pos + 8 + 16 + 4]
+                if sub == b"VP8L":
+                    has_l = True
+                elif sub in (b"VP8 ", b"ALPH"):
+                    has_lossy = True
+            pos += 8 + size + (size & 1)
+        if has_anmf:
+            return "webp_animated" if not has_lossy else "webp_other"
+        if has_lossy:
+            return "webp_lossy"
+        if has_l:
+            return "webp_lossless"
+        return "webp_other"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
     if b[:4] == b"RIFF" and b[8:12] == b"AVI ":

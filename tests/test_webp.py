@@ -235,7 +235,7 @@ class TestSparkIntegration:
 
     def test_dispatch_and_sniffer(self, spark):
         buf = encode_webp(np.zeros(12), 2, 2, 3)
-        assert multimodal.sniff_format(buf) == "webp"
+        assert multimodal.sniff_format(buf) == "webp_lossless"
         assert multimodal.parse_image(buf)["fmt"] == "webp"
 
     def test_map_only_plan(self, spark):
@@ -451,3 +451,25 @@ class TestMediaFramesWebpArm:
                 )
             want = (canvas.sum() + 255 * w * h) / (4 * w * h)
             assert r.mean_pixel == pytest.approx(want, abs=1e-9)
+
+
+class TestSniffSubclassing:
+    def test_webp_flavors(self):
+        from flycatcher_spark.operators.multimodal import sniff_format
+        from flycatcher_spark.operators.webp import encode_webp_animation
+
+        assert sniff_format(encode_webp([1, 2, 3] * 4, 2, 2, 3)) == (
+            "webp_lossless"
+        )
+        anim = encode_webp_animation(
+            2, 2,
+            [dict(x=0, y=0, width=2, height=2, channels=3,
+                  pixels=[0] * 12)],
+        )
+        assert sniff_format(anim) == "webp_animated"
+        assert sniff_format(
+            b"RIFF\x14\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd"
+        ) == "webp_lossy"
+        # animated-but-lossy-frames: counted as undecodable here
+        assert sniff_format(anim.replace(b"VP8L", b"VP8 ")) == "webp_other"
+        assert sniff_format(b"RIFF\x04\x00\x00\x00WEBP") == "webp_other"
