@@ -473,3 +473,53 @@ class TestSniffSubclassing:
         # animated-but-lossy-frames: counted as undecodable here
         assert sniff_format(anim.replace(b"VP8L", b"VP8 ")) == "webp_other"
         assert sniff_format(b"RIFF\x04\x00\x00\x00WEBP") == "webp_other"
+
+
+class TestPropertyRoundTrip:
+    """Hypothesis: ANY in-range raster round-trips byte-exactly, and
+    ANY single-byte mutation of a valid file never raises."""
+
+    def test_random_rasters_roundtrip(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            w=st.integers(1, 24),
+            h=st.integers(1, 16),
+            ch=st.sampled_from([3, 4]),
+            sg=st.booleans(),
+            data=st.data(),
+        )
+        def check(w, h, ch, sg, data):
+            px = data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=w * h * ch,
+                    max_size=w * h * ch,
+                )
+            )
+            m = parse_webp(encode_webp(px, w, h, ch, subtract_green=sg))
+            assert m is not None
+            assert (m["width"], m["height"], m["n_channels"]) == (w, h, ch)
+            assert list(m["pixels"]) == px
+
+        check()
+
+    def test_mutations_never_raise(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        base = encode_webp((np.arange(240) * 7) % 256, 10, 8, 3)
+
+        @settings(max_examples=120, deadline=None)
+        @given(
+            pos=st.integers(0, len(base) - 1),
+            val=st.integers(0, 255),
+        )
+        def check(pos, val):
+            mut = bytearray(base)
+            mut[pos] = val
+            parse_webp(bytes(mut))  # any outcome but an exception
+
+        check()
