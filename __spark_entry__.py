@@ -2537,6 +2537,28 @@ def q_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zip_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP-shard ingest (r10, webdataset.zip_samples): every document
+    gets a real ZIP shard — odd ids DEFLATE, even ids STORE, so both
+    decompression arms genuinely run — and the reader explodes it to
+    one row per sample with the webdataset parts-map shape (ZIP has
+    no adjacency contract, so samples group per archive). Captions
+    and JSON metadata are closed-form strings DuckDB states outright,
+    value-checking the central-directory walk, the inflate, and the
+    sample grouping."""
+    from flycatcher_spark.operators import webdataset
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    samples = webdataset.zip_samples(webdataset.make_zip_payload(docs))
+    return samples.select(
+        "doc_id",
+        "sample_key",
+        "n_members",
+        F.element_at("parts", "txt").cast("string").alias("caption"),
+        F.element_at("parts", "json").cast("string").alias("meta"),
+    )
+
+
 def q_webp_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANIMATED lossless WebP through the unified media_frames
     dispatch (r10): every document gets a deterministic VP8X/ANIM/
@@ -4075,6 +4097,7 @@ _WINDOW_R10 = [
     # changed-this-round; the two newest r7-green fillers host_cap +
     # html_extract rotate back out to hold the 50-slot contract)
     "webp_decode", "pq_rerank_topk", "webp_frames", "media_frames",
+    "zip_samples",
     # changed this round + never-driver-checked (rows-only by design)
     "leakage_safe_split", "ann_recall", "lsh_topk", "ivf_topk",
     "pq_topk", "minhash_dedup_ids", "leakage_safe_split_prod",
@@ -4092,7 +4115,6 @@ _WINDOW_R10 = [
     "embedding_quantize", "events_asof_join", "events_hourly_rollup",
     "events_json_props", "events_range_join", "events_session_window",
     "events_sessions", "events_user_top3", "extract_links",
-    "hits_hosts",
 ]
 
 
@@ -4214,6 +4236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r10-new: lossless WebP decode (r9 descope closed)
         "webp_decode": q_webp_decode,
         "webp_frames": q_webp_frames,
+        "zip_samples": q_zip_samples,
         "image_decode": q_image_decode,
         "wav_decode": q_wav_decode,
         "semantic_decontam": q_semantic_decontam,
@@ -7696,6 +7719,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS n_chars,
                    text
             FROM agg
+        """,
+        "zip_samples": """
+            WITH s AS (
+                SELECT doc_id,
+                       unnest(range(0, 2 + doc_id % 3)) AS k
+                FROM documents
+            )
+            SELECT doc_id,
+                   'z' || doc_id || '_' || k AS sample_key,
+                   CAST(2 AS BIGINT) AS n_members,
+                   'caption ' || doc_id || ' ' || k AS caption,
+                   '{"id":' || doc_id || ',"k":' || k || ',"n":'
+                       || (10 + (doc_id + k) % 50) || '}' AS meta
+            FROM s
         """,
         "webp_frames": """
             WITH d AS (

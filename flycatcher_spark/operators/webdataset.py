@@ -31,6 +31,12 @@ visit the driver. The per-sample map column keeps a sample's
 modalities together without a (key)-join — exactly why the format
 stores them adjacently.
 
+r10 adds the ZIP container: :func:`zip_samples` explodes ZIP shards
+(STORED + DEFLATED members, stdlib ``zipfile``) into the SAME
+parts-map sample shape — ZIP has no adjacency contract, so samples
+group per archive — and :func:`make_zip_payload` is its closed-form
+fixture writer.
+
 The fixture generator (:func:`make_webdataset_payload`) builds real
 tar shards whose ``.txt`` members are closed-form strings and whose
 ``.jpg`` members are the DC-only fixture JPEGs from :mod:`.jpeg`, so
@@ -53,9 +59,11 @@ from pyspark.sql.functions import pandas_udf
 __all__ = [
     "tar_members",
     "webdataset_samples",
+    "zip_samples",
     "write_webdataset",
     "save_webdataset",
     "make_webdataset_payload",
+    "make_zip_payload",
 ]
 
 
@@ -311,6 +319,117 @@ def make_webdataset_payload(
                         info.size = len(body)
                         info.mtime = 0
                         tf.addfile(info, io.BytesIO(body))
+            out.append(buf.getvalue())
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, _build(F.col(id_col)))
+
+
+# ---------------------------------------------------------------------------
+# ZIP shards (r10) — the other archive container real datasets ship in
+# ---------------------------------------------------------------------------
+def zip_samples(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """ZIP-shard ingest: the ``zipfile`` counterpart of
+    :func:`webdataset_samples` — one row per training sample with the
+    same ``(sample_key, n_members, ext -> payload)`` shape, so
+    downstream decode/select stages compose identically over tar and
+    zip corpora. Unlike tar, ZIP's central directory does NOT
+    guarantee member adjacency, so samples group per archive via a
+    key-ordered dict accumulation — bounded by the shard size, the
+    same memory envelope as the tar walk. STORED and DEFLATED members
+    both decode (stdlib inflate); encrypted or corrupt archives yield
+    one attributable null row, never a stage failure."""
+    import zipfile
+
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), *SAMPLE_FIELDS]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rows = [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                samples: dict[str, dict] = {}
+                try:
+                    if p is None:
+                        raise ValueError("null payload")
+                    with zipfile.ZipFile(io.BytesIO(bytes(p))) as zf:
+                        for info in zf.infolist():
+                            if info.is_dir():
+                                continue
+                            name = info.filename.rsplit("/", 1)[-1]
+                            if "." not in name:
+                                continue
+                            key, ext = name.rsplit(".", 1)
+                            samples.setdefault(key, {})[ext] = zf.read(
+                                info
+                            )
+                except (
+                    zipfile.BadZipFile,
+                    ValueError,
+                    OSError,
+                    EOFError,
+                    NotImplementedError,  # unsupported compression
+                    RuntimeError,  # encrypted member
+                ):
+                    samples = {}
+                if not samples:
+                    ids.append(i)
+                    rows.append((None, None, None))
+                    continue
+                for key in sorted(samples):
+                    parts = samples[key]
+                    ids.append(i)
+                    rows.append((key, len(parts), dict(parts)))
+            out = pd.DataFrame(rows, columns=[f.name for f in SAMPLE_FIELDS])
+            out.insert(0, id_col, pd.Series(ids, dtype="object"))
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(
+        process, schema=out_schema
+    )
+
+
+def make_zip_payload(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Build a deterministic REAL ZIP shard per row (fixture/oracle
+    generator): ``2 + id % 3`` samples, each a ``z{id}_{k}.txt``
+    caption plus a ``z{id}_{k}.json`` metadata string — both
+    closed-form strings DuckDB states outright. Odd ids compress
+    with DEFLATE, even ids STORE, so both decompression arms of the
+    reader genuinely run; timestamps pin to the DOS epoch for
+    byte-stable output."""
+    import zipfile
+
+    @pandas_udf("binary")
+    def _build(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if i is None:
+                out.append(None)
+                continue
+            i = int(i)
+            comp = zipfile.ZIP_DEFLATED if i % 2 else zipfile.ZIP_STORED
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w", compression=comp) as zf:
+                for k in range(2 + i % 3):
+                    for ext, body in (
+                        ("txt", f"caption {i} {k}"),
+                        (
+                            "json",
+                            '{"id":%d,"k":%d,"n":%d}'
+                            % (i, k, 10 + (i + k) % 50),
+                        ),
+                    ):
+                        info = zipfile.ZipInfo(
+                            f"z{i}_{k}.{ext}",
+                            date_time=(1980, 1, 1, 0, 0, 0),
+                        )
+                        info.compress_type = comp
+                        zf.writestr(info, body)
             out.append(buf.getvalue())
         return pd.Series(out)
 

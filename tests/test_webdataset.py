@@ -159,3 +159,86 @@ class TestWriteWebdataset:
                     seen.setdefault(key, {})[ext] = tf.extractfile(m).read()
         want = {k: {e: bytes(b) for e, b in p.items()} for k, p in rows}
         assert seen == want
+
+
+class TestZipSamples:
+    """ZIP-shard ingest (r10): zipfile counterpart of the tar walk —
+    same parts-map sample shape, no adjacency contract."""
+
+    def _mk(self, files: dict, comp=None) -> bytes:
+        import io
+        import zipfile
+
+        comp = comp if comp is not None else zipfile.ZIP_DEFLATED
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", compression=comp) as zf:
+            for name, body in files.items():
+                zf.writestr(name, body)
+        return buf.getvalue()
+
+    def test_fixture_roundtrip_both_compressions(self, spark):
+        from flycatcher_spark.operators import webdataset
+
+        docs = spark.createDataFrame([(i,) for i in range(9)], "doc_id long")
+        rows = webdataset.zip_samples(
+            webdataset.make_zip_payload(docs)
+        ).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for i in range(9):  # even ids STORED, odd DEFLATED — both decode
+            samples = sorted(by_doc[i], key=lambda r: r.sample_key)
+            assert len(samples) == 2 + i % 3
+            for k, r in enumerate(samples):
+                assert r.sample_key == f"z{i}_{k}"
+                assert r.n_members == 2
+                assert bytes(r.parts["txt"]).decode() == f"caption {i} {k}"
+                assert f'"n":{10 + (i + k) % 50}' in bytes(
+                    r.parts["json"]
+                ).decode()
+
+    def test_non_adjacent_members_still_group(self, spark):
+        # ZIP has no adjacency contract: interleave two samples' files
+        from flycatcher_spark.operators import webdataset
+
+        buf = self._mk(
+            {
+                "a.txt": "A", "b.txt": "B", "a.json": "{}", "b.json": "[]",
+            }
+        )
+        df = spark.createDataFrame([(1, bytearray(buf))],
+                                   "doc_id long, payload binary")
+        rows = {r.sample_key: r for r in webdataset.zip_samples(df).collect()}
+        assert set(rows) == {"a", "b"}
+        assert rows["a"].n_members == 2
+        assert bytes(rows["a"].parts["json"]) == b"{}"
+
+    def test_directories_and_pathed_names(self, spark):
+        from flycatcher_spark.operators import webdataset
+
+        buf = self._mk({"shard/x/a.txt": "deep", "shard/": ""})
+        df = spark.createDataFrame([(1, bytearray(buf))],
+                                   "doc_id long, payload binary")
+        rows = webdataset.zip_samples(df).collect()
+        assert len(rows) == 1 and rows[0].sample_key == "a"
+        assert bytes(rows[0].parts["txt"]) == b"deep"
+
+    def test_corrupt_and_null_yield_null_rows(self, spark):
+        from flycatcher_spark.operators import webdataset
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"PK\x03\x04garbage")), (2, None)],
+            "doc_id long, payload binary",
+        )
+        rows = sorted(webdataset.zip_samples(df).collect(),
+                      key=lambda r: r.doc_id)
+        assert [r.sample_key for r in rows] == [None, None]
+
+    def test_map_only_arrow_plan(self, spark):
+        from flycatcher_spark.operators import webdataset
+
+        docs = spark.createDataFrame([(i,) for i in range(3)], "doc_id long")
+        out = webdataset.zip_samples(webdataset.make_zip_payload(docs))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
