@@ -149,6 +149,7 @@ HEADLINE = [
     "webp_decode",              # real lossless WebP (VP8L literal)
     "pq_rerank_topk",           # PQ ADC + full-width exact rerank
     "webp_frames",              # animated WebP canvas composition
+    "zip_samples",              # ZIP-shard ingest (stored+deflated)
 ]
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
