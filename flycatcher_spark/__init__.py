@@ -36,6 +36,11 @@ from .fields import (
 )
 from .validators import FieldRef, col
 
+# API-parity constant: mirrors the reference library's published
+# version (reference pyproject.toml: version = "0.2.0") so callers
+# that feature-gate on the reference's version string keep working.
+# The DISTRIBUTION version lives in this repo's pyproject.toml and is
+# monotonic (0.3.1 as of r11) — see the note there (ADVICE r10).
 __version__ = "0.2.0"
 
 __all__ = [

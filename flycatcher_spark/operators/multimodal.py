@@ -596,12 +596,18 @@ def sniff_format(payload: bytes) -> str | None:
                 has_lossy = True
             elif tag == b"ANMF":
                 has_anmf = True
-                # peek the frame payload's first sub-chunk tag
-                sub = full[pos + 8 + 16 : pos + 8 + 16 + 4]
-                if sub == b"VP8L":
-                    has_l = True
-                elif sub in (b"VP8 ", b"ALPH"):
-                    has_lossy = True
+                # peek the frame payload's first sub-chunk tag —
+                # only when the ANMF body is long enough to contain
+                # one (16B frame params + 4B tag), and never past
+                # the body's declared size (ADVICE r10: an
+                # undersized ANMF must not read the NEXT top-level
+                # chunk's tag and mislabel the file)
+                if size >= 20:
+                    sub = full[pos + 24 : pos + 28]
+                    if sub == b"VP8L":
+                        has_l = True
+                    elif sub in (b"VP8 ", b"ALPH"):
+                        has_lossy = True
             pos += 8 + size + (size & 1)
         if has_anmf:
             return "webp_animated" if not has_lossy else "webp_other"

@@ -340,8 +340,16 @@ def zip_samples(
     key-ordered dict accumulation — bounded by the shard size, the
     same memory envelope as the tar walk. STORED and DEFLATED members
     both decode (stdlib inflate); encrypted or corrupt archives yield
-    one attributable null row, never a stage failure."""
+    one attributable null row, never a stage failure. Decompression
+    bombs are capped like the WARC gzip path (ADVICE r10): a member
+    whose declared ``file_size`` — which ``zipfile`` enforces as the
+    inflate output bound — exceeds :data:`warc.MAX_DECODED_BYTES`,
+    or an archive whose members cumulatively exceed it, yields the
+    attributable null row instead of expanding unbounded into
+    executor memory (the 42.zip shape)."""
     import zipfile
+
+    from .warc import MAX_DECODED_BYTES
 
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), *SAMPLE_FIELDS]
@@ -356,12 +364,19 @@ def zip_samples(
                     if p is None:
                         raise ValueError("null payload")
                     with zipfile.ZipFile(io.BytesIO(bytes(p))) as zf:
+                        total = 0
                         for info in zf.infolist():
                             if info.is_dir():
                                 continue
                             name = info.filename.rsplit("/", 1)[-1]
                             if "." not in name:
                                 continue
+                            total += info.file_size
+                            if (
+                                info.file_size > MAX_DECODED_BYTES
+                                or total > MAX_DECODED_BYTES
+                            ):
+                                raise ValueError("zip decompression bomb")
                             key, ext = name.rsplit(".", 1)
                             samples.setdefault(key, {})[ext] = zf.read(
                                 info

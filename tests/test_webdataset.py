@@ -234,6 +234,28 @@ class TestZipSamples:
                       key=lambda r: r.doc_id)
         assert [r.sample_key for r in rows] == [None, None]
 
+    def test_decompression_bomb_yields_null_row(self, spark, monkeypatch):
+        # ADVICE r10: a member whose declared file_size (zipfile's
+        # inflate output bound) exceeds the WARC cap — or members
+        # cumulatively past it — must yield the attributable null
+        # row, not expand unbounded into executor memory
+        from flycatcher_spark.operators import warc, webdataset
+
+        monkeypatch.setattr(warc, "MAX_DECODED_BYTES", 1024)
+        big = self._mk({"a.txt": "z" * 4096})  # one member over the cap
+        cum = self._mk(
+            {"a.txt": "z" * 600, "b.txt": "y" * 600}  # cumulative over
+        )
+        ok = self._mk({"a.txt": "fine"})
+        df = spark.createDataFrame(
+            [(1, bytearray(big)), (2, bytearray(cum)), (3, bytearray(ok))],
+            "doc_id long, payload binary",
+        )
+        rows = sorted(webdataset.zip_samples(df).collect(),
+                      key=lambda r: r.doc_id)
+        assert [r.sample_key for r in rows] == [None, None, "a"]
+        assert bytes(rows[2].parts["txt"]) == b"fine"
+
     def test_map_only_arrow_plan(self, spark):
         from flycatcher_spark.operators import webdataset
 

@@ -95,6 +95,43 @@ class TestRoundTrip:
         m = parse_webp(encode_webp(px, w, h, 3))
         assert list(m["pixels"]) == list(px)
 
+    def test_two_symbol_descending_transmitted_order(self):
+        # ADVICE r10: RFC 9649 assigns code 0 to the FIRST transmitted
+        # symbol of a two-symbol simple code. The in-repo encoder
+        # always transmits ascending, so hand-build a spec-valid
+        # stream that transmits green symbols (200, 10) DESCENDING:
+        # a canonical-order decoder would swap the two pixel values.
+        from flycatcher_spark.operators.webp import _chunk, _riff
+
+        bw = _BitWriter()
+        bw.write(2 - 1, 14)  # width 2
+        bw.write(1 - 1, 14)  # height 1
+        bw.write(0, 1)  # no alpha hint
+        bw.write(0, 3)  # version
+        bw.write(0, 1)  # no transforms
+        bw.write(0, 1)  # no color cache
+        bw.write(0, 1)  # no meta prefix
+        # green: simple, 2 symbols, first 8-bit, 200 then 10
+        bw.write(1, 1)
+        bw.write(1, 1)
+        bw.write(1, 1)
+        bw.write(200, 8)
+        bw.write(10, 8)
+        # red/blue/alpha/dist: single-symbol const 0 (1-bit symbol)
+        for _ in range(4):
+            bw.write(1, 1)  # simple
+            bw.write(0, 1)  # one symbol
+            bw.write(0, 1)  # 1-bit symbol
+            bw.write(0, 1)  # value 0
+        # pixel data: green codes 0 (-> 200) then 1 (-> 10)
+        bw.write_code(0, 1)
+        bw.write_code(1, 1)
+        buf = _riff(_chunk(b"VP8L", b"\x2f" + bw.bytes()))
+        m = parse_webp(buf)
+        assert m is not None and m["width"] == 2 and m["height"] == 1
+        # greens in transmitted-code order, NOT numeric order
+        assert list(m["pixels"]) == [0, 200, 0, 0, 10, 0]
+
     def test_constant_zero_bit_codes(self):
         # every channel constant: all five codes are single-symbol
         # (zero bits per pixel) — the whole raster costs only headers
@@ -237,6 +274,17 @@ class TestSparkIntegration:
         buf = encode_webp(np.zeros(12), 2, 2, 3)
         assert multimodal.sniff_format(buf) == "webp_lossless"
         assert multimodal.parse_image(buf)["fmt"] == "webp"
+
+    def test_sniffer_undersized_anmf_never_reads_next_chunk(self):
+        # ADVICE r10: an ANMF body shorter than 20 bytes has no
+        # sub-chunk tag to peek; the old unbounded slice read 12
+        # bytes into the NEXT top-level chunk's body — plant "VP8 "
+        # exactly there and require the sniffer NOT to see it
+        from flycatcher_spark.operators.webp import _chunk, _riff
+
+        bait = _chunk(b"META", b"xxxx" + b"VP8 " + b"pad!")
+        buf = _riff(_chunk(b"ANMF", b"1234") + bait)
+        assert multimodal.sniff_format(buf) == "webp_animated"
 
     def test_map_only_plan(self, spark):
         docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
