@@ -60,8 +60,11 @@ __all__ = [
     "tar_members",
     "webdataset_samples",
     "zip_samples",
+    "zip_members",
     "write_webdataset",
     "save_webdataset",
+    "write_zip_shards",
+    "save_zip_shards",
     "make_webdataset_payload",
     "make_zip_payload",
 ]
@@ -449,3 +452,181 @@ def make_zip_payload(
         return pd.Series(out)
 
     return df.withColumn(payload_col, _build(F.col(id_col)))
+
+
+def zip_members(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Explode a ZIP-shard binary column into one row per regular
+    member in CENTRAL-DIRECTORY ORDER (which is write order for
+    shards produced by :func:`write_zip_shards`, so shard layout is
+    checkable downstream — the ``zip_roundtrip`` oracle replays it):
+    ``(id_col, member_idx, sample_key, ext, n_bytes, member)``, the
+    exact :func:`tar_members` shape so the two container families
+    share every downstream stage. Member bodies honor the same
+    decompression-bomb cap as :func:`zip_samples`; unreadable or
+    over-cap shards yield a single all-null member row."""
+    import zipfile
+
+    from .warc import MAX_DECODED_BYTES
+
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), *TAR_MEMBER_FIELDS]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rows = [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                members = []
+                try:
+                    if p is None:
+                        raise ValueError("null payload")
+                    with zipfile.ZipFile(io.BytesIO(bytes(p))) as zf:
+                        total = 0
+                        for info in zf.infolist():
+                            if info.is_dir():
+                                continue
+                            total += info.file_size
+                            if (
+                                info.file_size > MAX_DECODED_BYTES
+                                or total > MAX_DECODED_BYTES
+                            ):
+                                raise ValueError("zip decompression bomb")
+                            name = info.filename
+                            base = name.rfind("/") + 1
+                            dot = name.find(".", base)
+                            key, ext = (
+                                (name, "")
+                                if dot < 0
+                                else (name[:dot], name[dot + 1 :])
+                            )
+                            members.append((key, ext, zf.read(info)))
+                except (
+                    zipfile.BadZipFile,
+                    ValueError,
+                    OSError,
+                    EOFError,
+                    NotImplementedError,
+                    RuntimeError,
+                ):
+                    members = []
+                if not members:
+                    ids.append(i)
+                    rows.append((None, None, None, None, None))
+                    continue
+                for j, (key, ext, body) in enumerate(members):
+                    ids.append(i)
+                    rows.append((j, key, ext, len(body), body))
+            out = pd.DataFrame(
+                rows, columns=[f.name for f in TAR_MEMBER_FIELDS]
+            )
+            out.insert(0, id_col, pd.Series(ids, dtype="object"))
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(
+        process, schema=out_schema
+    )
+
+
+def write_zip_shards(
+    samples: DataFrame,
+    samples_per_shard: int = 1000,
+    key_col: str = "sample_key",
+    parts_col: str = "parts",
+    seed: str = "zip",
+    compress: bool = False,
+) -> DataFrame:
+    """Re-shard curated samples into ZIP shards — the ``zipfile``
+    counterpart of :func:`write_webdataset`, closing the ZIP
+    container's read-curate-write loop (the r10 verdict's open
+    item). Input is one row per sample with an ``ext -> payload``
+    map (exactly the :func:`zip_samples` /
+    :func:`webdataset_samples` output); output is one row per shard:
+    ``(shard_id, n_samples, n_bytes, payload)``.
+
+    Shard assignment is the SAME deterministic md5-order scheme as
+    the tar writer (``quality.training_order`` over
+    ``md5(seed || ':' || key)``, ``shard_id = pos //
+    samples_per_shard``) so any engine can replay it — the
+    ``zip_roundtrip`` oracle does, cell for cell, including the
+    within-shard member order. Members are written ADJACENTLY per
+    sample (``key.ext``, extensions sorted) with timestamps pinned
+    to the DOS epoch (1980-01-01, ZIP's time floor) and
+    ``create_system`` pinned, so output bytes are stable across
+    hosts and runs. ``compress=False`` (STORED) keeps shards
+    byte-identical across zlib builds; ``compress=True`` uses
+    DEFLATED where size matters more than byte equality.
+
+    Scale shape: identical to the tar writer — payloads shuffle
+    exactly once into their shard's ``applyInPandas`` group and
+    never visit the driver; executor memory bounds shard size, not
+    corpus size."""
+    import zipfile
+
+    from .quality import training_order
+
+    comp = zipfile.ZIP_DEFLATED if compress else zipfile.ZIP_STORED
+
+    ordered = training_order(
+        samples.select(key_col, parts_col), key_col, seed=seed
+    )
+    with_shard = ordered.select(
+        F.col(key_col).alias("sample_key"),
+        F.col(parts_col).alias("parts"),
+        "pos",
+        (F.col("pos") / F.lit(int(samples_per_shard)))
+        .cast("long")
+        .alias("shard_id"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("shard_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pos")
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", compression=comp) as zf:
+            for key, parts in zip(pdf["sample_key"], pdf["parts"]):
+                for ext in sorted(parts):
+                    info = zipfile.ZipInfo(
+                        f"{key}.{ext}", date_time=(1980, 1, 1, 0, 0, 0)
+                    )
+                    info.compress_type = comp
+                    info.create_system = 3  # byte-stable across hosts
+                    zf.writestr(info, bytes(parts[ext]))
+        payload = buf.getvalue()
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "n_samples": [len(pdf)],
+                "n_bytes": [len(payload)],
+                "payload": [payload],
+            }
+        )
+
+    return with_shard.groupBy("shard_id").applyInPandas(
+        pack, schema=out_schema
+    )
+
+
+def save_zip_shards(shards: DataFrame, directory: str) -> None:
+    """Write :func:`write_zip_shards` output as ``shard-{id:06d}.zip``
+    files under ``directory`` — executor-side ``foreachPartition``,
+    same visibility caveats as :func:`save_webdataset`."""
+    import os
+
+    os.makedirs(directory, exist_ok=True)
+
+    def write_part(rows):
+        for r in rows:
+            p = os.path.join(directory, f"shard-{r['shard_id']:06d}.zip")
+            with open(p, "wb") as f:
+                f.write(bytes(r["payload"]))
+
+    shards.select("shard_id", "payload").foreachPartition(write_part)
