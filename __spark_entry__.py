@@ -4139,31 +4139,43 @@ def entry(spark: SparkSession) -> DataFrame:
 #: from memory was wrong again; the real r5 tier is the curation/
 #: report family below), then the oldest r7-greens in artifact order
 #: to fill to 50. Max driver-green age after this round: r7.
-_WINDOW_R10 = [
-    "distinct_stats",
-    # new this round (webp_frames landed late-r10: the animated-WebP
-    # arm of media_frames, which re-enters the window as
-    # changed-this-round; the two newest r7-green fillers host_cap +
-    # html_extract rotate back out to hold the 50-slot contract)
-    "webp_decode", "pq_rerank_topk", "webp_frames", "media_frames",
-    "zip_samples",
-    # changed this round + never-driver-checked (rows-only by design)
-    "leakage_safe_split", "ann_recall", "lsh_topk", "ivf_topk",
-    "pq_topk", "minhash_dedup_ids", "leakage_safe_split_prod",
-    # remaining r5-greens (stalest driver evidence in the suite)
-    "bpe_pair_counts", "classifier_quality", "corpus_divergence",
-    "corpus_report", "curated_corpus", "domain_cap", "dsir_sample",
-    "events_daily", "gopher_quality", "mixture_sample",
-    "name_editdist_pairs", "orders_no_lineitems", "pack_sequences",
-    "training_order", "unigram_surprise", "validate_embeddings",
-    "validate_event_props", "verbatim_overlap",
-    # oldest r7-greens (artifact order)
-    "array_ops", "audio_features", "blocklist_filter", "cdx_index",
-    "corpus_diff", "corpus_select", "dedup_exact",
-    "dedup_exact_normalized", "deterministic_split", "doc_repetition",
-    "embedding_quantize", "events_asof_join", "events_hourly_rollup",
-    "events_json_props", "events_range_join", "events_session_window",
-    "events_sessions", "events_user_top3", "extract_links",
+#: r11 window (r10 verdict #1): exactly 50 entries, rotated to the
+#: stale tiers. Ages recomputed from the CORRECTNESS_r0*.json
+#: artifacts (latest round each query was driver-green). Composition:
+#: zip_roundtrip leads (new this round — the ZIP write side closing
+#: the container loop, r10 verdict #5), then the 4 queries whose impl
+#: changed this round (the webp codec was LUT-rewritten + the
+#: two-symbol transmitted-order ADVICE fix → webp_decode, webp_frames,
+#: media_frames; zip_samples gained the decompression-bomb cap), then
+#: the 4 stalest rows-only queries (approx_distinct last surfaced r2;
+#: bpe_token_stats, minhash_pairs, simhash_pairs r3), then ALL 24
+#: r7-greens (the oldest hash-checked tier), filled to 50 with the
+#: first 17 r8-greens in CORRECTNESS_r08 artifact order. Max
+#: driver-green age after this round: r8.
+_WINDOW_R11 = [
+    # new this round
+    "zip_roundtrip",
+    # changed this round
+    "webp_decode", "webp_frames", "media_frames", "zip_samples",
+    # stalest rows-only (r2-r3)
+    "approx_distinct", "bpe_token_stats", "minhash_pairs",
+    "simhash_pairs",
+    # the full r7-green tier (artifact order)
+    "hits_hosts", "host_cap", "html_extract", "html_lines_dedup",
+    "image_neardup", "ivf_full_probe", "jaccard_pairs",
+    "lang_histogram", "langid_profiles", "line_dedup",
+    "minhash_dedup_verified", "minhash_verified_pairs",
+    "pii_redaction", "pivot_order_status", "png_decode",
+    "q12_priority_shipping", "simhash_verified_pairs", "sitemap_urls",
+    "skew_salted_join", "stratified_sample", "text_profile",
+    "url_dedup", "video_frames", "warc_records",
+    # oldest r8-greens (CORRECTNESS_r08 artifact order)
+    "pagerank_redistribute", "webdataset_roundtrip", "format_stats",
+    "bm25_search", "hybrid_search", "wet_roundtrip", "flac_decode",
+    "jpeg_decode", "embedding_project", "pagerank_hosts",
+    "webdataset_samples", "robots_gate", "knn_topk",
+    "skew_salted_counts", "table_profile", "multimodal_meta",
+    "frame_sample",
 ]
 
 
@@ -4173,7 +4185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering policy, documented in COVERAGE.md: queries new this
     round first, then queries whose oracle/impl changed this round,
     then a rotation of the OLDEST previously-green queries (see
-    ``_WINDOW_R10``). Everything passes the full local replica
+    ``_WINDOW_R11``). Everything passes the full local replica
     (tools/check_oracle.py) regardless of position.
     """
     base = {
@@ -4383,7 +4395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "minhash_dedup_ids": q_minhash_dedup_ids,
     }
-    ordered = {k: base[k] for k in _WINDOW_R10}
+    ordered = {k: base[k] for k in _WINDOW_R11}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
     return ordered
 

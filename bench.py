@@ -150,6 +150,7 @@ HEADLINE = [
     "pq_rerank_topk",           # PQ ADC + full-width exact rerank
     "webp_frames",              # animated WebP canvas composition
     "zip_samples",              # ZIP-shard ingest (stored+deflated)
+    "zip_roundtrip",            # ZIP write side: pack -> zip -> unpack
 ]
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100

@@ -35,7 +35,12 @@ r10 adds the ZIP container: :func:`zip_samples` explodes ZIP shards
 (STORED + DEFLATED members, stdlib ``zipfile``) into the SAME
 parts-map sample shape — ZIP has no adjacency contract, so samples
 group per archive — and :func:`make_zip_payload` is its closed-form
-fixture writer.
+fixture writer. r11 closes the ZIP loop with the write side:
+:func:`write_zip_shards` / :func:`save_zip_shards` (deterministic
+md5-order assignment, DOS-epoch-pinned byte-stable output) and
+:func:`zip_members` (ordered member explode), mirroring the tar
+writer so the ``zip_roundtrip`` oracle value-checks the full
+read-curate-write loop including member order.
 
 The fixture generator (:func:`make_webdataset_payload`) builds real
 tar shards whose ``.txt`` members are closed-form strings and whose
