@@ -2486,8 +2486,15 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas stage. Dimension and pixel formulas match the PNM
     fixture, so DuckDB value-checks the header fields AND the raster
     mean in closed form; only the container (and the real inflate
-    path) differs from image_decode."""
-    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    path) differs from image_decode. Id repartition before payload
+    synthesis (r11): the single-row-group fixture otherwise
+    serializes the whole encode+decode chain onto one core — the
+    same fix webp_decode shipped with in r10."""
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     with_payload = multimodal.make_png_payload(docs, color="rgb")
     meta = multimodal.decode_image_meta(with_payload, id_col="doc_id")
     return meta.select(
@@ -4149,9 +4156,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: media_frames; zip_samples gained the decompression-bomb cap), then
 #: the 4 stalest rows-only queries (approx_distinct last surfaced r2;
 #: bpe_token_stats, minhash_pairs, simhash_pairs r3), then ALL 24
-#: r7-greens (the oldest hash-checked tier), filled to 50 with the
-#: first 17 r8-greens in CORRECTNESS_r08 artifact order. Max
-#: driver-green age after this round: r8.
+#: r7-greens (the oldest hash-checked tier; png_decode also picked up
+#: a values-neutral plan change this round — the id repartition before
+#: payload synthesis — and sits in this tier rather than jumping the
+#: queue), filled to 50 with the first 17 r8-greens in CORRECTNESS_r08
+#: artifact order. Max driver-green age after this round: r8.
 _WINDOW_R11 = [
     # new this round
     "zip_roundtrip",

@@ -82,6 +82,15 @@ TRACKED = [
     "media_frames",
     "leakage_safe_split",
     "webp_decode",
+    # r11 additions (VERDICT r10 #4): the four uncovered headline
+    # families — animated WebP canvas composition, ZIP-shard ingest,
+    # and the two >=3s iterative graph queries (measured exponents,
+    # not just plan arguments) — plus the new ZIP write loop
+    "webp_frames",
+    "zip_samples",
+    "hits_hosts",
+    "pagerank_hosts",
+    "zip_roundtrip",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 ALPHA_REGRESSION = 0.35
