@@ -204,11 +204,20 @@ class _BitCursor:
 # ---------------------------------------------------------------------------
 # canonical prefix codes (RFC 1951 §3.2.2 construction)
 # ---------------------------------------------------------------------------
-def _codes_from_lengths(lengths: list[int]) -> dict[int, tuple[int, int]]:
+def _codes_from_lengths(
+    lengths: list[int] | dict[int, int],
+) -> dict[int, tuple[int, int]]:
     """symbol -> (code, length), canonical assignment. Raises on an
     over-subscribed or incomplete code (single-symbol codes are the
-    caller's special case and never reach here)."""
-    nz = [(sym, ln) for sym, ln in enumerate(lengths) if ln]
+    caller's special case and never reach here). Accepts either a
+    dense per-symbol list (decode side: header parse yields one) or
+    a sparse symbol->length dict (encode side: skips the
+    alphabet-sized scan — canonical order only needs the nonzero
+    entries in symbol order)."""
+    if isinstance(lengths, dict):
+        nz = sorted(lengths.items())
+    else:
+        nz = [(sym, ln) for sym, ln in enumerate(lengths) if ln]
     max_len = max(ln for _, ln in nz)
     bl_count = [0] * (max_len + 1)
     for _, ln in nz:
@@ -528,9 +537,7 @@ def _write_prefix_code(
         pad = next(s for s in range(19) if s not in cl_lengths)
         only = next(iter(cl_lengths))
         cl_lengths = {only: 1, pad: 1}
-    cl_codes = _codes_from_lengths(
-        [cl_lengths.get(s, 0) for s in range(19)]
-    )
+    cl_codes = _codes_from_lengths(cl_lengths)  # sparse-dict fast path
     # transmit cl lengths in _CODE_LENGTH_ORDER, covering every
     # nonzero entry (minimum 4 per spec)
     num_cl = max(
@@ -853,10 +860,7 @@ def _encode_vp8l_from_arr(
             code_cols.append(np.zeros(n, dtype=np.int64))
             len_cols.append(np.zeros(n, dtype=np.int64))
         else:
-            full = [0] * alphabet
-            for s, ln in lens.items():
-                full[s] = ln
-            table = _codes_from_lengths(full)
+            table = _codes_from_lengths(lens)  # sparse-dict fast path
             code_lut = np.zeros(256, dtype=np.int64)
             len_lut = np.zeros(256, dtype=np.int64)
             for s, (code, ln) in table.items():
