@@ -566,7 +566,9 @@ def write_zip_shards(
     Scale shape: identical to the tar writer — payloads shuffle
     exactly once into their shard's ``applyInPandas`` group and
     never visit the driver; executor memory bounds shard size, not
-    corpus size."""
+    corpus size. Shards past 4 GB or 65535 members get ZIP64
+    records automatically (stdlib ``allowZip64`` default), which
+    ``zip_samples`` / ``zip_members`` read back transparently."""
     import zipfile
 
     from .quality import training_order
