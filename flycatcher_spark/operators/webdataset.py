@@ -355,7 +355,9 @@ def zip_samples(
     or an archive whose members cumulatively exceed it, yields the
     attributable null row instead of expanding unbounded into
     executor memory (the 42.zip shape)."""
+    import struct
     import zipfile
+    import zlib
 
     from .warc import MAX_DECODED_BYTES
 
@@ -396,6 +398,8 @@ def zip_samples(
                     EOFError,
                     NotImplementedError,  # unsupported compression
                     RuntimeError,  # encrypted member
+                    zlib.error,  # corrupt DEFLATE stream mid-read
+                    struct.error,  # truncated fixed-size record
                 ):
                     samples = {}
                 if not samples:
@@ -471,7 +475,9 @@ def zip_members(
     share every downstream stage. Member bodies honor the same
     decompression-bomb cap as :func:`zip_samples`; unreadable or
     over-cap shards yield a single all-null member row."""
+    import struct
     import zipfile
+    import zlib
 
     from .warc import MAX_DECODED_BYTES
 
@@ -514,6 +520,8 @@ def zip_members(
                     EOFError,
                     NotImplementedError,
                     RuntimeError,
+                    zlib.error,  # corrupt DEFLATE stream mid-read
+                    struct.error,  # truncated fixed-size record
                 ):
                     members = []
                 if not members:

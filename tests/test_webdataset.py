@@ -376,3 +376,33 @@ class TestWriteZipShards:
                     seen.setdefault(key, {})[ext] = zf.read(info)
         want = {k: {e: bytes(b) for e, b in p.items()} for k, p in rows}
         assert seen == want
+
+
+class TestZipHostility:
+    """Single-byte mutations of a valid shard must never raise out of
+    the Arrow stage: every payload yields sample rows or the
+    attributable null row (the webp mutation-hostility discipline,
+    batched through ONE Spark job)."""
+
+    def test_mutations_never_fail_stage(self, spark):
+        import io
+        import zipfile
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            zf.writestr("a.txt", "hello world")
+            zf.writestr("a.json", "{}")
+            zf.writestr("b.txt", "more text here")
+        base = buf.getvalue()
+        step = max(1, len(base) // 200)
+        rows = [
+            (i, bytearray(bytes(base[:p]) + bytes([(base[p] + 1) % 256])
+                          + bytes(base[p + 1:])))
+            for i, p in enumerate(range(0, len(base), step))
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got_s = webdataset.zip_samples(df).collect()
+        got_m = webdataset.zip_members(df).collect()
+        # every input row surfaces (as samples or one null row)
+        assert {r.doc_id for r in got_s} == {i for i, _ in rows}
+        assert {r.doc_id for r in got_m} == {i for i, _ in rows}
