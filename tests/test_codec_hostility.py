@@ -58,7 +58,51 @@ def _payloads():
         "avi": (video.make_avi_bytes([jpg] * 3, 16, 16),
                 video.parse_avi_frames),
         "flac": (flac.encode_flac(list(range(-100, 100))), M.parse_audio),
+        "png": (_png_bytes(), M.parse_image),
+        "pnm": (_pnm_bytes(), M.parse_image),
+        "wav": (_wav_bytes(), M.parse_audio),
     }
+
+
+def _png_bytes():
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    w, h = 10, 8
+    px = ((np.arange(w * h * 3) * 7) % 256).astype(np.uint8).reshape(h, -1)
+    raw = b"".join(b"\x00" + row.tobytes() for row in px)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _pnm_bytes():
+    body = bytes(int(x) for x in (np.arange(10 * 8 * 3) * 7) % 256)
+    return b"P6\n10 8\n255\n" + body
+
+
+def _wav_bytes():
+    import struct
+
+    pcm = struct.pack("<100h", *[(i * 37) % 1000 - 500 for i in range(100)])
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 @pytest.mark.parametrize("name", list(_payloads()))
