@@ -122,3 +122,22 @@ def test_truncations_never_raise(name):
     step = max(1, len(base) // 100)
     for cut in range(0, len(base), step):
         fn(bytes(base[:cut]))
+
+
+@pytest.mark.parametrize("name", list(_payloads()))
+def test_sniffer_never_raises_and_terminates(name):
+    # sniff_format runs over EVERY payload in format_stats — it must
+    # classify (any label, or its documented None for null/empty)
+    # without raising or spinning on crafted chunk sizes, for
+    # mutations and truncations alike
+    base, _ = _payloads()[name]
+    step = max(1, len(base) // 200)
+    for p in range(0, len(base), step):
+        for delta in (1, 128):
+            mut = bytearray(base)
+            mut[p] = (mut[p] + delta) % 256
+            assert isinstance(M.sniff_format(bytes(mut)), (str, type(None)))
+    for cut in range(0, len(base), max(1, len(base) // 50)):
+        assert isinstance(
+            M.sniff_format(bytes(base[:cut])), (str, type(None))
+        )
