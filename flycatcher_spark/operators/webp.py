@@ -71,6 +71,16 @@ _DIST_ALPHABET = 40
 _MAX_CODE_LEN = 15
 _MAX_CL_LEN = 7  # code-length-code lengths are 3-bit fields
 
+#: raster decompression-bomb cap (r11): zero-bit constant codes decode
+#: pixels for free, so raster size must be bounded by policy, not by
+#: input size — 64 MiB of RGBA, the same figure as warc.MAX_DECODED_BYTES
+MAX_RASTER_BYTES = 64 * 1024 * 1024
+#: above this many stream bits the lookahead-window list (~36 B/bit of
+#: transient Python ints) is skipped and decode falls back to the
+#: per-bit dict walk — ~2 MB of stream, far beyond any sane
+#: literal-only file, ~72 MB transient at the cap
+_WINDOWS_MAX_BITS = 16 * 1024 * 1024
+
 
 class _BitReader:
     """LSB-first bit reader over the VP8L stream."""
@@ -594,6 +604,12 @@ def _decode_vp8l_body(data: bytes) -> tuple[int, int, int, np.ndarray]:
     br = _BitCursor(data[1:])
     width = br.read(14) + 1
     height = br.read(14) + 1
+    # raster bomb guard (r11): zero-bit constant codes decode a pixel
+    # for FREE, so a ~22-byte crafted header claiming 16384x16384
+    # would otherwise allocate a 1 GB raster out of nothing — the
+    # VP8L analogue of the WARC gzip bomb, capped the same way
+    if width * height * 4 > MAX_RASTER_BYTES:
+        raise ValueError("VP8L raster exceeds the decode cap")
     alpha_hint = br.read_bit()
     if br.read(3) != 0:
         raise ValueError("VP8L version must be 0")
@@ -613,9 +629,18 @@ def _decode_vp8l_body(data: bytes) -> tuple[int, int, int, np.ndarray]:
     if br.read_bit():
         raise ValueError("meta prefix codes: not in the subset")
     # one lookahead-window list serves both the header length streams
-    # and the pixel walk (transient, ~8 ints per stream bit — bounded
-    # by the payload caps upstream)
-    wins = br.windows(_MAX_CODE_LEN)
+    # and the pixel walk. It costs ~36 B per stream BIT (each window
+    # value is a unique Python int), so very large literal-only
+    # streams fall back to the per-bit dict walk instead of paying
+    # gigabytes of transient list — the LUT fast path covers every
+    # realistic payload (_WINDOWS_MAX_BITS bits ≈ a 2 MB stream ≈
+    # 72 MB transient, in line with the other decode caps)
+    nbits_total = len(br.bits)
+    wins = (
+        br.windows(_MAX_CODE_LEN)
+        if nbits_total <= _WINDOWS_MAX_BITS
+        else None
+    )
     green = _read_prefix_code(br, _GREEN_ALPHABET, wins)
     red = _read_prefix_code(br, _ARGB_ALPHABET, wins)
     blue = _read_prefix_code(br, _ARGB_ALPHABET, wins)
@@ -632,6 +657,27 @@ def _decode_vp8l_body(data: bytes) -> tuple[int, int, int, np.ndarray]:
     # hypothesis round-trip suite pins it). Zero-padded windows past
     # the stream end cannot mis-decode silently: any code that
     # consumes a padding bit leaves p > nbits, checked per pixel.
+    g_vals: list[int] = []
+    r_vals: list[int] = []
+    b_vals: list[int] = []
+    a_vals: list[int] = []
+    if wins is None:
+        # big-stream slow path: per-bit dict walk (the r10 shape),
+        # same symbols, ~36 B/bit of windows list avoided
+        for _ in range(npx):
+            g = green.decode(br)
+            if g >= 256:
+                raise ValueError("LZ77 length code: not in the subset")
+            g_vals.append(g)
+            r_vals.append(red.decode(br))
+            b_vals.append(blue.decode(br))
+            a_vals.append(alpha.decode(br))
+        out = np.empty((npx, 4), dtype=np.uint8)
+        out[:, 1] = g_vals
+        out[:, 0] = r_vals
+        out[:, 2] = b_vals
+        out[:, 3] = a_vals
+        return _finish_vp8l(width, height, alpha_hint, out, subtract_green)
     p = br.pos
     nbits = len(br.bits)
     chans = []  # (sym_lut, len_lut, shift, const) per channel
@@ -645,10 +691,6 @@ def _decode_vp8l_body(data: bytes) -> tuple[int, int, int, np.ndarray]:
     r_sym, r_len, r_sh, r_const = chans[1]
     b_sym, b_len, b_sh, b_const = chans[2]
     a_sym, a_len, a_sh, a_const = chans[3]
-    g_vals: list[int] = []
-    r_vals: list[int] = []
-    b_vals: list[int] = []
-    a_vals: list[int] = []
     try:
         for _ in range(npx):
             if g_const is None:
@@ -687,6 +729,16 @@ def _decode_vp8l_body(data: bytes) -> tuple[int, int, int, np.ndarray]:
     out[:, 0] = r_vals  # red
     out[:, 2] = b_vals  # blue
     out[:, 3] = a_vals  # alpha
+    return _finish_vp8l(width, height, alpha_hint, out, subtract_green)
+
+
+def _finish_vp8l(
+    width: int,
+    height: int,
+    alpha_hint: int,
+    out: np.ndarray,
+    subtract_green: bool,
+) -> tuple[int, int, int, np.ndarray]:
     if subtract_green:
         # inverse transform: red/blue had green subtracted mod 256
         g_col = out[:, 1].astype(np.int64)
@@ -1058,6 +1110,11 @@ def parse_webp_frames(payload: bytes, every_n: int = 1) -> dict | None:
             return None
         cw = _r24(vp8x, 4) + 1
         chh = _r24(vp8x, 7) + 1
+        # canvas bomb guard (r11): VP8X dims are 24-bit, so a crafted
+        # header could demand a 16M x 16M canvas — cap like the still
+        # raster (attributable None, never an executor OOM)
+        if cw * chh * 4 > MAX_RASTER_BYTES:
+            return None
         if anim is None or len(anim) < 6:
             return None
         bg = np.array(

@@ -275,6 +275,61 @@ class TestSparkIntegration:
         assert multimodal.sniff_format(buf) == "webp_lossless"
         assert multimodal.parse_image(buf)["fmt"] == "webp"
 
+    def test_raster_bomb_header_returns_none_fast(self):
+        # r11 guard: zero-bit const codes decode pixels for FREE, so a
+        # ~28-byte header claiming 16384x16384 must hit the raster cap
+        # (64 MiB RGBA), not allocate a 1 GB array
+        from flycatcher_spark.operators.webp import _chunk, _riff
+
+        bw = _BitWriter()
+        bw.write(16383, 14)
+        bw.write(16383, 14)
+        bw.write(0, 1)
+        bw.write(0, 3)
+        bw.write(0, 1)
+        bw.write(0, 1)
+        bw.write(0, 1)
+        for _ in range(5):  # five zero-bit single-symbol codes
+            bw.write(1, 1)
+            bw.write(0, 1)
+            bw.write(0, 1)
+            bw.write(0, 1)
+        assert parse_webp(_riff(_chunk(b"VP8L", b"\x2f" + bw.bytes()))) is None
+
+    def test_animated_canvas_bomb_returns_none(self):
+        from flycatcher_spark.operators.webp import (
+            _VP8X_ANIM_FLAG,
+            _chunk,
+            _riff,
+            _u24,
+            parse_webp_frames,
+        )
+
+        vp8x = (
+            bytes([_VP8X_ANIM_FLAG, 0, 0, 0])
+            + _u24(16 * 1024 * 1024 - 1)
+            + _u24(16 * 1024 * 1024 - 1)
+        )
+        buf = _riff(
+            _chunk(b"VP8X", vp8x)
+            + _chunk(b"ANIM", b"\x00" * 6)
+            + _chunk(b"ANMF", b"\x00" * 24)
+        )
+        assert parse_webp_frames(buf) is None
+
+    def test_big_stream_slow_path_decodes_identically(self, monkeypatch):
+        # force the windows-list gate shut: the per-bit fallback must
+        # produce the exact same raster as the LUT fast path
+        import flycatcher_spark.operators.webp as W
+
+        px = (np.arange(10 * 8 * 3) * 7) % 256
+        buf = encode_webp(px, 10, 8, 3)
+        fast = parse_webp(buf)
+        monkeypatch.setattr(W, "_WINDOWS_MAX_BITS", 0)
+        slow = W.parse_webp(buf)
+        assert slow is not None
+        assert list(slow["pixels"]) == list(fast["pixels"])
+
     def test_sniffer_undersized_anmf_never_reads_next_chunk(self):
         # ADVICE r10: an ANMF body shorter than 20 bytes has no
         # sub-chunk tag to peek; the old unbounded slice read 12
