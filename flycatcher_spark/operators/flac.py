@@ -140,6 +140,11 @@ _BLOCKSIZES = {
 
 _SAMPLE_SIZES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
+#: PCM decompression-bomb cap (r11): the STREAMINFO-claimed total
+#: bounds decode output regardless of input size — 64 MiB, the same
+#: policy figure as warc.MAX_DECODED_BYTES / webp.MAX_RASTER_BYTES
+MAX_PCM_BYTES = 64 * 1024 * 1024
+
 
 def _decode_residuals(br: _BitReader, blocksize: int, order: int) -> list[int]:
     method = br.read(2)
@@ -287,6 +292,13 @@ def parse_flac(payload: bytes) -> dict | None:
         bps = si.read(5) + 1
         total = si.read(36)
         if sample_rate == 0 or bps not in (8, 12, 16, 20, 24, 32):
+            return None
+        # decompression-bomb guard (r11): constant subframes emit a
+        # whole block of samples from a ~14-byte frame, and the frame
+        # loop runs until the STREAMINFO-claimed total (36 bits — up
+        # to 68G samples) is reached, so output is header-bound, not
+        # input-bound. Same 64 MiB policy cap as the other decoders.
+        if total * max(n_channels, 1) * 8 > MAX_PCM_BYTES:
             return None
 
         chans: list[list[int]] = [[] for _ in range(n_channels)]

@@ -364,7 +364,17 @@ def parse_png(payload: bytes) -> dict | None:
     ):
         return None
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # bounded inflate (r11): deflate expands ~1000x, so a small
+        # IDAT of compressed zeros with matching huge dims would
+        # otherwise allocate gigabytes — 64 MiB policy cap, same as
+        # the WARC/VP8L/JPEG bomb guards
+        from . import warc as _warc
+
+        raw = _warc._inflate_capped(
+            b"".join(idat), wbits=15, cap=_warc.MAX_DECODED_BYTES
+        )
+        if raw is None:
+            return None
     except zlib.error:
         return None
 

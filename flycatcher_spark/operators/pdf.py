@@ -319,7 +319,16 @@ def _decode_stream(sdict: dict, data: bytes, resolve) -> bytes:
         f = resolve(f)
         pa = resolve(pa)
         if f == "/FlateDecode":
-            data = zlib.decompress(data)
+            # bounded inflate (r11): a ~1 MB crafted deflate stream
+            # expands ~1000x — same 64 MiB policy cap as the WARC
+            # gzip guard; over-cap decodes as a malformed stream
+            from . import warc as _warc
+
+            data = _warc._inflate_capped(
+                data, wbits=15, cap=_warc.MAX_DECODED_BYTES
+            )
+            if data is None:
+                raise ValueError("FlateDecode output exceeds cap")
             if isinstance(pa, dict):
                 data = _unpredict(
                     data, {k: resolve(v) for k, v in pa.items()}

@@ -141,3 +141,86 @@ def test_sniffer_never_raises_and_terminates(name):
         assert isinstance(
             M.sniff_format(bytes(base[:cut])), (str, type(None))
         )
+
+
+class TestAllocationBombs:
+    """Header-driven allocation bombs: decoders whose output size is
+    bound by HEADER CLAIMS rather than input size must reject at the
+    64 MiB policy cap (attributable None / parse failure), never
+    allocate gigabytes from a tiny payload. The r11 sweep found four:
+    VP8L raster (webp tests), JPEG SOF coefficient grid, PNG IDAT
+    inflate, FLAC STREAMINFO total; PDF FlateDecode inflate is capped
+    the same way."""
+
+    def test_jpeg_sof_dims_bomb(self):
+        import struct
+
+        jpg = jpeg.encode_jpeg(16, 16, [[_dc(5), _dc(3), _dc(2), _dc(1)]])
+        i = jpg.find(b"\xff\xc0")
+        patched = bytearray(jpg)
+        patched[i + 5 : i + 9] = struct.pack(">HH", 30000, 30000)
+        assert M.parse_image(bytes(patched)) is None
+
+    def test_png_idat_inflate_bomb(self):
+        import struct
+        import zlib
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body))
+                + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body))
+            )
+
+        # dims that MATCH the inflated size: 6000x6000 RGB = 108 MB
+        # raw from ~100 KB of compressed zeros — over the 64 MiB cap
+        w = h = 6000
+        raw = zlib.compress(bytes(h) * (w * 3 + 1), 9)  # wrong but huge
+        big = zlib.compressobj(9)
+        data = big.compress(b"\x00" * (h * (w * 3 + 1))) + big.flush()
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", data)
+            + chunk(b"IEND", b"")
+        )
+        assert len(png) < 1 << 20  # the bomb itself is tiny
+        assert M.parse_image(png) is None
+
+    def test_flac_streaminfo_total_bomb(self, monkeypatch):
+        # a crafted STREAMINFO total (36 bits — up to 68G samples)
+        # bounds the frame loop's output, not the input size. Claim
+        # ~2^36 samples: the cap must reject BEFORE any frame decode
+        # (total = low nibble of streaminfo byte 13 + bytes 14-17).
+        base = bytearray(flac.encode_flac([0] * 64))
+        si = 8  # 4B signature + 4B metadata block header
+        base[si + 13] |= 0x0F
+        base[si + 14 : si + 18] = b"\xff\xff\xff\xff"
+        assert M.parse_audio(bytes(base)) is None
+        # and the guard itself (not frame exhaustion) is what fires:
+        # with a tiny cap even the VALID file is rejected...
+        monkeypatch.setattr(flac, "MAX_PCM_BYTES", 64)
+        assert M.parse_audio(flac.encode_flac([0] * 64)) is None
+
+    def test_valid_payloads_still_decode_after_guards(self):
+        jpg = jpeg.encode_jpeg(16, 16, [[_dc(5), _dc(3), _dc(2), _dc(1)]])
+        assert M.parse_image(jpg)["width"] == 16
+        assert M.parse_image(_png_bytes())["width"] == 10
+        assert M.parse_audio(flac.encode_flac([0] * 64))["n_frames"] >= 1
+
+    def test_pdf_flatedecode_inflate_capped(self, monkeypatch):
+        from flycatcher_spark.operators import warc
+
+        buf = pdf.encode_pdf([["hello world"]], compress=True)
+        assert pdf.parse_pdf(buf)  # valid under the real cap
+        monkeypatch.setattr(warc, "MAX_DECODED_BYTES", 4)
+        assert pdf.parse_pdf(buf) is None  # guard, not exhaustion
+
+    def test_png_idat_inflate_capped(self, monkeypatch):
+        from flycatcher_spark.operators import warc
+
+        buf = _png_bytes()
+        assert M.parse_image(buf)["width"] == 10
+        monkeypatch.setattr(warc, "MAX_DECODED_BYTES", 4)
+        assert M.parse_image(buf) is None
