@@ -2784,6 +2784,62 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass filter-chain attribution (operators/quality
+    .quality_funnel): five ordered gates over documents, each row
+    labeled with the FIRST gate that rejects it, aggregated once.
+    All gate math is integer (cross-multiplied ratio bounds), so the
+    funnel is bit-identical across engines — no float boundary can
+    move a document between stages."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_wlen"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+    )
+    stages = [
+        ("min_chars", F.col("n_chars") >= 100),
+        ("lang_known", F.col("lang").isin("en", "de", "fr", "es")),
+        ("min_words", F.col("n_words") >= 20),
+        (
+            "word_len_band",
+            (17 * F.col("n_words") <= 4 * F.col("sum_wlen"))
+            & (4 * F.col("sum_wlen") <= 19 * F.col("n_words")),
+        ),
+        ("uniq_ratio", 5 * F.col("n_uniq") >= 2 * F.col("n_words")),
+    ]
+    out = quality.quality_funnel(d, stages)
+    return out.select(
+        F.col("stage_idx").cast("long").alias("stage_idx"),
+        "stage",
+        "n_in",
+        "n_removed",
+        "n_out",
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/quality.weighted_sample): priority sampling with a
+    hash-derived uniform, top-50 by integer priority
+    ``(n_chars * 1e9) div (md5_bucket+1)`` — pure bigint arithmetic,
+    so the selected set hash-matches any engine. Executes as
+    TakeOrderedAndProject: no global sort."""
+    docs = _read(spark, sf_dir, "documents")
+    out = quality.weighted_sample(docs, F.col("n_chars"), "doc_id", k=50)
+    return out.select(
+        "doc_id", F.col("n_chars").alias("weight"), "priority"
+    )
+
+
 def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed round-3 curation flagship — the selection pipeline a
     pretraining-data job runs, end-to-end as ONE oracle-checked query:
@@ -3682,6 +3738,42 @@ def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text corpus (web.extract_anchors / web.anchor_text_agg):
+    planted HTML carries two extractable anchors per page (a
+    root-relative target whose text varies doc-by-doc and a shared
+    cross-site absolute target with unsorted query params), plus a
+    single-quoted href (outside the double-quote subset — must NOT
+    extract), a fragment-only href (resolves NULL — drops) and an
+    empty-text anchor (drops). The oracle states every surviving
+    (target, anchor) pair outright, extract_links-style."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit('<p>x</p><a href="/p'), (i % 10).cast("string"),
+        F.lit('"><b>page</b> '), (i % 3).cast("string"),
+        F.lit('</a> <a class="m" href="https://ext'), (i % 7).cast("string"),
+        F.lit('.org/x?b=2&a=1">ext '), (i % 5).cast("string"),
+        F.lit("</a> <a href='/skip'>s</a>"),
+        F.lit('<a href="#top">top</a><a href="/empty'), (i % 2).cast("string"),
+        F.lit('"></a>'),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/dir/page")
+        ).alias("url"),
+        html.alias("html"),
+    )
+    out = web.anchor_text_agg(pages)
+    return out.select(
+        "target",
+        F.col("n_refs").cast("long").alias("n_refs"),
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.col("n_anchors").cast("long").alias("n_anchors"),
+        "anchors",
+    )
+
+
 def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX capture index (r7, warc.cdx_index over the real WARC
     pipeline): deterministic member-gzip archives → warc_records →
@@ -4162,8 +4254,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: queue), filled to 50 with the first 17 r8-greens in CORRECTNESS_r08
 #: artifact order. Max driver-green age after this round: r8.
 _WINDOW_R11 = [
-    # new this round
-    "zip_roundtrip",
+    # new this round (zip write side; the funnel/priority-sampling/
+    # anchor-text trio added late in r11 — new-first policy, so the
+    # three youngest r8-green fillers, multimodal_meta, frame_sample
+    # and table_profile, rotate just past the cut to keep the
+    # 50-entry contract)
+    "zip_roundtrip", "quality_funnel", "weighted_sample", "anchor_texts",
     # changed this round
     "webp_decode", "webp_frames", "media_frames", "zip_samples",
     # stalest rows-only (r2-r3)
@@ -4183,8 +4279,7 @@ _WINDOW_R11 = [
     "bm25_search", "hybrid_search", "wet_roundtrip", "flac_decode",
     "jpeg_decode", "embedding_project", "pagerank_hosts",
     "webdataset_samples", "robots_gate", "knn_topk",
-    "skew_salted_counts", "table_profile", "multimodal_meta",
-    "frame_sample",
+    "skew_salted_counts",
 ]
 
 
@@ -4207,6 +4302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": q_pagerank_hosts,
         "pagerank_redistribute": q_pagerank_redistribute,
         "extract_links": q_extract_links,
+        "anchor_texts": q_anchor_texts,
         "cdx_index": q_cdx_index,
         "sitemap_urls": q_sitemap_urls,
         "audio_features": q_audio_features,
@@ -4337,6 +4433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "name_editdist_pairs": q_name_editdist_pairs,
         "orders_no_lineitems": q_orders_no_lineitems,
         "gopher_quality": q_gopher_quality,
+        "quality_funnel": q_quality_funnel,
+        "weighted_sample": q_weighted_sample,
         "classifier_quality": q_classifier_quality,
         "unigram_surprise": q_unigram_surprise,
         "domain_cap": q_domain_cap,
@@ -5075,6 +5173,42 @@ def oracle_sql() -> dict[str, str]:
                    END AS canon
             FROM l
         """,
+        "anchor_texts": """
+            WITH pages AS (
+                SELECT doc_id,
+                       'https://' || source || '.example.com/dir/page' AS src,
+                       source
+                FROM documents
+            ),
+            tr AS (
+                SELECT 'https://' || source || '.example.com/p'
+                           || CAST(doc_id % 10 AS VARCHAR) AS target,
+                       'page ' || CAST(doc_id % 3 AS VARCHAR) AS anchor,
+                       src
+                FROM pages
+                UNION ALL
+                SELECT 'https://ext' || CAST(doc_id % 7 AS VARCHAR)
+                           || '.org/x?a=1&b=2',
+                       'ext ' || CAST(doc_id % 5 AS VARCHAR),
+                       src
+                FROM pages
+            ),
+            stats AS (
+                SELECT target,
+                       CAST(count(*) AS BIGINT) AS n_refs,
+                       CAST(count(DISTINCT src) AS BIGINT) AS n_pages,
+                       CAST(count(DISTINCT anchor) AS BIGINT) AS n_anchors
+                FROM tr GROUP BY target
+            ),
+            caps AS (
+                SELECT target,
+                       string_agg(anchor, '|' ORDER BY anchor) AS anchors
+                FROM (SELECT DISTINCT target, anchor FROM tr)
+                GROUP BY target
+            )
+            SELECT s.target, s.n_refs, s.n_pages, s.n_anchors, c.anchors
+            FROM stats s JOIN caps c USING (target)
+        """,
         "cdx_index": """
             WITH r AS (
                 SELECT doc_id AS i,
@@ -5622,6 +5756,68 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_word_ratio >= 0.9
                     AND stopword_hits >= 1) AS gopher_ok
             FROM m
+        """,
+        "quality_funnel": r"""
+            WITH t AS (
+                SELECT doc_id, lang, n_chars,
+                       CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+                       END AS toks
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id, lang, n_chars,
+                       CAST(len(toks) AS BIGINT) AS n_words,
+                       CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS sum_wlen,
+                       CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq
+                FROM t
+            ),
+            lab AS (
+                SELECT CASE
+                    WHEN NOT COALESCE(n_chars >= 100, FALSE) THEN 'min_chars'
+                    WHEN NOT COALESCE(lang IN ('en','de','fr','es'), FALSE) THEN 'lang_known'
+                    WHEN NOT COALESCE(n_words >= 20, FALSE) THEN 'min_words'
+                    WHEN NOT COALESCE(17*n_words <= 4*sum_wlen AND 4*sum_wlen <= 19*n_words, FALSE) THEN 'word_len_band'
+                    WHEN NOT COALESCE(5*n_uniq >= 2*n_words, FALSE) THEN 'uniq_ratio'
+                    ELSE '__kept__' END AS first_fail
+                FROM m
+            ),
+            cnt AS (
+                SELECT first_fail, CAST(count(*) AS BIGINT) AS c
+                FROM lab GROUP BY 1
+            ),
+            stages(stage_idx, stage) AS (
+                VALUES (0, 'min_chars'), (1, 'lang_known'), (2, 'min_words'),
+                       (3, 'word_len_band'), (4, 'uniq_ratio')
+            ),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt),
+            funnel AS (
+                SELECT CAST(s.stage_idx AS BIGINT) AS stage_idx,
+                       s.stage,
+                       CAST(tot.total - COALESCE(SUM(COALESCE(c.c, 0)) OVER (
+                            ORDER BY s.stage_idx
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                           AS BIGINT) AS n_in,
+                       CAST(COALESCE(c.c, 0) AS BIGINT) AS n_removed
+                FROM stages s
+                LEFT JOIN cnt c ON s.stage = c.first_fail
+                CROSS JOIN tot
+            )
+            SELECT stage_idx, stage, n_in, n_removed,
+                   CAST(n_in - n_removed AS BIGINT) AS n_out
+            FROM funnel
+        """,
+        "weighted_sample": """
+            SELECT doc_id,
+                   n_chars AS weight,
+                   (n_chars * 1000000000) // (
+                       (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % 1000000) + 1) AS priority
+            FROM documents
+            ORDER BY priority DESC, doc_id
+            LIMIT 50
         """,
         "classifier_quality": _TEXT_BASE_CTE + """
             SELECT doc_id,

@@ -151,6 +151,10 @@ HEADLINE = [
     "webp_frames",              # animated WebP canvas composition
     "zip_samples",              # ZIP-shard ingest (stored+deflated)
     "zip_roundtrip",            # ZIP write side: pack -> zip -> unpack
+    # round-11 additions
+    "quality_funnel",           # single-pass filter-chain attribution
+    "weighted_sample",          # integer priority sampling, top-k
+    "anchor_texts",             # anchor-text corpus aggregation
 ]
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100

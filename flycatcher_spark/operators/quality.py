@@ -1075,6 +1075,131 @@ def training_order(
     )
 
 
+def quality_funnel(
+    df: DataFrame,
+    stages: list[tuple[str, Column]],
+) -> DataFrame:
+    """Per-stage attribution for an ordered filter chain: which gate
+    removed each document, computed in ONE scan.
+
+    After a curation run over 100 TB the operative question is not
+    "how many rows survived" but "which filter ate the data" —
+    re-running the corpus once per gate to answer it costs
+    O(stages) full scans. This is the single-pass version: every row
+    is labeled with the FIRST stage whose keep-predicate rejects it
+    (a null predicate rejects, matching ``WHERE`` semantics), the
+    (k+1)-way label aggregates once (k+1 groups — a shuffle of k+1
+    rows, not of documents), and the funnel table is derived from
+    those counts with a window over k rows. Stages that remove
+    nothing still appear (n_removed = 0) — zero-impact gates are a
+    finding, not a gap in the report.
+
+    Returns one row per stage, ordered by position in the chain:
+    ``stage_idx`` (0-based), ``stage``, ``n_in`` (rows reaching the
+    gate), ``n_removed`` (first-rejected here), ``n_out``. The last
+    row's ``n_out`` is the surviving-corpus size.
+    """
+    if not stages:
+        raise ValueError("stages must be a non-empty ordered list")
+    names = [n for n, _ in stages]
+    if len(set(names)) != len(names):
+        raise ValueError("stage names must be unique")
+    if "__kept__" in names:
+        raise ValueError("'__kept__' is a reserved stage name")
+    label: Column = F.lit("__kept__")
+    for name, pred in reversed(stages):
+        label = F.when(
+            ~F.coalesce(pred, F.lit(False)), F.lit(name)
+        ).otherwise(label)
+    counts = (
+        df.select(label.alias("__first_fail"))
+        .groupBy("__first_fail")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    spark = df.sparkSession
+    # the __kept__ sentinel rides along so the grand total (and hence
+    # n_in) derives from the SAME aggregate — one scan of df, not a
+    # second lineage branch for a separate total agg
+    stage_rows = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)] + [(len(names), "__kept__")],
+        "stage_idx int, stage string",
+    )
+    per_stage = stage_rows.join(
+        counts, stage_rows.stage == counts["__first_fail"], "left"
+    ).select(
+        "stage_idx",
+        "stage",
+        F.coalesce(F.col("__cnt"), F.lit(0)).cast("long").alias("n_removed"),
+    )
+    # windows over a (k+1)-row frame: total + exclusive running sum
+    w_all = Window.orderBy("stage_idx").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_before = Window.orderBy("stage_idx").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        per_stage.withColumn("__total", F.sum("n_removed").over(w_all))
+        .withColumn(
+            "n_in",
+            (
+                F.col("__total")
+                - F.coalesce(F.sum("n_removed").over(w_before), F.lit(0))
+            ).cast("long"),
+        )
+        .where(F.col("stage") != "__kept__")
+        .withColumn("n_out", (F.col("n_in") - F.col("n_removed")).cast("long"))
+        .select("stage_idx", "stage", "n_in", "n_removed", "n_out")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: Column | str,
+    key_col: str,
+    k: int,
+    resolution: int = 1_000_000,
+    scale: int = 1_000_000_000,
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: priority
+    sampling (Duffield–Lund–Thorup, JACM 2007) with a hash-derived
+    uniform, in pure integer arithmetic.
+
+    Each row gets ``priority = (w * scale) div u`` where
+    ``u = md5_bucket(key, resolution) + 1`` — i.e. ``w / Uniform(0,1]``
+    with the uniform a pure function of the key. The top-k rows by
+    priority are a weighted sample without replacement (inclusion
+    probability ∝ weight, the Efraimidis–Spirakis family), and
+    because the whole computation is integer (bigint multiply +
+    integer ``div``) the selected set is bit-identical across
+    engines, runs, partitionings and row order — no transcendental
+    (``ln``/``pow``) whose last-ulp disagreement between libm
+    implementations could flip the k-th rank. Ties (same weight AND
+    same hash bucket) break on the key, so the sample is total-order
+    deterministic.
+
+    Top-k executes as TakeOrderedAndProject (per-partition heads,
+    driver merge of k rows) — no global sort, no shuffle of the
+    corpus; cost is the scan. Weights must be non-negative integers
+    (cast upstream; at ``scale`` = 1e9 and weights ≤ ~9e9 the product
+    stays inside int64).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    wexpr = _col(weight_col).cast("long")
+    u = (md5_bucket(F.col(key_col), int(resolution)) + F.lit(1)).cast("long")
+    staged = df.withColumn("__wn", wexpr * F.lit(int(scale))).withColumn(
+        "__u", u
+    )
+    return (
+        staged.withColumn(priority_col, F.expr("__wn div __u"))
+        .drop("__wn", "__u")
+        .orderBy(F.col(priority_col).desc(), F.col(key_col))
+        .limit(int(k))
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     token_count_col: str,

@@ -249,6 +249,109 @@ def resolve_link(base_url: Column | str, href: Column | str) -> Column:
     )
 
 
+def extract_anchors(html: Column | str) -> Column:
+    """Array of ``struct<href, anchor>`` from anchor elements, in
+    document order — the raw material of an anchor-text corpus.
+
+    Same deliberately-regex-portable subset as
+    :func:`extract_links` (double-quoted ``href``), extended to the
+    full element so the anchor TEXT comes along: nested markup
+    inside the element is stripped to spaces and whitespace is
+    collapsed, so ``<a href="/x"><b>big</b> cat</a>`` yields
+    ``('/x', 'big cat')``. Pure Column — the identical patterns
+    replay in DuckDB (the ``anchor_texts`` oracle).
+
+    Examples
+    --------
+        >>> df = spark.createDataFrame(
+        ...     [('<a href="/x"><b>big</b> cat</a> <a href="/y">dog</a>',)],
+        ...     ["h"])
+        >>> [(a["href"], a["anchor"])
+        ...  for a in df.select(extract_anchors("h").alias("a")).first()["a"]]
+        [('/x', 'big cat'), ('/y', 'dog')]
+    """
+    elems = F.regexp_extract_all(
+        _col(html),
+        F.lit(r'(?is)<a\s[^>]*href\s*=\s*"[^"]*"[^>]*>.*?</a>'),
+        F.lit(0),
+    )
+    def _pair(e: Column) -> Column:
+        href = F.regexp_extract(e, r'(?is)href\s*=\s*"([^"]*)"', 1)
+        body = F.regexp_extract(e, r"(?is)^<a[^>]*>(.*)</a>$", 1)
+        txt = F.trim(
+            F.regexp_replace(
+                F.regexp_replace(body, r"(?s)<[^>]*>", " "), r"\s+", " "
+            )
+        )
+        return F.struct(href.alias("href"), txt.alias("anchor"))
+    return F.transform(elems, _pair)
+
+
+def anchor_text_agg(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    max_anchors: int = 100,
+    max_anchor_len: int = 200,
+) -> DataFrame:
+    """Anchor-text corpus: what the web CALLS each URL — one row per
+    link target with the distinct anchor strings pointing at it.
+
+    The classic web-pipeline data product (anchor text is training
+    signal the target page itself cannot provide). Anchors are
+    extracted (:func:`extract_anchors`), resolved against the page
+    URL and canonicalized; empty anchors and unresolvable hrefs drop
+    out. Output per target: ``n_refs`` (links), ``n_pages``
+    (distinct linking pages), ``n_anchors`` (distinct anchor
+    strings) and ``anchors`` — the first ``max_anchors`` distinct
+    anchor strings in lexical order, '|'-joined: a deterministic
+    representation every engine agrees on (no collect_list ordering
+    dependence).
+
+    Scale shape: extraction is map-only on the page scan; every
+    exchange carries slim (target, anchor, src) triples — page
+    bodies never shuffle. Anchor strings are truncated to
+    ``max_anchor_len`` chars BEFORE the shuffle, and the anchor list
+    is rank-capped at ``max_anchors`` BEFORE any collect — so a
+    hot target (every page links the homepage) costs a window over
+    its distinct anchors, never an unbounded array in one reducer.
+    The count aggregates are hash/expand aggs with bounded state.
+    """
+    a = F.explode(extract_anchors(F.col(html_col))).alias("__a")
+    triples = pages.select(
+        F.col(url_col).alias("__base"), a
+    ).select(
+        canonical_url(
+            resolve_link(F.col("__base"), F.col("__a.href"))
+        ).alias("target"),
+        F.substring(F.col("__a.anchor"), 1, int(max_anchor_len)).alias(
+            "anchor"
+        ),
+        F.col("__base").alias("src"),
+    ).where(F.col("target").isNotNull() & (F.col("anchor") != ""))
+    stats = triples.groupBy("target").agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.countDistinct("src").alias("n_pages"),
+        F.countDistinct("anchor").alias("n_anchors"),
+    )
+    w = Window.partitionBy("target").orderBy("anchor")
+    capped = (
+        triples.select("target", "anchor")
+        .distinct()
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= int(max_anchors))
+        .groupBy("target")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("anchor")), "|").alias(
+                "anchors"
+            )
+        )
+    )
+    return stats.join(capped, "target").select(
+        "target", "n_refs", "n_pages", "n_anchors", "anchors"
+    )
+
+
 def host_links(
     pages: DataFrame,
     url_col: str = "url",

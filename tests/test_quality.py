@@ -742,3 +742,109 @@ class TestLeakageSafeSplit:
         # but the LOGICAL plan must not force it
         assert "UnresolvedHint" not in big._jdf.queryExecution().logical().toString()
         assert "ResolvedHint" not in big._jdf.queryExecution().optimizedPlan().toString()
+
+
+class TestQualityFunnel:
+    @pytest.fixture(scope="class")
+    def staged(self, spark):
+        # x: None fails 'pos' (null predicate rejects), -1 fails
+        # 'pos', 20 passes 'pos' but fails 'small', 5 and 7 survive
+        return spark.createDataFrame(
+            [(1, None), (2, -1), (3, 20), (4, 5), (5, 7)],
+            "doc_id long, x long",
+        )
+
+    def stages(self):
+        return [
+            ("pos", F.col("x") > 0),
+            ("small", F.col("x") < 10),
+        ]
+
+    def test_known_answer(self, staged):
+        out = quality.quality_funnel(staged, self.stages())
+        got = [
+            (r["stage_idx"], r["stage"], r["n_in"], r["n_removed"], r["n_out"])
+            for r in out.orderBy("stage_idx").collect()
+        ]
+        assert got == [(0, "pos", 5, 2, 3), (1, "small", 3, 1, 2)]
+
+    def test_first_fail_attribution(self, spark):
+        # a row failing BOTH gates is charged only to the first
+        df = spark.createDataFrame([(1, -100)], "doc_id long, x long")
+        out = quality.quality_funnel(df, self.stages())
+        got = {r["stage"]: r["n_removed"] for r in out.collect()}
+        assert got == {"pos": 1, "small": 0}
+
+    def test_zero_removal_stage_present(self, spark):
+        df = spark.createDataFrame([(1, 5)], "doc_id long, x long")
+        out = quality.quality_funnel(
+            df, [("never", F.lit(True)), ("also_never", F.col("x") < 10)]
+        )
+        rows = out.orderBy("stage_idx").collect()
+        assert [(r["stage"], r["n_removed"], r["n_out"]) for r in rows] == [
+            ("never", 0, 1), ("also_never", 0, 1)
+        ]
+
+    def test_partitioning_invariant(self, staged):
+        a = quality.quality_funnel(staged, self.stages()).collect()
+        b = quality.quality_funnel(
+            staged.repartition(7), self.stages()
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_rejects_bad_stage_lists(self, staged):
+        with pytest.raises(ValueError):
+            quality.quality_funnel(staged, [])
+        with pytest.raises(ValueError):
+            quality.quality_funnel(
+                staged, [("a", F.lit(True)), ("a", F.lit(False))]
+            )
+
+
+class TestWeightedSample:
+    @pytest.fixture(scope="class")
+    def weighted(self, spark):
+        return spark.createDataFrame(
+            [(i, (i % 7) * 100 + 1) for i in range(1, 101)],
+            "doc_id long, w long",
+        )
+
+    def test_priority_formula_known_answer(self, spark):
+        import hashlib
+
+        df = spark.createDataFrame([(42, 1000)], "doc_id long, w long")
+        out = quality.weighted_sample(df, "w", "doc_id", k=1)
+        row = out.collect()[0]
+        bucket = int(hashlib.md5(b"42").hexdigest()[:8], 16) % 1_000_000
+        assert row["priority"] == (1000 * 1_000_000_000) // (bucket + 1)
+
+    def test_partitioning_invariant(self, weighted):
+        a = quality.weighted_sample(weighted, "w", "doc_id", k=10)
+        b = quality.weighted_sample(
+            weighted.repartition(13), "w", "doc_id", k=10
+        )
+        assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+            r["doc_id"] for r in b.collect()
+        )
+
+    def test_exactly_k_and_weight_bias(self, weighted):
+        out = quality.weighted_sample(weighted, "w", "doc_id", k=30).collect()
+        assert len(out) == 30
+        # heavier rows (w=601) should be over-represented vs w=1:
+        # every sampled-set membership is deterministic, so this is a
+        # fixed property of the md5 stream, not a flaky statistic
+        heavy = sum(1 for r in out if r["w"] == 601)
+        light = sum(1 for r in out if r["w"] == 1)
+        assert heavy > light
+
+    def test_zero_weight_never_beats_positive(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0), (2, 0), (3, 5), (4, 5), (5, 5)],
+            "doc_id long, w long",
+        )
+        out = quality.weighted_sample(df, "w", "doc_id", k=3).collect()
+        assert sorted(r["doc_id"] for r in out) == [3, 4, 5]
+
+    def test_rejects_bad_k(self, weighted):
+        with pytest.raises(ValueError):
+            quality.weighted_sample(weighted, "w", "doc_id", k=0)

@@ -413,6 +413,90 @@ class TestExtractLinks:
         assert out == [[], []]
 
 
+class TestExtractAnchors:
+    def test_pairs_nested_markup_and_case(self, spark):
+        html = (
+            '<a href="/x"><b>big</b>\n cat</a>'
+            '<A HREF="/y">dog</A>'
+            "<a href='/single'>skip</a>"
+            '<a class="m" href = "/z"><i><u>deep</u></i></a>'
+        )
+        df = spark.createDataFrame([(html,)], ["h"])
+        got = [
+            (a["href"], a["anchor"])
+            for a in df.select(web.extract_anchors("h").alias("a")).first()["a"]
+        ]
+        assert got == [("/x", "big cat"), ("/y", "dog"), ("/z", "deep")]
+
+    def test_empty_body_and_no_anchors(self, spark):
+        df = spark.createDataFrame(
+            [('<a href="/e"></a>',), ("<p>none</p>",)], ["h"]
+        )
+        out = [
+            [(a["href"], a["anchor"]) for a in r.a]
+            for r in df.select(web.extract_anchors("h").alias("a")).collect()
+        ]
+        assert out == [[("/e", "")], []]
+
+
+class TestAnchorTextAgg:
+    def test_known_answer(self, spark):
+        pages = spark.createDataFrame(
+            [
+                ("https://s1.com/p", '<a href="/t">home</a><a href="/t">start</a>'),
+                ("https://s2.com/p", '<a href="https://s1.com/t">home</a>'),
+                # fragment resolves NULL -> drops; empty anchor drops
+                ("https://s3.com/p", '<a href="#f">x</a><a href="https://s1.com/t"></a>'),
+            ],
+            ["url", "html"],
+        )
+        rows = {r["target"]: r for r in web.anchor_text_agg(pages).collect()}
+        assert set(rows) == {"https://s1.com/t"}
+        r = rows["https://s1.com/t"]
+        assert (r["n_refs"], r["n_pages"], r["n_anchors"]) == (3, 2, 2)
+        assert r["anchors"] == "home|start"
+
+    def test_hot_target_anchor_cap(self, spark):
+        pages = spark.createDataFrame(
+            [
+                (
+                    f"https://s{i}.com/p",
+                    f'<a href="https://hot.com/">anchor {i:02d}</a>',
+                )
+                for i in range(10)
+            ],
+            ["url", "html"],
+        )
+        out = web.anchor_text_agg(pages, max_anchors=3).collect()
+        (r,) = out
+        # counts see everything; the list is rank-capped in lexical order
+        assert (r["n_refs"], r["n_pages"], r["n_anchors"]) == (10, 10, 10)
+        assert r["anchors"] == "anchor 00|anchor 01|anchor 02"
+
+    def test_anchor_truncation_before_shuffle(self, spark):
+        pages = spark.createDataFrame(
+            [("https://s.com/p", '<a href="/t">' + "x" * 1000 + "</a>")],
+            ["url", "html"],
+        )
+        (r,) = web.anchor_text_agg(pages, max_anchor_len=16).collect()
+        assert r["anchors"] == "x" * 16
+
+    def test_partitioning_invariant(self, spark):
+        pages = spark.createDataFrame(
+            [
+                (f"https://s{i % 4}.com/p{i}",
+                 f'<a href="/t{i % 3}">a{i % 5}</a>')
+                for i in range(40)
+            ],
+            ["url", "html"],
+        )
+        a = sorted(map(tuple, web.anchor_text_agg(pages).collect()))
+        b = sorted(
+            map(tuple, web.anchor_text_agg(pages.repartition(7)).collect())
+        )
+        assert a == b
+
+
 class TestResolveLink:
     def test_forms(self, spark):
         cases = [

@@ -91,6 +91,11 @@ TRACKED = [
     "hits_hosts",
     "pagerank_hosts",
     "zip_roundtrip",
+    # late-r11 additions: the single-pass funnel (scan-bound by
+    # design — the report must stay O(scan), not O(gates x scan))
+    # and the integer priority-sampling TakeOrdered shape
+    "quality_funnel",
+    "weighted_sample",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 ALPHA_REGRESSION = 0.35
