@@ -2784,6 +2784,55 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability metrics (operators/text.sentence_count /
+    syllable_count / fk_grade): Flesch-Kincaid grade over planted
+    sentence structure (the synthetic corpus has no terminal
+    punctuation, so the query builds three sentences per doc from the
+    doc's own text — the oracle replays the same construction). The
+    grade is integer counts through one IEEE divide/multiply chain —
+    no transcendental, hash-matchable."""
+    docs = _read(spark, sf_dir, "documents")
+    built = F.concat(
+        F.substring(F.col("text"), 1, 40), F.lit(". "),
+        F.substring(F.col("text"), 41, 60), F.lit("! "),
+        F.col("text"), F.lit("."),
+    )
+    d = docs.select("doc_id", built.alias("t"))
+    return d.select(
+        "doc_id",
+        text.sentence_count(F.col("t")).alias("n_sents"),
+        F.size(text.tokens(F.col("t"))).cast("long").alias("n_words"),
+        text.syllable_count(F.col("t")).alias("n_syllables"),
+        text.fk_grade(F.col("t")).alias("fk_grade"),
+    )
+
+
+def q_doc_line_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate-line removal (operators/text
+    .unique_lines — the C4-style page cleanup, map-only fold): planted
+    page text repeats a nav line, a body line and a footer inside
+    each document; the cleanup keeps first occurrences in order. The
+    oracle replays it with a first-position list_filter."""
+    docs = _read(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    nav = F.concat(F.lit("nav "), (F.col("doc_id") % 5).cast("string"))
+    body1 = F.substring(F.col("text"), 1, 50)
+    body2 = F.substring(F.col("text"), 51, 50)
+    t = F.concat(
+        nav, nl, body1, nl, nav, nl, body2, nl, body1, nl,
+        F.lit("footer"), nl, F.lit("footer"),
+    )
+    d = docs.select("doc_id", t.alias("t"))
+    cleaned = text.unique_lines(F.col("t"))
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("t"), "\n")).cast("long").alias("n_lines"),
+        F.size(F.split(cleaned, "\n")).cast("long").alias("n_uniq_lines"),
+        cleaned.alias("cleaned"),
+    )
+
+
 def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass filter-chain attribution (operators/quality
     .quality_funnel): five ordered gates over documents, each row
@@ -4254,12 +4303,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: queue), filled to 50 with the first 17 r8-greens in CORRECTNESS_r08
 #: artifact order. Max driver-green age after this round: r8.
 _WINDOW_R11 = [
-    # new this round (zip write side; the funnel/priority-sampling/
-    # anchor-text trio added late in r11 — new-first policy, so the
-    # three youngest r8-green fillers, multimodal_meta, frame_sample
-    # and table_profile, rotate just past the cut to keep the
-    # 50-entry contract)
+    # new this round (zip write side; the funnel / priority-sampling /
+    # anchor-text / readability / line-cleanup batch added late in
+    # r11 — new-first policy, so the five youngest r8-green fillers,
+    # multimodal_meta, frame_sample, table_profile, knn_topk and
+    # skew_salted_counts, rotate just past the cut to keep the
+    # 50-entry contract; never-driver-checked queries outrank
+    # already-green rotation)
     "zip_roundtrip", "quality_funnel", "weighted_sample", "anchor_texts",
+    "readability_scores", "doc_line_cleanup",
     # changed this round
     "webp_decode", "webp_frames", "media_frames", "zip_samples",
     # stalest rows-only (r2-r3)
@@ -4278,8 +4330,7 @@ _WINDOW_R11 = [
     "pagerank_redistribute", "webdataset_roundtrip", "format_stats",
     "bm25_search", "hybrid_search", "wet_roundtrip", "flac_decode",
     "jpeg_decode", "embedding_project", "pagerank_hosts",
-    "webdataset_samples", "robots_gate", "knn_topk",
-    "skew_salted_counts",
+    "webdataset_samples", "robots_gate",
 ]
 
 
@@ -4435,6 +4486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "quality_funnel": q_quality_funnel,
         "weighted_sample": q_weighted_sample,
+        "readability_scores": q_readability_scores,
+        "doc_line_cleanup": q_doc_line_cleanup,
         "classifier_quality": q_classifier_quality,
         "unigram_surprise": q_unigram_surprise,
         "domain_cap": q_domain_cap,
@@ -5756,6 +5809,68 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_word_ratio >= 0.9
                     AND stopword_hits >= 1) AS gopher_ok
             FROM m
+        """,
+        "readability_scores": r"""
+            WITH built AS (
+                SELECT doc_id,
+                       substr(text, 1, 40) || '. ' || substr(text, 41, 60)
+                           || '! ' || text || '.' AS t
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, t,
+                       CASE WHEN length(regexp_replace(t, '^\s+|\s+$', '', 'g')) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                regexp_replace(t, '^\s+|\s+$', '', 'g'), '\s+')
+                       END AS toks
+                FROM built
+            ),
+            m AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(t)) = 0 THEN 0
+                            ELSE greatest(len(regexp_extract_all(t, '[.!?]+(\s|$)')), 1)
+                       END AS n_sents_raw,
+                       CAST(len(toks) AS BIGINT) AS n_words,
+                       CAST(COALESCE(list_sum(list_transform(toks,
+                            x -> greatest(len(regexp_extract_all(lower(x), '[aeiouy]+')), 1))),
+                            0) AS BIGINT) AS n_syllables
+                FROM tok
+            )
+            SELECT doc_id,
+                   CAST(n_sents_raw AS BIGINT) AS n_sents,
+                   n_words,
+                   n_syllables,
+                   CASE WHEN n_words > 0 AND n_sents_raw > 0
+                        THEN round(0.39 * (CAST(n_words AS DOUBLE) / n_sents_raw)
+                                   + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                                   - 15.59, 6)
+                   END AS fk_grade
+            FROM m
+        """,
+        "doc_line_cleanup": """
+            WITH built AS (
+                SELECT doc_id,
+                       'nav ' || CAST(doc_id % 5 AS VARCHAR) || chr(10)
+                           || substr(text, 1, 50) || chr(10)
+                           || 'nav ' || CAST(doc_id % 5 AS VARCHAR) || chr(10)
+                           || substr(text, 51, 50) || chr(10)
+                           || substr(text, 1, 50) || chr(10)
+                           || 'footer' || chr(10) || 'footer' AS t
+                FROM documents
+            ),
+            u AS (
+                SELECT doc_id, t,
+                       list_filter(str_split(t, chr(10)),
+                           (x, i) -> list_position(str_split(t, chr(10)), x) = i
+                       ) AS uniq
+                FROM built
+            )
+            SELECT doc_id,
+                   CAST(len(str_split(t, chr(10))) AS BIGINT) AS n_lines,
+                   CAST(len(uniq) AS BIGINT) AS n_uniq_lines,
+                   array_to_string(uniq, chr(10)) AS cleaned
+            FROM u
         """,
         "quality_funnel": r"""
             WITH t AS (

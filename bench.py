@@ -155,6 +155,8 @@ HEADLINE = [
     "quality_funnel",           # single-pass filter-chain attribution
     "weighted_sample",          # integer priority sampling, top-k
     "anchor_texts",             # anchor-text corpus aggregation
+    "readability_scores",       # FK grade over planted sentences
+    "doc_line_cleanup",         # within-doc duplicate-line removal
 ]
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
@@ -486,19 +488,19 @@ def main() -> None:
         "clean": not dirty_queries,
         "dirty_queries": dirty_queries,
     }
-    line = json.dumps(compact)
+    line = json.dumps(compact, separators=(",", ":"))
     # Hard guard: stay under the driver's tail capture (~2000 bytes)
     # with margin for a trailing newline and any stray stdout bytes.
     if len(line) > 1900:
         compact.pop("dirty_queries", None)
-        line = json.dumps(compact)
+        line = json.dumps(compact, separators=(",", ":"))
     while len(line) > 1900 and compact["queries"]:
         # Drop the cheapest queries first — total stays authoritative;
         # per-query detail always survives in the sidecar.
         cheapest = min(compact["queries"], key=compact["queries"].get)
         del compact["queries"][cheapest]
         compact["queries_truncated"] = True
-        line = json.dumps(compact)
+        line = json.dumps(compact, separators=(",", ":"))
     print(line)
     spark.stop()
 

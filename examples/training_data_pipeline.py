@@ -211,6 +211,21 @@ def main() -> None:
         & (quality.classifier_score("text") >= 0.4)
     )
     print("after rule gate + classifier floor:", gated.count())
+
+    # 8a. Filter-chain attribution (r11): which gate ate the data —
+    #     the funnel report costs ONE scan no matter how many gates,
+    #     instead of re-filtering the corpus once per gate
+    quality.quality_funnel(
+        final.join(docs.select("doc_id", "lang"), "doc_id"),
+        [
+            ("gopher", quality.gopher_pass(
+                "text", min_words=5, min_stopword_hits=0,
+                min_alpha_word_ratio=0.5)),
+            ("classifier", quality.classifier_score("text") >= 0.4),
+            ("english_corpus", F.col("lang") == "en"),
+        ],
+    ).show()
+
     balanced = quality.mixture_sample(
         gated, strata_col="lang", key_col="doc_id", target_rows=1_000
     )
@@ -245,6 +260,16 @@ def main() -> None:
     target = spark.read.parquet(f"{DATA}/documents.parquet").limit(200)
     matched = quality.dsir_sample(balanced, target, k=500, vocab_size=500)
     print("DSIR-selected:", matched.count())
+
+    # 9b. Weighted sampling without replacement (r11): when the pick
+    #     should favor LONG documents (weight = token count) but stay
+    #     bit-reproducible across engines and re-runs — priority
+    #     sampling in pure integer arithmetic
+    longish = quality.weighted_sample(
+        balanced.withColumn("ntok", text.token_count("text")),
+        weight_col="ntok", key_col="doc_id", k=300,
+    )
+    print("weighted-sampled:", longish.count())
 
     # 10. Epoch order + fixed-length sequence packing: every token of
     #     the final corpus lands in exactly one slot of one 512-token

@@ -313,6 +313,112 @@ def normalize_unicode(text: Column | str, form: str = "NFC") -> Column:
     return _norm(c)
 
 
+def unique_lines(text: Column | str) -> Column:
+    """Within-document duplicate-line removal (the C4-style page
+    cleanup: navigation chrome and boilerplate repeat INSIDE a page):
+    the text with every line dropped after its first occurrence,
+    order preserved.
+
+    Map-only higher-order fold — no shuffle, no UDF, cost rides the
+    scan. The fold is O(lines²) ``array_contains`` per document,
+    which is fine at real per-page line counts (hundreds); cross-
+    document boilerplate is the separate ``dedup.line_dedup``
+    shuffle. Empty text passes through; NULL propagates.
+
+    Examples
+    --------
+        >>> df = spark.createDataFrame([("nav\\nbody\\nnav\\nfooter",)], ["t"])
+        >>> df.select(unique_lines("t").alias("u")).first()["u"]
+        'nav\\nbody\\nfooter'
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    uniq = F.aggregate(
+        F.split(c, "\n"),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(F.array_contains(acc, x), acc).otherwise(
+            F.concat(acc, F.array(x))
+        ),
+    )
+    return F.array_join(uniq, "\n")
+
+
+#: Sentence terminator: a run of terminal punctuation followed by
+#: whitespace or end-of-text. Identical in Java regex and RE2 (the
+#: readability oracle).
+_SENT_END = r"[.!?]+(\s|$)"
+
+
+def sentence_count(text: Column | str) -> Column:
+    """Sentence count: terminator runs (``[.!?]+`` before whitespace
+    or end-of-text); non-empty text without a terminator counts as
+    ONE sentence (a fragment is still a sentence — the convention
+    readability formulas assume)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.regexp_count(c, F.lit(_SENT_END))
+    return (
+        F.when(F.length(F.trim(c)) == 0, F.lit(0))
+        .otherwise(F.greatest(n, F.lit(1)))
+        .cast("long")
+    )
+
+
+def syllable_count(text: Column | str) -> Column:
+    """Syllable estimate: lowercase vowel-group runs (``[aeiouy]+``)
+    per whitespace token, floored at 1 per token (every spoken word
+    has at least one syllable — covers digits and vowel-less
+    tokens). The standard cheap estimator behind readability
+    scores; within a few percent on latin prose."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.aggregate(
+        F.transform(
+            tokens(c),
+            lambda t: F.greatest(
+                F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")), F.lit(1)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def fk_grade(text: Column | str) -> Column:
+    """Flesch–Kincaid grade level:
+    ``0.39*(words/sentences) + 11.8*(syllables/words) - 15.59``,
+    rounded to 6 — the quality-filter feature the readability gates
+    use (e.g. "keep grade 3-12 prose"). Empty text → NULL.
+
+    Engine parity: the inputs are integer counts and the arithmetic
+    is one IEEE divide/multiply/add chain — deterministic in every
+    engine (no transcendental), so the rounded grade hash-matches
+    the DuckDB oracle cell-for-cell.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+
+    def build(tk: Column) -> Column:
+        n_words = F.size(tk).cast("double")
+        n_sents = sentence_count(c).cast("double")
+        n_syll = F.aggregate(
+            F.transform(
+                tk,
+                lambda t: F.greatest(
+                    F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")), F.lit(1)
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        grade = (
+            F.lit(0.39) * (n_words / n_sents)
+            + F.lit(11.8) * (n_syll / n_words)
+            - F.lit(15.59)
+        )
+        return F.when(
+            (n_words > 0) & (n_sents > 0), F.round(grade, 6)
+        ).otherwise(F.lit(None).cast("double"))
+
+    return bind_once(tokens(c), build)
+
+
 def fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of normalized text.
 

@@ -165,3 +165,92 @@ def test_ccnet_buckets_partition_and_order(spark, n, seed_off):
     # thirds within one doc of each other (interpolated cuts)
     sizes = sorted(len(v) for v in by_bucket.values())
     assert sizes[-1] - sizes[0] <= 2
+
+
+# ---------------------------------------------------------------------------
+# quality_funnel (r11)
+# ---------------------------------------------------------------------------
+@st.composite
+def funnel_corpus(draw):
+    n = draw(st.integers(min_value=1, max_value=30))
+    rows = [
+        (
+            i,
+            draw(st.one_of(st.none(), st.integers(min_value=-20, max_value=20))),
+            draw(st.integers(min_value=0, max_value=10)),
+        )
+        for i in range(n)
+    ]
+    t1 = draw(st.integers(min_value=-10, max_value=10))
+    t2 = draw(st.integers(min_value=0, max_value=10))
+    return rows, t1, t2
+
+
+def _funnel_reference(rows, t1, t2):
+    """Plain-Python model: charge each row to its first failing gate
+    (None fails like SQL null), then fold the funnel table."""
+    removed = {"g1": 0, "g2": 0}
+    kept = 0
+    for _i, x, y in rows:
+        if not (x is not None and x >= t1):
+            removed["g1"] += 1
+        elif not (y >= t2):
+            removed["g2"] += 1
+        else:
+            kept += 1
+    total = len(rows)
+    n_in1 = total
+    n_out1 = n_in1 - removed["g1"]
+    n_out2 = n_out1 - removed["g2"]
+    return [
+        (0, "g1", n_in1, removed["g1"], n_out1),
+        (1, "g2", n_out1, removed["g2"], n_out2),
+    ]
+
+
+@given(case=funnel_corpus())
+@settings(**_SETTINGS)
+def test_quality_funnel_matches_python_reference(spark, case):
+    rows, t1, t2 = case
+    df = spark.createDataFrame(rows, "doc_id long, x long, y long")
+    out = quality.quality_funnel(
+        df, [("g1", F.col("x") >= t1), ("g2", F.col("y") >= t2)]
+    )
+    got = [
+        (r["stage_idx"], r["stage"], r["n_in"], r["n_removed"], r["n_out"])
+        for r in out.orderBy("stage_idx").collect()
+    ]
+    assert got == _funnel_reference(rows, t1, t2)
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample (r11)
+# ---------------------------------------------------------------------------
+@st.composite
+def weighted_corpus(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    rows = [
+        (i, draw(st.integers(min_value=0, max_value=10_000)))
+        for i in range(n)
+    ]
+    k = draw(st.integers(min_value=1, max_value=n))
+    return rows, k
+
+
+def _weighted_reference(rows, k, resolution=1_000_000, scale=1_000_000_000):
+    """Plain-Python model of the integer priority-sampling rule."""
+    pr = []
+    for i, w in rows:
+        bucket = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % resolution
+        pr.append((-(w * scale // (bucket + 1)), i))
+    return [i for _p, i in sorted(pr)[:k]]
+
+
+@given(case=weighted_corpus())
+@settings(**_SETTINGS)
+def test_weighted_sample_matches_python_reference(spark, case):
+    rows, k = case
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = quality.weighted_sample(df.repartition(5), "w", "doc_id", k=k)
+    got = [r["doc_id"] for r in out.collect()]
+    assert got == _weighted_reference(rows, k)

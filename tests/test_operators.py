@@ -341,6 +341,67 @@ class TestPII:
         assert r["red"] == "no pii here at all"
 
 
+class TestUniqueLines:
+    def test_first_occurrence_order(self, spark):
+        df = spark.createDataFrame(
+            [(1, "nav\nbody\nnav\nfooter\nbody\nfooter")], ["doc_id", "t"]
+        )
+        [r] = df.select(text.unique_lines("t").alias("u")).collect()
+        assert r["u"] == "nav\nbody\nfooter"
+
+    def test_no_duplicates_untouched_and_edges(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a\nb\nc"), (2, ""), (3, "solo"), (4, None)],
+            "doc_id long, t string",
+        )
+        got = [r["u"] for r in df.orderBy("doc_id").select(
+            text.unique_lines("t").alias("u")).collect()]
+        assert got == ["a\nb\nc", "", "solo", None]
+
+    def test_blank_lines_dedup_too(self, spark):
+        # repeated empty lines collapse to the first one
+        df = spark.createDataFrame([(1, "a\n\nb\n\nc")], ["doc_id", "t"])
+        [r] = df.select(text.unique_lines("t").alias("u")).collect()
+        assert r["u"] == "a\n\nb\nc"
+
+
+class TestReadability:
+    def test_sentence_count(self, spark):
+        cases = [
+            ("One. Two! Three?", 3),
+            ("fragment with no terminator", 1),
+            ("Ends mid... no wait.", 2),
+            ("", 0),
+            ("   ", 0),
+        ]
+        df = spark.createDataFrame(cases, "t string, want long")
+        for r in df.select(
+            text.sentence_count("t").alias("n"), "want"
+        ).collect():
+            assert r["n"] == r["want"]
+
+    def test_syllable_count_vowel_groups(self, spark):
+        # "readable" -> ea|a|e = 3 groups; "text" -> 1; "42" -> clamp 1
+        df = spark.createDataFrame([(1, "readable text 42")], ["i", "t"])
+        [r] = df.select(text.syllable_count("t").alias("s")).collect()
+        assert r["s"] == 3 + 1 + 1
+
+    def test_fk_grade_known_answer(self, spark):
+        # 7 words, 2 sentences, 10 syllables (the|cat|sat|down.|a = 1
+        # each, readable = ea/a/e = 3, story! = o/y = 2)
+        t = "the cat sat down. a readable story!"
+        df = spark.createDataFrame([(t,)], ["t"])
+        [r] = df.select(text.fk_grade("t").alias("g")).collect()
+        n_words, n_sents, n_syll = 7, 2, 10
+        want = round(0.39 * (n_words / n_sents) + 11.8 * (n_syll / n_words) - 15.59, 6)
+        assert r["g"] == pytest.approx(want, abs=1e-9)
+
+    def test_fk_grade_empty_is_null(self, spark):
+        df = spark.createDataFrame([("",), ("   ",)], ["t"])
+        got = [r["g"] for r in df.select(text.fk_grade("t").alias("g")).collect()]
+        assert got == [None, None]
+
+
 class TestStratifiedSample:
     def test_deterministic_and_stratified(self, spark):
         rows = [(i, "a" if i % 2 == 0 else "b") for i in range(400)]
