@@ -2833,6 +2833,25 @@ def q_doc_line_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-aware chunking (operators/text.chunk_by_sentences):
+    five planted sentences per doc (four 35-char fragments + the full
+    text as a deliberately over-long final sentence), greedily packed
+    into <=24-token chunks that never split a sentence. The oracle
+    replays the same greedy fold with DuckDB's list_reduce, chunks
+    string-encoded on chr(2)."""
+    docs = _read(spark, sf_dir, "documents")
+    built = F.concat(
+        F.substring(F.col("text"), 1, 35), F.lit(". "),
+        F.substring(F.col("text"), 36, 35), F.lit(". "),
+        F.substring(F.col("text"), 71, 35), F.lit("! "),
+        F.substring(F.col("text"), 106, 35), F.lit("? "),
+        F.col("text"), F.lit("."),
+    )
+    d = docs.select("doc_id", built.alias("text"))
+    return text.chunk_by_sentences(d, max_tokens=24)
+
+
 def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass filter-chain attribution (operators/quality
     .quality_funnel): five ordered gates over documents, each row
@@ -4303,15 +4322,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: queue), filled to 50 with the first 17 r8-greens in CORRECTNESS_r08
 #: artifact order. Max driver-green age after this round: r8.
 _WINDOW_R11 = [
-    # new this round (zip write side; the funnel / priority-sampling /
-    # anchor-text / readability / line-cleanup batch added late in
-    # r11 — new-first policy, so the five youngest r8-green fillers,
-    # multimodal_meta, frame_sample, table_profile, knn_topk and
-    # skew_salted_counts, rotate just past the cut to keep the
-    # 50-entry contract; never-driver-checked queries outrank
-    # already-green rotation)
+    # new this round (zip write side; then the late-r11 batch —
+    # funnel / priority-sampling / anchor-text / readability /
+    # line-cleanup / sentence-chunking). New-first policy: the six
+    # youngest r8-green fillers (multimodal_meta, frame_sample,
+    # table_profile, knn_topk, skew_salted_counts, robots_gate)
+    # rotate just past the cut to keep the 50-entry contract;
+    # never-driver-checked queries outrank already-green rotation.
     "zip_roundtrip", "quality_funnel", "weighted_sample", "anchor_texts",
-    "readability_scores", "doc_line_cleanup",
+    "readability_scores", "doc_line_cleanup", "sentence_chunks",
     # changed this round
     "webp_decode", "webp_frames", "media_frames", "zip_samples",
     # stalest rows-only (r2-r3)
@@ -4330,7 +4349,7 @@ _WINDOW_R11 = [
     "pagerank_redistribute", "webdataset_roundtrip", "format_stats",
     "bm25_search", "hybrid_search", "wet_roundtrip", "flac_decode",
     "jpeg_decode", "embedding_project", "pagerank_hosts",
-    "webdataset_samples", "robots_gate",
+    "webdataset_samples",
 ]
 
 
@@ -4488,6 +4507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "readability_scores": q_readability_scores,
         "doc_line_cleanup": q_doc_line_cleanup,
+        "sentence_chunks": q_sentence_chunks,
         "classifier_quality": q_classifier_quality,
         "unigram_surprise": q_unigram_surprise,
         "domain_cap": q_domain_cap,
@@ -5809,6 +5829,59 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_word_ratio >= 0.9
                     AND stopword_hits >= 1) AS gopher_ok
             FROM m
+        """,
+        "sentence_chunks": r"""
+            WITH built AS (
+                SELECT doc_id,
+                       substr(text, 1, 35) || '. ' || substr(text, 36, 35)
+                           || '. ' || substr(text, 71, 35) || '! '
+                           || substr(text, 106, 35) || '? ' || text || '.' AS t
+                FROM documents
+            ),
+            folded AS (
+                SELECT doc_id,
+                       str_split(
+                           list_reduce(
+                               str_split(regexp_replace(t, '([.!?])\s+',
+                                   '\1' || chr(1), 'g'), chr(1)),
+                               (acc, s) -> CASE
+                                   WHEN (CASE WHEN length(regexp_replace(
+                                             list_extract(str_split(acc, chr(2)),
+                                                 len(str_split(acc, chr(2)))),
+                                             '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                                        ELSE len(regexp_split_to_array(
+                                             regexp_replace(
+                                                 list_extract(str_split(acc, chr(2)),
+                                                     len(str_split(acc, chr(2)))),
+                                                 '^\s+|\s+$', '', 'g'), '\s+'))
+                                        END)
+                                      + (CASE WHEN length(regexp_replace(s,
+                                             '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                                         ELSE len(regexp_split_to_array(
+                                             regexp_replace(s, '^\s+|\s+$', '', 'g'),
+                                             '\s+'))
+                                         END) > 24
+                                   THEN acc || chr(2) || s
+                                   ELSE acc || ' ' || s END
+                           ), chr(2)) AS chunks
+                FROM built
+            ),
+            ex AS (
+                SELECT doc_id,
+                       unnest(chunks) AS chunk_text,
+                       unnest(range(1, len(chunks) + 1)) AS i
+                FROM folded
+            )
+            SELECT doc_id,
+                   CAST(i - 1 AS BIGINT) AS chunk_idx,
+                   chunk_text,
+                   CAST(CASE WHEN length(regexp_replace(chunk_text,
+                            '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(
+                            regexp_replace(chunk_text, '^\s+|\s+$', '', 'g'),
+                            '\s+'))
+                        END AS BIGINT) AS n_tokens
+            FROM ex
         """,
         "readability_scores": r"""
             WITH built AS (

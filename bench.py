@@ -157,6 +157,7 @@ HEADLINE = [
     "anchor_texts",             # anchor-text corpus aggregation
     "readability_scores",       # FK grade over planted sentences
     "doc_line_cleanup",         # within-doc duplicate-line removal
+    "sentence_chunks",          # sentence-aware greedy chunking
 ]
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100

@@ -1161,6 +1161,7 @@ def weighted_sample(
     resolution: int = 1_000_000,
     scale: int = 1_000_000_000,
     priority_col: str = "priority",
+    strata_col: str | None = None,
 ) -> DataFrame:
     """Deterministic weighted sampling without replacement: priority
     sampling (Duffield–Lund–Thorup, JACM 2007) with a hash-derived
@@ -1184,6 +1185,11 @@ def weighted_sample(
     corpus; cost is the scan. Weights must be non-negative integers
     (cast upstream; at ``scale`` = 1e9 and weights ≤ ~9e9 the product
     stays inside int64).
+
+    With ``strata_col``, the top-k is taken PER STRATUM (a balanced
+    weighted pick per source/language) via one hash-partitioned
+    window on the slim priority column — the ``cap_per_key`` shape,
+    including its documented hot-stratum caveat.
     """
     if k <= 0:
         raise ValueError("k must be positive")
@@ -1192,11 +1198,20 @@ def weighted_sample(
     staged = df.withColumn("__wn", wexpr * F.lit(int(scale))).withColumn(
         "__u", u
     )
-    return (
-        staged.withColumn(priority_col, F.expr("__wn div __u"))
-        .drop("__wn", "__u")
-        .orderBy(F.col(priority_col).desc(), F.col(key_col))
-        .limit(int(k))
+    prio = staged.withColumn(priority_col, F.expr("__wn div __u")).drop(
+        "__wn", "__u"
+    )
+    if strata_col is not None:
+        w = Window.partitionBy(strata_col).orderBy(
+            F.col(priority_col).desc(), F.col(key_col)
+        )
+        return (
+            prio.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= int(k))
+            .drop("__r")
+        )
+    return prio.orderBy(F.col(priority_col).desc(), F.col(key_col)).limit(
+        int(k)
     )
 
 

@@ -419,6 +419,86 @@ def fk_grade(text: Column | str) -> Column:
     return bind_once(tokens(c), build)
 
 
+def split_sentences(text: Column | str) -> Column:
+    """Array of sentences: the text split AFTER terminator runs
+    (``[.!?]`` followed by whitespace), terminators kept with their
+    sentence, inter-sentence whitespace dropped.
+
+    No lookbehind (RE2, the oracle engine, has none): the boundary
+    whitespace is rewritten to ``\\x01`` with a backreference, then
+    split — the identical two-step replays in DuckDB."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(
+        F.regexp_replace(c, r"([.!?])\s+", "$1\u0001"), "\u0001"
+    )
+
+
+def chunk_by_sentences(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sentence-aware chunking: cut each document into chunks of at
+    most ``max_tokens`` whitespace tokens WITHOUT ever splitting a
+    sentence — the retrieval/RAG prep step where mid-sentence cuts
+    poison embeddings (the token-window cutter is
+    ``functions.chunk_documents``; this is the semantic-boundary
+    variant). Greedy: each sentence joins the current chunk if it
+    fits, else starts a new one; a single sentence longer than
+    ``max_tokens`` becomes its own over-long chunk (never split).
+    Sentences are rejoined with single spaces.
+
+    One pure-Column fold per document (``F.aggregate`` over the
+    sentence array carrying (running-token-count, chunks) — map-only,
+    no UDF, no shuffle; the row explosion happens after scan-level
+    filtering, so cost scales with surviving documents). Returns one
+    row per chunk: ``id_col``, ``chunk_idx``, ``chunk_text``,
+    ``n_tokens``.
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    c = F.col(text_col)
+    sents = split_sentences(c)
+
+    def _tok(s: Column) -> Column:
+        trimmed = F.regexp_replace(s, r"^\s+|\s+$", "")
+        return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+            F.size(F.split(trimmed, _WS))
+        ).cast("long")
+
+    zero = F.struct(
+        F.lit(0).cast("long").alias("run"),
+        F.array().cast("array<string>").alias("chunks"),
+    )
+
+    def step(acc: Column, s: Column) -> Column:
+        n = _tok(s)
+        run, chunks = acc["run"], acc["chunks"]
+        start_new = (F.size(chunks) == 0) | (run + n > F.lit(int(max_tokens)))
+        appended = F.concat(
+            F.slice(chunks, 1, F.size(chunks) - 1),
+            F.array(F.concat(F.element_at(chunks, -1), F.lit(" "), s)),
+        )
+        return F.struct(
+            F.when(start_new, n).otherwise(run + n).alias("run"),
+            F.when(start_new, F.concat(chunks, F.array(s)))
+            .otherwise(appended)
+            .alias("chunks"),
+        )
+
+    folded = F.aggregate(sents, zero, step)["chunks"]
+    return (
+        df.select(F.col(id_col), F.posexplode(folded).alias("chunk_idx", "chunk_text"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            "chunk_text",
+            _tok(F.col("chunk_text")).alias("n_tokens"),
+        )
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of normalized text.
 

@@ -364,6 +364,39 @@ class TestUniqueLines:
         [r] = df.select(text.unique_lines("t").alias("u")).collect()
         assert r["u"] == "a\n\nb\nc"
 
+    def test_fuzz_matches_python_fold(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        line = st.text(alphabet="ab ", min_size=0, max_size=4)
+
+        @given(
+            docs=st.lists(
+                st.lists(line, min_size=1, max_size=12),
+                min_size=1,
+                max_size=8,
+            )
+        )
+        @settings(
+            max_examples=15,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        def check(docs):
+            df = spark.createDataFrame(
+                [("\n".join(ls),) for ls in docs], ["t"]
+            )
+            got = [
+                r["u"]
+                for r in df.select(text.unique_lines("t").alias("u")).collect()
+            ]
+            want = [
+                "\n".join(dict.fromkeys(ls)) for ls in docs
+            ]
+            assert got == want
+
+        check()
+
 
 class TestReadability:
     def test_sentence_count(self, spark):
@@ -2012,3 +2045,92 @@ class TestPngExtendedFormats:
             self._png(2, 1, 8, 0, 1, b"\x00" + bytes([1, 2]))
         )
         assert m is None
+
+
+class TestChunkBySentences:
+    def test_greedy_known_answer(self, spark):
+        df = spark.createDataFrame(
+            [(1, "aa bb. cc dd ee. ff. gg hh ii jj.")], ["doc_id", "text"]
+        )
+        out = text.chunk_by_sentences(df, max_tokens=4)
+        got = [
+            (r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+            for r in out.orderBy("chunk_idx").collect()
+        ]
+        assert got == [
+            (0, "aa bb.", 2),
+            (1, "cc dd ee. ff.", 4),
+            (2, "gg hh ii jj.", 4),
+        ]
+
+    def test_overlong_sentence_never_split(self, spark):
+        df = spark.createDataFrame(
+            [(1, "one two three four five six. x.")], ["doc_id", "text"]
+        )
+        out = text.chunk_by_sentences(df, max_tokens=3).orderBy("chunk_idx")
+        got = [(r["chunk_text"], r["n_tokens"]) for r in out.collect()]
+        assert got == [("one two three four five six.", 6), ("x.", 1)]
+
+    def test_no_terminator_single_chunk(self, spark):
+        df = spark.createDataFrame(
+            [(1, "no punctuation here at all")], ["doc_id", "text"]
+        )
+        out = text.chunk_by_sentences(df, max_tokens=2).collect()
+        assert len(out) == 1 and out[0]["n_tokens"] == 5
+
+    def test_rejects_bad_max(self, spark):
+        df = spark.createDataFrame([(1, "a.")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            text.chunk_by_sentences(df, max_tokens=0)
+
+    def test_fuzz_matches_python_greedy(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        sentence = st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=3),
+            min_size=1,
+            max_size=6,
+        ).map(lambda ws: " ".join(ws) + ".")
+
+        def ref(sents, max_tokens):
+            chunks = []
+            run = 0
+            for s in sents:
+                n = len(s.split())
+                if not chunks or run + n > max_tokens:
+                    chunks.append(s)
+                    run = n
+                else:
+                    chunks[-1] += " " + s
+                    run += n
+            return chunks
+
+        @given(
+            docs=st.lists(
+                st.lists(sentence, min_size=1, max_size=8),
+                min_size=1,
+                max_size=6,
+            ),
+            mx=st.integers(min_value=1, max_value=10),
+        )
+        @settings(
+            max_examples=15,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        def check(docs, mx):
+            df = spark.createDataFrame(
+                [(i, " ".join(ls)) for i, ls in enumerate(docs)],
+                ["doc_id", "text"],
+            )
+            out = text.chunk_by_sentences(df, max_tokens=mx)
+            got = {}
+            for r in out.collect():
+                got.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["chunk_text"]
+            want = {
+                i: dict(enumerate(ref(ls, mx))) for i, ls in enumerate(docs)
+            }
+            assert got == want
+
+        check()

@@ -848,3 +848,28 @@ class TestWeightedSample:
     def test_rejects_bad_k(self, weighted):
         with pytest.raises(ValueError):
             quality.weighted_sample(weighted, "w", "doc_id", k=0)
+
+    def test_per_stratum_topk(self, spark):
+        df = spark.createDataFrame(
+            [(i, 10 + i % 3, f"s{i % 2}") for i in range(1, 21)],
+            "doc_id long, w long, src string",
+        )
+        out = quality.weighted_sample(
+            df, "w", "doc_id", k=4, strata_col="src"
+        )
+        rows = out.collect()
+        by_src: dict = {}
+        for r in rows:
+            by_src.setdefault(r["src"], []).append(r)
+        assert set(by_src) == {"s0", "s1"} and all(
+            len(v) == 4 for v in by_src.values()
+        )
+        # per-stratum picks are the stratum's global top-4 by the
+        # same (priority desc, key) order the unstratified path uses
+        for src, picked in by_src.items():
+            whole = quality.weighted_sample(
+                df.where(F.col("src") == src), "w", "doc_id", k=4
+            ).collect()
+            assert sorted(r["doc_id"] for r in picked) == sorted(
+                r["doc_id"] for r in whole
+            )

@@ -625,3 +625,84 @@ class TestHtmlToTextBlockBreaks:
     def test_default_mode_unchanged(self, spark):
         df = spark.createDataFrame([("<p>a</p><p>b</p>",)], ["h"])
         assert df.select(web.html_to_text("h").alias("t")).first()["t"] == "a b"
+
+
+class TestExtractAnchorsFuzz:
+    """Differential fuzz: extract_anchors (Java regex, JVM-side) vs a
+    pure-Python ``re`` reference with the same patterns, over
+    generated HTML. Pins the Java-vs-RE2/Python regex semantics the
+    DuckDB oracle only exercises on planted markup. Alphabet is
+    printable ASCII + tab/newline (Java's default ``\\s`` class is
+    narrower than Python's at \\x1c-\\x1f — out of the documented
+    subset)."""
+
+    @staticmethod
+    def _reference(html):
+        import re
+
+        full = re.compile(r'(?is)<a\s[^>]*href\s*=\s*"[^"]*"[^>]*>.*?</a>')
+        hrefp = re.compile(r'(?is)href\s*=\s*"([^"]*)"')
+        bodyp = re.compile(r"(?is)^<a[^>]*>(.*)</a>$")
+        out = []
+        for e in full.findall(html):
+            href = hrefp.search(e).group(1)
+            body = bodyp.match(e).group(1)
+            txt = re.sub(
+                r"\s+", " ", re.sub(r"(?s)<[^>]*>", " ", body)
+            ).strip()
+            out.append((href, txt))
+        return out
+
+    def test_generated_markup_matches_python(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        words = st.text(
+            alphabet="abcdefgh XY.,!-\t\n", min_size=0, max_size=12
+        )
+        hrefs = st.text(
+            alphabet="abcdefgh0123456789:/._-#?&=", min_size=0, max_size=20
+        )
+
+        @st.composite
+        def htmls(draw):
+            n = draw(st.integers(min_value=0, max_value=6))
+            parts = []
+            for _ in range(n):
+                kind = draw(st.integers(min_value=0, max_value=4))
+                if kind == 0:
+                    parts.append(draw(words))
+                elif kind == 1:  # well-formed anchor, maybe nested markup
+                    body = draw(words)
+                    if draw(st.booleans()):
+                        body = f"<b>{body}</b>{draw(words)}"
+                    parts.append(
+                        f'<a href="{draw(hrefs)}">{body}</a>'
+                    )
+                elif kind == 2:  # extra attrs + spaced equals
+                    parts.append(
+                        f'<A class="x" HREF = "{draw(hrefs)}">{draw(words)}</A>'
+                    )
+                elif kind == 3:  # single-quoted: outside the subset
+                    parts.append(f"<a href='{draw(hrefs)}'>{draw(words)}</a>")
+                else:  # unterminated / not an anchor
+                    parts.append(f'<a href="{draw(hrefs)}">{draw(words)}')
+            return "".join(parts)
+
+        @given(batch=st.lists(htmls(), min_size=1, max_size=8))
+        @settings(
+            max_examples=15,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        def check(batch):
+            df = spark.createDataFrame([(h,) for h in batch], ["h"])
+            got = [
+                [(a["href"], a["anchor"]) for a in r.a]
+                for r in df.select(
+                    web.extract_anchors("h").alias("a")
+                ).collect()
+            ]
+            assert got == [self._reference(h) for h in batch]
+
+        check()
