@@ -950,6 +950,55 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog (operators.sketch): per-priority
+    distinct-order estimates whose registers, exact-integer harmonic
+    denominator AND final float estimate all hash-match a DuckDB
+    replica — the oracle-checked companion to the rows-only
+    ``approx_distinct`` (Spark's own HLL++ sketch is implementation-
+    specific; this one is md5-deterministic by construction). p=8
+    (256 registers) keeps per-group ndv ≈ 3k·sf/0.01 in the raw-
+    estimate regime (> 2.5m), where no linear-counting correction —
+    and hence no cross-engine ``ln`` — is needed."""
+    from flycatcher_spark.operators import sketch
+
+    orders = _read(spark, sf_dir, "orders")
+    est = sketch.hll_estimate(orders, "o_orderkey", ["o_orderpriority"], p=8)
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_orderkey").alias("exact_ndv")
+    )
+    return est.join(exact, "o_orderpriority")
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (operators.sketch): the top-20
+    corpus tokens with their exact counts and their CMS point
+    estimates side by side — ``overcount = cms_est - n ≥ 0`` is the
+    sketch's one-sided error made visible, and every counter is
+    md5-deterministic so the whole result (sketch estimates included)
+    hash-matches DuckDB. The sketch here is built weighted from the
+    exact count table (the query needs those counts anyway for the
+    comparison; ``weight_col`` makes the two builds identical) — the
+    100 TB production shape feeds the raw token stream, where map-side
+    partial aggregation collapses each partition to ≤ depth×width
+    cells before the only shuffle."""
+    from flycatcher_spark.operators import sketch
+    from flycatcher_spark.operators.text import normalize_text, tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens(normalize_text("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(20)
+    sk = sketch.cms_sketch(counts, "token", weight_col="n", depth=4, width=1024)
+    est = sketch.cms_lookup(sk, top.select("token"), "token", depth=4, width=1024)
+    return top.join(est, "token").select(
+        "token", "n", "cms_est", (F.col("cms_est") - F.col("n")).alias("overcount")
+    )
+
+
 def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketized point-in-interval range join (operators.range_join):
     events landing in the first 10 days of any order month. A naive
@@ -4329,6 +4378,7 @@ _WINDOW_R11 = [
     # table_profile, knn_topk, skew_salted_counts, robots_gate)
     # rotate just past the cut to keep the 50-entry contract;
     # never-driver-checked queries outrank already-green rotation.
+    "hll_distinct", "cms_heavy_hitters",
     "zip_roundtrip", "quality_funnel", "weighted_sample", "anchor_texts",
     "readability_scores", "doc_line_cleanup", "sentence_chunks",
     # changed this round
@@ -4348,8 +4398,10 @@ _WINDOW_R11 = [
     # oldest r8-greens (CORRECTNESS_r08 artifact order)
     "pagerank_redistribute", "webdataset_roundtrip", "format_stats",
     "bm25_search", "hybrid_search", "wet_roundtrip", "flac_decode",
-    "jpeg_decode", "embedding_project", "pagerank_hosts",
-    "webdataset_samples",
+    "jpeg_decode", "embedding_project",
+    # (pagerank_hosts / webdataset_samples rotate just past the cut
+    # for the two late-r11 sketch queries — never-driver-checked
+    # outranks already-green rotation; both stay r8-green.)
 ]
 
 
@@ -4569,6 +4621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "bpe_token_stats": q_bpe_token_stats,
         "approx_distinct": q_approx_distinct,
+        "hll_distinct": q_hll_distinct,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "ann_recall": q_ann_recall,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
@@ -8806,6 +8860,74 @@ def oracle_sql() -> dict[str, str]:
                    term, tf, df, tfidf
             FROM scored
             QUALIFY rank <= 3
+        """,
+        # -- late r11: md5-deterministic sketches (operators.sketch) —
+        # approximate operators whose estimates are still cell-exact
+        # cross-engine. The alpha literal is hll_alpha_m2(8) computed
+        # once driver-side and embedded identically on both sides;
+        # 562949953421312.0 = 2^49 (exact power-of-two scale).
+        "hll_distinct": """
+            WITH h AS (
+                SELECT o_orderpriority,
+                       CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)) AS BIGINT) AS register,
+                       CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 3, 12)) AS BIGINT) AS w
+                FROM orders WHERE o_orderkey IS NOT NULL
+            ),
+            reg AS (
+                SELECT o_orderpriority, register,
+                       MAX(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS max_rho
+                FROM h GROUP BY o_orderpriority, register
+            ),
+            agg AS (
+                SELECT o_orderpriority,
+                       COUNT(*) AS n_registers,
+                       SUM(CAST(1 AS BIGINT) << (49 - max_rho)) AS denom_scaled
+                FROM reg GROUP BY o_orderpriority
+            ),
+            exact AS (
+                SELECT o_orderpriority, COUNT(DISTINCT o_orderkey) AS exact_ndv
+                FROM orders GROUP BY o_orderpriority
+            )
+            SELECT agg.o_orderpriority, n_registers,
+                   CAST(denom_scaled AS BIGINT) AS denom_scaled,
+                   round(47072.71267120224
+                         / (CAST(denom_scaled AS DOUBLE) / 562949953421312.0
+                            + CAST(256 - n_registers AS DOUBLE)), 4) AS hll_ndv,
+                   exact_ndv
+            FROM agg JOIN exact USING (o_orderpriority)
+        """,
+        "cms_heavy_hitters": r"""
+            WITH toks AS (
+                SELECT unnest(
+                    CASE WHEN length(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0
+                         THEN CAST([] AS VARCHAR[])
+                         ELSE regexp_split_to_array(
+                             regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'),
+                                            '\s+', ' ', 'g'), ' ')
+                    END) AS token
+                FROM documents
+            ),
+            counts AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+            expanded AS (SELECT token, n, unnest([0, 1, 2, 3]) AS row FROM counts),
+            cells AS (
+                SELECT row,
+                       CAST(concat('0x', substr(md5(concat(CAST(row AS VARCHAR), ':', token)), 1, 8)) AS BIGINT) % 1024 AS bucket,
+                       SUM(n) AS cnt
+                FROM expanded GROUP BY row, bucket
+            ),
+            top AS (SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 20),
+            probes AS (
+                SELECT t.token, u.row,
+                       CAST(concat('0x', substr(md5(concat(CAST(u.row AS VARCHAR), ':', t.token)), 1, 8)) AS BIGINT) % 1024 AS bucket
+                FROM top t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS row) u
+            ),
+            est AS (
+                SELECT p.token, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_est
+                FROM probes p LEFT JOIN cells c ON p.row = c.row AND p.bucket = c.bucket
+                GROUP BY p.token
+            )
+            SELECT top.token, top.n, est.cms_est, est.cms_est - top.n AS overcount
+            FROM top JOIN est USING (token)
         """,
         # minhash_pairs / minhash_dedup_ids / simhash_pairs / lsh_topk:
         # intentionally omitted — they depend on Spark-native xxhash64 /

@@ -158,6 +158,8 @@ HEADLINE = [
     "readability_scores",       # FK grade over planted sentences
     "doc_line_cleanup",         # within-doc duplicate-line removal
     "sentence_chunks",          # sentence-aware greedy chunking
+    "hll_distinct",             # md5-deterministic HLL, oracle-exact
+    "cms_heavy_hitters",        # count-min sketch build + top-20 probe
 ]
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100

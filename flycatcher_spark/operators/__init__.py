@@ -12,6 +12,9 @@ reference surface — see SURVEY.md §7.1 step 7).
   (curation-grade upgrade of ``text.lang_id``).
 - :mod:`.multimodal` — opaque binary payload columns with typed
   metadata, decoded via Arrow-batched ``mapInPandas``.
+- :mod:`.sketch` — mergeable md5-deterministic sketches: HLL
+  distinct counting and count-min frequency estimation with exact
+  cross-engine oracles (register-for-register, counter-for-counter).
 - :mod:`.stats` — single-pass dataset profiling (counts, distincts,
   extrema, moments, approximate quantiles).
 - :mod:`.skew` — salted joins/aggregations for hot-key workloads.
@@ -89,6 +92,7 @@ from . import (
     quality,
     range_join,
     similarity,
+    sketch,
     skew,
     stats,
     text,
@@ -119,6 +123,7 @@ __all__ = [
     "quality",
     "range_join",
     "similarity",
+    "sketch",
     "skew",
     "stats",
     "text",
