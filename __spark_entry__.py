@@ -970,6 +970,25 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "o_orderpriority")
 
 
+def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout diagnostic (operators.layout): parts bucketed
+    by the top 6 bits of a 16-bit Morton key over (p_size,
+    floor(p_retailprice)), reporting each bucket's row count and
+    per-dimension spans — the near-rectangles that make multi-dim
+    parquet stats pruning work (the write side is pinned by
+    tests/test_layout.py's measured file-skipping proof). The key is
+    exact integer arithmetic generated from ONE spec into both
+    dialects, so every bucket id and span hash-matches DuckDB."""
+    from flycatcher_spark.operators import layout
+
+    part = _read(spark, sf_dir, "part")
+    dims = [
+        layout.ZDim("p_size", 1, 50),
+        layout.ZDim("CAST(floor(p_retailprice) AS BIGINT)", 900, 999),
+    ]
+    return layout.zorder_spans(part, dims, bits=8, prefix_bits=6)
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters (operators.sketch): the top-20
     corpus tokens with their exact counts and their CMS point
@@ -4378,7 +4397,7 @@ _WINDOW_R11 = [
     # table_profile, knn_topk, skew_salted_counts, robots_gate)
     # rotate just past the cut to keep the 50-entry contract;
     # never-driver-checked queries outrank already-green rotation.
-    "hll_distinct", "cms_heavy_hitters",
+    "hll_distinct", "cms_heavy_hitters", "zorder_locality",
     "zip_roundtrip", "quality_funnel", "weighted_sample", "anchor_texts",
     "readability_scores", "doc_line_cleanup", "sentence_chunks",
     # changed this round
@@ -4398,10 +4417,11 @@ _WINDOW_R11 = [
     # oldest r8-greens (CORRECTNESS_r08 artifact order)
     "pagerank_redistribute", "webdataset_roundtrip", "format_stats",
     "bm25_search", "hybrid_search", "wet_roundtrip", "flac_decode",
-    "jpeg_decode", "embedding_project",
-    # (pagerank_hosts / webdataset_samples rotate just past the cut
-    # for the two late-r11 sketch queries — never-driver-checked
-    # outranks already-green rotation; both stay r8-green.)
+    "jpeg_decode",
+    # (embedding_project / pagerank_hosts / webdataset_samples rotate
+    # just past the cut for the three late-r11 queries (sketches +
+    # z-order) — never-driver-checked outranks already-green
+    # rotation; all three stay r8-green.)
 ]
 
 
@@ -4623,6 +4643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": q_approx_distinct,
         "hll_distinct": q_hll_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "zorder_locality": q_zorder_locality,
         "ann_recall": q_ann_recall,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
@@ -4918,6 +4939,28 @@ def _pagerank_cte(
             LEFT JOIN r{it - 1} r ON r.node = e.src
             GROUP BY nd.node)""")
     return ",\n        ".join(parts)
+
+
+def _zorder_locality_oracle() -> str:
+    """DuckDB replica of q_zorder_locality, its Morton key emitted by
+    the same ``layout.zorder_expr`` spec the Spark plan uses."""
+    from flycatcher_spark.operators import layout
+
+    dims = [
+        layout.ZDim("p_size", 1, 50),
+        layout.ZDim("CAST(floor(p_retailprice) AS BIGINT)", 900, 999),
+    ]
+    z = layout.zorder_expr(dims, bits=8, dialect="duckdb")
+    return f"""
+        SELECT ({z}) >> 10 AS z_bucket,
+               COUNT(*) AS n,
+               CAST(MIN(p_size) AS BIGINT) AS d0_min,
+               CAST(MAX(p_size) AS BIGINT) AS d0_max,
+               CAST(MIN(CAST(floor(p_retailprice) AS BIGINT)) AS BIGINT) AS d1_min,
+               CAST(MAX(CAST(floor(p_retailprice) AS BIGINT)) AS BIGINT) AS d1_max
+        FROM part
+        GROUP BY z_bucket
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8929,6 +8972,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT top.token, top.n, est.cms_est, est.cms_est - top.n AS overcount
             FROM top JOIN est USING (token)
         """,
+        # late r11: the Morton key is generated from the SAME ZDim
+        # spec as the Spark query (layout.zorder_expr, duckdb
+        # dialect) — one definition, two dialects, zero drift.
+        "zorder_locality": _zorder_locality_oracle(),
         # minhash_pairs / minhash_dedup_ids / simhash_pairs / lsh_topk:
         # intentionally omitted — they depend on Spark-native xxhash64 /
         # hash seeds that DuckDB cannot reproduce; the driver records a

@@ -12,6 +12,9 @@ reference surface — see SURVEY.md §7.1 step 7).
   (curation-grade upgrade of ``text.lang_id``).
 - :mod:`.multimodal` — opaque binary payload columns with typed
   metadata, decoded via Arrow-batched ``mapInPandas``.
+- :mod:`.layout` — Z-order (Morton-curve) storage layout: exact
+  integer bit-interleave keys + range-partitioned sorted writes for
+  multi-dimensional parquet stats pruning.
 - :mod:`.sketch` — mergeable md5-deterministic sketches: HLL
   distinct counting and count-min frequency estimation with exact
   cross-engine oracles (register-for-register, counter-for-counter).
@@ -87,6 +90,7 @@ from . import (
     graph,
     jpeg,
     langid,
+    layout,
     multimodal,
     pdf,
     quality,
@@ -118,6 +122,7 @@ __all__ = [
     "graph",
     "jpeg",
     "langid",
+    "layout",
     "multimodal",
     "pdf",
     "quality",
