@@ -970,6 +970,26 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "o_orderpriority")
 
 
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining (similarity.mine_contrastive_pairs,
+    exact arm): per-anchor positives (sim ≥ 0.3) and hard negatives
+    (the highest-sim candidates in [0.15, 0.3)) from a top-50
+    shortlist — the dense-retrieval supervision miner. The exact arm
+    is the oracle-replayable configuration; production mines from
+    the IVF shortlist (impl='ivf'), whose recall is quantified by
+    ann_recall."""
+    em = _emb_double(spark, sf_dir)
+    anchors = em.filter(F.col("vec_id") < 10)
+    res = similarity.mine_contrastive_pairs(
+        em, anchors, k=50, pos_threshold=0.3, neg_lo=0.15,
+        n_pos=2, n_neg=4, impl="exact",
+    )
+    return res.select(
+        "query_id", "vec_id", "sim", "role",
+        F.col("role_rank").cast("long").alias("role_rank"),
+    )
+
+
 def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout diagnostic (operators.layout): parts bucketed
     by the top 6 bits of a 16-bit Morton key over (p_size,
@@ -4398,6 +4418,7 @@ _WINDOW_R11 = [
     # rotate just past the cut to keep the 50-entry contract;
     # never-driver-checked queries outrank already-green rotation.
     "hll_distinct", "cms_heavy_hitters", "zorder_locality",
+    "contrastive_pairs",
     "zip_roundtrip", "quality_funnel", "weighted_sample", "anchor_texts",
     "readability_scores", "doc_line_cleanup", "sentence_chunks",
     # changed this round
@@ -4417,11 +4438,11 @@ _WINDOW_R11 = [
     # oldest r8-greens (CORRECTNESS_r08 artifact order)
     "pagerank_redistribute", "webdataset_roundtrip", "format_stats",
     "bm25_search", "hybrid_search", "wet_roundtrip", "flac_decode",
-    "jpeg_decode",
-    # (embedding_project / pagerank_hosts / webdataset_samples rotate
-    # just past the cut for the three late-r11 queries (sketches +
-    # z-order) — never-driver-checked outranks already-green
-    # rotation; all three stay r8-green.)
+    # (jpeg_decode / embedding_project / pagerank_hosts /
+    # webdataset_samples rotate just past the cut for the four
+    # late-r11 queries (sketches, z-order, contrastive mining) —
+    # never-driver-checked outranks already-green rotation; all four
+    # stay r8-green.)
 ]
 
 
@@ -4644,6 +4665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "zorder_locality": q_zorder_locality,
+        "contrastive_pairs": q_contrastive_pairs,
         "ann_recall": q_ann_recall,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
@@ -8976,6 +8998,41 @@ def oracle_sql() -> dict[str, str]:
         # spec as the Spark query (layout.zorder_expr, duckdb
         # dialect) — one definition, two dialects, zero drift.
         "zorder_locality": _zorder_locality_oracle(),
+        "contrastive_pairs": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+            sc AS (
+                SELECT q.query_id, e.vec_id,
+                       round(CASE WHEN sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)) > 0
+                                  THEN list_dot_product(e.v, q.qv)
+                                       / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+                             END, 6) AS sim
+                FROM e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id
+            ),
+            shortlist AS (
+                SELECT query_id, vec_id, sim,
+                       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+                FROM sc QUALIFY rank <= 50
+            ),
+            labeled AS (
+                SELECT query_id, vec_id, sim,
+                       CASE WHEN sim >= 0.3 THEN 'positive'
+                            WHEN sim >= 0.15 AND sim < 0.3 THEN 'hard_negative'
+                       END AS role
+                FROM shortlist
+                WHERE sim >= 0.15
+            )
+            SELECT query_id, vec_id, sim, role,
+                   CAST(role_rank AS BIGINT) AS role_rank
+            FROM (
+                SELECT query_id, vec_id, sim, role,
+                       row_number() OVER (PARTITION BY query_id, role
+                                          ORDER BY sim DESC, vec_id) AS role_rank
+                FROM labeled
+            )
+            WHERE role_rank <= CASE WHEN role = 'positive' THEN 2 ELSE 4 END
+        """,
         # minhash_pairs / minhash_dedup_ids / simhash_pairs / lsh_topk:
         # intentionally omitted — they depend on Spark-native xxhash64 /
         # hash seeds that DuckDB cannot reproduce; the driver records a

@@ -161,6 +161,7 @@ HEADLINE = [
     "hll_distinct",             # md5-deterministic HLL, oracle-exact
     "cms_heavy_hitters",        # count-min sketch build + top-20 probe
     "zorder_locality",          # Morton-key bucket spans (pure Column)
+    "contrastive_pairs",        # hard-negative mining, exact arm
 ]
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100

@@ -1309,3 +1309,82 @@ def random_projection(
     return F.transform(
         F.sequence(F.lit(0), F.lit(out_dim - 1)), comp
     )
+
+
+def mine_contrastive_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pos_threshold: float = 0.3,
+    neg_lo: float = 0.15,
+    neg_hi: float | None = None,
+    n_pos: int = 2,
+    n_neg: int = 4,
+    impl: str = "exact",
+    n_cells: int = 8,
+    n_probe: int = 3,
+) -> DataFrame:
+    """Mine (anchor, positive) and (anchor, hard-negative) training
+    pairs for contrastive embedding training — the curation step that
+    turns a corpus + its own geometry into supervision.
+
+    For each anchor (query vector): take the top-``k`` cosine
+    shortlist, then label candidates by similarity band —
+    ``sim >= pos_threshold`` → ``'positive'`` (near-duplicates /
+    same-topic, the alignment signal), ``neg_lo <= sim <
+    neg_hi`` → ``'hard_negative'`` (the highest-similarity
+    non-positives: exactly the candidates a random in-batch negative
+    would miss and an easy-negative curriculum never teaches). Keep
+    the best ``n_pos`` / ``n_neg`` of each per anchor, ranked by
+    descending similarity (hardest negatives first — the standard
+    dense-retrieval mining recipe, cf. DPR/ANCE-style hard-negative
+    selection). Returns ``(query_id, vec_id, sim, role, role_rank)``.
+
+    ``impl="exact"`` scores the shortlist by brute force — the
+    oracle-replayable arm (``contrastive_pairs`` hash-matches DuckDB
+    cell-for-cell). ``impl="ivf"`` takes the shortlist from the IVF
+    index instead: at 100 TB the corpus-×-anchors product is
+    unpayable, so production mines from the cell-pruned probe
+    (codebooks broadcast, never an all-pairs join) and accepts
+    index recall in exchange — the recall of that exact path is
+    quantified by the oracle-checked ``ann_recall`` family.
+    ``neg_hi`` defaults to ``pos_threshold`` (bands touch; keep a
+    gap by passing a lower ``neg_hi`` to drop ambiguous candidates).
+    """
+    if neg_hi is None:
+        neg_hi = pos_threshold
+    if not (neg_lo < neg_hi <= pos_threshold):
+        raise ValueError(
+            f"need neg_lo < neg_hi <= pos_threshold, got "
+            f"({neg_lo}, {neg_hi}, {pos_threshold})"
+        )
+    if impl == "exact":
+        shortlist = brute_force_topk(
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+        )
+    elif impl == "ivf":
+        shortlist = ivf_topk(
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+            n_cells=n_cells, n_probe=n_probe,
+        )
+    else:
+        raise ValueError(f"unknown impl {impl!r}")
+    role = (
+        F.when(F.col("sim") >= pos_threshold, F.lit("positive"))
+        .when(
+            (F.col("sim") >= neg_lo) & (F.col("sim") < neg_hi),
+            F.lit("hard_negative"),
+        )
+    )
+    labeled = shortlist.withColumn("role", role).where(F.col("role").isNotNull())
+    w = Window.partitionBy("query_id", "role").orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    cap = F.when(F.col("role") == "positive", F.lit(n_pos)).otherwise(F.lit(n_neg))
+    return (
+        labeled.withColumn("role_rank", F.row_number().over(w))
+        .where(F.col("role_rank") <= cap)
+        .select("query_id", id_col, "sim", "role", "role_rank")
+    )

@@ -1526,6 +1526,73 @@ class TestEmbeddingNeardupImpls:
             dedup.embedding_neardup_pairs(df, block_col=None, impl="numpy")
 
 
+class TestContrastiveMining:
+    @pytest.fixture(scope="class")
+    def cloud(self, spark):
+        # anchor 0 at e0; near-dup at cos~0.995 (positive band);
+        # mid-sim ring cos in [0.5, 0.8) (hard negatives); far
+        # orthogonal points (dropped)
+        import math
+
+        rows = [(0, [1.0, 0.0, 0.0]), (1, [0.995, 0.0998, 0.0])]
+        for i, c in enumerate([0.78, 0.7, 0.6, 0.52]):
+            s = math.sqrt(1 - c * c)
+            rows.append((10 + i, [c, s, 0.0]))
+        rows += [(50, [0.0, 0.0, 1.0]), (51, [0.0, 0.0, -1.0])]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_roles_and_caps(self, cloud):
+        res = similarity.mine_contrastive_pairs(
+            cloud, cloud.where("vec_id = 0"), k=10,
+            pos_threshold=0.9, neg_lo=0.5, n_pos=2, n_neg=3,
+        ).collect()
+        roles = {(r["role"], r["vec_id"]): r["role_rank"] for r in res}
+        assert roles == {
+            ("positive", 1): 1,
+            # hardest negatives first, capped at n_neg=3 of the 4 in band
+            ("hard_negative", 10): 1,
+            ("hard_negative", 11): 2,
+            ("hard_negative", 12): 3,
+        }
+        # orthogonal points never appear in any band
+        assert all(r["vec_id"] not in (50, 51) for r in res)
+
+    def test_gap_band_drops_ambiguous(self, cloud):
+        # neg_hi below pos_threshold leaves a moat: cos~0.78 falls in
+        # (neg_hi, pos_threshold) and is dropped
+        res = similarity.mine_contrastive_pairs(
+            cloud, cloud.where("vec_id = 0"), k=10,
+            pos_threshold=0.9, neg_lo=0.5, neg_hi=0.75, n_neg=4,
+        ).collect()
+        ids = {r["vec_id"] for r in res if r["role"] == "hard_negative"}
+        assert ids == {11, 12, 13}
+
+    def test_ivf_arm_runs_and_is_subset_of_bands(self, cloud):
+        # production arm: shortlist from the IVF probe; every mined
+        # pair still lands in its declared band
+        res = similarity.mine_contrastive_pairs(
+            cloud, cloud.where("vec_id = 0"), k=10,
+            pos_threshold=0.9, neg_lo=0.5, impl="ivf",
+            n_cells=2, n_probe=2,
+        ).collect()
+        assert res
+        for r in res:
+            if r["role"] == "positive":
+                assert r["sim"] >= 0.9
+            else:
+                assert 0.5 <= r["sim"] < 0.9
+
+    def test_band_validation(self, cloud):
+        with pytest.raises(ValueError, match="neg_lo < neg_hi"):
+            similarity.mine_contrastive_pairs(
+                cloud, cloud, pos_threshold=0.5, neg_lo=0.6
+            )
+        with pytest.raises(ValueError, match="unknown impl"):
+            similarity.mine_contrastive_pairs(
+                cloud, cloud, impl="hnsw"
+            )
+
+
 class TestProductQuantization:
     @pytest.fixture(scope="class")
     def em(self, spark):
