@@ -970,6 +970,72 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "o_orderpriority")
 
 
+def _planted_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic JSON transcripts planted over documents (the
+    corpus has no conversations, so the structure is planted — the
+    readability_scores discipline): doc_id % 5 selects the shape.
+    0 = 4-turn well-formed, 1 = 2-turn well-formed, 2 = alternation
+    violation (user,user,assistant), 3 = ends with user, 4 = corrupt
+    JSON (truncated mid-object). The oracle replays THIS construction
+    arithmetically, so the Spark from_json path is what's under
+    test."""
+    docs = _read(spark, sf_dir, "documents")
+    s1 = F.substring("text", 1, 30)
+    s2 = F.substring("text", 31, 40)
+    s3 = F.substring("text", 71, 20)
+    s4 = F.substring("text", 91, 25)
+
+    def turn(role, content):
+        return F.concat(
+            F.lit('{"role":"' + role + '","content":"'), content, F.lit('"}')
+        )
+
+    def conv(*ts):
+        return F.concat(F.lit("["), F.concat_ws(",", *ts), F.lit("]"))
+
+    v = F.col("doc_id") % 5
+    conv_json = (
+        F.when(v == 0, conv(turn("user", s1), turn("assistant", s2),
+                            turn("user", s3), turn("assistant", s4)))
+        .when(v == 1, conv(turn("user", s1), turn("assistant", s2)))
+        .when(v == 2, conv(turn("user", s1), turn("user", s3),
+                           turn("assistant", s2)))
+        .when(v == 3, conv(turn("user", s1), turn("assistant", s2),
+                           turn("user", s3)))
+        .otherwise(F.concat(F.lit("["), turn("user", s1),
+                            F.lit(',{"role":"assistant"')))
+    )
+    return docs.select(F.col("doc_id").alias("conv_id"),
+                       conv_json.alias("conv_json"))
+
+
+def q_chat_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript explode (operators.chat.parse_turns): native
+    from_json + posexplode_outer over the planted conversations —
+    corrupt JSON becomes one attributable all-null turn row, never a
+    stage failure. Emits content lengths (not bodies) to keep the
+    compare slim."""
+    from flycatcher_spark.operators import chat
+
+    turns = chat.parse_turns(_planted_transcripts(spark, sf_dir))
+    return turns.select(
+        "conv_id", "turn_idx", "role",
+        F.length("content").cast("long").alias("content_len"),
+    )
+
+
+def q_chat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation curation gates (operators.chat): one shuffle for
+    per-conversation structure — parse_ok, role counts, alternation,
+    boundary roles, trainable mass — then the composite wellformed
+    gate as pure arithmetic. Variants 0/1 pass; 2 fails alternation;
+    3 ends on user; 4 fails parse."""
+    from flycatcher_spark.operators import chat
+
+    turns = chat.parse_turns(_planted_transcripts(spark, sf_dir))
+    return chat.wellformed(chat.conversation_stats(turns), min_turns=2)
+
+
 def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-pair mining (similarity.mine_contrastive_pairs,
     exact arm): per-anchor positives (sim ≥ 0.3) and hard negatives
@@ -4418,7 +4484,7 @@ _WINDOW_R11 = [
     # rotate just past the cut to keep the 50-entry contract;
     # never-driver-checked queries outrank already-green rotation.
     "hll_distinct", "cms_heavy_hitters", "zorder_locality",
-    "contrastive_pairs",
+    "contrastive_pairs", "chat_turns", "chat_stats",
     "zip_roundtrip", "quality_funnel", "weighted_sample", "anchor_texts",
     "readability_scores", "doc_line_cleanup", "sentence_chunks",
     # changed this round
@@ -4437,12 +4503,12 @@ _WINDOW_R11 = [
     "url_dedup", "video_frames", "warc_records",
     # oldest r8-greens (CORRECTNESS_r08 artifact order)
     "pagerank_redistribute", "webdataset_roundtrip", "format_stats",
-    "bm25_search", "hybrid_search", "wet_roundtrip", "flac_decode",
-    # (jpeg_decode / embedding_project / pagerank_hosts /
-    # webdataset_samples rotate just past the cut for the four
-    # late-r11 queries (sketches, z-order, contrastive mining) —
-    # never-driver-checked outranks already-green rotation; all four
-    # stay r8-green.)
+    "bm25_search", "hybrid_search",
+    # (wet_roundtrip / flac_decode / jpeg_decode / embedding_project
+    # / pagerank_hosts / webdataset_samples rotate just past the cut
+    # for the six late-r11 queries (sketches, z-order, contrastive
+    # mining, chat prep) — never-driver-checked outranks
+    # already-green rotation; all six stay r8-green.)
 ]
 
 
@@ -4666,6 +4732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "zorder_locality": q_zorder_locality,
         "contrastive_pairs": q_contrastive_pairs,
+        "chat_turns": q_chat_turns,
+        "chat_stats": q_chat_stats,
         "ann_recall": q_ann_recall,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
@@ -9032,6 +9100,81 @@ def oracle_sql() -> dict[str, str]:
                 FROM labeled
             )
             WHERE role_rank <= CASE WHEN role = 'positive' THEN 2 ELSE 4 END
+        """,
+        # late r11: chat transcript prep — the oracle replays the
+        # PLANTED construction (variant arithmetic over substr
+        # lengths), never Spark's from_json, so a parse bug on the
+        # Spark side cannot hash-match.
+        "chat_turns": """
+            WITH d AS (
+                SELECT doc_id,
+                       length(substr(text, 1, 30)) AS l1,
+                       length(substr(text, 31, 40)) AS l2,
+                       length(substr(text, 71, 20)) AS l3,
+                       length(substr(text, 91, 25)) AS l4,
+                       doc_id % 5 AS v
+                FROM documents
+            )
+            SELECT doc_id AS conv_id, CAST(idx AS BIGINT) AS turn_idx,
+                   role, CAST(len AS BIGINT) AS content_len
+            FROM (
+                SELECT doc_id, 0 AS idx, 'user' AS role, l1 AS len FROM d WHERE v < 4
+                UNION ALL SELECT doc_id, 1, 'assistant', l2 FROM d WHERE v IN (0, 1, 3)
+                UNION ALL SELECT doc_id, 1, 'user', l3 FROM d WHERE v = 2
+                UNION ALL SELECT doc_id, 2, 'user', l3 FROM d WHERE v IN (0, 3)
+                UNION ALL SELECT doc_id, 2, 'assistant', l2 FROM d WHERE v = 2
+                UNION ALL SELECT doc_id, 3, 'assistant', l4 FROM d WHERE v = 0
+                UNION ALL SELECT doc_id, CAST(NULL AS INTEGER),
+                                 CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER)
+                           FROM d WHERE v = 4
+            )
+        """,
+        "chat_stats": """
+            WITH d AS (
+                SELECT doc_id,
+                       length(substr(text, 1, 30)) AS l1,
+                       length(substr(text, 31, 40)) AS l2,
+                       length(substr(text, 71, 20)) AS l3,
+                       length(substr(text, 91, 25)) AS l4,
+                       doc_id % 5 AS v
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       v <> 4 AS parse_ok,
+                       CASE v WHEN 0 THEN 4 WHEN 1 THEN 2 WHEN 2 THEN 3
+                              WHEN 3 THEN 3 ELSE 0 END AS n_turns,
+                       CASE v WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 2
+                              WHEN 3 THEN 2 ELSE 0 END AS n_user,
+                       CASE v WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 1
+                              WHEN 3 THEN 1 ELSE 0 END AS n_assistant,
+                       CAST(0 AS BIGINT) AS n_system,
+                       v IN (0, 1, 3) AS alternation_ok,
+                       v <> 4 AS starts_user,
+                       v IN (0, 1, 2) AS ends_assistant,
+                       CASE v WHEN 0 THEN l1 + l2 + l3 + l4
+                              WHEN 1 THEN l1 + l2
+                              WHEN 2 THEN l1 + l3 + l2
+                              WHEN 3 THEN l1 + l2 + l3
+                              ELSE 0 END AS total_chars,
+                       CASE v WHEN 0 THEN l2 + l4 WHEN 4 THEN 0
+                              ELSE l2 END AS trainable_chars,
+                       v IN (0, 1) AS wellformed
+                FROM d
+            )
+            SELECT doc_id AS conv_id, parse_ok,
+                   CAST(n_turns AS BIGINT) AS n_turns,
+                   CAST(n_user AS BIGINT) AS n_user,
+                   CAST(n_assistant AS BIGINT) AS n_assistant,
+                   n_system, alternation_ok, starts_user, ends_assistant,
+                   CAST(total_chars AS BIGINT) AS total_chars,
+                   CAST(trainable_chars AS BIGINT) AS trainable_chars,
+                   CASE WHEN total_chars > 0
+                        THEN round(CAST(trainable_chars AS DOUBLE)
+                                   / CAST(total_chars AS DOUBLE), 6)
+                        ELSE 0.0 END AS trainable_ratio,
+                   wellformed
+            FROM s
         """,
         # minhash_pairs / minhash_dedup_ids / simhash_pairs / lsh_topk:
         # intentionally omitted — they depend on Spark-native xxhash64 /

@@ -162,6 +162,7 @@ HEADLINE = [
     "cms_heavy_hitters",        # count-min sketch build + top-20 probe
     "zorder_locality",          # Morton-key bucket spans (pure Column)
     "contrastive_pairs",        # hard-negative mining, exact arm
+    "chat_stats",               # transcript parse + gates, one shuffle
 ]
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100

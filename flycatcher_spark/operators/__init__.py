@@ -28,6 +28,8 @@ reference surface — see SURVEY.md §7.1 step 7).
   Arrow-kernel apply.
 - :mod:`.versioning` — corpus release diffs (added / removed /
   changed / unchanged by content fingerprint).
+- :mod:`.chat` — conversation (SFT) data prep: JSON transcript
+  parsing, alternation/role gates, trainable-mass accounting.
 - :mod:`.cluster` — exact deterministic Lloyd's k-means (the
   engine-portable blocking-assignment producer for semantic dedup;
   sampled index bootstrapping lives in :mod:`.similarity`).
@@ -82,6 +84,7 @@ from . import (
     audio,
     bmp,
     bpe,
+    chat,
     cluster,
     decontam,
     dedup,
@@ -114,6 +117,7 @@ __all__ = [
     "audio",
     "bmp",
     "bpe",
+    "chat",
     "cluster",
     "decontam",
     "dedup",
