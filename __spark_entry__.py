@@ -970,6 +970,18 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "o_orderpriority")
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (dedup.ngram_containment_pairs):
+    |A∩B|/|A| catches doc-in-doc duplication that Jaccard misses
+    (a short doc quoted whole inside a long one scores ~|A|/|B| on
+    Jaccard but 1.0 on containment). Same bucketized-gap join as
+    jaccard_pairs; threshold on the max direction."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.ngram_containment_pairs(
+        docs, max_id_gap=25, shingle_n=1, threshold=0.4
+    )
+
+
 def _planted_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic JSON transcripts planted over documents (the
     corpus has no conversations, so the structure is planted — the
@@ -4484,7 +4496,7 @@ _WINDOW_R11 = [
     # rotate just past the cut to keep the 50-entry contract;
     # never-driver-checked queries outrank already-green rotation.
     "hll_distinct", "cms_heavy_hitters", "zorder_locality",
-    "contrastive_pairs", "chat_turns", "chat_stats",
+    "contrastive_pairs", "chat_turns", "chat_stats", "containment_pairs",
     "zip_roundtrip", "quality_funnel", "weighted_sample", "anchor_texts",
     "readability_scores", "doc_line_cleanup", "sentence_chunks",
     # changed this round
@@ -4503,12 +4515,13 @@ _WINDOW_R11 = [
     "url_dedup", "video_frames", "warc_records",
     # oldest r8-greens (CORRECTNESS_r08 artifact order)
     "pagerank_redistribute", "webdataset_roundtrip", "format_stats",
-    "bm25_search", "hybrid_search",
-    # (wet_roundtrip / flac_decode / jpeg_decode / embedding_project
-    # / pagerank_hosts / webdataset_samples rotate just past the cut
-    # for the six late-r11 queries (sketches, z-order, contrastive
-    # mining, chat prep) — never-driver-checked outranks
-    # already-green rotation; all six stay r8-green.)
+    "bm25_search",
+    # (hybrid_search / wet_roundtrip / flac_decode / jpeg_decode /
+    # embedding_project / pagerank_hosts / webdataset_samples rotate
+    # just past the cut for the seven late-r11 queries (sketches,
+    # z-order, contrastive mining, chat prep, containment) —
+    # never-driver-checked outranks already-green rotation; all
+    # seven stay r8-green.)
 ]
 
 
@@ -4734,6 +4747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_pairs": q_contrastive_pairs,
         "chat_turns": q_chat_turns,
         "chat_stats": q_chat_stats,
+        "containment_pairs": q_containment_pairs,
         "ann_recall": q_ann_recall,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
@@ -9100,6 +9114,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM labeled
             )
             WHERE role_rank <= CASE WHEN role = 'positive' THEN 2 ELSE 4 END
+        """,
+        # late r11: asymmetric containment — same shingle CTE as
+        # jaccard_pairs, per-direction divisors instead of the union.
+        "containment_pairs": r"""
+            WITH s AS (
+                SELECT doc_id,
+                       CASE WHEN length(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE list_distinct(regexp_split_to_array(
+                                regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g'),
+                                ' '))
+                       END AS sh
+                FROM documents
+            )
+            SELECT * FROM (
+                SELECT doc_id_a, doc_id_b, containment_a, containment_b,
+                       greatest(containment_a, containment_b) AS containment
+                FROM (
+                    SELECT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b,
+                           CASE WHEN len(l.sh) = 0 THEN 0.0
+                                ELSE round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                                           / len(l.sh), 6) END AS containment_a,
+                           CASE WHEN len(r.sh) = 0 THEN 0.0
+                                ELSE round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                                           / len(r.sh), 6) END AS containment_b
+                    FROM s l JOIN s r
+                      ON l.doc_id < r.doc_id AND r.doc_id <= l.doc_id + 25
+                )
+            ) WHERE containment >= 0.4
         """,
         # late r11: chat transcript prep — the oracle replays the
         # PLANTED construction (variant arithmetic over substr

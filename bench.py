@@ -163,6 +163,7 @@ HEADLINE = [
     "zorder_locality",          # Morton-key bucket spans (pure Column)
     "contrastive_pairs",        # hard-negative mining, exact arm
     "chat_stats",               # transcript parse + gates, one shuffle
+    "containment_pairs",        # asymmetric doc-in-doc shingle overlap
 ]
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100

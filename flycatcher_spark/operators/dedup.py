@@ -776,21 +776,18 @@ def jaccard_words(a: Column, b: Column) -> Column:
     )
 
 
-def ngram_jaccard_pairs(
+def _bucketized_shingle_pairs(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    block_col: str | None = None,
-    max_id_gap: int | None = None,
-    shingle_n: int = 1,
-    threshold: float = 0.0,
+    text_col: str,
+    id_col: str,
+    block_col: str | None,
+    max_id_gap: int | None,
+    shingle_n: int,
 ) -> DataFrame:
-    """Exact pairwise word-shingle Jaccard within a bounded block.
-
-    Unblocked all-pairs Jaccard is quadratic — callers must bound the
-    join with ``block_col`` (e.g. language/source) and/or
-    ``max_id_gap``. Used both directly (small blocks) and as the
-    verification stage after MinHash candidate generation.
+    """Shared candidate-pair join for the exact pairwise comparators
+    (:func:`ngram_jaccard_pairs`, :func:`ngram_containment_pairs`):
+    shingle once, then join ``l.id < r.id`` within the block and/or
+    id-gap bound.
 
     Scale design: an ``id <= id + gap`` range predicate alone would
     plan as a BroadcastNestedLoopJoin — an O(n²) scan on a single
@@ -835,17 +832,88 @@ def ngram_jaccard_pairs(
         left = base.alias("l")
         right = base.alias("r")
 
+    return left.join(right, cond).select(
+        F.col(f"l.{id_col}").alias("doc_id_a"),
+        F.col(f"r.{id_col}").alias("doc_id_b"),
+        F.col("l.__sh").alias("__sh_a"),
+        F.col("r.__sh").alias("__sh_b"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    max_id_gap: int | None = None,
+    shingle_n: int = 1,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact pairwise word-shingle Jaccard within a bounded block.
+
+    Unblocked all-pairs Jaccard is quadratic — callers must bound the
+    join with ``block_col`` (e.g. language/source) and/or
+    ``max_id_gap``. Used both directly (small blocks) and as the
+    verification stage after MinHash candidate generation. Join
+    shape: :func:`_bucketized_shingle_pairs`.
+    """
+    pairs = _bucketized_shingle_pairs(
+        df, text_col, id_col, block_col, max_id_gap, shingle_n
+    )
     return (
-        left.join(right, cond)
-        .select(
-            F.col(f"l.{id_col}").alias("doc_id_a"),
-            F.col(f"r.{id_col}").alias("doc_id_b"),
-            F.round(jaccard_words(F.col("l.__sh"), F.col("r.__sh")), 6).alias(
+        pairs.select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(jaccard_words(F.col("__sh_a"), F.col("__sh_b")), 6).alias(
                 "jaccard"
             ),
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    max_id_gap: int | None = None,
+    shingle_n: int = 1,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact pairwise shingle CONTAINMENT — the asymmetric measure
+    Jaccard misses: ``containment_a = |A∩B| / |A|`` is 1.0 when doc A
+    is wholly inside doc B even if B is 100× longer (quoted articles,
+    boilerplate-wrapped reposts, chunk-of-other-doc leakage), while
+    their Jaccard ≈ |A|/|B| ≈ 0 sails under every dedup threshold
+    (the Broder 1997 resemblance-vs-containment distinction).
+
+    Emits both directions plus ``containment = greatest(a, b)``;
+    ``threshold`` filters on the max — a pair is interesting when
+    EITHER document mostly lives inside the other. Same bounded join
+    economics as :func:`ngram_jaccard_pairs` (shared
+    :func:`_bucketized_shingle_pairs` stage); empty shingle sets
+    report 0.0, never null/NaN.
+    """
+    pairs = _bucketized_shingle_pairs(
+        df, text_col, id_col, block_col, max_id_gap, shingle_n
+    )
+    inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
+
+    def contain(n: Column, d: Column) -> Column:
+        return F.when(d == 0, F.lit(0.0)).otherwise(
+            F.round(n.cast("double") / d.cast("double"), 6)
+        )
+
+    scored = pairs.select(
+        "doc_id_a",
+        "doc_id_b",
+        contain(inter, F.size(F.col("__sh_a"))).alias("containment_a"),
+        contain(inter, F.size(F.col("__sh_b"))).alias("containment_b"),
+    ).withColumn(
+        "containment", F.greatest(F.col("containment_a"), F.col("containment_b"))
+    )
+    return scored.where(F.col("containment") >= threshold)
 
 
 def embedding_neardup_pairs(

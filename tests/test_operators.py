@@ -717,6 +717,45 @@ class TestJaccard:
         assert got == {(1, 2)}
 
 
+class TestContainment:
+    def test_doc_in_doc_asymmetry(self, spark):
+        # doc 1 is wholly inside doc 2 (plus 6 extra words): Jaccard
+        # sinks to 2/8 while containment_a pins the inclusion at 1.0
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a b c d e f g h")], ["doc_id", "text"]
+        )
+        got = dedup.ngram_containment_pairs(df, shingle_n=1).collect()[0]
+        assert got["containment_a"] == 1.0
+        assert got["containment_b"] == pytest.approx(2 / 8)
+        assert got["containment"] == 1.0
+        jac = dedup.ngram_jaccard_pairs(df, shingle_n=1).collect()[0]
+        assert jac["jaccard"] == pytest.approx(2 / 8)
+
+    def test_threshold_on_max_direction(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a b c d e f g h"), (10, "x y"), (11, "p q")],
+            ["doc_id", "text"],
+        )
+        pairs = dedup.ngram_containment_pairs(df, shingle_n=1, threshold=0.9)
+        got = {(r["doc_id_a"], r["doc_id_b"]) for r in pairs.collect()}
+        assert got == {(1, 2)}  # disjoint pairs filtered by the max
+
+    def test_empty_doc_reports_zero(self, spark):
+        df = spark.createDataFrame(
+            [(1, "   "), (2, "a b c")], ["doc_id", "text"]
+        )
+        got = dedup.ngram_containment_pairs(df, shingle_n=1).collect()[0]
+        assert got["containment_a"] == 0.0 and got["containment"] == 0.0
+
+    def test_shares_gap_bucketing(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (100, "a b")], ["doc_id", "text"]
+        )
+        pairs = dedup.ngram_containment_pairs(df, shingle_n=1, max_id_gap=10)
+        got = {(r["doc_id_a"], r["doc_id_b"]) for r in pairs.collect()}
+        assert got == {(1, 2)}
+
+
 # ---------------------------------------------------------------------------
 # similarity
 # ---------------------------------------------------------------------------
