@@ -4488,13 +4488,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #: queue), filled to 50 with the first 17 r8-greens in CORRECTNESS_r08
 #: artifact order. Max driver-green age after this round: r8.
 _WINDOW_R11 = [
-    # new this round (zip write side; then the late-r11 batch —
-    # funnel / priority-sampling / anchor-text / readability /
-    # line-cleanup / sentence-chunking). New-first policy: the six
-    # youngest r8-green fillers (multimodal_meta, frame_sample,
-    # table_profile, knn_topk, skew_salted_counts, robots_gate)
-    # rotate just past the cut to keep the 50-entry contract;
-    # never-driver-checked queries outrank already-green rotation.
+    # new this round, new-first policy (never-driver-checked outranks
+    # already-green rotation): the two late-r11 batches — sketches /
+    # z-order / contrastive mining / chat prep / containment, then
+    # zip write side / funnel / priority-sampling / anchor-text /
+    # readability / line-cleanup / sentence-chunking. To keep the
+    # 50-entry contract the 13 youngest r8-green fillers rotate just
+    # past the cut (multimodal_meta, frame_sample, table_profile,
+    # knn_topk, skew_salted_counts, robots_gate, hybrid_search,
+    # wet_roundtrip, flac_decode, jpeg_decode, embedding_project,
+    # pagerank_hosts, webdataset_samples) — all stay r8-green.
     "hll_distinct", "cms_heavy_hitters", "zorder_locality",
     "contrastive_pairs", "chat_turns", "chat_stats", "containment_pairs",
     "zip_roundtrip", "quality_funnel", "weighted_sample", "anchor_texts",

@@ -149,3 +149,44 @@ class TestCMS:
             sketch.cms_merge()
         with pytest.raises(ValueError):
             sketch.hll_merge()
+
+
+class TestStreamingHLL:
+    def test_complete_mode_registers_match_batch(self, spark, keys, tmp_path):
+        """The register max-monoid is exactly what Structured
+        Streaming's stateful aggregation needs: stream the same keys
+        in three arrival chunks and the complete-mode register table
+        after the last micro-batch must equal the batch sketch —
+        incremental ingest needs no special code path, just the same
+        groupBy(register).max(rho)."""
+        import uuid
+
+        src = str(tmp_path / "keys")
+        chunks = [
+            keys.where(F.col("id") % 3 == i).select("user") for i in range(3)
+        ]
+        chunks[0].coalesce(1).write.mode("append").parquet(src)
+
+        sdf = spark.readStream.schema("user string").parquet(src)
+        regs = sketch.hll_registers(sdf, "user", p=8)
+        name = f"hll_{uuid.uuid4().hex[:8]}"
+        q = (
+            regs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            for i in (1, 2):
+                chunks[i].coalesce(1).write.mode("append").parquet(src)
+                q.processAllAvailable()
+            got = {
+                r["register"]: r["max_rho"]
+                for r in spark.table(name).collect()
+            }
+        finally:
+            q.stop()
+        want = _registers_dict(sketch.hll_registers(keys, "user", p=8))
+        assert got == want

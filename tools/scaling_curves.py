@@ -96,6 +96,14 @@ TRACKED = [
     # and the integer priority-sampling TakeOrdered shape
     "quality_funnel",
     "weighted_sample",
+    # latest-r11 additions: the sketch shuffle-bound shapes (sketch
+    # size is constant, so alpha should track the SCAN, not the
+    # register/counter count), the shared bucketized pair join under
+    # its new second consumer, and the one-shuffle transcript stats
+    "hll_distinct",
+    "cms_heavy_hitters",
+    "containment_pairs",
+    "chat_stats",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 ALPHA_REGRESSION = 0.35
