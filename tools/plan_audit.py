@@ -26,6 +26,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # for an exact-baseline n^2 on bounded data.
 KNOWN_BNLJ = {
     "knn_topk": "broadcast query set vs corpus: exact brute-force baseline (linear in corpus)",
+    "contrastive_pairs": "knn_topk's broadcast-anchors brute scan (oracle arm; production mines from the IVF shortlist, impl='ivf')",
     "pq_topk": "broadcast query set vs compressed code scan: ADC is linear in corpus (same shape as knn_topk, 8-32x less data)",
     "pq_rerank_topk": "pq_topk's broadcast-queries ADC scan + broadcast shortlist rerank (r10 oracle arm; linear in corpus)",
     "ann_recall": "recall report joins the brute-force baseline (same shape as knn_topk)",
