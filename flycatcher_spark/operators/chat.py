@@ -56,6 +56,16 @@ def parse_turns(
     message parses as a single-turn transcript), and unknown fields
     are dropped / missing fields null — both pinned in
     tests/test_chat.py. Map-only; no shuffle.
+
+    Examples
+    --------
+        >>> df = spark.createDataFrame(
+        ...     [(1, '[{"role":"user","content":"hi"},'
+        ...          '{"role":"assistant","content":"hello"}]')],
+        ...     "conv_id long, conv_json string")
+        >>> [(r["turn_idx"], r["role"]) for r in
+        ...  parse_turns(df).orderBy("turn_idx").collect()]
+        [(0, 'user'), (1, 'assistant')]
     """
     return (
         df.select(

@@ -894,6 +894,14 @@ def ngram_containment_pairs(
     economics as :func:`ngram_jaccard_pairs` (shared
     :func:`_bucketized_shingle_pairs` stage); empty shingle sets
     report 0.0, never null/NaN.
+
+    Examples
+    --------
+        >>> df = spark.createDataFrame(
+        ...     [(1, "a b"), (2, "a b c d e f g h")], ["doc_id", "text"])
+        >>> r = ngram_containment_pairs(df, shingle_n=1).first()
+        >>> (r["containment_a"], r["containment_b"], r["containment"])
+        (1.0, 0.25, 1.0)
     """
     pairs = _bucketized_shingle_pairs(
         df, text_col, id_col, block_col, max_id_gap, shingle_n

@@ -93,7 +93,16 @@ def zorder_expr(dims: list[ZDim], bits: int = 8, dialect: str = "spark") -> str:
 
 def zorder_key(dims: list[ZDim], bits: int = 8) -> Column:
     """The Morton key as a Spark Column (pure built-in arithmetic —
-    whole-stage codegen, no UDF)."""
+    whole-stage codegen, no UDF).
+
+    Examples
+    --------
+        >>> df = spark.createDataFrame([(1, 0), (0, 1)], "x long, y long")
+        >>> dims = [ZDim("x", 0, 1), ZDim("y", 0, 1)]
+        >>> [r["z"] for r in
+        ...  df.select(zorder_key(dims, bits=1).alias("z")).collect()]
+        [1, 2]
+    """
     return F.expr(zorder_expr(dims, bits, "spark"))
 
 

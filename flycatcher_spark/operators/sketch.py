@@ -174,6 +174,13 @@ def hll_estimate(
     Pass ``from_registers=True`` to estimate from an existing
     :func:`hll_registers` / :func:`hll_merge` output instead of raw
     rows (``key_col`` is ignored then).
+
+    Examples
+    --------
+        >>> df = spark.createDataFrame(
+        ...     [("a",), ("b",), ("c",), ("a",)], "k string")
+        >>> hll_estimate(df, "k", p=8).first()["n_registers"]
+        3
     """
     groups = list(group_cols or [])
     m = 1 << p
@@ -283,6 +290,14 @@ def cms_lookup(
     a cheap per-partition pre-top-k (the ``vocab_topk``
     TakeOrderedAndProject shape); the sketch then serves any number
     of later point queries without re-scanning the corpus.
+
+    Examples
+    --------
+        >>> df = spark.createDataFrame(
+        ...     [("a",), ("b",), ("c",), ("a",)], "k string")
+        >>> looked = cms_lookup(cms_sketch(df, "k"), df.distinct(), "k")
+        >>> sorted((r["k"], r["cms_est"]) for r in looked.collect())
+        [('a', 2), ('b', 1), ('c', 1)]
     """
     probes = (
         keys.select(F.col(key_col), F.explode(_rows_array(depth)).alias("row"))
