@@ -225,6 +225,30 @@ def _loadavg() -> list[float] | None:
         return None
 
 
+def _host_calibration() -> float:
+    """Single-thread hardware speed probe: seconds to md5 64 MB of a
+    fixed buffer, min of 3 (late r11). The external-load sentinel
+    sees a BUSIER host, not a SLOWER one — on 2026-08-17 a clean run
+    recorded every query ~1.53x over its cross-session floor because
+    the VM's cores were simply slower that day. This number makes
+    host speed comparable ACROSS sessions/rounds: floors recorded at
+    calibration c1 and a run at calibration c2 differ by ~c2/c1
+    before any code effect. Goes into the machine stanza (sidecar +
+    stderr), not the size-budgeted compact line."""
+    import hashlib
+    import time as _t
+
+    buf = bytes(range(256)) * 4096  # 1 MB
+    best = float("inf")
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        h = hashlib.md5()
+        for _ in range(64):
+            h.update(buf)
+        best = min(best, _t.perf_counter() - t0)
+    return round(best, 4)
+
+
 class _RunMeter:
     """Times one run and estimates average EXTERNAL busy cores during
     it: (host busy CPU - our tree's CPU) / wall."""
@@ -459,6 +483,7 @@ def main() -> None:
         "machine": {
             "cpus": os.cpu_count(),
             "spark_cpus": int(cpus),
+            "host_calibration_sec": _host_calibration(),
             "loadavg_start": load_start,
             "loadavg_end": _loadavg(),
             "ext_cores_max": max(ext_seen) if ext_seen else None,
