@@ -970,6 +970,32 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "o_orderpriority")
 
 
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release drift gate (versioning.profile_drift): a planted new
+    release of orders (10% of rows dropped, o_custkey nulled on the
+    7-multiples) profiled against the original — row counts, null
+    fractions, exact distinct counts and means side by side with
+    deltas, one conditional-agg scan per side. Columns are
+    integer-valued so the double sums are exact and the oracle
+    hash-matches (see profile_drift's parity note). Schema-level
+    drift (added/removed/type_changed) is pinned by pytest."""
+    from flycatcher_spark.operators import versioning
+
+    orders = _read(spark, sf_dir, "orders")
+    new = (
+        orders.where(F.col("o_orderkey") % 10 != 0)
+        .withColumn(
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+                F.col("o_custkey")
+            ),
+        )
+    )
+    return versioning.profile_drift(
+        orders, new, ["o_orderkey", "o_custkey"], exact=True
+    )
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle containment (dedup.ngram_containment_pairs):
     |A∩B|/|A| catches doc-in-doc duplication that Jaccard misses
@@ -4500,6 +4526,7 @@ _WINDOW_R11 = [
     # pagerank_hosts, webdataset_samples) — all stay r8-green.
     "hll_distinct", "cms_heavy_hitters", "zorder_locality",
     "contrastive_pairs", "chat_turns", "chat_stats", "containment_pairs",
+    "profile_drift",
     "zip_roundtrip", "quality_funnel", "weighted_sample", "anchor_texts",
     "readability_scores", "doc_line_cleanup", "sentence_chunks",
     # changed this round
@@ -4518,13 +4545,12 @@ _WINDOW_R11 = [
     "url_dedup", "video_frames", "warc_records",
     # oldest r8-greens (CORRECTNESS_r08 artifact order)
     "pagerank_redistribute", "webdataset_roundtrip", "format_stats",
-    "bm25_search",
-    # (hybrid_search / wet_roundtrip / flac_decode / jpeg_decode /
-    # embedding_project / pagerank_hosts / webdataset_samples rotate
-    # just past the cut for the seven late-r11 queries (sketches,
-    # z-order, contrastive mining, chat prep, containment) —
-    # never-driver-checked outranks already-green rotation; all
-    # seven stay r8-green.)
+    # (bm25_search / hybrid_search / wet_roundtrip / flac_decode /
+    # jpeg_decode / embedding_project / pagerank_hosts /
+    # webdataset_samples rotate just past the cut for the eight
+    # late-r11 queries (sketches, z-order, contrastive mining, chat
+    # prep, containment, drift) — never-driver-checked outranks
+    # already-green rotation; all eight stay r8-green.)
 ]
 
 
@@ -4751,6 +4777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_turns": q_chat_turns,
         "chat_stats": q_chat_stats,
         "containment_pairs": q_containment_pairs,
+        "profile_drift": q_profile_drift,
         "ann_recall": q_ann_recall,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
@@ -9117,6 +9144,52 @@ def oracle_sql() -> dict[str, str]:
                 FROM labeled
             )
             WHERE role_rank <= CASE WHEN role = 'positive' THEN 2 ELSE 4 END
+        """,
+        # late r11: release drift — per-column arithmetic over the
+        # planted new release; integer-valued columns keep the double
+        # sums exact (profile_drift's parity note).
+        "profile_drift": """
+            WITH b AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                            ELSE o_custkey END AS o_custkey
+                FROM orders WHERE o_orderkey % 10 <> 0
+            ),
+            stats AS (
+                SELECT 'o_orderkey' AS col,
+                       (SELECT COUNT(*) FROM orders) AS n_old,
+                       (SELECT COUNT(*) FROM b) AS n_new,
+                       (SELECT SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) FROM orders) AS null_old,
+                       (SELECT SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) FROM b) AS null_new,
+                       (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS ndv_old,
+                       (SELECT COUNT(DISTINCT o_orderkey) FROM b) AS ndv_new,
+                       (SELECT SUM(CAST(o_orderkey AS DOUBLE)) FROM orders) AS sum_old,
+                       (SELECT SUM(CAST(o_orderkey AS DOUBLE)) FROM b) AS sum_new
+                UNION ALL
+                SELECT 'o_custkey',
+                       (SELECT COUNT(*) FROM orders),
+                       (SELECT COUNT(*) FROM b),
+                       (SELECT SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) FROM orders),
+                       (SELECT SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) FROM b),
+                       (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+                       (SELECT COUNT(DISTINCT o_custkey) FROM b),
+                       (SELECT SUM(CAST(o_custkey AS DOUBLE)) FROM orders),
+                       (SELECT SUM(CAST(o_custkey AS DOUBLE)) FROM b)
+            )
+            SELECT col AS "column",
+                   CAST(n_old AS BIGINT) AS n_old,
+                   CAST(n_new AS BIGINT) AS n_new,
+                   round(CAST(null_old AS DOUBLE) / n_old, 6) AS null_frac_old,
+                   round(CAST(null_new AS DOUBLE) / n_new, 6) AS null_frac_new,
+                   round(CAST(null_new AS DOUBLE) / n_new
+                         - CAST(null_old AS DOUBLE) / n_old, 6) AS null_frac_delta,
+                   CAST(ndv_old AS BIGINT) AS ndv_old,
+                   CAST(ndv_new AS BIGINT) AS ndv_new,
+                   round(sum_old / (n_old - null_old), 6) AS mean_old,
+                   round(sum_new / (n_new - null_new), 6) AS mean_new,
+                   round(sum_new / (n_new - null_new)
+                         - sum_old / (n_old - null_old), 6) AS mean_delta
+            FROM stats
         """,
         # late r11: asymmetric containment — same shingle CTE as
         # jaccard_pairs, per-direction divisors instead of the union.

@@ -164,6 +164,7 @@ HEADLINE = [
     "contrastive_pairs",        # hard-negative mining, exact arm
     "chat_stats",               # transcript parse + gates, one shuffle
     "containment_pairs",        # asymmetric doc-in-doc shingle overlap
+    "profile_drift",            # release drift: two conditional-agg scans
 ]
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100

@@ -83,3 +83,93 @@ def corpus_diff(
 def diff_summary(diff: DataFrame) -> DataFrame:
     """One row per status with counts — the release-notes number."""
     return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Column-level release diff: which columns were ``added`` /
+    ``removed`` / ``type_changed`` / ``unchanged`` between two
+    snapshots — ``(column, status, dtype_old, dtype_new)``.
+
+    Driver-side metadata compare (schemas, not data — zero jobs);
+    row order is the union of both schemas in first-appearance order
+    so release notes read stably. The data-level companion is
+    :func:`profile_drift`.
+    """
+    o = dict(old.dtypes)
+    n = dict(new.dtypes)
+    rows = []
+    for c in list(o) + [c for c in n if c not in o]:
+        if c in o and c not in n:
+            rows.append((c, "removed", o[c], None))
+        elif c not in o and c in n:
+            rows.append((c, "added", None, n[c]))
+        elif o[c] != n[c]:
+            rows.append((c, "type_changed", o[c], n[c]))
+        else:
+            rows.append((c, "unchanged", o[c], n[c]))
+    return old.sparkSession.createDataFrame(
+        rows, "column string, status string, dtype_old string, dtype_new string"
+    )
+
+
+def profile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    columns: Sequence[str],
+    exact: bool = True,
+) -> DataFrame:
+    """Data-level drift for the columns both releases share: row
+    counts, null fractions, distinct counts and (numeric) means side
+    by side with their deltas — the release-gate numbers that catch
+    "the new crawl silently nulled 30% of a field" before training.
+
+    ``(column, n_old, n_new, null_frac_old, null_frac_new,
+    null_frac_delta, ndv_old, ndv_new, mean_old, mean_new,
+    mean_delta)``; fractions/deltas rounded to 6, means to 6 (null
+    for non-numeric columns). Cost: ONE conditional-aggregation scan
+    per side (stats.profile_stats), a driver-side join of two
+    column-count-sized tables — at 100 TB this is two scans, no
+    shuffle wider than the aggregation's partials.
+
+    Engine-parity note (the reason the ``profile_drift`` oracle can
+    hash-match): with ``exact=True`` the distinct counts are exact,
+    and the means stay deterministic when the profiled columns hold
+    integer-valued data (integer sums in doubles are exact below
+    2^53; float-summed columns can differ in the last ulp across
+    partitionings — profile those with rounded tolerance, not hash
+    equality). The driver-side ``round`` here is Python's
+    (banker's); a mean landing EXACTLY on a 5 at the 7th decimal
+    could round differently than a half-away-from-zero engine —
+    astronomically unlikely for real means, tolerable for a drift
+    report, noted for honesty.
+    """
+    from .stats import profile_stats
+
+    po = {r["column"]: r for r in profile_stats(old, list(columns), exact=exact).collect()}
+    pn = {r["column"]: r for r in profile_stats(new, list(columns), exact=exact).collect()}
+
+    def frac(r):
+        return (r["n_null"] / r["n"]) if r["n"] else 0.0
+
+    def mean(r):
+        return r["mean"]
+
+    rows = []
+    for c in columns:
+        a, b = po[c], pn[c]
+        fa, fb = frac(a), frac(b)
+        ma, mb = mean(a), mean(b)
+        rows.append((
+            c, a["n"], b["n"],
+            round(fa, 6), round(fb, 6), round(fb - fa, 6),
+            a["n_distinct"], b["n_distinct"],
+            round(ma, 6) if ma is not None else None,
+            round(mb, 6) if mb is not None else None,
+            round(mb - ma, 6) if ma is not None and mb is not None else None,
+        ))
+    return old.sparkSession.createDataFrame(
+        rows,
+        "column string, n_old long, n_new long, null_frac_old double, "
+        "null_frac_new double, null_frac_delta double, ndv_old long, "
+        "ndv_new long, mean_old double, mean_new double, mean_delta double",
+    )

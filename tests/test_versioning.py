@@ -99,3 +99,64 @@ def test_fingerprint_engine_portable(spark):
         "SELECT md5(concat_ws(chr(31), 'hello', 'en'))"
     ).fetchone()
     assert spark_fp["fp"] == duck_fp
+
+
+class TestSchemaDrift:
+    def test_all_statuses(self, spark):
+        from flycatcher_spark.operators import versioning
+
+        old = spark.createDataFrame(
+            [(1, "a", 1.0, 7)], "id long, kept string, gone double, retyped long"
+        )
+        new = spark.createDataFrame(
+            [(1, "a", "x", 2)], "id long, kept string, retyped string, fresh long"
+        )
+        got = {r["column"]: (r["status"], r["dtype_old"], r["dtype_new"])
+               for r in versioning.schema_drift(old, new).collect()}
+        assert got["id"] == ("unchanged", "bigint", "bigint")
+        assert got["kept"] == ("unchanged", "string", "string")
+        assert got["gone"] == ("removed", "double", None)
+        assert got["retyped"] == ("type_changed", "bigint", "string")
+        assert got["fresh"] == ("added", None, "bigint")
+
+    def test_zero_jobs(self, spark):
+        # pure metadata: no Spark job may run
+        from flycatcher_spark.operators import versioning
+
+        old = spark.createDataFrame([(1,)], "id long")
+        tracker = spark.sparkContext.statusTracker()
+        before = tracker.getJobIdsForGroup(None)
+        versioning.schema_drift(old, old)  # construction only
+        assert tracker.getJobIdsForGroup(None) == before
+
+
+class TestProfileDrift:
+    def test_planted_drift(self, spark):
+        from flycatcher_spark.operators import versioning
+        from pyspark.sql import functions as F
+
+        old = spark.createDataFrame(
+            [(i, i % 10) for i in range(100)], "id long, v long"
+        )
+        new = old.where("id < 80").withColumn(
+            "v", F.when(F.col("id") % 4 == 0, None).otherwise(F.col("v"))
+        )
+        got = {r["column"]: r for r in
+               versioning.profile_drift(old, new, ["id", "v"]).collect()}
+        assert got["id"]["n_old"] == 100 and got["id"]["n_new"] == 80
+        assert got["id"]["null_frac_delta"] == 0.0
+        assert got["v"]["null_frac_old"] == 0.0
+        assert got["v"]["null_frac_new"] == 0.25
+        assert got["v"]["null_frac_delta"] == 0.25
+        assert got["id"]["ndv_old"] == 100 and got["id"]["ndv_new"] == 80
+        # mean of id: 49.5 -> 39.5
+        assert got["id"]["mean_old"] == 49.5 and got["id"]["mean_new"] == 39.5
+        assert got["id"]["mean_delta"] == -10.0
+
+    def test_non_numeric_mean_is_null(self, spark):
+        from flycatcher_spark.operators import versioning
+
+        old = spark.createDataFrame([("a",), ("b",)], "s string")
+        r = versioning.profile_drift(old, old, ["s"]).collect()[0]
+        assert r["mean_old"] is None and r["mean_delta"] is None
+        assert r["null_frac_delta"] == 0.0
