@@ -263,7 +263,17 @@ def with_minhash_signature(
             sigs = iter(mins.T.tolist())
             return pd.Series([next(sigs) if k else None for k in keep])
 
-        return staged.withColumn(out_col, _sig(F.col("__mh_th"))).drop("__mh_th")
+        # asNondeterministic: pipelines filter on the signature column
+        # (``__sig IS NOT NULL``); a deterministic UDF lets Catalyst
+        # push that filter below a later repartition Exchange by
+        # DUPLICATING the evaluation — two ArrowEvalPython nodes, the
+        # whole MinHash kernel AND its JVM tokenize+xxhash64 input
+        # tree run twice per document, the first copy on the scan's
+        # natural (often single-split) partitioning (guide §4.4).
+        # The kernel is pure; the marking only pins one evaluation.
+        return staged.withColumn(
+            out_col, _sig.asNondeterministic()(F.col("__mh_th"))
+        ).drop("__mh_th")
 
     # impl="sql": n-gram hashes by modular polynomial combine (31-bit
     # inputs keep products < 2^62 — ANSI mode throws on overflow).
@@ -476,12 +486,16 @@ def minhash_lsh_pairs(
     )
     # Degenerate docs (fewer tokens than one shingle) are dropped by
     # filtering on the kernel's null signature AFTER the map — the
-    # Arrow kernel already nulls them, Catalyst never pushes a
-    # predicate through a Python UDF projection (no recompute risk),
-    # and it avoids a second full tokenize pass that a scan-side
-    # token-count predicate would cost. (With impl="sql" this would
-    # be wrong: pushdown would inline the num_perm-wide expression
-    # tree into the filter — keep the pre-filter if you switch.)
+    # Arrow kernel already nulls them, and the kernel is marked
+    # non-deterministic so Catalyst cannot push this predicate below
+    # the repartition by duplicating the evaluation (r11: the
+    # deterministic version measured exactly that — a second
+    # ArrowEvalPython below the Exchange, the kernel run twice, the
+    # first copy on the scan's unbalanced splits). It also avoids a
+    # second full tokenize pass that a scan-side token-count
+    # predicate would cost. (With impl="sql" this would be wrong:
+    # pushdown would inline the num_perm-wide expression tree into
+    # the filter — keep the pre-filter if you switch.)
     sig = (
         with_minhash_signature(
             src,

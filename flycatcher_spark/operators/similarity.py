@@ -747,7 +747,13 @@ def pq_encode(
                 out[i] = bytes(next(rows))
         return pd.Series(out, dtype=object)
 
-    return df.withColumn(out_col, _enc(F.col(vec_col)))
+    # Callers filter on the encoded column (``__pq IS NOT NULL``);
+    # a deterministic UDF lets Catalyst push that filter below the
+    # projection by DUPLICATING the evaluation (one ArrowEvalPython
+    # feeding the filter, a second recomputing the column above it —
+    # optimization guide §4.4). The kernel is pure but expensive;
+    # non-deterministic marking pins it to a single evaluation.
+    return df.withColumn(out_col, _enc.asNondeterministic()(F.col(vec_col)))
 
 
 def pq_decode_np(codebooks: np.ndarray, codes: np.ndarray) -> np.ndarray:
@@ -1021,10 +1027,15 @@ def pq_topk(
             res[rows] = sims
         return pd.Series(res)
 
+    # asNondeterministic: the NaN filter below would otherwise be
+    # pushed under the projection by duplicating the ADC evaluation
+    # (two ArrowEvalPython nodes for one call — guide §4.4).
     scored = joined.select(
         "query_id",
         F.col(id_col),
-        F.round(_adc(F.col("__pq"), F.col("__qvec")), 6).alias("sim"),
+        F.round(
+            _adc.asNondeterministic()(F.col("__pq"), F.col("__qvec")), 6
+        ).alias("sim"),
     ).where(~F.isnan(F.col("sim")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col(id_col).asc()
@@ -1181,8 +1192,11 @@ def ivf_pq_topk(
                 cell_out[i] = int(next(cell_iter))
         return pd.DataFrame({"pq": pq_out, "cell": cell_out})
 
+    # asNondeterministic: the ``__pq IS NOT NULL`` filter below would
+    # otherwise duplicate the fused encode+assign evaluation (guide
+    # §4.4 — two ArrowEvalPython nodes, the whole kernel run twice).
     corpus_cells = corpus.select(
-        F.col(id_col), _enc_cell(F.col(vec_col)).alias("__ec")
+        F.col(id_col), _enc_cell.asNondeterministic()(F.col(vec_col)).alias("__ec")
     ).select(
         F.col(id_col),
         F.col("__ec.pq").alias("__pq"),
@@ -1227,10 +1241,14 @@ def ivf_pq_topk(
             res[rows] = sims
         return pd.Series(res)
 
+    # asNondeterministic: same §4.4 duplication guard as the pq_topk
+    # ADC — the NaN filter must not re-evaluate the kernel.
     scored = joined.select(
         "query_id",
         F.col(id_col),
-        F.round(_adc(F.col("__pq"), F.col("__qvec")), 6).alias("sim"),
+        F.round(
+            _adc.asNondeterministic()(F.col("__pq"), F.col("__qvec")), 6
+        ).alias("sim"),
     ).where(~F.isnan(F.col("sim")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col(id_col).asc()
