@@ -82,6 +82,32 @@ class TestCanonicalUrl:
             "blog.example.com"
         )
 
+    def test_host_of_canonical_equivalence(self, spark):
+        # the fused shortcut must match the composed form cell-for-cell
+        # across every URL shape the canonicalizer distinguishes,
+        # including non-URLs, empties and NULL
+        urls = [
+            "HTTPS://WWW.Example.COM:443/a/?utm_source=x&b=2&a=1#f",
+            "http://host.com:80/p",
+            "http://host.com:8080/p",
+            "https://h7.example.com/a",
+            "ftp://Files.Example.org/pub/",
+            "file:///etc/passwd",
+            "https://www.only-www./",
+            "not a url at all",
+            "/relative/path",
+            "//proto.relative/x",
+            "",
+            None,
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        out = df.select(
+            web.host_of(web.canonical_url("url")).alias("composed"),
+            web._host_of_canonical("url").alias("fused"),
+        ).collect()
+        for r in out:
+            assert r["composed"] == r["fused"], (r["composed"], r["fused"])
+
 
 class TestUrlDedup:
     def test_best_quality_wins_ties_to_min_id(self, spark):
