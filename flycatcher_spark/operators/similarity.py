@@ -614,15 +614,34 @@ def _np_kmeans(
         d2 = np.minimum(d2, np.square(X - centers[i]).sum(axis=1))
     chunk = max(1, (4_000_000 // max(k, 1)))
     assign = np.empty(n, dtype=np.int64)
+    prev = None
     for _ in range(n_iter):
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
-            D = np.square(X[lo:hi, None, :] - centers[None, :, :]).sum(axis=2)
-            assign[lo:hi] = D.argmin(axis=1)
+            D = X[lo:hi, None, :] - centers[None, :, :]
+            np.square(D, out=D)
+            assign[lo:hi] = D.sum(axis=2).argmin(axis=1)
+        # Fixed-point exit (r11, bit-identical): if the assignment
+        # repeats, this M-step would regroup the exact same point
+        # sets -> identical means -> identical centers, and every
+        # remaining iteration replays itself. The centers already in
+        # hand ARE the final ones.
+        if prev is not None and np.array_equal(assign, prev):
+            break
+        prev = assign.copy()
+        # M-step via one stable argsort + k slices instead of k full
+        # boolean scans (r11, bit-identical: a stable sort hands each
+        # cluster its rows in the same relative order as the boolean
+        # mask did, so the pairwise np.mean sees the same operands in
+        # the same order). Empty clusters keep their previous center,
+        # as before.
+        order = np.argsort(assign, kind="stable")
+        Xs = X[order]
+        bounds = np.searchsorted(assign[order], np.arange(k + 1))
         for j in range(k):
-            pts = X[assign == j]
-            if len(pts):
-                centers[j] = pts.mean(axis=0)
+            lo, hi = bounds[j], bounds[j + 1]
+            if hi > lo:
+                centers[j] = Xs[lo:hi].mean(axis=0)
     return centers
 
 
