@@ -104,8 +104,8 @@ def pagerank(
       kept as the default for oracle stability across rounds.
       ``dangling="redistribute"`` (r8): each iteration additionally
       computes the total rank mass ``D`` sitting on nodes with no
-      out-edges (one DECIMAL-summed scalar aggregate — the same
-      bounded driver-side shape as the HITS max) and adds
+      out-edges (one DECIMAL-summed 1-row aggregate, kept plan-side
+      as a broadcast cross join — the same shape as the HITS max) and adds
       ``d * D / N`` to every node, so rank mass is conserved. Crawl
       graphs are sink-heavy; redistribution keeps ranks comparable
       across iteration counts and graph snapshots;
@@ -116,9 +116,10 @@ def pagerank(
       ``d * (D / N)`` with ``D`` the round-9 double both engines
       compute identically.
 
-    ``N`` (node count) is the one driver-side scalar in drop mode
-    (a count job); redistribute mode adds one 1-row aggregate per
-    iteration. Ranks themselves stay distributed throughout; in
+    ``N`` (node count) is the ONLY driver-side scalar (a count job);
+    redistribute mode adds one plan-side 1-row aggregate per
+    iteration (broadcast cross-joined into the update — no driver
+    round trip). Ranks themselves stay distributed throughout; in
     redistribute mode each iteration's ranks are checkpoint-
     materialized because two consumers read them (the dangling-mass
     aggregate and the next join).
@@ -187,12 +188,21 @@ def pagerank(
         ranks = nodes.withColumn("rank", init)
         for it in range(iterations):
             extra = None
+            dmass_df = None
             if dangling == "redistribute":
                 # two consumers read this iteration's ranks (the
                 # dangling-mass aggregate and the contribution join):
                 # materialize once instead of recomputing the lineage
                 ranks = ranks.localCheckpoint(eager=True)
-                dmass = (
+                # The dangling mass D stays PLAN-side: a 1-row
+                # aggregate cross-joined (broadcast) into the update
+                # projection instead of a per-iteration driver
+                # ``first()``. Same IEEE arithmetic (the collected
+                # double and the column value are the same bits);
+                # removes one blocking driver round trip + job per
+                # iteration, so the scheduler pipelines the whole
+                # iteration as one job.
+                dmass_df = (
                     ranks.join(dang_nodes, on="node")
                     .agg(
                         F.round(
@@ -202,12 +212,12 @@ def pagerank(
                                 )
                             ).cast("double"),
                             _RANK_DECIMALS,
-                        )
+                        ).alias("__dm")
                     )
-                    .first()[0]
                 )
                 extra = F.lit(float(damping)) * (
-                    F.lit(float(dmass or 0.0)) / F.lit(float(n_nodes))
+                    F.coalesce(F.col("__dm"), F.lit(0.0))
+                    / F.lit(float(n_nodes))
                 )
             contrib = (
                 edeg.join(ranks.withColumnRenamed("node", "src"), on="src")
@@ -225,7 +235,10 @@ def pagerank(
             )
             if extra is not None:
                 upd = upd + extra
-            ranks = nodes.join(contrib, on="node", how="left").select(
+            ranks = nodes.join(contrib, on="node", how="left")
+            if dmass_df is not None:
+                ranks = ranks.crossJoin(F.broadcast(dmass_df))
+            ranks = ranks.select(
                 "node",
                 F.round(upd, _RANK_DECIMALS).alias("rank"),
             )
@@ -264,7 +277,9 @@ def hits(
 
     Scale shape: per iteration two edge⋈score joins + two DECIMAL
     aggregations (map-side combine) + two single-row max aggregates
-    (the only driver-side values). Edges/nodes persist across
+    (the only driver-side values — each ``first()`` doubles as the
+    eager fill of the persisted raw table; see the note in
+    ``_norm_sum``). Edges/nodes persist across
     iterations inside a caching scope; the result is
     checkpoint-materialized before the handles release.
 
@@ -310,6 +325,14 @@ def hits(
             )
             .persist()
         )
+        # The max is a DRIVER-side scalar on purpose. A plan-side
+        # rewrite (1-row aggregate broadcast cross-joined into the
+        # normalizing projection) was measured and REVERTED: the
+        # blocking ``first()`` doubles as the eager fill of ``raw``'s
+        # persist, so every later consumer reads the cache; the lazy
+        # version stacked six nested broadcast builds into one deep
+        # final plan and regressed hits_hosts 5.03 -> 6.87 s at sf0.1
+        # (r11 A/B, anchor_texts control flat).
         mx = raw.agg(F.max("__raw")).first()[0]
         if not mx:
             return raw.select("node", F.lit(0.0).alias("__s"))

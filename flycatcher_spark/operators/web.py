@@ -418,6 +418,14 @@ def host_links(
     — the map-side partial aggregate of the final distinct already
     dedups edges before the wire.
     """
+    from ..plans import ensure_min_parallelism
+
+    # Guard the regex-heavy extraction against an under-partitioned
+    # page scan (guide: one unsplittable split runs ALL extraction
+    # serially while every other core idles — measured 1.5-1.8 s of
+    # single-task stage on the bench graph queries). No-op when the
+    # scan is already wide (production).
+    pages = ensure_min_parallelism(pages)
     b = F.col(url_col)
     quads = pages.select(
         _host_of_canonical(b).alias("src"),
