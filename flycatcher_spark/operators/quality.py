@@ -519,19 +519,48 @@ def bigram_surprise(
         ).alias("__t"),
     ).select(id_col, "__t.cur", "__t.prev")
 
-    counts = stream.groupBy("cur").agg(F.count("*").alias("ucnt"))
+    # ONE pair-count pass feeds all four LM tables. unigram counts,
+    # the total, bigram counts and context counts are all sums of the
+    # (prev, cur) pair-count table (ucnt(cur) = sum over prev;
+    # ctx(prev) = sum over non-null-prev cur; total = sum of all), so
+    # aggregating pairs once and re-aggregating the bounded pair table
+    # replaces four independent explode+shuffle passes over the corpus
+    # with one — and because every consumer reads the IDENTICAL
+    # partial-aggregate subtree (same keys, same count buffer, same
+    # pruned scan), Catalyst's ReuseExchange computes the exploded
+    # shuffle once (plan: 5 Generate scans -> 2; guide §2.4). Counts
+    # are exact integers, so every derived table is cell-identical to
+    # the per-pass originals.
+    pair_counts = stream.groupBy("prev", "cur").agg(
+        F.count("*").alias("pcnt")
+    )
+    counts = pair_counts.groupBy("cur").agg(F.sum("pcnt").alias("ucnt"))
     vocab = counts.orderBy(F.desc("ucnt"), F.asc("cur")).limit(vocab_size)
     total = counts.agg(F.sum("ucnt").cast("double").alias("__n_total"))
 
-    big_stream = stream.where(F.col("prev").isNotNull())
-    bigrams = (
-        big_stream.groupBy("prev", "cur")
-        .agg(F.count("*").alias("bcnt"))
+    # Context counts ride along as a window sum over the SAME pair
+    # table (ctx(prev) = sum of pair counts sharing the context), so
+    # the old bigrams⋈ctx join disappears — and with it the
+    # ``isnotnull(prev)`` filter that join would infer and push below
+    # the aggregate, splitting the shared exchange. The top-k filter
+    # must still exclude the prev=NULL group (doc-first tokens); a
+    # plain ``prev IS NOT NULL`` is a partition/grouping-key predicate
+    # that Catalyst would push below both the window and the
+    # aggregate, so the condition references the aggregate output
+    # ``pcnt`` inside one non-splittable conjunct (pcnt >= 1 always:
+    # the value is exactly "prev is not null"), pinning it above.
+    w_ctx = Window.partitionBy("prev")
+    bmodel = (
+        pair_counts.withColumn("ctx", F.sum("pcnt").over(w_ctx))
+        .where(
+            F.when(F.col("prev").isNotNull(), F.col("pcnt") > 0).otherwise(
+                F.lit(False)
+            )
+        )
+        .select("prev", "cur", F.col("pcnt").alias("bcnt"), "ctx")
         .orderBy(F.desc("bcnt"), F.asc("prev"), F.asc("cur"))
         .limit(bigram_vocab_size)
-    )
-    ctx = big_stream.groupBy("prev").agg(F.count("*").alias("ctx"))
-    bmodel = bigrams.join(ctx, "prev")  # stays <= bigram_vocab_size rows
+    )  # stays <= bigram_vocab_size rows
 
     p_uni = F.when(
         F.col("ucnt").isNotNull(),

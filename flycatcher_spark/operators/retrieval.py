@@ -131,10 +131,43 @@ def bm25_topk(
         ...  bm25_topk(d, q, k=2).orderBy("rank").collect()]
         [(1, 1), (2, 3)]
     """
-    postings, doclen = bm25_postings(docs, text_col, id_col)
-    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # one-row broadcast: corpus size and average (non-empty) doc
-    # length, both as the same IEEE expressions the oracle states
+    # The corpus is tokenized+exploded exactly ONCE: every derived
+    # table (doclen, avgdl, document frequency) re-aggregates the one
+    # postings aggregate, whose shuffle AQE stage reuse materializes
+    # a single time (guide §2.4). Three measured decisions shape this:
+    # - the explicit no-op ``isnotnull(term)`` filter (split() never
+    #   yields null tokens) keeps every consumer's subtree canonically
+    #   IDENTICAL: the term-equi-joins below infer that filter and
+    #   push it into only THEIR copy of the aggregate, which otherwise
+    #   makes the doclen/avgdl branch differ from the probe/dfreq
+    #   branch — stage reuse then re-executes the whole corpus explode
+    #   once per variant (measured: three ~2 s single-task explode
+    #   stages at sf0.1 instead of one).
+    # - document frequency is counted over the postings that survive
+    #   the query-term semi-join: every posting of a term appears
+    #   exactly once there, so count-per-term equals the old
+    #   full-corpus dfreq for every term that can reach the output —
+    #   and the table is at most one row per query term, so it joins
+    #   back as a BROADCAST branch (built concurrently off the same
+    #   reused postings stage) instead of the old corpus-wide dfreq
+    #   shuffle join, which moved the whole vocabulary to answer a
+    #   handful of terms. (A window-count variant was measured and
+    #   rejected: it put a term-partitioned exchange+sort on the
+    #   critical path and regressed hybrid_search ~0.4 s at sf0.1.)
+    # - the doclen join stays a join. Carrying dl through the explode
+    #   as an extra grouping key would remove it, but materializing
+    #   the token array for the size() column doubles the tokenize
+    #   map stage (measured 0.71 -> 1.53 s at sf0.1) — a far worse
+    #   trade at any scale than shuffling one slim (id, dl) row per
+    #   document, since the corpus tokenize IS the dominant cost.
+    terms = docs.select(
+        F.col(id_col),
+        F.explode(tokens(normalize_text(text_col))).alias("term"),
+    ).where(F.col("term").isNotNull())
+    postings = terms.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    doclen = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = docs.agg(
         F.count(F.lit(1)).cast("double").alias("__n_docs")
     ).crossJoin(
@@ -149,9 +182,12 @@ def bm25_topk(
         F.col(qid_col),
         F.explode(tokens(normalize_text(query_col))).alias("term"),
     ).distinct()
+    uterms = qterms.select("term").distinct()
+    matched = postings.join(F.broadcast(uterms), "term")
+    dfreq = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        postings.join(F.broadcast(qterms), "term")
-        .join(dfreq, "term")
+        matched.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
         .join(doclen, id_col)
         .join(F.broadcast(stats))
         .select(
