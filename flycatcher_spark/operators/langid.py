@@ -33,7 +33,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["char_ngrams", "train_langid_profiles", "langid_predict"]
+__all__ = [
+    "char_ngram_count",
+    "char_ngrams",
+    "train_langid_profiles",
+    "langid_predict",
+]
 
 
 def _col(c: Column | str) -> Column:
@@ -75,6 +80,40 @@ def char_ngrams(text: Column | str, n: int = 3) -> Column:
     from .text import bind_once
 
     return bind_once(norm, grams)
+
+
+def char_ngram_count(text: Column | str, n: int = 3) -> Column:
+    """``size(char_ngrams(text, n))`` in closed form — the gram count
+    of normalized text is ``length - (n-1)`` (0 when shorter than
+    ``n``), so counting never builds the gram array. This is what
+    :func:`langid_predict` uses for its per-document denominator: the
+    interpreted per-position ``transform`` array build is the corpus
+    scan's dominant per-row cost, and the counting pass needs only
+    the string length.
+
+    Examples
+    --------
+        >>> df = spark.createDataFrame([("Hi",), ("",)], ["t"])
+        >>> [r.c for r in df.select(char_ngram_count("t").alias("c")).collect()]
+        [2, 0]
+    """
+    norm = F.concat(
+        F.lit(" "),
+        F.regexp_replace(
+            F.regexp_replace(F.lower(_col(text)), r"^\s+|\s+$", ""),
+            r"\s+",
+            " ",
+        ),
+        F.lit(" "),
+    )
+    from .text import bind_once
+
+    return bind_once(
+        norm,
+        lambda s: F.when(
+            F.length(s) >= n, F.length(s) - (n - 1)
+        ).otherwise(F.lit(0)),
+    )
 
 
 def train_langid_profiles(
@@ -144,7 +183,7 @@ def langid_predict(
         F.col(id_col), F.explode(char_ngrams(text_col, n)).alias("gram")
     )
     base = docs.select(
-        F.col(id_col), F.size(char_ngrams(text_col, n)).alias("n_grams")
+        F.col(id_col), char_ngram_count(text_col, n).alias("n_grams")
     )
     matched = (
         grams.join(F.broadcast(profiles.select("lang", "gram", "cost9")), "gram")
