@@ -604,12 +604,23 @@ def verify_pairs_jaccard(
     pair collide in 64 bits (~1e-15 per pair); keep ``hashed=False``
     when hash-comparing against another engine.
     """
+    from ..plans import ensure_min_parallelism
+
     shingles = word_shingles(text_col, shingle_n)
     if hashed:
         shingles = F.array_distinct(
             F.transform(shingles, lambda t: F.xxhash64(t))
         )
-    sh = docs.select(F.col(id_col), shingles.alias("__sh"))
+    # Shingling is expensive per row (tokenize + n-gram transform,
+    # interpreted HOFs); on an under-partitioned scan the whole
+    # corpus shingles in ONE task while every other core idles —
+    # profiled as a 1.4 s single-task broadcast build at sf0.1, the
+    # §2.5 unsplittable-input regime the MinHash signature path
+    # already guards. Project to the two needed columns BEFORE the
+    # repartition so only (id, text) rides the widening exchange.
+    sh = ensure_min_parallelism(
+        docs.select(F.col(id_col), F.col(text_col)), key=id_col
+    ).select(F.col(id_col), shingles.alias("__sh"))
     a = sh.select(F.col(id_col).alias("doc_id_a"), F.col("__sh").alias("__sh_a"))
     b = sh.select(F.col(id_col).alias("doc_id_b"), F.col("__sh").alias("__sh_b"))
     return (
@@ -1179,9 +1190,12 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("neigh_component"))
         )
-        # checkpoint BEFORE the convergence count so the join runs
-        # once per round — counting first would recompute the whole
-        # join again for the checkpoint
+        # LAZY checkpoint + count: the convergence count is the
+        # round's first action, so it materializes the checkpoint as
+        # a side effect — ONE job per round where the old
+        # eager-checkpoint-then-count shape ran two (the join still
+        # runs once per round either way; profiled on the leakage
+        # split, whose tail is ~24 small driver-gap-bound jobs).
         updated = (
             labels.join(
                 neigh_min, labels.node == neigh_min.src, "left"
@@ -1194,7 +1208,7 @@ def connected_components(
                     F.coalesce(F.col("neigh_component"), F.col("component")),
                 ).alias("new_component"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = updated.where(
             F.col("new_component") != F.col("component")
