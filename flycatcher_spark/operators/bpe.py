@@ -267,7 +267,15 @@ def bpe_word_symbol_counts(
     lists learned by :func:`learn_merges` they agree (tested), since
     each learning iteration exhaustively merged its pair.
     """
-    words = docs.select(
+    from ..plans import ensure_min_parallelism
+
+    # Same widening guard as bpe_bytes_symbol_counts: the
+    # len(merges)-deep replace chain is expensive per row and runs
+    # serially on an under-partitioned scan (profiled: one 1.15 s
+    # single-task stage at sf0.1).
+    words = ensure_min_parallelism(
+        docs.select(F.col(id_col), F.col(text_col)), key=id_col
+    ).select(
         F.col(id_col),
         F.explode(tokens(normalize_text(text_col))).alias("__w"),
     )
@@ -798,7 +806,17 @@ def bpe_bytes_symbol_counts(
     replace, token count = spaces / 2 (see
     :func:`bpe_word_symbol_counts` for why double spacing makes each
     replace a true merge-all pass). Everything stays JVM-side."""
-    words = docs.select(
+    from ..plans import ensure_min_parallelism
+
+    # The per-row work below is a len(merges)-deep string-replace
+    # chain over every pre-token — expensive-per-row CPU that runs
+    # serially on an under-partitioned scan (profiled: one 1.5 s
+    # single-task stage at sf0.1), the §2.5 regime where the widening
+    # guard is a measured win (unlike cheap JVM map stages, where it
+    # was measured a loss and rejected).
+    words = ensure_min_parallelism(
+        docs.select(F.col(id_col), F.col(text_col)), key=id_col
+    ).select(
         F.col(id_col),
         F.explode(pretokens(text_col)).alias("__w"),
     )

@@ -351,7 +351,11 @@ def hits(
             .distinct()
             .persist()
         )
-        nodes.count()  # materialize while cached
+        # no eager count: the first iteration's blocking first() (the
+        # max aggregate) is the scope's first action and fills the
+        # nodes/edges caches as part of that job — an explicit count
+        # here was one more serialized driver round trip (profiled:
+        # the hits tail is ~25 small jobs, wall ≈ job-round overhead)
         hub = nodes.withColumn("hub", F.lit(1.0))
         auth = None
         for _ in range(iterations):
