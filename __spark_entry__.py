@@ -2721,7 +2721,9 @@ def q_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     serialize the whole Arrow encode+decode stage onto one core —
     production archives arrive in thousands of input splits and
     never need this. The shuffle moves 8-byte ids only."""
-    docs = _read(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    docs = plans.ensure_min_parallelism(
+        _read(spark, sf_dir, "documents").select("doc_id"), key="doc_id"
+    )
     with_payload = multimodal.make_webp_payload(docs)
     meta = multimodal.decode_image_meta(with_payload, id_col="doc_id")
     return meta.select(
@@ -2747,7 +2749,9 @@ def q_zip_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample grouping."""
     from flycatcher_spark.operators import webdataset
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    docs = plans.ensure_min_parallelism(
+        _read(spark, sf_dir, "documents").select("doc_id"), key="doc_id"
+    )
     samples = webdataset.zip_samples(webdataset.make_zip_payload(docs))
     return samples.select(
         "doc_id",
@@ -2770,7 +2774,9 @@ def q_webp_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     every composed canvas's RGBA mean in closed form (the overwrite
     sequence is a 3-way CASE on cell position). Id repartition for
     the single-row-group fixture, as in webp_decode."""
-    docs = _read(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    docs = plans.ensure_min_parallelism(
+        _read(spark, sf_dir, "documents").select("doc_id"), key="doc_id"
+    )
     with_payload = multimodal.make_webp_anim_payload(docs)
     out = multimodal.media_frames(with_payload, id_col="doc_id", every_n=1)
     return out.select(
@@ -2984,7 +2990,13 @@ def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc's own text — the oracle replays the same construction). The
     grade is integer counts through one IEEE divide/multiply chain —
     no transcendental, hash-matchable."""
-    docs = _read(spark, sf_dir, "documents")
+    # interpreted-HOF CPU per row (three tokenize passes + per-token
+    # regexp_count chains); widen the under-partitioned scan before
+    # it (the curated_corpus guard — profiled 2.4 s single-task here)
+    docs = plans.ensure_min_parallelism(
+        _read(spark, sf_dir, "documents").select("doc_id", "text"),
+        key="doc_id",
+    )
     built = F.concat(
         F.substring(F.col("text"), 1, 40), F.lit(". "),
         F.substring(F.col("text"), 41, 60), F.lit("! "),

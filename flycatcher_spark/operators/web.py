@@ -355,6 +355,17 @@ def anchor_text_agg(
     its distinct anchors, never an unbounded array in one reducer.
     The count aggregates are hash/expand aggs with bounded state.
     """
+    from ..plans import ensure_min_parallelism
+
+    # Per-row cost here is several regex passes per page (element
+    # extract_all + per-anchor href/body extraction + resolution +
+    # canonicalization) — the expensive-per-row regime where the
+    # §2.5 widening guard is a measured win (host_links precedent);
+    # on the bench's single-split scan the extraction otherwise runs
+    # as one serial task (profiled 2×~1.6 s at sf0.1).
+    pages = ensure_min_parallelism(
+        pages.select(F.col(url_col), F.col(html_col)), key=url_col
+    )
     a = F.explode(extract_anchors(F.col(html_col))).alias("__a")
     triples = pages.select(
         F.col(url_col).alias("__base"), a
@@ -367,14 +378,32 @@ def anchor_text_agg(
         ),
         F.col("__base").alias("src"),
     ).where(F.col("target").isNotNull() & (F.col("anchor") != ""))
-    stats = triples.groupBy("target").agg(
-        F.count(F.lit(1)).alias("n_refs"),
+    # Both consumers (the stats aggregate and the capped anchor list)
+    # read a (target, anchor, src) pre-aggregate. Because the
+    # widening exchange is keyed on the page url (== src), the
+    # pre-aggregate is partition-local — no extra shuffle — and the
+    # countDistinct Expand runs over near-distinct triples instead of
+    # the raw stream. n_refs = sum of triple counts; the distinct
+    # src / anchor sets are preserved by the grouping — all exact
+    # integers, cell-identical to aggregating the raw triples.
+    # (Forcing the two consumers onto ONE reused exchange was tried
+    # three ways — shared filter pins, an explicit repartition by
+    # target — and defeated each time by consumer-side column
+    # pruning/filter pushdown producing canonically different
+    # subtrees; the duplicated extraction is parallel after the
+    # widening and the two consumer stages overlap, so the wall cost
+    # at bench scale is the widened stage, not 2x.)
+    grp = triples.groupBy("target", "anchor", "src").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    stats = grp.groupBy("target").agg(
+        F.sum("__n").alias("n_refs"),
         F.countDistinct("src").alias("n_pages"),
         F.countDistinct("anchor").alias("n_anchors"),
     )
     w = Window.partitionBy("target").orderBy("anchor")
     capped = (
-        triples.select("target", "anchor")
+        grp.select("target", "anchor")
         .distinct()
         .withColumn("__r", F.row_number().over(w))
         .where(F.col("__r") <= int(max_anchors))
