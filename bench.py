@@ -41,6 +41,17 @@ protect the recorded numbers:
    ``dirty_queries`` and its per-query entry carries ``dirty: true``
    in ``query_detail`` — consumers (tools/gate.py) skip, not fail,
    dirty samples.
+
+   r12 adds the sentinel's **IO-pressure arm** (VERDICT r11 #7): the
+   CPU arm is blind to disk storms — BENCH_r11 recorded
+   webdataset_samples at 8.41 s vs a same-code standalone 1.97 s the
+   same evening under ``clean: true``, because a host blocked on disk
+   burns no external CPU. Each run now also records the
+   /proc/pressure/io "some" stall-time delta over its wall; a run
+   stalled more than $SPARK_GRAFT_BENCH_IO_STALL (default 0.3) of its
+   duration is dirty by the same exclusion rule. Timing methodology,
+   statistic and output contract are unchanged — this only widens
+   what counts as a contaminated sample.
 3. **A machine-state stanza in the output.** The JSON line carries
    loadavg at bench start/end, per-query loadavg before/after, the
    per-run external-core estimates, and a top-level ``clean`` flag —
@@ -226,6 +237,32 @@ def _loadavg() -> list[float] | None:
         return None
 
 
+def _io_stall_us() -> tuple[int, int] | None:
+    """Cumulative IO-pressure stall time (µs) from /proc/pressure/io
+    as ``(some, full)``: ``some`` counts wall time where >= 1 task was
+    blocked on IO, ``full`` where ALL non-idle tasks were. The r11
+    round proved the CPU-only sentinel blind to disk storms: a run
+    windows recorded webdataset_samples at 8.41 s vs a same-code
+    standalone 1.97 s the same evening while the bench said
+    ``clean: true`` — the host was blocked on disk, which consumes no
+    external CPU. (VERDICT r11 #7.)"""
+    try:
+        with open("/proc/pressure/io") as f:
+            txt = f.read()
+    except OSError:
+        return None
+    vals = {}
+    for line in txt.splitlines():
+        parts = line.split()
+        if parts and parts[0] in ("some", "full"):
+            for p in parts[1:]:
+                if p.startswith("total="):
+                    vals[parts[0]] = int(p.split("=", 1)[1])
+    if "some" not in vals or "full" not in vals:
+        return None
+    return vals["some"], vals["full"]
+
+
 def _host_calibration() -> float:
     """Single-thread hardware speed probe: seconds to md5 64 MB of a
     fixed buffer, min of 3 (late r11). The external-load sentinel
@@ -252,21 +289,35 @@ def _host_calibration() -> float:
 
 class _RunMeter:
     """Times one run and estimates average EXTERNAL busy cores during
-    it: (host busy CPU - our tree's CPU) / wall."""
+    it: (host busy CPU - our tree's CPU) / wall. Also records the
+    run's IO-pressure stall ratio (r12, the sentinel's disk arm):
+    stall-µs delta over wall. The pressure counters are host-global
+    (they include our own reads), but at bench scale the inputs are
+    page-cached after the warm runs, so a healthy run's ratio is ~0 —
+    thresholds are calibrated generously above self-IO."""
 
     def __enter__(self):
         self.h0 = _host_busy_seconds()
         self.t0 = _tree_cpu_seconds()
+        self.io0 = _io_stall_us()
         self.w0 = time.time()
         return self
 
     def __exit__(self, *exc):
         self.wall = time.time() - self.w0
         h1, t1 = _host_busy_seconds(), _tree_cpu_seconds()
+        io1 = _io_stall_us()
         self.ext_cores = None
         if None not in (self.h0, self.t0, h1, t1) and self.wall > 0:
             ext = (h1 - self.h0) - (t1 - self.t0)
             self.ext_cores = max(0.0, round(ext / self.wall, 2))
+        self.io_stall = None
+        if self.io0 is not None and io1 is not None and self.wall > 0:
+            # "some" ratio: fraction of the run's wall time with at
+            # least one task on the host stalled on IO
+            self.io_stall = round(
+                (io1[0] - self.io0[0]) / 1e6 / self.wall, 3
+            )
         return False
 
 
@@ -276,6 +327,11 @@ def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     ext_thresh = float(os.environ.get("SPARK_GRAFT_BENCH_EXT_CORES", "1.5"))
+    # IO-pressure arm (r12): a run spending more than this fraction of
+    # its wall time with tasks stalled on IO is dirty. 0.3 sits well
+    # above healthy self-IO (~0 once inputs are page-cached) and well
+    # below the r11 storm (webdataset_samples blocked 4-8x over).
+    io_thresh = float(os.environ.get("SPARK_GRAFT_BENCH_IO_STALL", "0.3"))
     merge_path = os.environ.get("SPARK_GRAFT_BENCH_MERGE", "")
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
     if only:
@@ -359,7 +415,7 @@ def main() -> None:
 
     load_start = _loadavg()
 
-    def timed_run(name: str) -> tuple[float, float | None]:
+    def timed_run(name: str) -> tuple[float, float | None, float | None]:
         with _RunMeter() as m:
             run_full(qs[name](spark, sf_dir))
         # Some operators persist intermediates internally (minhash
@@ -370,11 +426,13 @@ def main() -> None:
         # storage state. The drop is outside the meter: it is harness
         # bookkeeping, not query cost.
         drop_all_storage()
-        return m.wall, m.ext_cores
+        return m.wall, m.ext_cores, m.io_stall
 
-    # runs[name] -> list of (seconds, ext_cores); detail[name] keeps
-    # the loadavg snapshots for the machine stanza.
-    runs: dict[str, list[tuple[float, float | None]]] = {q: [] for q in headline}
+    # runs[name] -> list of (seconds, ext_cores, io_stall); detail[name]
+    # keeps the loadavg snapshots for the machine stanza.
+    runs: dict[str, list[tuple[float, float | None, float | None]]] = {
+        q: [] for q in headline
+    }
     detail: dict[str, dict] = {q: {} for q in headline}
 
     for p in range(n_passes):
@@ -398,8 +456,16 @@ def main() -> None:
                 detail[name]["loadavg_after"] = _loadavg()
 
     def split_clean(samples):
-        clean = [s for s, e in samples if e is not None and e <= ext_thresh]
-        unmetered = [s for s, e in samples if e is None]
+        # a run is dirty if EITHER metered sentinel condemns it; a
+        # sentinel that could not be read cannot condemn (r8 rule)
+        clean = [
+            s
+            for s, e, io in samples
+            if (e is None or e <= ext_thresh)
+            and (io is None or io <= io_thresh)
+            and not (e is None and io is None)
+        ]
+        unmetered = [s for s, e, io in samples if e is None and io is None]
         return clean + unmetered  # no meter -> can't condemn the run
 
     # Retry round: a query whose EVERY sample was taken under external
@@ -419,18 +485,21 @@ def main() -> None:
         dirty = not clean
         if dirty:
             dirty_queries.append(name)
-        best = min(clean) if clean else min(s for s, _ in samples)
+        best = min(clean) if clean else min(s for s, _, _ in samples)
         timings[name] = round(best, 3)
         detail[name].update(
             {
-                "runs": [round(s, 3) for s, _ in samples],
-                "ext_cores": [e for _, e in samples],
+                "runs": [round(s, 3) for s, _, _ in samples],
+                "ext_cores": [e for _, e, _ in samples],
+                "io_stall": [io for _, _, io in samples],
                 "n_clean": len(clean),
                 "dirty": dirty,
             }
         )
         runs_s = "/".join(
-            f"{s:.2f}@{e if e is not None else '?'}" for s, e in samples
+            f"{s:.2f}@{e if e is not None else '?'}"
+            + (f"&io{io}" if io is not None and io > io_thresh else "")
+            for s, e, io in samples
         )
         flag = " DIRTY" if dirty else ""
         print(
@@ -466,6 +535,9 @@ def main() -> None:
     ext_seen = [
         e for d in detail.values() for e in d.get("ext_cores", []) if e is not None
     ]
+    io_seen = [
+        io for d in detail.values() for io in d.get("io_stall", []) if io is not None
+    ]
     full = {
         "metric": "headline_queries_total",
         "value": total,
@@ -490,6 +562,11 @@ def main() -> None:
             "ext_cores_max": max(ext_seen) if ext_seen else None,
             "ext_cores_mean": (
                 round(sum(ext_seen) / len(ext_seen), 2) if ext_seen else None
+            ),
+            "io_stall_threshold": io_thresh,
+            "io_stall_max": max(io_seen) if io_seen else None,
+            "io_stall_mean": (
+                round(sum(io_seen) / len(io_seen), 3) if io_seen else None
             ),
         },
         "query_detail": detail,

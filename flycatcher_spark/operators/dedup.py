@@ -586,7 +586,8 @@ def verify_pairs_jaccard(
     LSH banding (MinHash/SimHash) generates *candidates*; this stage
     recomputes the exact word-shingle Jaccard on just those pairs and
     keeps the true near-duplicates. Two shuffles on the (small)
-    candidate set; the corpus is scanned once for shingle sets. When
+    candidate set; the corpus contributes (id, text) to the two
+    candidate joins and shingling runs on the joined rows only. When
     banding parameters give full recall at ``threshold``, the output
     equals ground-truth all-pairs Jaccard — which is how the oracle
     queries turn seed-dependent candidate generation into
@@ -596,37 +597,58 @@ def verify_pairs_jaccard(
     rounded to 6 places.
 
     ``hashed=True`` replaces each shingle string with its xxhash64
-    before the joins: 8-byte array elements instead of multi-word
-    strings through two shuffles, and integer set-intersection at
-    compare time — the production path (measured ~3x on the verify
-    stage at 100k docs). Jaccard over hashed distinct shingles equals
-    Jaccard over the strings unless two distinct shingles of the same
-    pair collide in 64 bits (~1e-15 per pair); keep ``hashed=False``
-    when hash-comparing against another engine.
+    before comparing: integer set-intersection at compare time — the
+    production path (measured ~3x on the verify stage at 100k docs).
+    Jaccard over hashed distinct shingles equals Jaccard over the
+    strings unless two distinct shingles of the same pair collide in
+    64 bits (~1e-15 per pair); keep ``hashed=False`` when
+    hash-comparing against another engine.
     """
-    from ..plans import ensure_min_parallelism
-
-    shingles = word_shingles(text_col, shingle_n)
+    # Shingle AFTER the candidate join, not before (r12, guide §3.2's
+    # intent executed join-side): the old shape built a corpus-wide
+    # (id, shingles) table and joined it in twice — every document
+    # paid the interpreted tokenize+n-gram HOFs (and, at bench scale,
+    # rode a broadcast) whether or not any candidate pair referenced
+    # it, which at 100 TB is a corpus-sized shingle table built per
+    # join side. Here the joins attach the raw TEXT of the two
+    # candidate docs to each pair row and the shingle expressions run
+    # on the joined stream: shingling touches exactly the candidate
+    # occurrences, the join payload is the text itself (smaller on
+    # the wire than its ~n-gram-multiplied shingle array), the pair
+    # generator's subtree is referenced ONCE (persist/stage-reuse
+    # variants measured 2-5x worse at sf0.1 — three dead ends logged
+    # in OPTIMIZATION_r12.md), and no §2.5 widening exchange is
+    # needed because the compute runs on the (wide) pair stream, not
+    # the raw scan. Trade, documented: a doc appearing in k candidate
+    # pairs shingles k times — the win holds while candidate
+    # occurrences stay below corpus size, which full-recall banding
+    # on real corpora satisfies by orders of magnitude.
+    da = docs.select(
+        F.col(id_col).alias("doc_id_a"), F.col(text_col).alias("__ta")
+    )
+    db = docs.select(
+        F.col(id_col).alias("doc_id_b"), F.col(text_col).alias("__tb")
+    )
+    sh_a = word_shingles(F.col("__ta"), shingle_n)
+    sh_b = word_shingles(F.col("__tb"), shingle_n)
     if hashed:
-        shingles = F.array_distinct(
-            F.transform(shingles, lambda t: F.xxhash64(t))
-        )
-    # Shingling is expensive per row (tokenize + n-gram transform,
-    # interpreted HOFs); on an under-partitioned scan the whole
-    # corpus shingles in ONE task while every other core idles —
-    # profiled as a 1.4 s single-task broadcast build at sf0.1, the
-    # §2.5 unsplittable-input regime the MinHash signature path
-    # already guards. Project to the two needed columns BEFORE the
-    # repartition so only (id, text) rides the widening exchange.
-    sh = ensure_min_parallelism(
-        docs.select(F.col(id_col), F.col(text_col)), key=id_col
-    ).select(F.col(id_col), shingles.alias("__sh"))
-    a = sh.select(F.col(id_col).alias("doc_id_a"), F.col("__sh").alias("__sh_a"))
-    b = sh.select(F.col(id_col).alias("doc_id_b"), F.col("__sh").alias("__sh_b"))
+        sh_a = F.array_distinct(F.transform(sh_a, lambda t: F.xxhash64(t)))
+        sh_b = F.array_distinct(F.transform(sh_b, lambda t: F.xxhash64(t)))
     return (
         pairs.select("doc_id_a", "doc_id_b")
-        .join(a, "doc_id_a")
-        .join(b, "doc_id_b")
+        .join(da, "doc_id_a")
+        .join(db, "doc_id_b")
+        # materialize the shingle arrays as columns BEFORE the
+        # jaccard expression: jaccard_words references each input
+        # twice (intersection + union), and an inline expression tree
+        # would be re-evaluated per reference (the element_at lesson
+        # at with_minhash_signature) — attribute references are O(1)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            sh_a.alias("__sh_a"),
+            sh_b.alias("__sh_b"),
+        )
         .select(
             "doc_id_a",
             "doc_id_b",

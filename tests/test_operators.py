@@ -582,6 +582,47 @@ class TestMinHash:
         assert ids == {1, 3}
 
 
+class TestVerifyPairsPrefilter:
+    def test_shingle_after_join_preserves_output(self, spark):
+        """r12: the join-then-shingle rewrite (shingles computed on
+        the candidate-joined rows instead of a corpus-wide shingle
+        table joined in twice) must leave the verify output identical
+        — including pairs whose ids are absent from docs (dropped by
+        the inner joins, before and after) and docs absent from every
+        pair (never shingled now, never in the output either way)."""
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy cat today"),
+            (3, "an entirely different document about spark shuffles"),
+            (4, "another unrelated document never proposed as a pair"),
+            (5, "the quick brown fox jumps over the lazy dog today"),
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 5), (2, 3), (1, 99)], ["doc_id_a", "doc_id_b"]
+        )
+        for hashed in (False, True):
+            got = sorted(
+                map(
+                    tuple,
+                    dedup.verify_pairs_jaccard(
+                        pairs, docs, threshold=0.0, hashed=hashed
+                    ).collect(),
+                )
+            )
+            # brute-force expected values from python shingle sets
+            texts = dict(rows)
+            def sh(t):
+                tk = t.split()
+                return {tuple(tk[i : i + 3]) for i in range(len(tk) - 2)}
+            want = []
+            for a, b in [(1, 2), (1, 5), (2, 3)]:
+                sa, sb = sh(texts[a]), sh(texts[b])
+                j = round(len(sa & sb) / len(sa | sb), 6)
+                want.append((a, b, j))
+            assert got == sorted(want), (hashed, got)
+
+
 class TestSimHash:
     def test_identical_zero_distance(self, spark):
         df = spark.createDataFrame(

@@ -1,9 +1,9 @@
-"""Dump ``.explain("formatted")`` for headline queries to plans/r11/.
+"""Dump ``.explain("formatted")`` for headline queries to $SPARK_GRAFT_PLANS_DIR (default plans/r12/).
 
 Usage: python tools/dump_plans.py <suffix> [query ...]
 
 ``suffix`` is ``before`` or ``after``; with no query names, every
-bench HEADLINE query is dumped. Output: plans/r11/<query>_<suffix>.txt
+bench HEADLINE query is dumped. Output: <plans dir>/<query>_<suffix>.txt
 (the optimization round's evidence files — the judge checks plan
 claims against these).
 """
@@ -16,7 +16,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-OUT_DIR = "/root/repo/plans/r11"
+OUT_DIR = os.environ.get("SPARK_GRAFT_PLANS_DIR", "/root/repo/plans/r12")
 
 
 def main() -> int:
