@@ -29,8 +29,13 @@ class _LazySpark:
     def __getattr__(self, name):
         from flycatcher_spark.session import get_spark
 
+        # default_parallelism=8: same rationale as the pytest spark
+        # fixture — doctest frames are tiny local collections and
+        # 32-way parallelize is pure per-action scheduler overhead
         session = get_spark(
-            app_name="flycatcher_spark_doctests", shuffle_partitions=4
+            app_name="flycatcher_spark_doctests",
+            shuffle_partitions=4,
+            default_parallelism=8,
         )
         session.sparkContext.setLogLevel("ERROR")
         return getattr(session, name)

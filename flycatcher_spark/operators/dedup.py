@@ -1203,35 +1203,51 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+
+    def _step(lbl: DataFrame) -> DataFrame:
         neigh_min = (
             edges.join(
-                labels.withColumnRenamed("node", "dst2"),
+                lbl.withColumnRenamed("node", "dst2"),
                 edges.dst == F.col("dst2"),
             )
             .groupBy("src")
             .agg(F.min("component").alias("neigh_component"))
         )
-        # LAZY checkpoint + count: the convergence count is the
-        # round's first action, so it materializes the checkpoint as
-        # a side effect — ONE job per round where the old
-        # eager-checkpoint-then-count shape ran two (the join still
-        # runs once per round either way; profiled on the leakage
-        # split, whose tail is ~24 small driver-gap-bound jobs).
-        updated = (
-            labels.join(
-                neigh_min, labels.node == neigh_min.src, "left"
-            )
-            .select(
-                "node",
-                "component",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("neigh_component"), F.col("component")),
-                ).alias("new_component"),
-            )
-            .localCheckpoint(eager=False)
+        return lbl.join(
+            neigh_min, lbl.node == neigh_min.src, "left"
+        ).select(
+            "node",
+            "component",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("neigh_component"), F.col("component")),
+            ).alias("new_component"),
         )
+
+    # TWO propagation steps per driver round (r12): label propagation
+    # is monotone toward one fixed point, so batching steps between
+    # convergence checks never changes the converged labels — it only
+    # halves the blocking driver actions (the leakage-split CC tail is
+    # ~24 driver-gap-bound jobs at sf0.1; each count is a round trip).
+    # Convergence still means "one full step changed nothing": the
+    # count compares the round's LAST step against its input, and a
+    # converged table makes the extra mid-round step a no-op join on
+    # the (small) label table. The step budget stays exactly
+    # ``max_iter`` (a non-converged adversarial graph returns the same
+    # labels-after-25-steps as before).
+    # LAZY checkpoint + count: the convergence count is the round's
+    # first action, so it materializes the checkpoint as a side
+    # effect — one job per round (r11), now one per TWO steps.
+    steps_left = max_iter
+    while steps_left > 0:
+        u1 = _step(labels)
+        if steps_left >= 2:
+            l1 = u1.select("node", F.col("new_component").alias("component"))
+            updated = _step(l1).localCheckpoint(eager=False)
+            steps_left -= 2
+        else:
+            updated = u1.localCheckpoint(eager=False)
+            steps_left -= 1
         changed = updated.where(
             F.col("new_component") != F.col("component")
         ).count()

@@ -18,8 +18,20 @@ def get_spark(
     app_name: str = "flycatcher_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    default_parallelism: int | None = None,
 ) -> SparkSession:
-    """Build (or fetch) a SparkSession with engine defaults."""
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``default_parallelism`` caps ``spark.default.parallelism`` — the
+    partition count of ``parallelize``/``createDataFrame``-from-local
+    sources, NOT DataFrame shuffles (``shuffle_partitions``) and NOT
+    the core count. Test/doctest sessions set it low (8): a 300-row
+    local frame otherwise lands in 32 partitions on local[32] and
+    every downstream stage pays 32 python-worker tasks of scheduler
+    overhead — measured 0.7 s vs 3-5 s per tiny-join action, ~4x on
+    the whole suite's per-action tax. Leave unset for real inputs
+    (parquet scans ignore it) and for the bench, whose widening
+    guards read ``sparkContext.defaultParallelism``."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
         SparkSession.builder.appName(app_name)
@@ -37,4 +49,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if default_parallelism is not None:
+        builder = builder.config(
+            "spark.default.parallelism", str(default_parallelism)
+        )
     return builder.getOrCreate()

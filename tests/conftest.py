@@ -27,7 +27,16 @@ from flycatcher_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    session = get_spark(app_name="flycatcher_spark_tests", shuffle_partitions=4)
+    # default_parallelism=8: test frames are tiny local collections;
+    # at local[32] they otherwise parallelize into 32 partitions and
+    # every action pays 32 python-worker tasks of scheduler overhead
+    # (measured ~4x on per-action cost; values are partitioning-
+    # independent by the engine's determinism discipline)
+    session = get_spark(
+        app_name="flycatcher_spark_tests",
+        shuffle_partitions=4,
+        default_parallelism=8,
+    )
     session.sparkContext.setLogLevel("ERROR")
     yield session
     session.stop()

@@ -23,6 +23,12 @@ def intervals(spark):
 
 
 def _naive(points, intervals, closed="both"):
+    # coalesce(1): the reference crossJoin of two 32-partition frames
+    # plans 32x32 = 1024 cartesian tasks for 18k rows — ~15 s of pure
+    # scheduler overhead PER TEST on local[32] (measured; the rows are
+    # identical either way). One partition a side = one task.
+    points = points.coalesce(1)
+    intervals = intervals.coalesce(1)
     joined = points.crossJoin(intervals.withColumnRenamed("k", "ik"))
     lo = F.col("s") <= F.col("p") if closed in ("both", "left") else F.col("s") < F.col("p")
     hi = F.col("p") <= F.col("e") if closed in ("both", "right") else F.col("p") < F.col("e")
@@ -48,10 +54,10 @@ def test_point_in_interval_with_equi_key(spark, points, intervals):
     got = range_join.point_in_interval_join(
         points, intervals, "p", "s", "e", bucket_width=40, equi=["k"]
     )
-    naive = points.crossJoin(
+    naive = points.coalesce(1).crossJoin(
         intervals.select(
             F.col("iid"), F.col("s"), F.col("e"), F.col("k").alias("ik")
-        )
+        ).coalesce(1)
     ).filter((F.col("s") <= F.col("p")) & (F.col("p") <= F.col("e")) & (F.col("k") == F.col("ik")))
     assert _key_set(got) == _key_set(naive)
     # equi column survives exactly once
@@ -91,7 +97,7 @@ def test_interval_overlap_matches_naive(spark, intervals):
     got = range_join.interval_overlap_join(
         left, right, "ls", "le", "rs", "re", bucket_width=30
     )
-    naive = left.crossJoin(right).filter(
+    naive = left.coalesce(1).crossJoin(right.coalesce(1)).filter(
         (F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le"))
     )
     assert _key_set(got, ("lid", "rid")) == _key_set(naive, ("lid", "rid"))
@@ -121,5 +127,7 @@ def test_negative_coordinates_bucket_correctly(spark):
         "iid long, s long, e long",
     )
     got = range_join.point_in_interval_join(pts, ivs, "p", "s", "e", bucket_width=16)
-    naive = pts.crossJoin(ivs).filter((F.col("s") <= F.col("p")) & (F.col("p") <= F.col("e")))
+    naive = pts.coalesce(1).crossJoin(ivs.coalesce(1)).filter(
+        (F.col("s") <= F.col("p")) & (F.col("p") <= F.col("e"))
+    )
     assert _key_set(got) == _key_set(naive)
